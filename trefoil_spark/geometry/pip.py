@@ -114,10 +114,14 @@ def pip_sql_expr(px_col: str, py_col: str, polygon: Polygon) -> str:
             x2, y2 = (float(v) for v in ring[(i + 1) % n])
             if y1 == y2:
                 continue  # horizontal edge never straddles
+            # CAST literals to DOUBLE: bare decimal literals parse as DECIMAL
+            # in both Spark and DuckDB, with engine-specific decimal math.
+            X1, Y1 = f"CAST({x1!r} AS DOUBLE)", f"CAST({y1!r} AS DOUBLE)"
+            X2, Y2 = f"CAST({x2!r} AS DOUBLE)", f"CAST({y2!r} AS DOUBLE)"
             term = (
-                f"(CASE WHEN (({y1!r} > {py_col}) != ({y2!r} > {py_col})) "
-                f"AND ({px_col} < ({x2!r} - {x1!r}) * ({py_col} - {y1!r}) "
-                f"/ ({y2!r} - {y1!r}) + {x1!r}) THEN 1 ELSE 0 END)"
+                f"(CASE WHEN (({Y1} > {py_col}) != ({Y2} > {py_col})) "
+                f"AND ({px_col} < ({X2} - {X1}) * ({py_col} - {Y1}) "
+                f"/ ({Y2} - {Y1}) + {X1}) THEN 1 ELSE 0 END)"
             )
             crossing_terms.append(term)
     total = " + ".join(crossing_terms) if crossing_terms else "0"

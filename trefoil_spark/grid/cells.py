@@ -179,17 +179,22 @@ def covering_cells(xmin: float, ymin: float, xmax: float, ymax: float,
 # ---------------------------------------------------------------------------
 
 def ix_sql_expr(lon_col: str, res: int) -> str:
-    """SQL for the longitude cell coordinate (identical in Spark & DuckDB)."""
+    """SQL for the longitude cell coordinate (identical in Spark & DuckDB).
+
+    Integer literals only: decimal-point literals parse as DECIMAL in both
+    engines with engine-specific arithmetic; int+double promotes to double
+    identically, keeping IEEE parity with the numpy path.
+    """
     n = 1 << res
     return (
-        f"CAST(LEAST(GREATEST(FLOOR(({lon_col} + 180.0) / 360.0 * {n}), 0), {n - 1}) AS BIGINT)"
+        f"CAST(LEAST(GREATEST(FLOOR(({lon_col} + 180) / 360 * {n}), 0), {n - 1}) AS BIGINT)"
     )
 
 
 def iy_sql_expr(lat_col: str, res: int) -> str:
     n = 1 << res
     return (
-        f"CAST(LEAST(GREATEST(FLOOR(({lat_col} + 90.0) / 180.0 * {n}), 0), {n - 1}) AS BIGINT)"
+        f"CAST(LEAST(GREATEST(FLOOR(({lat_col} + 90) / 180 * {n}), 0), {n - 1}) AS BIGINT)"
     )
 
 

@@ -1,0 +1,108 @@
+"""Common-Crawl-style ``pages`` table (BASELINE.json input_hint).
+
+Schema: ``url:string, warc_ts:timestamp, html:binary, text:string,
+lang:string`` + derived ``lat, lon`` geotags and the qcell ``cell`` key.
+
+Derived deterministically from the driver's ``documents`` parquet
+(``doc_id, text, lang, source, n_chars``) via pure integer arithmetic so
+the IDENTICAL formula runs as Spark expressions (whole-stage codegen) and
+inside the DuckDB oracle SQL — no Python in the hot path, bit-identical
+geotags in both engines.
+
+Geotag model (FIXTURES.md §1): ~20% of pages ("hot", doc_id % 5 == 0)
+cluster in a 0.2° urban box to create deliberate join-key skew; the rest
+spread over a 12°x6° region resembling the reference fixture extent
+(tmin_zones bbox ≈ -117.5..-115.8, 33.5..35.2).
+
+The per-row invariant tracked through every shuffle: ``text`` (and its
+``html`` encoding) stays byte-identical per ``url``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..grid import cells
+
+# region extents (non-hot)
+LON0, LON_SPAN = -125.0, 12.0
+LAT0, LAT_SPAN = 32.0, 6.0
+# hot urban box
+HOT_LON0, HOT_LAT0, HOT_SPAN = -118.30, 33.90, 0.20
+
+_P1, _P2 = 1000003, 999983  # primes for the two hash streams
+EPOCH_2024 = 1704067200  # 2024-01-01T00:00:00Z
+
+DEFAULT_RES = 7
+
+
+def _dbl(v: float) -> str:
+    # bare decimal literals parse as DECIMAL in Spark & DuckDB → cast
+    return f"CAST({float(v)!r} AS DOUBLE)"
+
+
+def _derive_exprs() -> dict[str, str]:
+    """SQL fragments shared verbatim by Spark and DuckDB."""
+    u1 = f"(CAST((doc_id * 2654435761) % {_P1} AS DOUBLE) / {_P1})"
+    u2 = f"(CAST((doc_id * 40503 + 9973) % {_P2} AS DOUBLE) / {_P2})"
+    hot = "(doc_id % 5 = 0)"
+    lon = (
+        f"(CASE WHEN {hot} THEN {_dbl(HOT_LON0)} + {u1} * {_dbl(HOT_SPAN)} "
+        f"ELSE {_dbl(LON0)} + {u1} * {_dbl(LON_SPAN)} END)"
+    )
+    lat = (
+        f"(CASE WHEN {hot} THEN {_dbl(HOT_LAT0)} + {u2} * {_dbl(HOT_SPAN)} "
+        f"ELSE {_dbl(LAT0)} + {u2} * {_dbl(LAT_SPAN)} END)"
+    )
+    url = "('https://' || source || '.example.com/doc/' || CAST(doc_id AS STRING))"
+    warc_epoch = f"({EPOCH_2024} + doc_id)"
+    return {"lon": lon, "lat": lat, "url": url, "warc_epoch": warc_epoch, "hot": hot}
+
+
+def pages_cte_sql(doc_table: str = "documents", res: int = DEFAULT_RES) -> str:
+    """SELECT deriving the pages columns — valid in Spark SQL *and* DuckDB.
+
+    Emits: url, warc_epoch (bigint), text, lang, lat, lon, cell, doc_id.
+    (html/binary + real timestamp are Spark-side only; binary and
+    timestamp types don't hash portably across engines.)
+    """
+    e = _derive_exprs()
+    ix = cells.ix_sql_expr("lon", res)
+    iy = cells.iy_sql_expr("lat", res)
+    morton = cells.morton_sql_expr("ix", "iy", res)
+    return f"""
+    WITH _pages0 AS (
+        SELECT doc_id, text, lang,
+               {e['url']} AS url,
+               {e['warc_epoch']} AS warc_epoch,
+               {e['lat']} AS lat,
+               {e['lon']} AS lon
+        FROM {doc_table}
+    ), _pages1 AS (
+        SELECT *, {ix} AS ix, {iy} AS iy FROM _pages0
+    )
+    SELECT doc_id, url, warc_epoch, text, lang, lat, lon,
+           {morton} AS cell
+    FROM _pages1
+    """
+
+
+def build_pages(
+    spark: SparkSession, sf_dir: str, res: int = DEFAULT_RES, with_html: bool = True
+) -> DataFrame:
+    """pages DataFrame from the documents parquet (all JVM-side exprs)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs.createOrReplaceTempView("_trefoil_documents")
+    df = spark.sql(pages_cte_sql("_trefoil_documents", res))
+    df = df.withColumn("warc_ts", F.timestamp_seconds(F.col("warc_epoch")))
+    if with_html:
+        # html embeds the text — byte-identity of text implies html identity
+        df = df.withColumn(
+            "html",
+            F.encode(
+                F.concat(F.lit("<html><body>"), F.col("text"), F.lit("</body></html>")),
+                "UTF-8",
+            ),
+        )
+    return df
