@@ -1,0 +1,86 @@
+"""Headline benchmark — one JSON line for the driver.
+
+Runs the engine's headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints:
+{"metric": ..., "value": <total_sec>, "unit": "sec",
+ "queries": {name: sec, ...}, "sf": ..., "throughput": {...}}
+
+Execution is forced with the noop sink (full computation, no driver
+collect). First timing loop run is a JVM/Arrow warmup and is discarded.
+
+Scaling-efficiency evidence (local[8] vs local[32]) is produced by
+tools/bench_scaling.py, which writes BENCH/BASELINE.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def headline_queries():
+    """name -> callable(spark, sf_dir) for the benchmark suite."""
+    import __spark_entry__ as e
+
+    return dict(e.queries())
+
+
+def force(df) -> None:
+    df.write.format("noop").mode("overwrite").save()
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
+
+    from trefoil_spark.session import get_spark
+
+    spark = get_spark(
+        app_name="trefoil_spark_bench",
+        master=f"local[{cpus}]",
+        shuffle_partitions=int(cpus),
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    qs = headline_queries()
+    # warmup (discarded): JVM JIT + Python worker pool spin-up
+    for fn in qs.values():
+        force(fn(spark, sf_dir))
+
+    timings: dict[str, float] = {}
+    for name, fn in qs.items():
+        best = []
+        for _ in range(runs):
+            t0 = time.perf_counter()
+            force(fn(spark, sf_dir))
+            best.append(time.perf_counter() - t0)
+        best.sort()
+        timings[name] = best[len(best) // 2]  # median
+
+    # throughput on the flagship join+agg pipeline
+    import __spark_entry__ as e
+
+    n_pages = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+    flagship = timings.get("zonal_stats", sum(timings.values()))
+    out = {
+        "metric": "headline suite wall time (sf dir), median of %d" % runs,
+        "value": round(sum(timings.values()), 4),
+        "unit": "sec",
+        "queries": {k: round(v, 4) for k, v in timings.items()},
+        "sf": sf_dir,
+        "cpus": int(cpus),
+        "throughput": {
+            "zonal_pipeline_rows_per_sec": round(n_pages / flagship, 1),
+            "input_rows": n_pages,
+        },
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,101 @@
+"""Two-parallelism scaling evidence (BASELINE.md protocol).
+
+Runs the identical flagship job at local[8] and local[32] on the same
+input in separate subprocesses (clean JVM each), reports throughput at
+both plus efficiency = (T8/T32)/4, and appends results to
+BENCH/BASELINE.md. Acceptance: efficiency >= 0.8 (north_rule's N vs 4N
+executor criterion, evidenced per the sandbox protocol).
+
+Usage: python tools/bench_scaling.py [sf_dir] [runs]
+"""
+
+from __future__ import annotations
+
+import datetime
+import json
+import os
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+CHILD = r"""
+import json, os, sys, time
+sys.path.insert(0, %(repo)r)
+from trefoil_spark.session import get_spark
+import __spark_entry__ as e
+
+cores = int(sys.argv[1]); sf_dir = sys.argv[2]; runs = int(sys.argv[3])
+spark = get_spark(app_name=f"scaling_{cores}", master=f"local[{cores}]",
+                  shuffle_partitions=cores)
+spark.sparkContext.setLogLevel("ERROR")
+
+def force(df):
+    df.write.format("noop").mode("overwrite").save()
+
+force(e.q_zonal_stats(spark, sf_dir))  # warmup, discarded
+ts = []
+for _ in range(runs):
+    t0 = time.perf_counter()
+    force(e.q_zonal_stats(spark, sf_dir))
+    ts.append(time.perf_counter() - t0)
+ts.sort()
+n = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+print(json.dumps({"cores": cores, "sec": ts[len(ts)//2], "rows": n}))
+"""
+
+
+def run_at(cores: int, sf_dir: str, runs: int) -> dict:
+    out = subprocess.run(
+        [sys.executable, "-c", CHILD % {"repo": REPO}, str(cores), sf_dir, str(runs)],
+        capture_output=True, text=True, cwd=REPO, timeout=1200,
+    )
+    line = [l for l in out.stdout.strip().splitlines() if l.startswith("{")][-1]
+    return json.loads(line)
+
+
+def main():
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    runs = int(sys.argv[2]) if len(sys.argv) > 2 else 3
+
+    r8 = run_at(8, sf_dir, runs)
+    r32 = run_at(32, sf_dir, runs)
+    t8, t32 = r8["sec"], r32["sec"]
+    thr8, thr32 = r8["rows"] / t8, r32["rows"] / t32
+    eff = (t8 / t32) / 4.0
+
+    result = {
+        "sf_dir": sf_dir,
+        "rows": r8["rows"],
+        "local8_sec": round(t8, 4),
+        "local32_sec": round(t32, 4),
+        "local8_rows_per_sec": round(thr8, 1),
+        "local32_rows_per_sec": round(thr32, 1),
+        "scaling_efficiency_8_to_32": round(eff, 3),
+        "accept_ge_0.8": eff >= 0.8,
+    }
+    print(json.dumps(result))
+
+    os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
+    path = os.path.join(REPO, "BENCH", "BASELINE.md")
+    stamp = datetime.datetime.now(datetime.timezone.utc).isoformat(timespec="seconds")
+    header_needed = not os.path.exists(path)
+    with open(path, "a") as f:
+        if header_needed:
+            f.write(
+                "# BENCH/BASELINE.md — measured scaling evidence\n\n"
+                "Protocol (BASELINE.md): identical flagship job (zonal-stats"
+                " + PIP join pipeline) at local[8] vs local[32], same input,"
+                " median of N runs after a discarded warmup; efficiency ="
+                " (T8/T32)/4; acceptance >= 0.8.\n\n"
+                "| when (UTC) | sf_dir | rows | T8 (s) | T32 (s) | rows/s @8 | rows/s @32 | efficiency | pass |\n"
+                "|---|---|---|---|---|---|---|---|---|\n"
+            )
+        f.write(
+            f"| {stamp} | {sf_dir} | {r8['rows']} | {t8:.3f} | {t32:.3f} "
+            f"| {thr8:.0f} | {thr32:.0f} | {eff:.3f} | {'YES' if eff >= 0.8 else 'NO'} |\n"
+        )
+
+
+if __name__ == "__main__":
+    main()

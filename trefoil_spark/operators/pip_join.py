@@ -25,7 +25,7 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.types import BooleanType
+from pyspark.sql.types import BooleanType, LongType
 
 from ..geometry import Polygon, points_in_rings
 from ..grid import cells
@@ -57,6 +57,20 @@ def covering_pairs_df(
     return spark.createDataFrame(rows, "cell bigint, feature_id bigint, zone_value string")
 
 
+def covering_lists_df(
+    spark: SparkSession, polygons: list[Polygon], res: int = DEFAULT_RES
+) -> DataFrame:
+    """(cell, fids:array<bigint>) — one row per cell, candidate features
+    sorted DESCENDING (burn order: later feature wins, so test it first)."""
+    by_cell: dict[int, list[int]] = {}
+    for fid, poly in enumerate(polygons):
+        xmin, ymin, xmax, ymax = poly.bbox
+        for c in cells.covering_cells(xmin, ymin, xmax, ymax, res).tolist():
+            by_cell.setdefault(int(c), []).append(fid)
+    rows = [(c, sorted(fids, reverse=True)) for c, fids in by_cell.items()]
+    return spark.createDataFrame(rows, "cell bigint, fids array<bigint>")
+
+
 def _make_refine_udf(polygons: list[Polygon]):
     """Vectorized pandas UDF: (lon, lat, feature_id) -> inside:boolean.
 
@@ -80,45 +94,91 @@ def _make_refine_udf(polygons: list[Polygon]):
     return refine
 
 
+def _make_winner_udf(polygons: list[Polygon]):
+    """Vectorized pandas UDF: (lon, lat, fids) -> winning feature_id or null.
+
+    ``fids`` arrives sorted descending (burn order), so the first polygon
+    containing the point wins — exactly GDAL's rasterize overwrite order.
+    Batch rows are grouped by their candidate list; each (list, polygon)
+    evaluation is one vectorized points-x-edges numpy call over only the
+    still-unresolved rows, so total work ≈ candidates, same as the explode
+    plan but with no row multiplication and no later dedup shuffle.
+    """
+    rings_by_fid = {fid: [r.copy() for r in poly.rings] for fid, poly in enumerate(polygons)}
+
+    @F.pandas_udf(LongType())
+    def winner(lon: pd.Series, lat: pd.Series, fids: pd.Series) -> pd.Series:
+        lon_v = lon.to_numpy(dtype=np.float64)
+        lat_v = lat.to_numpy(dtype=np.float64)
+        out = np.full(len(lon_v), -1, dtype=np.int64)
+        # group rows by identical candidate list (few distinct lists/batch)
+        keys = fids.map(lambda a: tuple(a) if a is not None else ())
+        for key in keys.unique():
+            sel = (keys == key).to_numpy()
+            idx = np.flatnonzero(sel)
+            unresolved = idx
+            for fid in key:  # already descending = burn order
+                if unresolved.size == 0:
+                    break
+                inside = points_in_rings(
+                    lon_v[unresolved], lat_v[unresolved], rings_by_fid[int(fid)]
+                )
+                out[unresolved[inside]] = int(fid)
+                unresolved = unresolved[~inside]
+        return pd.Series(out).where(lambda s: s >= 0, other=None)
+
+    # deterministic in fact, but marked otherwise so Catalyst doesn't
+    # duplicate the (expensive) UDF when pushing filters through the project
+    return winner.asNondeterministic()
+
+
 def pip_join(
     points: DataFrame,
     polygons: list[Polygon],
-    key_cols: list[str],
+    key_cols: list[str] | None = None,
     lon_col: str = "lon",
     lat_col: str = "lat",
     res: int = DEFAULT_RES,
-    resolve_overlaps: bool = True,
+    how: str = "inner",
     cell_col_name: str | None = None,
 ) -> DataFrame:
-    """Inner-join points to the polygon layer; adds feature_id + zone_value.
+    """Join points to the polygon layer; adds feature_id + zone_value.
 
-    ``key_cols`` must uniquely identify a point row (used for burn-order
-    resolution). Points matching no polygon are dropped (inner semantics,
-    matching the reference's zone raster where unzoned pixels hold fill).
+    Zero-shuffle plan: scan → codegen cell expr → BroadcastHashJoin with
+    the per-cell candidate-list index (1:1, no row multiplication) →
+    ArrowEvalPython winner UDF (burn-order resolved inside the UDF) →
+    filter. Points matching no polygon are dropped under ``how='inner'``
+    (reference zone-raster fill semantics); ``how='left'`` keeps them with
+    null zone_value.
+
+    ``key_cols`` is accepted for API compatibility but no longer needed —
+    burn order is resolved without a dedup shuffle.
     """
     spark = points.sparkSession
-    cov = covering_pairs_df(spark, polygons, res)
+    cov = covering_lists_df(spark, polygons, res)
 
     pts = points
     if cell_col_name is None:
         cell_col_name = "_pip_cell"
         pts = pts.withColumn(cell_col_name, cell_col(lon_col, lat_col, res))
 
-    cand = pts.join(
-        F.broadcast(cov), on=pts[cell_col_name] == cov["cell"], how="inner"
+    joined = pts.join(
+        F.broadcast(cov), on=pts[cell_col_name] == cov["cell"], how="left"
     ).drop("cell")
 
-    refine = _make_refine_udf(polygons)
-    matched = cand.filter(refine(F.col(lon_col), F.col(lat_col), F.col("feature_id")))
+    winner = _make_winner_udf(polygons)
+    joined = joined.withColumn(
+        "feature_id",
+        F.when(
+            F.col("fids").isNotNull(),
+            winner(F.col(lon_col), F.col(lat_col), F.col("fids")),
+        ),
+    ).drop("fids")
 
-    if resolve_overlaps and len(polygons) > 1:
-        # burn order: highest feature_id wins per point
-        from pyspark.sql.window import Window as W
-
-        w = W.partitionBy(*key_cols).orderBy(F.col("feature_id").desc())
-        matched = (
-            matched.withColumn("_rn", F.row_number().over(w))
-            .filter(F.col("_rn") == 1)
-            .drop("_rn")
-        )
-    return matched.drop("_pip_cell") if cell_col_name == "_pip_cell" else matched
+    value_map = F.create_map(
+        *[x for fid, poly in enumerate(polygons) for x in (F.lit(fid), F.lit(str(poly.value)))]
+    )
+    joined = joined.withColumn("zone_value", value_map[F.col("feature_id")])
+    if how == "inner":
+        joined = joined.filter(F.col("feature_id").isNotNull())
+    return joined.drop("_pip_cell") if cell_col_name == "_pip_cell" else joined
