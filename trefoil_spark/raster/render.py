@@ -1,0 +1,229 @@
+"""Render-to-image tiling (SURVEY.md F2/F5/F6/F10/S8).
+
+Renderer semantics from the reference (reimplemented, PIL-free):
+- base colormap sort + palette + background index appended after palette,
+  transparent when background alpha == 0
+  (/root/reference/trefoil/render/renderers/__init__.py:11-93)
+- StretchedRenderer: linear value→index stretch, palette via
+  interpolate_linear, palette_size 90/255 rule (stretched.py:17-47,106-133)
+- ClassifiedRenderer: numpy.digitize breaks (classified.py:61-68)
+- UniqueValuesRenderer: LUT gather for small uint domains, equality scan
+  otherwise (unique.py:45-63)
+- JSON (de)serialization (renderers/utilities.py:30-65)
+
+Output images are paletted PNGs from the pure-python encoder
+(functions/png.py) — byte-stable across runs.
+
+The distributed operator ``render_tiles`` maps each 256x256 tile to PNG
+bytes in one Arrow batch pass (mapInPandas) — the classic XYZ tile
+pyramid job; at scale this is embarrassingly parallel and shuffle-free.
+"""
+
+from __future__ import annotations
+
+import json
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+
+from ..functions.color import Color, interpolate_linear
+from ..functions.png import encode_palette_png
+
+RENDERED_SCHEMA = "var string, t int, ty int, tx int, png binary"
+
+
+class RasterRenderer:
+    def __init__(self, colormap, fill_value=None, background_color=None):
+        if background_color is None:
+            background_color = Color(0, 0, 0, 0)
+        self.colormap = sorted(list(colormap), key=lambda x: x[0])
+        self.fill_value = fill_value
+        self.background_color = background_color
+        self.values = np.array([entry[0] for entry in self.colormap])
+        self._generate_palette()
+
+    @property
+    def name(self):
+        return self.__class__.__name__.lower().replace("renderer", "").replace("values", "")
+
+    def _mask(self, data: np.ndarray) -> np.ndarray:
+        """NaN + fill_value → masked (True where masked)."""
+        mask = np.isnan(data)
+        if self.fill_value is not None:
+            mask |= data == self.fill_value
+        return mask
+
+    def _indices(self, data: np.ndarray) -> np.ndarray:
+        raise NotImplementedError
+
+    def render_png(self, data: np.ndarray) -> bytes:
+        """2-D float array → paletted PNG bytes (masked → background index)."""
+        idx = self._indices(data)
+        background_index = self.palette.shape[0]
+        idx = np.where(self._mask(data), background_index, idx).astype(np.uint8)
+        pal = np.vstack([self.palette[..., :3],
+                         np.array(self.background_color.to_tuple()[:3], dtype=np.uint8)])
+        transparent = (
+            background_index if self.background_color.alpha == 0 else None
+        )
+        return encode_palette_png(idx, pal, transparent)
+
+    def serialize(self) -> dict:
+        ret = {
+            "type": self.name,
+            "colors": [(entry[0], entry[1].to_hex()) for entry in self.colormap],
+        }
+        if self.fill_value is not None:
+            ret["options"] = {"fill_value": self.fill_value}
+        return ret
+
+    def to_json(self, indent=4) -> str:
+        return json.dumps(self.serialize(), indent=indent)
+
+
+class StretchedRenderer(RasterRenderer):
+    def __init__(self, colormap, fill_value=None, background_color=None,
+                 method="linear", colorspace="hsv", palette_size=None):
+        assert len(colormap) >= 2
+        self.method = method
+        self.colorspace = colorspace
+        if palette_size is not None:
+            assert palette_size <= 255
+            self.palette_size = palette_size
+        elif len(colormap) > 20:
+            self.palette_size = 255
+        else:
+            self.palette_size = 90
+        super().__init__(colormap, fill_value, background_color)
+
+    def _generate_palette(self):
+        self.min_value = self.colormap[0][0]
+        self.max_value = self.colormap[-1][0]
+        colors = np.asarray([c[1].to_tuple() for c in self.colormap]).astype(np.uint8)
+        if self.method != "linear":
+            raise NotImplementedError("Other stretched render methods not built!")
+        self.palette = interpolate_linear(
+            colors, self.values, self.palette_size, colorspace=self.colorspace
+        )
+
+    def _indices(self, data: np.ndarray) -> np.ndarray:
+        # stretched.py:106-121: trunc toward zero then clip
+        num_colors = self.palette.shape[0]
+        factor = (
+            1.0
+            if self.min_value == self.max_value
+            else float(num_colors - 1) / float(self.max_value - self.min_value)
+        )
+        safe = np.where(self._mask(data), self.min_value, data)
+        return ((safe - self.min_value) * factor).astype(int).clip(0, num_colors - 1)
+
+    def serialize(self):
+        ret = super().serialize()
+        ret.setdefault("options", {})["color_space"] = self.colorspace
+        return ret
+
+
+class ClassifiedRenderer(RasterRenderer):
+    def __init__(self, colormap, fill_value=None, background_color=None):
+        assert len(colormap) >= 2
+        super().__init__(colormap, fill_value, background_color)
+
+    def _generate_palette(self):
+        self.palette = np.asarray(
+            [entry[1].to_tuple() for entry in self.colormap]
+        ).astype(np.uint8)
+
+    def _indices(self, data: np.ndarray) -> np.ndarray:
+        # classified.py:61-68 — RAW digitize, deliberately unclipped: a
+        # value >= the last break lands on index len(palette), which IS the
+        # background index (the reference's digitize-vs-docstring quirk;
+        # we follow the implementation, SURVEY.md F2)
+        safe = np.where(self._mask(data), self.values[0], data)
+        return np.digitize(safe.ravel(), self.values).reshape(data.shape)
+
+
+class UniqueValuesRenderer(RasterRenderer):
+    def __init__(self, colormap, fill_value=None, background_color=None, labels=None):
+        assert len(colormap) > 0
+        super().__init__(colormap, fill_value, background_color)
+        if labels:
+            assert len(colormap) == len(labels)
+            self.labels = list(labels)
+        else:
+            self.labels = []
+
+    def _generate_palette(self):
+        self.palette = np.asarray(
+            [entry[1].to_tuple() for entry in self.colormap]
+        ).astype(np.uint8)
+
+    def _indices(self, data: np.ndarray) -> np.ndarray:
+        # unique.py:45-63: unmapped values → background index
+        out = np.full(data.shape, self.values.shape[0], dtype=np.int64)
+        for index, value in enumerate(self.values):
+            out[data == value] = index
+        return out
+
+    def serialize(self):
+        ret = super().serialize()
+        if self.labels:
+            ret.setdefault("options", {})["labels"] = list(self.labels)
+        return ret
+
+
+AVAILABLE_RENDERERS = {
+    "classified": ClassifiedRenderer,
+    "stretched": StretchedRenderer,
+    "unique": UniqueValuesRenderer,
+}
+
+
+def renderer_from_dict(d: dict) -> RasterRenderer:
+    """Reference renderers/utilities.py:30-65 factory semantics."""
+    options = d.get("options", {})
+    try:
+        rtype = d["type"]
+        colors = [(float(x[0]), Color.from_hex(x[1])) for x in d["colors"]]
+    except KeyError:
+        raise ValueError("Missing required keys from renderer configuration")
+    fill_value = options.get("fill_value")
+    if fill_value is not None:
+        fill_value = float(fill_value)
+    kwargs = {
+        "colormap": colors,
+        "fill_value": fill_value,
+        "background_color": Color(255, 255, 255, 0),
+    }
+    if rtype == "stretched":
+        cs = options.get("color_space", "hsv").lower().strip()
+        if cs not in ("rgb", "hsv"):
+            raise ValueError(f"Invalid color space: {cs}")
+        return StretchedRenderer(colorspace=cs, **kwargs)
+    if rtype == "classified":
+        return ClassifiedRenderer(**kwargs)
+    if rtype == "unique":
+        labels = [str(x) for x in options.get("labels", [])]
+        return UniqueValuesRenderer(labels=labels, **kwargs)
+    raise ValueError(f"Unknown renderer type: {rtype}")
+
+
+def render_tiles(tiles: DataFrame, renderer: RasterRenderer) -> DataFrame:
+    """Tile DataFrame → (var, t, ty, tx, png) — shuffle-free map job.
+
+    The renderer object rides the task closure (broadcast pattern);
+    each tile is one vectorized render + one deterministic PNG encode.
+    """
+
+    def gen(batches):
+        for pdf in batches:
+            rows = []
+            for row in pdf.itertuples(index=False):
+                blk = np.frombuffer(row.block, dtype=np.float32).reshape(row.h, row.w)
+                rows.append(
+                    (row.var, int(row.t), int(row.ty), int(row.tx),
+                     renderer.render_png(blk.astype(np.float64)))
+                )
+            yield pd.DataFrame(rows, columns=["var", "t", "ty", "tx", "png"])
+
+    return tiles.mapInPandas(gen, schema=RENDERED_SCHEMA)

@@ -60,10 +60,14 @@ def _derive_exprs() -> dict[str, str]:
     return {"lon": lon, "lat": lat, "url": url, "warc_epoch": warc_epoch, "hot": hot}
 
 
-def pages_cte_sql(doc_table: str = "documents", res: int = DEFAULT_RES) -> str:
+def pages_cte_sql(
+    doc_table: str = "documents",
+    res: int = DEFAULT_RES,
+    passthrough: tuple[str, ...] = ("text", "lang"),
+) -> str:
     """SELECT deriving the pages columns — valid in Spark SQL *and* DuckDB.
 
-    Emits: url, warc_epoch (bigint), text, lang, lat, lon, cell, doc_id.
+    Emits: doc_id, url, warc_epoch (bigint), *passthrough, lat, lon, cell.
     (html/binary + real timestamp are Spark-side only; binary and
     timestamp types don't hash portably across engines.)
     """
@@ -71,9 +75,10 @@ def pages_cte_sql(doc_table: str = "documents", res: int = DEFAULT_RES) -> str:
     ix = cells.ix_sql_expr("lon", res)
     iy = cells.iy_sql_expr("lat", res)
     morton = cells.morton_sql_expr("ix", "iy", res)
+    pt = ("".join(f"{c}, " for c in passthrough)).rstrip()
     return f"""
     WITH _pages0 AS (
-        SELECT doc_id, text, lang,
+        SELECT doc_id, {pt}
                {e['url']} AS url,
                {e['warc_epoch']} AS warc_epoch,
                {e['lat']} AS lat,
@@ -82,10 +87,35 @@ def pages_cte_sql(doc_table: str = "documents", res: int = DEFAULT_RES) -> str:
     ), _pages1 AS (
         SELECT *, {ix} AS ix, {iy} AS iy FROM _pages0
     )
-    SELECT doc_id, url, warc_epoch, text, lang, lat, lon,
+    SELECT doc_id, url, warc_epoch, {pt} lat, lon,
            {morton} AS cell
     FROM _pages1
     """
+
+
+def build_pages_scaled(
+    spark: SparkSession, sf_dir: str, factor: int, res: int = DEFAULT_RES
+) -> DataFrame:
+    """Deterministic scale-up of the pages table for benchmarks.
+
+    Cross-joins documents with ``range(factor)`` (page_id = doc_id * factor
+    + rep) and derives geotags from page_id, so every replica is a distinct
+    deterministic point — no external data, same formulas as build_pages.
+    text/lang ride along so shuffle volume is realistic. 5000 docs x 400 =
+    2M pages, the scale where local[8] vs local[32] is meaningful.
+    """
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    # stream side = well-partitioned range; small docs side broadcast →
+    # the expansion parallelizes across range partitions, no repartition
+    par = spark.sparkContext.defaultParallelism
+    reps = spark.range(0, factor, numPartitions=min(factor, par * 4)).withColumnRenamed(
+        "id", "rep"
+    )
+    wide = reps.join(F.broadcast(docs)).selectExpr(
+        f"doc_id * {factor} + rep AS doc_id", "text", "lang", "source"
+    )
+    wide.createOrReplaceTempView("_trefoil_documents_scaled")
+    return spark.sql(pages_cte_sql("_trefoil_documents_scaled", res))
 
 
 def build_pages(
