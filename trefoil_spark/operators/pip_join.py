@@ -54,65 +54,109 @@ def cell_col(lon_col: str = "lon", lat_col: str = "lat", res: int = DEFAULT_RES)
     return morton + F.lit(res)
 
 
-def _segments_intersect_box(rings, bx0, by0, bx1, by1) -> bool:
-    """True if any polygon edge intersects the axis-aligned box."""
+def _segments_intersect_boxes(rings, bx0, by0, bx1, by1) -> np.ndarray:
+    """Vectorized: does any polygon edge intersect each of N boxes?
+
+    bx0..by1 are arrays of box corners; returns bool[N]. Standard
+    separating-axis test (bbox overlap AND corners straddle the edge's
+    supporting line).
+    """
+    n = bx0.shape[0]
+    hit = np.zeros(n, dtype=bool)
     for ring in rings:
         r = np.asarray(ring, dtype=np.float64).reshape(-1, 2)
         x1, y1 = r[:, 0], r[:, 1]
         x2, y2 = np.roll(x1, -1), np.roll(y1, -1)
-        # bbox reject
-        alive = ~(
-            (np.maximum(x1, x2) < bx0)
-            | (np.minimum(x1, x2) > bx1)
-            | (np.maximum(y1, y2) < by0)
-            | (np.minimum(y1, y2) > by1)
+        # (boxes, edges) bbox overlap
+        overlap = (
+            (np.maximum(x1, x2)[None, :] >= bx0[:, None])
+            & (np.minimum(x1, x2)[None, :] <= bx1[:, None])
+            & (np.maximum(y1, y2)[None, :] >= by0[:, None])
+            & (np.minimum(y1, y2)[None, :] <= by1[:, None])
         )
-        if not alive.any():
-            continue
-        xa, ya, xb, yb = x1[alive], y1[alive], x2[alive], y2[alive]
-        # line side test for the 4 corners: if all corners strictly one side
-        # of the segment's supporting line, no intersection for that edge
-        dx, dy = xb - xa, yb - ya
-        corners = [(bx0, by0), (bx1, by0), (bx1, by1), (bx0, by1)]
-        sides = np.stack([dx * (cy - ya) - dy * (cx - xa) for cx, cy in corners])
-        straddles = ~((sides > 0).all(axis=0) | (sides < 0).all(axis=0))
-        if straddles.any():
-            return True
-    return False
+        dx, dy = (x2 - x1)[None, :], (y2 - y1)[None, :]
+        xa, ya = x1[None, :], y1[None, :]
+        allpos = np.ones_like(overlap)
+        allneg = np.ones_like(overlap)
+        for cx, cy in ((bx0, by0), (bx1, by0), (bx1, by1), (bx0, by1)):
+            side = dx * (cy[:, None] - ya) - dy * (cx[:, None] - xa)
+            allpos &= side > 0
+            allneg &= side < 0
+        straddle = ~(allpos | allneg)  # incl. corner-on-line (conservative)
+        hit |= (overlap & straddle).any(axis=1)
+    return hit
 
 
 def build_covering_index(polygons: list[Polygon], res: int = DEFAULT_RES):
-    """Driver-side covering index.
+    """Driver-side covering index (memoized, fully vectorized).
 
-    Returns (rows, rings_by_fid) where rows = [(cell, fids_desc, resolved)]:
-    ``resolved`` is the burn-order winner when the whole cell is interior
-    to that polygon (no exact test needed at runtime), else None.
+    Returns (rows, rings_by_fid); rows = [(cell, fids_desc, resolved)]:
+    - resolved >= 0: whole cell interior to that burn-order winner — pure
+      JVM resolution at runtime;
+    - resolved == -1: cell uniformly outside every candidate — resolved
+      to "no zone" without any exact test;
+    - resolved is None: boundary cell → exact PIP in the Python stage.
     """
+    key = (res, tuple(
+        (str(p.value), tuple(r.tobytes() for r in p.rings)) for p in polygons
+    ))
+    cached = _COVERING_CACHE.get(key)
+    if cached is not None:
+        return cached
+
     by_cell: dict[int, list[int]] = {}
     for fid, poly in enumerate(polygons):
         xmin, ymin, xmax, ymax = poly.bbox
         for c in cells.covering_cells(xmin, ymin, xmax, ymax, res).tolist():
             by_cell.setdefault(int(c), []).append(fid)
 
+    cell_ids = np.fromiter(by_cell.keys(), dtype=np.int64, count=len(by_cell))
+    lat0, lon0, dlat, dlon = cells.cell_to_latlon(cell_ids)
+    cx, cy = lon0 + dlon / 2.0, lat0 + dlat / 2.0
+    nf, nc = len(polygons), cell_ids.shape[0]
+    cand = np.zeros((nf, nc), dtype=bool)
+    boundary = np.zeros((nf, nc), dtype=bool)
+    inside = np.zeros((nf, nc), dtype=bool)
+    pos = {int(c): i for i, c in enumerate(cell_ids)}
+    for fid, poly in enumerate(polygons):
+        idx = np.fromiter(
+            (pos[c] for c, fids in by_cell.items() if fid in fids), dtype=np.int64
+        )
+        cand[fid, idx] = True
+        boundary[fid, idx] = _segments_intersect_boxes(
+            poly.rings, lon0[idx], lat0[idx], (lon0 + dlon)[idx], (lat0 + dlat)[idx]
+        )
+        inside[fid, idx] = points_in_rings(cx[idx], cy[idx], poly.rings)
+
+    resolved = np.full(nc, -1, dtype=np.int64)  # -1 = uniformly no zone
+    is_boundary = np.zeros(nc, dtype=bool)
+    undecided = np.ones(nc, dtype=bool)
+    for fid in range(nf - 1, -1, -1):  # burn order: highest first
+        consider = undecided & cand[fid]
+        b = consider & boundary[fid]
+        is_boundary |= b
+        undecided &= ~b
+        i = consider & ~boundary[fid] & inside[fid]
+        resolved[i] = fid
+        undecided &= ~i
+
     rows = []
     for c, fids in by_cell.items():
-        fids_desc = sorted(fids, reverse=True)
-        lat0, lon0, dlat, dlon = cells.cell_to_latlon(np.int64(c))
-        lat0, lon0, dlat, dlon = float(lat0), float(lon0), float(dlat), float(dlon)
-        resolved = None
-        for fid in fids_desc:  # burn order: highest first
-            poly = polygons[fid]
-            if _segments_intersect_box(poly.rings, lon0, lat0, lon0 + dlon, lat0 + dlat):
-                break  # boundary cell for the top candidate → needs exact test
-            # no edge crosses the cell: membership is uniform across the cell
-            if poly.contains(lon0 + dlon / 2.0, lat0 + dlat / 2.0):
-                resolved = fid
-                break
-            # uniformly outside this candidate → try the next-lower fid
-        rows.append((c, fids_desc, resolved))
+        k = pos[c]
+        rows.append(
+            (
+                c,
+                sorted(fids, reverse=True),
+                None if is_boundary[k] else int(resolved[k]),
+            )
+        )
 
     rings_by_fid = {fid: [r.copy() for r in poly.rings] for fid, poly in enumerate(polygons)}
+    _COVERING_CACHE[key] = (rows, rings_by_fid)
     return rows, rings_by_fid
+
+
+_COVERING_CACHE: dict = {}
 
 
 def covering_index_df(
@@ -199,7 +243,10 @@ def pip_join(
         # every row through Arrow.
         interior = joined.filter(
             F.col("resolved_fid").isNotNull() | F.col("fids").isNull()
-        ).withColumn("feature_id", F.col("resolved_fid"))
+        ).withColumn(
+            "feature_id",
+            F.when(F.col("resolved_fid") >= 0, F.col("resolved_fid")),
+        )
         boundary = joined.filter(
             F.col("resolved_fid").isNull() & F.col("fids").isNotNull()
         ).withColumn(
@@ -214,9 +261,11 @@ def pip_join(
         joined = (
             joined.withColumn(
                 "feature_id",
-                F.coalesce(
-                    F.col("resolved_fid"),
-                    winner(F.col(lon_col), F.col(lat_col), boundary_cell),
+                F.when(F.col("resolved_fid") >= 0, F.col("resolved_fid")).otherwise(
+                    F.when(
+                        F.col("resolved_fid").isNull(),
+                        winner(F.col(lon_col), F.col(lat_col), boundary_cell),
+                    )
                 ),
             )
             .drop("fids", "resolved_fid")
