@@ -128,6 +128,199 @@ def q_tile_classify_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("class")
 
 
+# ---------------------------------------------------------------------------
+# text / dedup / similarity / knn / analytic queries
+# ---------------------------------------------------------------------------
+
+def _docs_with_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents ∪ exact copies (doc_id%10==0, id+1e6) ∪ near copies with
+    the last token dropped (doc_id%7==0, id+2e6) — deterministic in both
+    engines; the dedup fixtures."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    docs.createOrReplaceTempView("_docs0")
+    return spark.sql(_DOCS_DUPS_SQL_SPARK)
+
+
+_DOCS_DUPS_SQL_SPARK = """
+    SELECT doc_id, text FROM _docs0
+    UNION ALL
+    SELECT doc_id + 1000000 AS doc_id, text FROM _docs0 WHERE doc_id % 10 = 0
+    UNION ALL
+    SELECT doc_id + 2000000 AS doc_id,
+           array_join(slice(split(text, ' '), 1, size(split(text, ' ')) - 1), ' ') AS text
+    FROM _docs0 WHERE doc_id % 7 = 0
+"""
+
+_DOCS_DUPS_SQL_DUCK = """
+    SELECT doc_id, text FROM documents
+    UNION ALL
+    SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id % 10 = 0
+    UNION ALL
+    SELECT doc_id + 2000000 AS doc_id,
+           array_to_string(list_slice(string_split(text, ' '), 1,
+                           len(string_split(text, ' ')) - 1), ' ') AS text
+    FROM documents WHERE doc_id % 7 = 0
+"""
+
+
+def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-pipeline text analysis: token counts, quality features,
+    lang-ID heuristic, rolling-hash fingerprint — all codegen, no Python."""
+    from trefoil_spark.operators.textstats import text_stats
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    out = text_stats(docs)
+    return out.select(
+        "doc_id", "n_chars", "n_tokens", "n_distinct_tokens",
+        "type_token_ratio", "mean_token_len", "fingerprint", "lang_pred",
+    ).orderBy("doc_id")
+
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from trefoil_spark.operators.dedup import exact_duplicate_groups
+
+    return (
+        exact_duplicate_groups(_docs_with_dups(spark, sf_dir))
+        .orderBy("text_hash")
+    )
+
+
+def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup pairs, exact-Jaccard verified (>= 0.5)."""
+    from trefoil_spark.operators.dedup import minhash_near_duplicates
+
+    pairs = minhash_near_duplicates(
+        _docs_with_dups(spark, sf_dir), threshold=0.5
+    )
+    return pairs.select("id_a", "id_b", "inter", "union_size").orderBy(
+        "id_a", "id_b"
+    )
+
+
+def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram-set Jaccard over candidate pairs (id_b = id_a + 2e6 variants)."""
+    from trefoil_spark.operators.dedup import jaccard_pairs
+
+    docs = _docs_with_dups(spark, sf_dir)
+    pairs = (
+        docs.filter(F.col("doc_id") >= 2000000)
+        .select((F.col("doc_id") - 2000000).alias("id_a"), F.col("doc_id").alias("id_b"))
+    )
+    out = jaccard_pairs(docs, pairs, ngram=2)
+    return out.select("id_a", "id_b", "inter", "union_size").orderBy("id_a")
+
+
+def q_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact kNN join (brute force baseline): 5 nearest pages per query."""
+    from trefoil_spark.operators.knn import knn_join_bruteforce
+
+    pages = _pages(spark, sf_dir).select("doc_id", "lon", "lat")
+    queries = pages.filter(F.col("doc_id") % 100 == 0)
+    return knn_join_bruteforce(pages, queries, k=5).orderBy("query_id", "rank")
+
+
+def q_knn_join_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grid kNN (cell-neighborhood candidates) — the scale path; rows-only
+    driver check, exactness vs brute force asserted in tests."""
+    from trefoil_spark.operators.knn import knn_join_cells
+
+    pages = _pages(spark, sf_dir).select("doc_id", "lon", "lat")
+    queries = pages.filter(F.col("doc_id") % 100 == 0)
+    return knn_join_cells(pages, queries, k=5, res=6, ring=1).orderBy(
+        "query_id", "rank"
+    )
+
+
+def q_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-5 neighbors for the first 10 vectors."""
+    from trefoil_spark.operators.similarity import cosine_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 10)
+    return cosine_topk(emb, queries, k=5).orderBy("query_id", "rank")
+
+
+def q_similarity_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed approximate top-5 (random-hyperplane signatures)."""
+    from trefoil_spark.operators.similarity import lsh_ann_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 10)
+    return lsh_ann_topk(emb, queries, k=5).orderBy("query_id", "rank")
+
+
+def q_weighted_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SURVEY §2 A4 (weighted MEAN/STD incl. the reference's v*w-std quirk)."""
+    from trefoil_spark.operators.zonal import weighted_statistics
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return weighted_statistics(li, "l_quantity", "l_linenumber")
+
+
+def q_mean_of_file_means(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SURVEY §2 A7: global min/max but mean-of-per-group-means quirk."""
+    from trefoil_spark.operators.zonal import mean_of_file_means
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return mean_of_file_means(li, "l_returnflag", "l_quantity")
+
+
+def q_interval_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SURVEY §2 A5/A6 row grain: 6-hour tumbling bins over events
+    (sum kept exact via integer cents)."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    binned = ev.withColumn(
+        "interval", F.floor(F.unix_timestamp("ts") / 21600).cast("bigint")
+    ).withColumn("cents", F.round(F.col("value") * 100).cast("bigint"))
+    return (
+        binned.groupBy("interval")
+        .agg(
+            F.count(F.lit(1)).alias("count"),
+            (F.sum("cents").cast("double") / 100).alias("value_sum"),
+            F.min("cents").alias("min_cents"),
+            F.max("cents").alias("max_cents"),
+        )
+        .orderBy("interval")
+    )
+
+
+def q_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SURVEY §2 A11: closed-form OLS per group (events value vs time)."""
+    from trefoil_spark.raster.timeseries import linear_regression_rows
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    df = ev.select(
+        "event_type",
+        F.unix_timestamp("ts").alias("t_sec"),
+        F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+    ).withColumn("t_rel", F.col("t_sec") - 1704067200)
+    return linear_regression_rows(df, "event_type", "t_rel", "cents", exact_ints=True).orderBy(
+        "event_type"
+    )
+
+
+def q_lag_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SURVEY §2 W1 (consecutive-delta detection): per-user distinct
+    inter-event gaps via lag window."""
+    from pyspark.sql.window import Window as W
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))  # parquet ts is NTZ
+    gaps = ev.withColumn("gap_us", us - F.lag(us).over(w)).filter(
+        F.col("gap_us").isNotNull()
+    )
+    return (
+        gaps.groupBy("user_id")
+        .agg(
+            F.countDistinct("gap_us").alias("distinct_gaps"),
+            F.count(F.lit(1)).alias("n_gaps"),
+            F.min("gap_us").alias("min_gap_us"),
+        )
+        .orderBy("user_id")
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: zonal stats over the PIP join at sf0.001."""
     return q_zonal_stats(spark, "/root/testdata/sf0.001")
@@ -142,6 +335,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tile_zonal_stats": q_tile_zonal_stats,
         "tile_window_stats": q_tile_window_stats,
         "tile_classify_histogram": q_tile_classify_histogram,
+        "text_stats": q_text_stats,
+        "dedup_exact": q_dedup_exact,
+        "dedup_minhash": q_dedup_minhash,
+        "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+        "knn_join": q_knn_join,
+        "knn_join_cells": q_knn_join_cells,
+        "similarity_topk": q_similarity_topk,
+        "similarity_lsh": q_similarity_lsh,
+        "weighted_stats": q_weighted_stats,
+        "mean_of_file_means": q_mean_of_file_means,
+        "interval_stats": q_interval_stats,
+        "regression": q_regression,
+        "lag_intervals": q_lag_intervals,
     }
 
 
@@ -203,7 +409,251 @@ def oracle_sql() -> dict[str, str]:
             FROM geo WHERE v IS NOT NULL
             GROUP BY class ORDER BY class
         """,
+        "text_stats": _text_stats_oracle(),
+        "dedup_exact": f"""
+            WITH d AS ({_DOCS_DUPS_SQL_DUCK})
+            SELECT md5(text) AS text_hash, COUNT(*) AS n_dups,
+                   MIN(doc_id) AS keep_id
+            FROM d GROUP BY text_hash HAVING COUNT(*) > 1 ORDER BY text_hash
+        """,
+        "dedup_minhash": _dedup_minhash_oracle(),
+        "dedup_ngram_jaccard": _dedup_ngram_oracle(),
+        "knn_join": _knn_oracle(),
+        "similarity_topk": _similarity_oracle(lsh=False),
+        "similarity_lsh": _similarity_oracle(lsh=True),
+        "weighted_stats": """
+            SELECT SUM(CAST(l_quantity AS DOUBLE) * CAST(l_linenumber AS DOUBLE))
+                       / SUM(CAST(l_linenumber AS DOUBLE)) AS weighted_mean,
+                   SQRT(SUM((CAST(l_quantity AS DOUBLE) * CAST(l_linenumber AS DOUBLE))
+                            * (CAST(l_quantity AS DOUBLE) * CAST(l_linenumber AS DOUBLE)))
+                            / COUNT(*)
+                        - (SUM(CAST(l_quantity AS DOUBLE) * CAST(l_linenumber AS DOUBLE)) / COUNT(*))
+                          * (SUM(CAST(l_quantity AS DOUBLE) * CAST(l_linenumber AS DOUBLE)) / COUNT(*)))
+                       AS weighted_std
+            FROM lineitem
+            WHERE l_quantity IS NOT NULL AND l_linenumber IS NOT NULL
+        """,
+        "mean_of_file_means": """
+            WITH g AS (
+                SELECT l_returnflag,
+                       MIN(l_quantity) AS fmin, MAX(l_quantity) AS fmax,
+                       SUM(CAST(l_quantity AS DOUBLE)) / COUNT(l_quantity) AS fmean
+                FROM lineitem WHERE l_quantity IS NOT NULL GROUP BY l_returnflag
+            )
+            SELECT MIN(fmin) AS min, MAX(fmax) AS max,
+                   list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                       list(fmean ORDER BY fmean)), (a, x) -> a + x)
+                       / COUNT(fmean) AS mean
+            FROM g
+        """,
+        "interval_stats": """
+            WITH b AS (
+                SELECT CAST(FLOOR(epoch(ts) / 21600) AS BIGINT) AS interval,
+                       CAST(ROUND(value * 100) AS BIGINT) AS cents
+                FROM events
+            )
+            SELECT interval, COUNT(*) AS count,
+                   CAST(SUM(cents) AS DOUBLE) / 100 AS value_sum,
+                   MIN(cents) AS min_cents, MAX(cents) AS max_cents
+            FROM b GROUP BY interval ORDER BY interval
+        """,
+        "regression": _regression_oracle(),
+        "lag_intervals": """
+            WITH g AS (
+                SELECT user_id,
+                       CAST(epoch_us(ts) - lag(epoch_us(ts)) OVER
+                            (PARTITION BY user_id ORDER BY ts, event_id) AS BIGINT)
+                           AS gap_us
+                FROM events
+            )
+            SELECT user_id, COUNT(DISTINCT gap_us) AS distinct_gaps,
+                   COUNT(*) AS n_gaps, MIN(gap_us) AS min_gap_us
+            FROM g WHERE gap_us IS NOT NULL
+            GROUP BY user_id ORDER BY user_id
+        """,
     }
+
+
+def _text_stats_oracle() -> str:
+    from trefoil_spark.operators.textstats import (
+        STOPWORDS,
+        fingerprint_sql_duckdb,
+        stopword_count_sql_duckdb,
+    )
+
+    langs = list(STOPWORDS)
+    counts = ", ".join(
+        f"{stopword_count_sql_duckdb(lang)} AS _c_{lang}" for lang in langs
+    )
+    best = f"GREATEST({', '.join(f'_c_{lang}' for lang in langs)})"
+    case = "CASE WHEN " + best + " = 0 THEN 'und' " + " ".join(
+        f"WHEN _c_{lang} = {best} THEN '{lang}'" for lang in langs
+    ) + " END"
+    return f"""
+        WITH t AS (
+            SELECT doc_id, LENGTH(text) AS n_chars,
+                   len(string_split(text, ' ')) AS n_tokens,
+                   len(list_distinct(string_split(text, ' '))) AS n_distinct_tokens,
+                   {fingerprint_sql_duckdb('text')} AS fingerprint,
+                   {counts}
+            FROM documents
+        )
+        SELECT doc_id, n_chars, n_tokens, n_distinct_tokens,
+               CAST(n_distinct_tokens AS DOUBLE) / n_tokens AS type_token_ratio,
+               CAST(n_chars - (n_tokens - 1) AS DOUBLE) / n_tokens AS mean_token_len,
+               fingerprint, {case} AS lang_pred
+        FROM t ORDER BY doc_id
+    """
+
+
+def _dedup_minhash_oracle() -> str:
+    from trefoil_spark.operators.dedup import minhash_sql_duckdb
+
+    toks, sig = minhash_sql_duckdb()
+    bands = ", ".join(
+        f"CAST(list_slice(minhash, {b * 4 + 1}, {b * 4 + 4}) AS VARCHAR) AS _k{b}"
+        for b in range(4)
+    )
+    band_union = " UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band, _k{b} AS key FROM s" for b in range(4)
+    )
+    return f"""
+        WITH d AS ({_DOCS_DUPS_SQL_DUCK}),
+        s AS (
+            SELECT doc_id, {bands} FROM (
+                SELECT doc_id, _th, {sig} AS minhash FROM (
+                    SELECT doc_id, {toks} AS _th FROM d
+                )
+            )
+        ),
+        banded AS ({band_union}),
+        pairs AS (
+            SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
+            FROM banded l JOIN banded r
+              ON l.band = r.band AND l.key = r.key AND l.doc_id < r.doc_id
+        ),
+        sets AS (
+            SELECT doc_id, list_distinct(string_split(text, ' ')) AS tok_set FROM d
+        ),
+        verified AS (
+            SELECT id_a, id_b,
+                   len(a.tok_set) + len(b.tok_set)
+                       - len(list_distinct(list_concat(a.tok_set, b.tok_set))) AS inter,
+                   len(list_distinct(list_concat(a.tok_set, b.tok_set))) AS union_size
+            FROM pairs JOIN sets a ON pairs.id_a = a.doc_id
+                       JOIN sets b ON pairs.id_b = b.doc_id
+        )
+        SELECT id_a, id_b, inter, union_size FROM verified
+        WHERE 2 * inter >= union_size
+        ORDER BY id_a, id_b
+    """
+
+
+def _dedup_ngram_oracle() -> str:
+    bigrams = (
+        "list_distinct(list_transform(list_slice(string_split(text, ' '), 1, "
+        "len(string_split(text, ' ')) - 1), (t, i) -> "
+        "array_to_string(list_slice(string_split(text, ' '), i, i + 1), ' ')))"
+    )
+    return f"""
+        WITH d AS ({_DOCS_DUPS_SQL_DUCK}),
+        pairs AS (
+            SELECT doc_id - 2000000 AS id_a, doc_id AS id_b FROM d
+            WHERE doc_id >= 2000000
+        ),
+        sets AS (SELECT doc_id, {bigrams} AS tok_set FROM d)
+        SELECT id_a, id_b,
+               len(a.tok_set) + len(b.tok_set)
+                   - len(list_distinct(list_concat(a.tok_set, b.tok_set))) AS inter,
+               len(list_distinct(list_concat(a.tok_set, b.tok_set))) AS union_size
+        FROM pairs JOIN sets a ON pairs.id_a = a.doc_id
+                   JOIN sets b ON pairs.id_b = b.doc_id
+        ORDER BY id_a
+    """
+
+
+def _knn_oracle() -> str:
+    return f"""
+        WITH pages AS ({_PAGES_CTE}),
+        q AS (SELECT doc_id AS query_id, lon AS qlon, lat AS qlat FROM pages
+              WHERE doc_id % 100 = 0),
+        cand AS (
+            SELECT q.query_id, p.doc_id AS neighbor_id,
+                   (q.qlon - p.lon) * (q.qlon - p.lon)
+                       + (q.qlat - p.lat) * (q.qlat - p.lat) AS d
+            FROM pages p, q WHERE p.doc_id != q.query_id
+        ),
+        ranked AS (
+            SELECT query_id, neighbor_id,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY d, neighbor_id) AS rank
+            FROM cand
+        )
+        SELECT query_id, neighbor_id, rank FROM ranked WHERE rank <= 5
+        ORDER BY query_id, rank
+    """
+
+
+def _similarity_oracle(lsh: bool) -> str:
+    from trefoil_spark.operators.similarity import bucket_expr, hyperplanes
+
+    dot = (
+        "list_reduce(list_prepend(CAST(0 AS DOUBLE), "
+        "list_transform(list_zip({a}, {b}), "
+        "p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))), (x, y) -> x + y)"
+    )
+    cos = (
+        dot.format(a="q.qv", b="p.pv")
+        + " / (SQRT(" + dot.format(a="q.qv", b="q.qv") + ")"
+        + " * SQRT(" + dot.format(a="p.pv", b="p.pv") + "))"
+    )
+    if lsh:
+        be = bucket_expr("embedding", hyperplanes(64), "duckdb")
+        src = f"SELECT vec_id, embedding, {be} AS bucket FROM embeddings"
+        join_cond = "p.bucket = q.bucket AND p.vec_id != q.query_id"
+        qsel = "SELECT vec_id AS query_id, embedding AS qv, bucket FROM e WHERE vec_id < 10"
+        psel = "SELECT vec_id, embedding AS pv, bucket FROM e"
+    else:
+        src = "SELECT vec_id, embedding FROM embeddings"
+        join_cond = "p.vec_id != q.query_id"
+        qsel = "SELECT vec_id AS query_id, embedding AS qv FROM e WHERE vec_id < 10"
+        psel = "SELECT vec_id, embedding AS pv FROM e"
+    return f"""
+        WITH e AS ({src}),
+        q AS ({qsel}),
+        p AS ({psel}),
+        scored AS (
+            SELECT q.query_id, p.vec_id AS neighbor_id, {cos} AS c
+            FROM p JOIN q ON {join_cond}
+        ),
+        ranked AS (
+            SELECT query_id, neighbor_id,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY c DESC, neighbor_id) AS rank
+            FROM scored
+        )
+        SELECT query_id, neighbor_id, rank FROM ranked WHERE rank <= 5
+        ORDER BY query_id, rank
+    """
+
+
+def _regression_oracle() -> str:
+    from trefoil_spark.raster.timeseries import regression_sql
+
+    inner = regression_sql(
+        "event_type", "t_rel", "cents", "ev", exact_ints=True
+    )
+    return f"""
+        WITH ev AS (
+            SELECT event_type,
+                   -- FLOOR before cast: Spark's unix_timestamp truncates,
+                   -- DuckDB's CAST(double AS BIGINT) rounds
+                   CAST(FLOOR(epoch(ts)) AS BIGINT) - 1704067200 AS t_rel,
+                   CAST(ROUND(value * 100) AS BIGINT) AS cents
+            FROM events
+        )
+        SELECT * FROM ({inner}) ORDER BY event_type
+    """
 
 
 def _tile_zonal_oracle() -> str:

@@ -1,0 +1,163 @@
+"""kNN/dedup/similarity/timeseries operator tests: scale paths must agree
+with their exact baselines; tile ops must match numpy oracles."""
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+
+def test_knn_cells_matches_bruteforce(spark, sf_dir):
+    from trefoil_spark.operators.knn import knn_join_bruteforce, knn_join_cells
+    from trefoil_spark.sources.pages import build_pages
+
+    pages = build_pages(spark, sf_dir, with_html=False).select("doc_id", "lon", "lat")
+    queries = pages.filter(F.col("doc_id") % 50 == 0)
+    # ring chosen generous enough to contain the true k-th neighbor
+    brute = knn_join_bruteforce(pages, queries, k=3).toPandas()
+    cells = knn_join_cells(pages, queries, k=3, res=5, ring=2).toPandas()
+    b = brute.sort_values(["query_id", "rank"]).reset_index(drop=True)
+    c = cells.sort_values(["query_id", "rank"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(b, c)
+
+
+def test_lsh_ann_subset_of_exact_ranking(spark, sf_dir):
+    """LSH top-k is the exact ranking restricted to the bucket — every
+    returned neighbor must appear in the exact top-k of its bucket; recall
+    vs global exact top-k is reported, not asserted (approximation)."""
+    from trefoil_spark.operators.similarity import cosine_topk, lsh_ann_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 5)
+    from trefoil_spark.operators.similarity import bucket_expr, hyperplanes
+
+    exact = cosine_topk(emb, queries, k=emb.count()).toPandas()
+    approx = lsh_ann_topk(emb, queries, k=5).toPandas()
+    assert len(approx) > 0
+
+    # structural: every returned neighbor shares the query's bucket...
+    be = bucket_expr("embedding", hyperplanes(64), "spark")
+    buckets = {
+        r["vec_id"]: r["b"]
+        for r in emb.selectExpr("vec_id", f"{be} AS b").collect()
+    }
+    for q, n in zip(approx.query_id, approx.neighbor_id):
+        assert buckets[q] == buckets[n]
+    # ...and the within-bucket ranking preserves the exact global order
+    exact_rank = {
+        (q, n): r
+        for q, n, r in zip(exact.query_id, exact.neighbor_id, exact["rank"])
+    }
+    for q in approx.query_id.unique():
+        sub = approx[approx.query_id == q].sort_values("rank")
+        global_ranks = [exact_rank[(q, n)] for n in sub.neighbor_id]
+        assert global_ranks == sorted(global_ranks)
+
+
+def test_dedup_finds_planted_duplicates(spark, sf_dir):
+    from trefoil_spark.operators.dedup import (
+        drop_exact_duplicates,
+        exact_duplicate_groups,
+        minhash_near_duplicates,
+        simhash_near_duplicates,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    planted = docs.unionByName(
+        docs.filter(F.col("doc_id") % 10 == 0).withColumn(
+            "doc_id", F.col("doc_id") + 1000000
+        )
+    )
+    n_planted = docs.filter(F.col("doc_id") % 10 == 0).count()
+
+    groups = exact_duplicate_groups(planted).collect()
+    assert len(groups) == n_planted
+    assert all(g["n_dups"] == 2 for g in groups)
+
+    kept = drop_exact_duplicates(planted)
+    assert kept.count() == docs.count()
+    assert kept.filter(F.col("doc_id") >= 1000000).count() == 0  # min-id wins
+
+    near = minhash_near_duplicates(planted, threshold=0.99).toPandas()
+    found = set(zip(near.id_a, near.id_b))
+    for d in range(0, n_planted * 10, 10):
+        assert (d, d + 1000000) in found
+
+    sim = simhash_near_duplicates(planted, max_hamming=0).toPandas()
+    simfound = set(zip(sim.id_a, sim.id_b))
+    for d in range(0, n_planted * 10, 10):
+        assert (d, d + 1000000) in simfound
+
+
+def test_interval_statistic_tiles(spark):
+    """A5 parity: tile-grain interval mean equals the reference reshape
+    semantics (summary.py:87-112) computed in numpy."""
+    from trefoil_spark.grid.bbox import BBox
+    from trefoil_spark.raster.gridspec import GridSpec
+    from trefoil_spark.raster.synth import block_values, synthetic_tiles
+    from trefoil_spark.raster.timeseries import statistic_by_interval
+
+    spec = GridSpec.from_bbox(BBox((-125.0, 32.0, -113.0, 38.0), "EPSG:4326"), 512, 256)
+    tiles = synthetic_tiles(spark, spec, timesteps=4)
+    out = statistic_by_interval(tiles, 2, "mean").collect()
+    assert len(out) == 2 * 2  # 2 intervals x (1x2 tiles)
+    by_key = {(r["t"], r["ty"], r["tx"]): r for r in out}
+    cube = np.stack([block_values(spec, t, 0, 0) for t in range(4)])
+    want = np.ma.masked_invalid(cube).reshape(2, 2, 256, 256).mean(axis=1)
+    got0 = np.frombuffer(by_key[(0, 0, 0)]["block"], dtype=np.float32).reshape(256, 256)
+    assert np.allclose(got0, want[0].filled(np.nan), equal_nan=True, atol=1e-4)
+
+
+def test_linear_regression_tiles_matches_lstsq(spark):
+    """A11 parity: tile-grain OLS equals numpy lstsq per pixel
+    (reference timeseries.py:79-133 semantics)."""
+    from trefoil_spark.grid.bbox import BBox
+    from trefoil_spark.raster.gridspec import GridSpec
+    from trefoil_spark.raster.synth import block_values, synthetic_tiles
+    from trefoil_spark.raster.timeseries import linear_regression_tiles
+
+    spec = GridSpec.from_bbox(BBox((-125.0, 32.0, -113.0, 38.0), "EPSG:4326"), 256, 256)
+    tiles = synthetic_tiles(spark, spec, timesteps=4)
+    out = linear_regression_tiles(tiles).collect()
+    assert len(out) == 1
+    slope = np.frombuffer(out[0]["slope_block"], dtype=np.float32).reshape(256, 256)
+
+    cube = np.stack([block_values(spec, t, 0, 0) for t in range(4)]).astype(np.float64)
+    ok = ~np.isnan(cube[0, 0, 0])
+    # pixel (0,0): plain lstsq oracle
+    ts = np.arange(4, dtype=np.float64)
+    for (py, px) in [(0, 0), (5, 7), (100, 200)]:
+        vals = cube[:, py, px]
+        if np.isnan(vals).any():
+            continue
+        A = np.vstack([ts, np.ones(4)]).T
+        want_slope = np.linalg.lstsq(A, vals, rcond=None)[0][0]
+        assert slope[py, px] == pytest.approx(want_slope, rel=1e-4)
+
+
+def test_calculate_delta(spark):
+    from trefoil_spark.grid.bbox import BBox
+    from trefoil_spark.raster.gridspec import GridSpec
+    from trefoil_spark.raster.synth import block_values, synthetic_tiles
+    from trefoil_spark.raster.timeseries import calculate_delta
+
+    spec = GridSpec.from_bbox(BBox((-125.0, 32.0, -113.0, 38.0), "EPSG:4326"), 256, 256)
+    t0 = synthetic_tiles(spark, spec, timesteps=1, var="a")
+    t1 = synthetic_tiles(spark, spec, timesteps=1, var="b").withColumn(
+        "block", F.col("block")  # same values; delta vs itself = 0
+    )
+    out = calculate_delta(t0, t1).collect()
+    blk = np.frombuffer(out[0]["block"], dtype=np.float32)
+    assert np.nanmax(np.abs(blk)) == 0.0
+
+
+def test_text_fingerprint_order_sensitivity(spark, sf_dir):
+    """Fingerprint must differ when token order changes (rolling hash)."""
+    from trefoil_spark.operators.textstats import fingerprint_col
+
+    df = spark.createDataFrame(
+        [("a b c",), ("c b a",), ("a b c",)], "text string"
+    ).select(fingerprint_col("text").alias("fp"))
+    fps = [r["fp"] for r in df.collect()]
+    assert fps[0] == fps[2]
+    assert fps[0] != fps[1]

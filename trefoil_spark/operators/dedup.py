@@ -1,0 +1,250 @@
+"""Deduplication suite for web-scale corpora (training-data pipeline ops).
+
+Four strategies, all DataFrame-first with exact or documented-approximate
+DuckDB oracles:
+
+- **exact**: md5(text) hash groups — one shuffle on the hash; at 100 TB
+  this is the canonical dedup job (hash-partitioned, spill-safe, skew
+  handled by AQE since identical docs land in one partition anyway).
+- **minhash + LSH**: per-doc signature of H minima over the portable
+  token hash (pure Catalyst expressions: transform + array_min — no
+  Python); band keys → self-equi-join on (band, key) → candidate pairs →
+  exact Jaccard verify. Shuffles: one per self-join side on the band key.
+- **simhash**: 64-bit bit-majority signature via numpy in a pandas UDF
+  (bit-twiddling is the one thing expressions do badly); Hamming-ball
+  pairing via band keys on 4 x 16-bit chunks.
+- **n-gram Jaccard**: token bigram sets, exact Jaccard via distinct-set
+  sizes (|A∩B| = |A|+|B|-|A∪B| — computed with array_distinct/concat so
+  the identical formula runs in DuckDB).
+
+Signature math stays in integers end-to-end → bit-identical across
+engines.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .textstats import token_hash_expr, token_hash_expr_duckdb
+
+P31 = (1 << 31) - 1  # Mersenne prime for the affine minhash family
+
+
+def minhash_params(num_hashes: int = 16, seed: int = 42) -> list[tuple[int, int]]:
+    """Deterministic (a, b) pairs for h_i(x) = (a*x + b) mod P31."""
+    rng = np.random.default_rng(seed)
+    return [
+        (int(rng.integers(1, P31)), int(rng.integers(0, P31)))
+        for _ in range(num_hashes)
+    ]
+
+
+# --- exact dedup ---
+
+def exact_duplicate_groups(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Hash groups with >1 member: (text_hash, n_dups, keep_id=min id)."""
+    return (
+        df.select(F.md5(F.col(text_col)).alias("text_hash"), F.col(id_col))
+        .groupBy("text_hash")
+        .agg(F.count(F.lit(1)).alias("n_dups"), F.min(id_col).alias("keep_id"))
+        .filter(F.col("n_dups") > 1)
+    )
+
+
+def drop_exact_duplicates(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Keep the min-id row per distinct text (deterministic winner)."""
+    w = df.select(F.md5(F.col(text_col)).alias("_h"), F.col(id_col).alias("_id"))
+    keep = w.groupBy("_h").agg(F.min("_id").alias(id_col))
+    return df.join(keep, on=id_col, how="left_semi")
+
+
+# --- minhash / LSH ---
+
+def _minhash_sql(engine: str, text_col: str, params) -> str:
+    """Signature as an array<bigint> expression (spark|duckdb dialect)."""
+    th = token_hash_expr if engine == "spark" else token_hash_expr_duckdb
+    h = f"({th('t')} % {P31})"
+    split = "split" if engine == "spark" else "string_split"
+    distinct = "array_distinct" if engine == "spark" else "list_distinct"
+    amin = "array_min" if engine == "spark" else "list_min"
+    transform = "transform" if engine == "spark" else "list_transform"
+    toks = f"{distinct}({transform}({split}({text_col}, ' '), t -> {h}))"
+    mins = ", ".join(
+        f"{amin}({transform}(_th, x -> ({a} * x + {b}) % {P31}))" for a, b in params
+    )
+    return toks, f"array({mins})" if engine == "spark" else f"[{mins}]"
+
+
+def minhash_signatures(
+    df: DataFrame, text_col: str = "text", num_hashes: int = 16, seed: int = 42
+) -> DataFrame:
+    params = minhash_params(num_hashes, seed)
+    toks, sig = _minhash_sql("spark", text_col, params)
+    return df.withColumn("_th", F.expr(toks)).withColumn(
+        "minhash", F.expr(sig)
+    ).drop("_th")
+
+
+def minhash_sql_duckdb(text_col: str = "text", num_hashes: int = 16, seed: int = 42):
+    """(tokens_expr, signature_expr) for the DuckDB oracle."""
+    return _minhash_sql("duckdb", text_col, minhash_params(num_hashes, seed))
+
+
+def lsh_candidate_pairs(
+    sigs: DataFrame,
+    id_col: str = "doc_id",
+    bands: int = 4,
+    rows_per_band: int = 4,
+) -> DataFrame:
+    """Docs sharing any band of the signature → candidate pairs (a < b)."""
+    slices = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.slice("minhash", b * rows_per_band + 1, rows_per_band).alias("key"),
+        )
+        for b in range(bands)
+    ]
+    banded = sigs.select(
+        F.col(id_col), F.explode(F.array(*slices)).alias("bk")
+    ).select(id_col, "bk.band", F.col("bk.key").cast("string").alias("key"))
+    left = banded.alias("l")
+    right = banded.alias("r")
+    pairs = left.join(
+        right,
+        (F.col("l.band") == F.col("r.band"))
+        & (F.col("l.key") == F.col("r.key"))
+        & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
+    ).select(
+        F.col(f"l.{id_col}").alias("id_a"), F.col(f"r.{id_col}").alias("id_b")
+    )
+    return pairs.distinct()
+
+
+def jaccard_pairs(
+    df: DataFrame,
+    pairs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    ngram: int = 1,
+) -> DataFrame:
+    """Exact token-/bigram-set Jaccard for candidate pairs.
+
+    |A∩B| = |A| + |B| − |A∪B| with array_distinct/concat — the identical
+    integer formula runs in the DuckDB oracle.
+    """
+    if ngram == 1:
+        toks = "array_distinct(split(text, ' '))"
+    else:
+        toks = (
+            "array_distinct(transform(slice(split(text, ' '), 1, "
+            f"size(split(text, ' ')) - {ngram - 1}), "
+            f"(t, i) -> concat_ws(' ', slice(split(text, ' '), i + 1, {ngram}))))"
+        )
+    sets = df.select(
+        F.col(id_col), F.expr(toks.replace("text", text_col)).alias("tok_set")
+    )
+    a = sets.withColumnRenamed(id_col, "id_a").withColumnRenamed("tok_set", "set_a")
+    b = sets.withColumnRenamed(id_col, "id_b").withColumnRenamed("tok_set", "set_b")
+    j = pairs.join(a, "id_a").join(b, "id_b")
+    union_size = F.size(F.array_distinct(F.concat("set_a", "set_b")))
+    inter = F.size("set_a") + F.size("set_b") - union_size
+    # inter/union kept as exact integers: engine-portable (a rounded double
+    # jaccard could hash-mismatch across engines at round-boundary values)
+    return j.select(
+        "id_a",
+        "id_b",
+        inter.alias("inter"),
+        union_size.alias("union_size"),
+        (inter.cast("double") / union_size).alias("jaccard"),
+    )
+
+
+def minhash_near_duplicates(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.7,
+    num_hashes: int = 16,
+    bands: int = 4,
+    seed: int = 42,
+) -> DataFrame:
+    """Full minhash-LSH pipeline: signatures → band join → exact verify."""
+    sigs = minhash_signatures(df.select(id_col, text_col), text_col, num_hashes, seed)
+    cand = lsh_candidate_pairs(sigs, id_col, bands, num_hashes // bands)
+    verified = jaccard_pairs(df, cand, text_col, id_col)
+    return verified.filter(F.col("jaccard") >= threshold)
+
+
+# --- simhash ---
+
+def simhash_udf(num_bits: int = 64):
+    """pandas UDF: text → simhash (bit-majority over portable token hashes).
+
+    numpy bit unpacking — the Python stage is one vectorized pass; at
+    scale this is the standard simhash map job (shuffle-free).
+    """
+    import hashlib
+
+    @F.pandas_udf("long")
+    def simhash(text: pd.Series) -> pd.Series:
+        out = np.zeros(len(text), dtype=np.int64)
+        for i, t in enumerate(text):
+            toks = set(t.split(" ")) if t else set()
+            if not toks:
+                continue
+            acc = np.zeros(num_bits, dtype=np.int64)
+            for tok in toks:
+                h = int(hashlib.md5(tok.encode()).hexdigest()[:15], 16)
+                bits = (h >> np.arange(num_bits, dtype=np.int64)) & 1
+                acc += np.where(bits == 1, 1, -1)
+            sig = 0
+            for j in range(num_bits):
+                if acc[j] > 0:
+                    sig |= 1 << j
+            out[i] = np.int64(sig & ((1 << 63) - 1))
+        return pd.Series(out)
+
+    return simhash
+
+
+def simhash_near_duplicates(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", max_hamming: int = 3
+) -> DataFrame:
+    """Hamming-ball pairing: 4x16-bit chunk band join (any identical chunk
+    guarantees recall for distance <= 3 by pigeonhole) + exact popcount."""
+    sh = simhash_udf()
+    sigs = df.select(id_col, sh(F.col(text_col)).alias("simhash"))
+    chunks = sigs.select(
+        id_col,
+        "simhash",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(c).alias("chunk"),
+                    F.shiftrightunsigned("simhash", 16 * c).bitwiseAND(F.lit(0xFFFF)).alias("key"),
+                )
+                for c in range(4)
+            ])
+        ).alias("ck"),
+    ).select(id_col, "simhash", "ck.chunk", "ck.key")
+    l, r = chunks.alias("l"), chunks.alias("r")
+    pairs = (
+        l.join(
+            r,
+            (F.col("l.chunk") == F.col("r.chunk"))
+            & (F.col("l.key") == F.col("r.key"))
+            & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
+        )
+        .select(
+            F.col(f"l.{id_col}").alias("id_a"),
+            F.col(f"r.{id_col}").alias("id_b"),
+            F.bit_count(
+                F.col("l.simhash").bitwiseXOR(F.col("r.simhash"))
+            ).alias("hamming"),
+        )
+        .distinct()
+    )
+    return pairs.filter(F.col("hamming") <= max_hamming)

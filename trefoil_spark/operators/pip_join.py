@@ -3,29 +3,29 @@ rasterize-centroid semantics at /root/reference/trefoil/cli/zones.py:136-144).
 
 Physical strategy (scale-first):
 
-1. **Covering index** (driver): each polygon's bbox → qcell covering at
-   ``res``; per cell we precompute the candidate feature list (descending =
-   burn order) AND, when the cell is *interior* to its top-burn candidate
-   (no polygon edge crosses the cell box and the cell center is inside),
-   the already-resolved winner. Mirrors + extends the reference's fiona
-   bbox pushdown (zones.py:101-107).
-2. **Broadcast hash join** on ``cell`` (the point side computes ``cell``
-   with pure Catalyst integer expressions — whole-stage codegen, no
-   shuffle of the big side).
-3. **Interior fast path**: points in resolved cells get their feature_id
-   from the broadcast row — pure JVM, no Python. At geographic scale the
-   interior area dominates the boundary ring (O(area) vs O(perimeter)),
-   so the Python fraction *shrinks* as data grows.
-4. **Exact refine** for boundary cells only: Arrow-batched pandas UDF
-   runs the vectorized even-odd crossing test, resolving burn order
-   in-UDF (highest feature_id wins = GDAL rasterize overwrite order).
-   Non-boundary rows pass NULL into the UDF and cost only the Arrow copy
-   of three numeric columns.
+1. **Two-level quadtree covering index** (driver, memoized): polygons →
+   qcell covering at a coarse res; every cell is classified as
+   *interior* (whole cell inside its burn-order winner → resolved with
+   no runtime test), *uniformly outside* (resolved to no-match), or
+   *boundary*. Boundary coarse cells subdivide into a fine-res covering
+   classified the same way. Interior area scales O(area) while boundary
+   scales O(perimeter·cell_size), so the unresolved fraction shrinks
+   quadratically with the fine res — this is what tames hot small
+   polygons (dense urban cells) that would otherwise push their whole
+   point mass through Python.
+2. **Broadcast hash joins** on the cell keys (the point side computes the
+   fine cell with pure Catalyst integer expressions and derives the
+   coarse cell from it by bit-shift — whole-stage codegen, no shuffle).
+3. **Interior fast path**: rows in resolved cells (either level) get
+   their feature_id from the broadcast row — pure JVM.
+4. **Exact refine** for fine-boundary rows only (a few % of input):
+   Arrow-batched pandas UDF running the chunked vectorized even-odd
+   crossing test, burn order resolved in-UDF (highest feature_id wins =
+   GDAL rasterize overwrite order). With ``split_python=True`` those rows
+   are a separate union branch, so interior rows never even transit Arrow.
 
-Plan shape at 100 TB: Scan → codegen cell expr → BroadcastHashJoin →
-ArrowEvalPython(boundary only) → Filter. Zero shuffles. The covering
-``res`` trades broadcast size (≈4^res rows) against boundary-ring width
-(cell size); pick res so the vector layer's covering is ~10^4-10^6 cells.
+Plan at 100 TB: Scan → codegen cell exprs → BHJ ×2 → [interior branch
+pure JVM] ∪ [boundary branch ArrowEvalPython]. Zero shuffles.
 """
 
 from __future__ import annotations
@@ -39,7 +39,8 @@ from pyspark.sql.types import LongType
 from ..geometry import Polygon, points_in_rings
 from ..grid import cells
 
-DEFAULT_RES = 10
+DEFAULT_RES = 9
+DEFAULT_FINE_RES = 14
 
 
 def cell_col(lon_col: str = "lon", lat_col: str = "lat", res: int = DEFAULT_RES) -> Column:
@@ -54,12 +55,19 @@ def cell_col(lon_col: str = "lon", lat_col: str = "lat", res: int = DEFAULT_RES)
     return morton + F.lit(res)
 
 
+def parent_cell_col(cell: Column, res: int, parent_res: int) -> Column:
+    """Derive the ancestor cell id from a finer one (pure bit arithmetic)."""
+    steps = res - parent_res
+    morton = F.shiftrightunsigned(cell, 5)
+    return F.shiftleft(F.shiftrightunsigned(morton, 2 * steps), 5) + F.lit(parent_res)
+
+
 def _segments_intersect_boxes(rings, bx0, by0, bx1, by1) -> np.ndarray:
     """Vectorized: does any polygon edge intersect each of N boxes?
 
-    bx0..by1 are arrays of box corners; returns bool[N]. Standard
-    separating-axis test (bbox overlap AND corners straddle the edge's
-    supporting line).
+    Standard separating-axis test (edge bbox overlaps box AND the box's
+    corners straddle the edge's supporting line); corner-exactly-on-line
+    counts as intersecting (conservative → extra exact tests, never wrong).
     """
     n = bx0.shape[0]
     hit = np.zeros(n, dtype=bool)
@@ -67,7 +75,6 @@ def _segments_intersect_boxes(rings, bx0, by0, bx1, by1) -> np.ndarray:
         r = np.asarray(ring, dtype=np.float64).reshape(-1, 2)
         x1, y1 = r[:, 0], r[:, 1]
         x2, y2 = np.roll(x1, -1), np.roll(y1, -1)
-        # (boxes, edges) bbox overlap
         overlap = (
             (np.maximum(x1, x2)[None, :] >= bx0[:, None])
             & (np.minimum(x1, x2)[None, :] <= bx1[:, None])
@@ -82,24 +89,65 @@ def _segments_intersect_boxes(rings, bx0, by0, bx1, by1) -> np.ndarray:
             side = dx * (cy[:, None] - ya) - dy * (cx[:, None] - xa)
             allpos &= side > 0
             allneg &= side < 0
-        straddle = ~(allpos | allneg)  # incl. corner-on-line (conservative)
+        straddle = ~(allpos | allneg)
         hit |= (overlap & straddle).any(axis=1)
     return hit
 
 
-def build_covering_index(polygons: list[Polygon], res: int = DEFAULT_RES):
-    """Driver-side covering index (memoized, fully vectorized).
+def _classify_cells(polygons: list[Polygon], cell_ids: np.ndarray, cand: np.ndarray):
+    """Burn-order classification of cells: (resolved[int], is_boundary[bool]).
 
-    Returns (rows, rings_by_fid); rows = [(cell, fids_desc, resolved)]:
-    - resolved >= 0: whole cell interior to that burn-order winner — pure
-      JVM resolution at runtime;
-    - resolved == -1: cell uniformly outside every candidate — resolved
-      to "no zone" without any exact test;
-    - resolved is None: boundary cell → exact PIP in the Python stage.
+    resolved: winning fid, or -1 = uniformly outside all candidates.
+    is_boundary: needs an exact per-point test at runtime.
     """
-    key = (res, tuple(
-        (str(p.value), tuple(r.tobytes() for r in p.rings)) for p in polygons
-    ))
+    lat0, lon0, dlat, dlon = cells.cell_to_latlon(cell_ids)
+    cx, cy = lon0 + dlon / 2.0, lat0 + dlat / 2.0
+    nf, nc = cand.shape
+    boundary = np.zeros((nf, nc), dtype=bool)
+    inside = np.zeros((nf, nc), dtype=bool)
+    for fid, poly in enumerate(polygons):
+        idx = np.flatnonzero(cand[fid])
+        if idx.size == 0:
+            continue
+        boundary[fid, idx] = _segments_intersect_boxes(
+            poly.rings, lon0[idx], lat0[idx], (lon0 + dlon)[idx], (lat0 + dlat)[idx]
+        )
+        inside[fid, idx] = points_in_rings(cx[idx], cy[idx], poly.rings)
+
+    resolved = np.full(nc, -1, dtype=np.int64)
+    is_boundary = np.zeros(nc, dtype=bool)
+    undecided = np.ones(nc, dtype=bool)
+    for fid in range(nf - 1, -1, -1):  # burn order: highest first
+        consider = undecided & cand[fid]
+        b = consider & boundary[fid]
+        is_boundary |= b
+        undecided &= ~b
+        i = consider & ~boundary[fid] & inside[fid]
+        resolved[i] = fid
+        undecided &= ~i
+    return resolved, is_boundary
+
+
+_COVERING_CACHE: dict = {}
+
+
+def build_covering_index(
+    polygons: list[Polygon], res: int = DEFAULT_RES, fine_res: int = DEFAULT_FINE_RES
+):
+    """Two-level covering index (memoized).
+
+    Returns dict with:
+      coarse: [(cell, fids_desc, resolved|None)]   (None = boundary)
+      fine:   [(cell, resolved|None)]              (children of boundary
+               coarse cells at fine_res; None = still boundary)
+      fine_fids: {fine_cell: fids_desc} for boundary fine cells (UDF map)
+      rings_by_fid: {fid: rings}
+    """
+    key = (
+        res,
+        fine_res,
+        tuple((str(p.value), tuple(r.tobytes() for r in p.rings)) for p in polygons),
+    )
     cached = _COVERING_CACHE.get(key)
     if cached is not None:
         return cached
@@ -111,85 +159,100 @@ def build_covering_index(polygons: list[Polygon], res: int = DEFAULT_RES):
             by_cell.setdefault(int(c), []).append(fid)
 
     cell_ids = np.fromiter(by_cell.keys(), dtype=np.int64, count=len(by_cell))
-    lat0, lon0, dlat, dlon = cells.cell_to_latlon(cell_ids)
-    cx, cy = lon0 + dlon / 2.0, lat0 + dlat / 2.0
+    pos = {int(c): i for i, c in enumerate(cell_ids)}
     nf, nc = len(polygons), cell_ids.shape[0]
     cand = np.zeros((nf, nc), dtype=bool)
-    boundary = np.zeros((nf, nc), dtype=bool)
-    inside = np.zeros((nf, nc), dtype=bool)
-    pos = {int(c): i for i, c in enumerate(cell_ids)}
-    for fid, poly in enumerate(polygons):
-        idx = np.fromiter(
-            (pos[c] for c, fids in by_cell.items() if fid in fids), dtype=np.int64
-        )
-        cand[fid, idx] = True
-        boundary[fid, idx] = _segments_intersect_boxes(
-            poly.rings, lon0[idx], lat0[idx], (lon0 + dlon)[idx], (lat0 + dlat)[idx]
-        )
-        inside[fid, idx] = points_in_rings(cx[idx], cy[idx], poly.rings)
+    for c, fids in by_cell.items():
+        for fid in fids:
+            cand[fid, pos[c]] = True
+    resolved, is_boundary = _classify_cells(polygons, cell_ids, cand)
 
-    resolved = np.full(nc, -1, dtype=np.int64)  # -1 = uniformly no zone
-    is_boundary = np.zeros(nc, dtype=bool)
-    undecided = np.ones(nc, dtype=bool)
-    for fid in range(nf - 1, -1, -1):  # burn order: highest first
-        consider = undecided & cand[fid]
-        b = consider & boundary[fid]
-        is_boundary |= b
-        undecided &= ~b
-        i = consider & ~boundary[fid] & inside[fid]
-        resolved[i] = fid
-        undecided &= ~i
-
-    rows = []
+    coarse = []
     for c, fids in by_cell.items():
         k = pos[c]
-        rows.append(
-            (
-                c,
-                sorted(fids, reverse=True),
-                None if is_boundary[k] else int(resolved[k]),
-            )
+        coarse.append(
+            (c, sorted(fids, reverse=True), None if is_boundary[k] else int(resolved[k]))
         )
 
+    # subdivide boundary coarse cells to fine_res
+    steps = fine_res - res
+    fine: list[tuple[int, int | None]] = []
+    fine_fids: dict[int, list[int]] = {}
+    b_idx = np.flatnonzero(is_boundary)
+    if steps > 0 and b_idx.size:
+        per = 1 << steps
+        bix, biy = cells.cell_to_xy(cell_ids[b_idx])
+        # enumerate all fine children of each boundary coarse cell
+        off = np.arange(per, dtype=np.int64)
+        fx = (bix[:, None, None] << steps) + off[None, None, :]
+        fy = (biy[:, None, None] << steps) + off[None, :, None]
+        f_cells = cells.xy_to_cell(
+            np.broadcast_to(fx, (b_idx.size, per, per)).ravel(),
+            np.broadcast_to(fy, (b_idx.size, per, per)).ravel(),
+            fine_res,
+        )
+        parent_row = np.repeat(b_idx, per * per)
+        f_cand = cand[:, parent_row]  # candidates inherited from parent
+        f_resolved, f_boundary = _classify_cells(polygons, f_cells, f_cand)
+        for i, fc in enumerate(f_cells.tolist()):
+            if f_boundary[i]:
+                fine.append((fc, None))
+                parent_fids = sorted(
+                    np.flatnonzero(cand[:, parent_row[i]]).tolist(), reverse=True
+                )
+                fine_fids[fc] = parent_fids
+            else:
+                fine.append((fc, int(f_resolved[i])))
+
     rings_by_fid = {fid: [r.copy() for r in poly.rings] for fid, poly in enumerate(polygons)}
-    _COVERING_CACHE[key] = (rows, rings_by_fid)
-    return rows, rings_by_fid
-
-
-_COVERING_CACHE: dict = {}
+    out = {
+        "coarse": coarse,
+        "fine": fine,
+        "fine_fids": fine_fids,
+        "rings_by_fid": rings_by_fid,
+        "res": res,
+        "fine_res": fine_res,
+    }
+    _COVERING_CACHE[key] = out
+    return out
 
 
 def covering_index_df(
     spark: SparkSession, polygons: list[Polygon], res: int = DEFAULT_RES
 ) -> DataFrame:
-    rows, _ = build_covering_index(polygons, res)
+    """Coarse covering as a DataFrame (kept for tests/inspection)."""
+    idx = build_covering_index(polygons, res)
     return spark.createDataFrame(
-        rows, "cell bigint, fids array<bigint>, resolved_fid bigint"
+        idx["coarse"], "cell bigint, fids array<bigint>, resolved_fid bigint"
     )
 
 
-def _make_winner_udf(polygons: list[Polygon], res: int):
-    """Vectorized pandas UDF: (lon, lat, boundary_cell) -> feature_id|null.
+def _make_winner_udf(index: dict):
+    """Vectorized pandas UDF: (lon, lat, fine_cell) -> feature_id|null.
 
-    Only boundary-cell rows carry a non-null cell; everything else is
-    masked out before any math. Rows are grouped per distinct cell
-    (np.unique, no per-row Python), each (cell, polygon) evaluation is one
-    vectorized points-x-edges numpy call over still-unresolved rows.
+    Rows are grouped per distinct fine cell (np.unique, no per-row
+    Python); each (cell, polygon) evaluation is one chunked vectorized
+    points-x-edges numpy call over still-unresolved rows.
     """
-    rows, rings_by_fid = build_covering_index(polygons, res)
-    cell_fids = {c: fids for c, fids, _resolved in rows}
+    rings_by_fid = index["rings_by_fid"]
+    cell_fids = index["fine_fids"]
 
     @F.pandas_udf(LongType())
     def winner(lon: pd.Series, lat: pd.Series, cell: pd.Series) -> pd.Series:
         cells_v = cell.to_numpy(dtype="float64", na_value=np.nan)
         out = np.full(len(cells_v), -1, dtype=np.int64)
-        active = ~np.isnan(cells_v)
-        if active.any():
+        active = np.flatnonzero(~np.isnan(cells_v))
+        if active.size:
             lon_v = lon.to_numpy(dtype=np.float64)
             lat_v = lat.to_numpy(dtype=np.float64)
-            cells_i = cells_v.astype(np.int64)
-            for c in np.unique(cells_i[active]):
-                idx = np.flatnonzero(active & (cells_i == c))
+            cells_i = cells_v[active].astype(np.int64)
+            # sort-based grouping: O(n log n) regardless of distinct cells
+            order = np.argsort(cells_i, kind="stable")
+            sorted_idx = active[order]
+            uniq, starts = np.unique(cells_i[order], return_index=True)
+            bounds = np.append(starts, cells_i.size)
+            for k, c in enumerate(uniq.tolist()):
+                idx = sorted_idx[bounds[k] : bounds[k + 1]]
                 for fid in cell_fids.get(int(c), ()):  # descending = burn order
                     if idx.size == 0:
                         break
@@ -211,65 +274,67 @@ def pip_join(
     lon_col: str = "lon",
     lat_col: str = "lat",
     res: int = DEFAULT_RES,
+    fine_res: int = DEFAULT_FINE_RES,
     how: str = "inner",
-    cell_col_name: str | None = None,
-    split_python: bool = True,
+    split_python: bool = False,
 ) -> DataFrame:
     """Join points to the polygon layer; adds ``feature_id`` + ``zone_value``.
 
-    Zero-shuffle; interior cells resolve JVM-side, only boundary cells run
-    Python. Points matching no polygon are dropped under ``how='inner'``
-    (reference zone-raster fill semantics) or kept with nulls under 'left'.
+    Zero-shuffle; interior cells resolve JVM-side at two index levels,
+    only fine-boundary rows (a few %) run Python. Points matching no
+    polygon are dropped under ``how='inner'`` (reference zone-raster fill
+    semantics) or kept with null zone under 'left'.
     """
     spark = points.sparkSession
-    cov = covering_index_df(spark, polygons, res)
+    index = build_covering_index(polygons, res, fine_res)
+    cov1 = spark.createDataFrame(
+        index["coarse"], "c1 bigint, fids array<bigint>, r1 bigint"
+    )
+    fine_rows = index["fine"] or [(-1, -1)]  # dummy row keeps schema simple
+    # Arrow path (pandas), not pickled tuples: the fine index can be ~10^5
+    # rows and is rebuilt per query — pickle upload would serialize on the
+    # driver and cap scaling
+    fine_pdf = pd.DataFrame(fine_rows, columns=["c2", "r2"]).astype(
+        {"c2": "int64", "r2": "float64"}
+    )
+    cov2 = spark.createDataFrame(fine_pdf).withColumn(
+        "r2", F.col("r2").cast("bigint")
+    )
 
-    pts = points
-    if cell_col_name is None:
-        cell_col_name = "_pip_cell"
-        pts = pts.withColumn(cell_col_name, cell_col(lon_col, lat_col, res))
+    pts = points.withColumn("_cf", cell_col(lon_col, lat_col, fine_res))
+    pts = pts.withColumn("_cc", parent_cell_col(F.col("_cf"), fine_res, res))
 
-    joined = pts.join(
-        F.broadcast(cov), on=pts[cell_col_name] == cov["cell"], how="left"
-    ).drop("cell")
+    joined = (
+        pts.join(F.broadcast(cov1), on=pts["_cc"] == cov1["c1"], how="left")
+        .drop("c1")
+        .join(F.broadcast(cov2), on=pts["_cf"] == cov2["c2"], how="left")
+        .drop("c2")
+    )
 
-    winner = _make_winner_udf(polygons, res)
+    # resolution ladder (pure JVM): coarse-resolved → fine-resolved → UDF
+    jvm_feature = F.when(F.col("r1") >= 0, F.col("r1")).when(
+        F.col("r1").isNull() & (F.col("r2") >= 0), F.col("r2")
+    )
+    is_py = F.col("r1").isNull() & F.col("fids").isNotNull() & F.col("r2").isNull()
+
+    winner = _make_winner_udf(index)
     if split_python:
-        # Interior/exterior rows never touch Python: union of a pure-JVM
-        # branch and a boundary-only Python branch. The boundary branch's
-        # input is O(perimeter)·rows — the Python fraction SHRINKS as the
-        # grid refines (res↑). Costs a second pass over the joined scan;
-        # with column pruning that is 3 numeric cols, cheaper than pushing
-        # every row through Arrow.
-        interior = joined.filter(
-            F.col("resolved_fid").isNotNull() | F.col("fids").isNull()
-        ).withColumn(
-            "feature_id",
-            F.when(F.col("resolved_fid") >= 0, F.col("resolved_fid")),
+        interior = joined.filter(~is_py).withColumn("feature_id", jvm_feature)
+        boundary = joined.filter(is_py).withColumn(
+            "feature_id", winner(F.col(lon_col), F.col(lat_col), F.col("_cf"))
         )
-        boundary = joined.filter(
-            F.col("resolved_fid").isNull() & F.col("fids").isNotNull()
-        ).withColumn(
-            "feature_id", winner(F.col(lon_col), F.col(lat_col), F.col(cell_col_name))
-        )
-        joined = interior.unionByName(boundary).drop("fids", "resolved_fid")
+        joined = interior.unionByName(boundary)
     else:
-        boundary_cell = F.when(
-            F.col("resolved_fid").isNull() & F.col("fids").isNotNull(),
-            F.col(cell_col_name),
+        # single-pass: non-boundary rows pass NULL cell into the UDF so the
+        # Python side does zero math for them (they still ride the Arrow
+        # pipe — use split_python=True to avoid even that)
+        joined = joined.withColumn(
+            "feature_id",
+            F.when(~is_py, jvm_feature).otherwise(
+                winner(F.col(lon_col), F.col(lat_col), F.when(is_py, F.col("_cf")))
+            ),
         )
-        joined = (
-            joined.withColumn(
-                "feature_id",
-                F.when(F.col("resolved_fid") >= 0, F.col("resolved_fid")).otherwise(
-                    F.when(
-                        F.col("resolved_fid").isNull(),
-                        winner(F.col(lon_col), F.col(lat_col), boundary_cell),
-                    )
-                ),
-            )
-            .drop("fids", "resolved_fid")
-        )
+    joined = joined.drop("fids", "r1", "r2", "_cf", "_cc")
 
     value_map = F.create_map(
         *[x for fid, poly in enumerate(polygons) for x in (F.lit(fid), F.lit(str(poly.value)))]
@@ -277,4 +342,4 @@ def pip_join(
     joined = joined.withColumn("zone_value", value_map[F.col("feature_id")])
     if how == "inner":
         joined = joined.filter(F.col("feature_id").isNotNull())
-    return joined.drop("_pip_cell") if cell_col_name == "_pip_cell" else joined
+    return joined

@@ -1,0 +1,141 @@
+"""Similarity search over embedding columns (training-data pipeline op).
+
+- **Brute-force cosine top-k** (the exactness baseline): candidates =
+  points x broadcast(queries); dot product via zip_with + aggregate —
+  pure Catalyst, JVM-side, no Python; ranking window per query.
+  At scale: one pass over the big side per query batch, no shuffle of
+  the big side (ranking uses WindowGroupLimit's partial top-k before the
+  exchange, so the shuffle carries ≤ k rows per (query, partition)).
+- **LSH-bucketed ANN** (the scale path): random-hyperplane signatures
+  (sign of dot with B seeded planes) bucket both sides; candidates share
+  a bucket → top-k within bucket. Recall < 1 by construction; the same
+  deterministic planes run in the DuckDB oracle so results match exactly.
+
+Scores are NOT returned (ranking only): both engines compute dots with
+float rounding in engine-specific order; ranks are stable because
+neighbor gaps >> 1 ulp, but the raw doubles would hash-mismatch.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+
+def _dot(a: str, b: str) -> str:
+    return (
+        f"aggregate(zip_with({a}, {b}, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), "
+        f"CAST(0 AS DOUBLE), (acc, v) -> acc + v)"
+    )
+
+
+def _norm(a: str) -> str:
+    return f"SQRT({_dot(a, a)})"
+
+
+def cosine_topk(
+    points: DataFrame,
+    queries: DataFrame,
+    k: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k by cosine: (query_id, neighbor_id, rank). Self-matches
+    (same id) excluded; ties broken by neighbor id."""
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv")
+    )
+    p = points.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_pv")
+    )
+    cand = p.crossJoin(F.broadcast(q)).filter(F.col("neighbor_id") != F.col("query_id"))
+    scored = cand.withColumn(
+        "_cos",
+        F.expr(_dot("_qv", "_pv")) / (F.expr(_norm("_qv")) * F.expr(_norm("_pv"))),
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("_cos").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank")
+    )
+
+
+def hyperplanes(dim: int, n_planes: int = 8, seed: int = 7) -> np.ndarray:
+    """Deterministic seeded hyperplanes (shared with the oracle)."""
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal((n_planes, dim)).round(6)
+
+
+def bucket_expr(vec_col: str, planes: np.ndarray, engine: str = "spark") -> str:
+    """LSH bucket id = sign-bit signature vs each plane (int, exact).
+
+    The plane constants are rounded to 6 decimals and cast to DOUBLE so
+    the identical literal text parses to identical doubles in both
+    engines; sign decisions are then bit-identical except for dots within
+    1 ulp of zero (measure-zero for seeded data).
+    """
+    terms = []
+    for j, plane in enumerate(planes):
+        arr = ", ".join(f"CAST({float(c)!r} AS DOUBLE)" for c in plane)
+        lit = f"array({arr})" if engine == "spark" else f"[{arr}]"
+        zw = "zip_with" if engine == "spark" else "list_zip"  # duckdb differs
+        if engine == "spark":
+            dot = (
+                f"aggregate(zip_with({vec_col}, {lit}, (x, y) -> CAST(x AS DOUBLE) * y), "
+                f"CAST(0 AS DOUBLE), (acc, v) -> acc + v)"
+            )
+        else:
+            dot = (
+                f"list_reduce(list_prepend(CAST(0 AS DOUBLE), "
+                f"list_transform(list_zip({vec_col}, {lit}), "
+                f"p -> CAST(p[1] AS DOUBLE) * p[2])), (a, b) -> a + b)"
+            )
+        terms.append(f"(CASE WHEN {dot} > 0 THEN {1 << j} ELSE 0 END)")
+    return "(" + " + ".join(terms) + ")"
+
+
+def lsh_ann_topk(
+    points: DataFrame,
+    queries: DataFrame,
+    k: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = 8,
+    seed: int = 7,
+    dim: int = 64,
+) -> DataFrame:
+    """Approximate top-k: candidates restricted to the query's LSH bucket.
+
+    Equi-join on bucket id replaces the cross join — at 10^12 rows this
+    is the difference between O(N·Q) and O(N·Q/2^B) dot products, at the
+    cost of recall (documented approximation; same algorithm in the
+    oracle, so outputs still match exactly).
+    """
+    planes = hyperplanes(dim, n_planes, seed)
+    be = bucket_expr(vec_col, planes, "spark")
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("_qv"),
+        F.expr(be).alias("_qb"),
+    )
+    p = points.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("_pv"),
+        F.expr(be).alias("_pb"),
+    )
+    cand = p.join(F.broadcast(q), F.col("_pb") == F.col("_qb")).filter(
+        F.col("neighbor_id") != F.col("query_id")
+    )
+    scored = cand.withColumn(
+        "_cos",
+        F.expr(_dot("_qv", "_pv")) / (F.expr(_norm("_qv")) * F.expr(_norm("_pv"))),
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("_cos").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank")
+    )

@@ -120,14 +120,22 @@ def weighted_statistics(df: DataFrame, value_col: str, weight_col: str) -> DataF
 
 def mean_of_file_means(df: DataFrame, file_col: str, value_col: str) -> DataFrame:
     """A7 (utilities.py:336-365): global min/max but 'mean' = unweighted mean
-    of per-file means — the reference quirk, preserved for parity."""
+    of per-file means — the reference quirk, preserved for parity.
+
+    The final mean folds the per-group means in SORTED order (sort_array
+    over a collected list): float addition is order-dependent, and the
+    deterministic fold makes the result bit-identical run-to-run and
+    engine-to-engine (group counts are small — one value per file)."""
     per_file = df.filter(F.col(value_col).isNotNull()).groupBy(file_col).agg(
         F.min(value_col).alias("fmin"),
         F.max(value_col).alias("fmax"),
         (F.sum(F.col(value_col).cast("double")) / F.count(value_col)).alias("fmean"),
     )
+    sorted_sum = F.expr(
+        "aggregate(sort_array(collect_list(fmean)), CAST(0 AS DOUBLE), (a, x) -> a + x)"
+    )
     return per_file.agg(
         F.min("fmin").alias("min"),
         F.max("fmax").alias("max"),
-        (F.sum("fmean") / F.count("fmean")).alias("mean"),
+        (sorted_sum / F.count("fmean")).alias("mean"),
     )
