@@ -38,6 +38,7 @@ REGION = BBox((-125.0, 32.0, -113.0, 38.0), "EPSG:4326")
 SPEC = GridSpec.from_bbox(REGION, width=1024, height=512)
 BREAKS = equal_interval_breaks(0.0, 999.0, 5)
 QUERY_BBOX = BBox((-122.3, 33.1, -115.7, 36.9), "EPSG:4326")
+_DST_SPEC = GridSpec.from_bbox(REGION.project("EPSG:3857"), width=1024, height=512)
 
 
 # ---------------------------------------------------------------------------
@@ -321,6 +322,45 @@ def q_lag_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_warp_3857(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SURVEY §2 R1/J6: nearest-neighbor warp 4326→3857 (template-domain
+    join + inverse-mapping gather), reduced to per-tile sum/count."""
+    import numpy as np
+    import pandas as pd
+
+    from trefoil_spark.raster.warp import warp_tiles
+
+    tiles = synthetic_tiles(spark, SPEC)
+    warped = warp_tiles(spark, tiles, SPEC, _DST_SPEC)
+
+    def reduce_tiles(batches):
+        for pdf in batches:
+            rows = []
+            for row in pdf.itertuples(index=False):
+                v = np.frombuffer(row.block, dtype=np.float32).astype(np.float64)
+                ok = ~np.isnan(v)
+                rows.append((int(row.ty), int(row.tx), float(v[ok].sum()), int(ok.sum())))
+            yield pd.DataFrame(rows, columns=["ty", "tx", "sum", "count"])
+
+    return warped.mapInPandas(
+        reduce_tiles, schema="ty int, tx int, sum double, count bigint"
+    ).orderBy("ty", "tx")
+
+
+def q_vectorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SURVEY §2 R4: rasterize zones → vectorize to polygons → merged
+    global components; checked output = exact per-class pixel coverage."""
+    from trefoil_spark.raster.vectorize import merge_components, vectorize_tiles
+
+    ztiles = rasterize_zones(spark, SPEC, ZONE_LAYER)
+    merged = merge_components(vectorize_tiles(ztiles, SPEC))
+    return (
+        merged.groupBy("class")
+        .agg(F.sum("pixel_count").alias("pixels"))
+        .orderBy("class")
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: zonal stats over the PIP join at sf0.001."""
     return q_zonal_stats(spark, "/root/testdata/sf0.001")
@@ -348,6 +388,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "interval_stats": q_interval_stats,
         "regression": q_regression,
         "lag_intervals": q_lag_intervals,
+        "warp_3857": q_warp_3857,
+        "vectorize": q_vectorize,
     }
 
 
@@ -458,6 +500,14 @@ def oracle_sql() -> dict[str, str]:
             FROM b GROUP BY interval ORDER BY interval
         """,
         "regression": _regression_oracle(),
+        "warp_3857": _warp_oracle(),
+        "vectorize": f"""
+            WITH {_pixel_cte()},
+            z AS (SELECT CASE {_zone_fid_case_sql()} END AS class FROM geo)
+            SELECT class, COUNT(*) AS pixels
+            FROM z WHERE class IS NOT NULL
+            GROUP BY class ORDER BY class
+        """,
         "lag_intervals": """
             WITH g AS (
                 SELECT user_id,
@@ -634,6 +684,59 @@ def _similarity_oracle(lsh: bool) -> str:
         )
         SELECT query_id, neighbor_id, rank FROM ranked WHERE rank <= 5
         ORDER BY query_id, rank
+    """
+
+
+def _zone_fid_case_sql() -> str:
+    return " ".join(
+        f"WHEN {pip_sql_expr('lon', 'lat', ZONE_LAYER[fid])} THEN {fid}"
+        for fid in reversed(range(len(ZONE_LAYER)))
+    )
+
+
+def _warp_oracle() -> str:
+    """Inverse-mercator gather in SQL — the identical arithmetic the numpy
+    warp kernel runs (same constants inlined from the same driver math).
+    Caveat: EXP/ATAN are libm-dependent; a 1-ulp divergence exactly at a
+    pixel boundary would flip one gather — not observed at this size."""
+    d = _DST_SPEC
+    s = SPEC
+    deg = "CAST(57.29577951308232 AS DOUBLE)"
+    half_pi = "CAST(1.5707963267948966 AS DOUBLE)"
+    R = "CAST(6378137.0 AS DOUBLE)"
+
+    def dbl(v):
+        return f"CAST({float(v)!r} AS DOUBLE)"
+
+    n = d.width * d.height
+    return f"""
+        WITH px AS (
+            SELECT CAST(i // {d.width} AS BIGINT) AS y,
+                   CAST(i % {d.width} AS BIGINT) AS x
+            FROM (SELECT UNNEST(range({n})) AS i)
+        ), m AS (
+            SELECT y, x,
+                   {dbl(d.x0)} + (CAST(x AS DOUBLE) + CAST(0.5 AS DOUBLE)) * {dbl(d.dx)} AS mx,
+                   {dbl(d.y0)} - (CAST(y AS DOUBLE) + CAST(0.5 AS DOUBLE)) * {dbl(d.dy)} AS my
+            FROM px
+        ), geo AS (
+            SELECT y, x,
+                   (mx / {R}) * {deg} AS slon,
+                   (CAST(2 AS DOUBLE) * ATAN(EXP(my / {R})) - {half_pi}) * {deg} AS slat
+            FROM m
+        ), idx AS (
+            SELECT y, x,
+                   CAST(FLOOR((slon - {dbl(s.x0)}) / {dbl(s.dx)}) AS BIGINT) AS six,
+                   CAST(FLOOR(({dbl(s.y0)} - slat) / {dbl(s.dy)}) AS BIGINT) AS siy
+            FROM geo
+        ), v AS (
+            SELECT CAST(y // {d.tile} AS INT) AS ty, CAST(x // {d.tile} AS INT) AS tx,
+                   CASE WHEN six >= 0 AND six < {s.width} AND siy >= 0 AND siy < {s.height}
+                        THEN {value_sql('siy', 'six')} END AS val
+            FROM idx
+        )
+        SELECT ty, tx, CAST(SUM(val) AS DOUBLE) AS sum, COUNT(val) AS count
+        FROM v GROUP BY ty, tx ORDER BY ty, tx
     """
 
 

@@ -1,0 +1,258 @@
+"""Raster → vector conversion (SURVEY.md R4; north-rule "vectorize
+classified tiles to polygons" — absent in the reference, Spark-first).
+
+Per tile, for each class value:
+1. connected-component labeling (4-connectivity) — iterative vectorized
+   min-propagation, O(diameter) numpy passes, no per-pixel Python;
+2. exact boundary extraction: every pixel edge between inside/outside
+   becomes a directed segment with inside on the LEFT; stitching the
+   segments start→end yields each component's outer ring CCW and its
+   hole rings CW (even-odd-exact: PIP over the emitted rings reproduces
+   the pixel membership bit-for-bit at pixel centers);
+3. rings are emitted in WORLD coordinates from the GridSpec.
+
+Cross-tile: components touching a tile border carry border signatures
+(class, side, world-index run); ``merge_components`` unions them into
+global component ids with a driver-side union-find over the (small)
+adjacency graph — the polygons stay as per-tile ring fragments grouped
+by global id (exact coverage; geometric dissolve of shared borders is a
+presentation concern, not a correctness one).
+
+Shuffles: none for the per-tile stage (mapInPandas); the merge works on
+O(boundary) rows.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .gridspec import GridSpec
+from .rasterize import FILL
+
+
+def label_components(mask: np.ndarray) -> np.ndarray:
+    """4-connectivity labels (0 where ~mask; labels >= 1 elsewhere)."""
+    h, w = mask.shape
+    labels = np.where(mask, np.arange(1, h * w + 1, dtype=np.int64).reshape(h, w), 0)
+    while True:
+        new = labels.copy()
+        # propagate minimum positive label from 4-neighbors
+        for src, dst in (
+            (np.s_[1:, :], np.s_[:-1, :]),
+            (np.s_[:-1, :], np.s_[1:, :]),
+            (np.s_[:, 1:], np.s_[:, :-1]),
+            (np.s_[:, :-1], np.s_[:, 1:]),
+        ):
+            n = new[dst]
+            m = labels[src]
+            take = (n > 0) & (m > 0) & (m < n)
+            n[take] = m[take]
+        if np.array_equal(new, labels):
+            break
+        labels = new
+    return labels
+
+
+def boundary_rings(component: np.ndarray) -> list[np.ndarray]:
+    """All boundary loops of a boolean mask, as (N, 2) arrays of pixel-
+    corner (x, y) vertices in index space; inside kept on the left."""
+    h, w = component.shape
+    pad = np.zeros((h + 2, w + 2), dtype=bool)
+    pad[1:-1, 1:-1] = component
+    edges: dict[tuple[int, int], list[tuple[int, int]]] = {}
+
+    def add(a, b):
+        edges.setdefault(a, []).append(b)
+    # directed edges with inside on the left, grid corners indexed (x, y):
+    # top edge of inside pixel (y,x) where above is outside: (x,y)->(x+1,y)
+    ys, xs = np.nonzero(pad[1:-1, 1:-1] & ~pad[:-2, 1:-1])
+    for y, x in zip(ys.tolist(), xs.tolist()):
+        add((x, y), (x + 1, y))
+    # bottom edge (below outside): (x+1,y+1)->(x,y+1)
+    ys, xs = np.nonzero(pad[1:-1, 1:-1] & ~pad[2:, 1:-1])
+    for y, x in zip(ys.tolist(), xs.tolist()):
+        add((x + 1, y + 1), (x, y + 1))
+    # left edge (left outside): (x,y+1)->(x,y)
+    ys, xs = np.nonzero(pad[1:-1, 1:-1] & ~pad[1:-1, :-2])
+    for y, x in zip(ys.tolist(), xs.tolist()):
+        add((x, y + 1), (x, y))
+    # right edge (right outside): (x+1,y)->(x+1,y+1)
+    ys, xs = np.nonzero(pad[1:-1, 1:-1] & ~pad[1:-1, 2:])
+    for y, x in zip(ys.tolist(), xs.tolist()):
+        add((x + 1, y), (x + 1, y + 1))
+
+    # A vertex can have TWO outgoing edges where a component touches
+    # itself diagonally; pick the LEFT-most turn relative to the incoming
+    # direction so the loop hugs the region with inside kept on the left.
+    def pick(v, incoming):
+        cands = edges[v]
+        if len(cands) == 1 or incoming is None:
+            return cands.pop(0) if len(cands) == 1 else cands.pop(0)
+        dx, dy = incoming
+        # preference: left turn, straight, right turn
+        prefs = [(dy, -dx), (dx, dy), (-dy, dx)]
+        for pdx, pdy in prefs:
+            want = (v[0] + pdx, v[1] + pdy)
+            if want in cands:
+                cands.remove(want)
+                return want
+        return cands.pop(0)
+
+    rings = []
+    while edges:
+        start = next(iter(edges))
+        ring = [start]
+        v = start
+        incoming = None
+        while True:
+            nxt = pick(v, incoming)
+            if not edges[v]:
+                del edges[v]
+            if nxt == start:
+                break
+            ring.append(nxt)
+            incoming = (nxt[0] - v[0], nxt[1] - v[1])
+            v = nxt
+        arr = np.asarray(ring, dtype=np.float64)
+        # drop collinear midpoints (unit edges → corner-only rings):
+        # keep vertices where incoming x outgoing cross product != 0
+        prev = np.roll(arr, 1, axis=0)
+        nxt_ = np.roll(arr, -1, axis=0)
+        cross = (arr[:, 0] - prev[:, 0]) * (nxt_[:, 1] - arr[:, 1]) - (
+            arr[:, 1] - prev[:, 1]
+        ) * (nxt_[:, 0] - arr[:, 0])
+        rings.append(arr[cross != 0])
+    return rings
+
+
+def vectorize_block(
+    classes: np.ndarray, spec: GridSpec, ty: int, tx: int, fill: int = FILL
+):
+    """One tile → [(class, local_comp_id, rings_world, pixel_count,
+    border_runs)]; border_runs = [(side, world_index)] for merge keys."""
+    out = []
+    oy, ox = ty * spec.tile, tx * spec.tile
+    h, w = classes.shape
+    for value in np.unique(classes):
+        if value == fill:
+            continue
+        mask = classes == value
+        labels = label_components(mask)
+        for lab in np.unique(labels):
+            if lab == 0:
+                continue
+            comp = labels == lab
+            rings = []
+            for ring in boundary_rings(comp):
+                world = np.empty_like(ring)
+                world[:, 0] = spec.x0 + (ring[:, 0] + ox) * spec.dx
+                world[:, 1] = spec.y0 - (ring[:, 1] + oy) * spec.dy
+                rings.append(world.ravel().tolist())
+            border = []
+            idx = np.nonzero(comp[0, :])[0]
+            border += [("N", int(ox + i)) for i in idx]
+            idx = np.nonzero(comp[h - 1, :])[0]
+            border += [("S", int(ox + i)) for i in idx]
+            idx = np.nonzero(comp[:, 0])[0]
+            border += [("W", int(oy + i)) for i in idx]
+            idx = np.nonzero(comp[:, w - 1])[0]
+            border += [("E", int(oy + i)) for i in idx]
+            out.append((int(value), int(lab), rings, int(comp.sum()), border))
+    return out
+
+
+VECTORIZE_SCHEMA = (
+    "class int, ty int, tx int, local_id bigint, rings array<array<double>>, "
+    "pixel_count bigint, border array<struct<side:string, pos:bigint>>"
+)
+
+
+def vectorize_tiles(class_tiles: DataFrame, spec: GridSpec, fill: int = FILL,
+                    block_col: str = "zone_block", dtype=np.uint16) -> DataFrame:
+    """Distributed per-tile vectorization over a classified tile table."""
+
+    def gen(batches):
+        for pdf in batches:
+            rows = []
+            for row in pdf.itertuples(index=False):
+                blk = np.frombuffer(getattr(row, block_col), dtype=dtype).reshape(
+                    row.h, row.w
+                )
+                for value, lab, rings, count, border in vectorize_block(
+                    blk.astype(np.int64), spec, int(row.ty), int(row.tx), fill
+                ):
+                    rows.append(
+                        (value, int(row.ty), int(row.tx), lab, rings, count, border)
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=["class", "ty", "tx", "local_id", "rings", "pixel_count", "border"],
+            )
+
+    return class_tiles.mapInPandas(gen, schema=VECTORIZE_SCHEMA)
+
+
+def merge_components(vec: DataFrame) -> DataFrame:
+    """Assign global component ids: tile-border adjacency union-find.
+
+    Adjacency: component A (tile ty,tx, side S at world pos p) touches
+    component B (tile ty+1,tx, side N at pos p) of the same class, etc.
+    The adjacency edge list is O(total border length) — collected to the
+    driver for union-find (tiny even at large raster sizes relative to
+    pixels); the relabeled mapping is broadcast-joined back.
+    """
+    keyed = vec.select(
+        "class", "ty", "tx", "local_id",
+        F.concat_ws("_", "class", "ty", "tx", "local_id").alias("node"),
+        "border",
+    )
+    b = keyed.select(
+        "class", "ty", "tx", "node", F.explode("border").alias("e")
+    ).select("class", "ty", "tx", "node", "e.side", "e.pos")
+
+    south = b.filter(F.col("side") == "S").select(
+        "class", (F.col("ty") + 1).alias("nty"), F.col("tx").alias("ntx"),
+        "pos", F.col("node").alias("node_a"),
+    )
+    north = b.filter(F.col("side") == "N").select(
+        "class", F.col("ty").alias("nty"), F.col("tx").alias("ntx"),
+        "pos", F.col("node").alias("node_b"),
+    )
+    v_edges = south.join(north, ["class", "nty", "ntx", "pos"]).select("node_a", "node_b")
+
+    east = b.filter(F.col("side") == "E").select(
+        "class", F.col("ty").alias("nty"), (F.col("tx") + 1).alias("ntx"),
+        "pos", F.col("node").alias("node_a"),
+    )
+    west = b.filter(F.col("side") == "W").select(
+        "class", F.col("ty").alias("nty"), F.col("tx").alias("ntx"),
+        "pos", F.col("node").alias("node_b"),
+    )
+    h_edges = east.join(west, ["class", "nty", "ntx", "pos"]).select("node_a", "node_b")
+
+    edges = [(r["node_a"], r["node_b"]) for r in v_edges.union(h_edges).collect()]
+    nodes = [r["node"] for r in keyed.select("node").distinct().collect()]
+
+    parent = {n: n for n in nodes}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, bb in edges:
+        ra, rb = find(a), find(bb)
+        if ra != rb:
+            parent[ra] = rb
+    mapping = [(n, find(n)) for n in nodes]
+    map_df = vec.sparkSession.createDataFrame(mapping, "node string, global_id string")
+
+    return (
+        keyed.join(F.broadcast(map_df), "node")
+        .join(vec, ["class", "ty", "tx", "local_id"])
+        .select("class", "global_id", "ty", "tx", "rings", "pixel_count")
+    )
