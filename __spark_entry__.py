@@ -361,6 +361,45 @@ def q_vectorize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """North-rule skew handling: two-phase salted aggregation over the
+    deliberately-skewed cell key (hot urban cluster) — equals plain
+    groupBy exactly (integer-valued sums)."""
+    from trefoil_spark.plans.salting import salted_sum_count
+
+    pages = _pages(spark, sf_dir).withColumn("n_chars", F.length("text"))
+    return salted_sum_count(
+        pages, "cell", "n_chars", n_salts=8, salt_source="doc_id"
+    ).orderBy("cell")
+
+
+def q_streaming_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured Streaming tumbling-window agg (A5 analog) — drains the
+    events table through a file-source stream; rows-only driver check
+    (stream results equal the batch twin, asserted in pytest)."""
+    import tempfile
+
+    from trefoil_spark.streaming.interval import (
+        run_available_now,
+        streaming_interval_stats,
+    )
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select("ts", "value")
+    tmp = tempfile.mkdtemp(prefix="trefoil_stream_")
+    ev.write.mode("overwrite").parquet(tmp)
+    stream = streaming_interval_stats(spark, tmp, "ts timestamp, value double")
+    return run_available_now(stream, "q_streaming_interval").orderBy("window_start")
+
+
+def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing: binary media + typed metadata → Arrow-batched
+    feature extraction (decode deterministically stubbed; rows-only)."""
+    from trefoil_spark.operators.multimodal import attach_fake_media, extract_features
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    return extract_features(attach_fake_media(docs)).orderBy("doc_id")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: zonal stats over the PIP join at sf0.001."""
     return q_zonal_stats(spark, "/root/testdata/sf0.001")
@@ -390,6 +429,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lag_intervals": q_lag_intervals,
         "warp_3857": q_warp_3857,
         "vectorize": q_vectorize,
+        "salted_agg": q_salted_agg,
+        "streaming_interval": q_streaming_interval,
+        "multimodal_features": q_multimodal_features,
     }
 
 
@@ -501,6 +543,12 @@ def oracle_sql() -> dict[str, str]:
         """,
         "regression": _regression_oracle(),
         "warp_3857": _warp_oracle(),
+        "salted_agg": f"""
+            WITH pages AS ({_PAGES_CTE})
+            SELECT cell, CAST(SUM(LENGTH(text)) AS DOUBLE) AS sum,
+                   COUNT(*) AS count
+            FROM pages GROUP BY cell ORDER BY cell
+        """,
         "vectorize": f"""
             WITH {_pixel_cte()},
             z AS (SELECT CASE {_zone_fid_case_sql()} END AS class FROM geo)
