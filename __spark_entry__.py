@@ -361,6 +361,47 @@ def q_vectorize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_area_timeseries(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SURVEY §2 A9: categorical area time series (events: type x day)."""
+    from trefoil_spark.operators.zonal import categorical_area_timeseries
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_type",
+        F.floor(F.unix_timestamp("ts") / 86400).alias("day"),
+        F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+    )
+    out = categorical_area_timeseries(ev, "event_type", "day", "cents")
+    return out.orderBy("event_type", "day")
+
+
+def q_weighted_timeseries(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SURVEY §2 A10: weighted stats per timestep (lineitem by linestatus
+    proxy-time; integer v/w keep sums exact)."""
+    from trefoil_spark.operators.zonal import weighted_statistics_timeseries
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        F.year("l_shipdate").alias("t"), "l_quantity", "l_linenumber"
+    )
+    return weighted_statistics_timeseries(li, "t", "l_quantity", "l_linenumber").orderBy("t")
+
+
+def q_pack_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SURVEY §2 F14: scale/offset packing — pack l_quantity to uint16 and
+    report exact packed-code histogram bounds."""
+    from trefoil_spark.functions.packing import get_pack_atts, pack_col, unpack_col
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    lo, hi = 1.0, 50.0
+    scale, offset = get_pack_atts("uint16", lo, hi)
+    packed = li.withColumn("code", pack_col("l_quantity", scale, offset))
+    return packed.groupBy().agg(
+        F.min("code").alias("min_code"),
+        F.max("code").alias("max_code"),
+        F.count("code").alias("count"),
+        F.sum("code").alias("sum_code"),
+    )
+
+
 def q_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """North-rule skew handling: two-phase salted aggregation over the
     deliberately-skewed cell key (hot urban cluster) — equals plain
@@ -432,6 +473,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "salted_agg": q_salted_agg,
         "streaming_interval": q_streaming_interval,
         "multimodal_features": q_multimodal_features,
+        "area_timeseries": q_area_timeseries,
+        "weighted_timeseries": q_weighted_timeseries,
+        "pack_roundtrip": q_pack_roundtrip,
     }
 
 
@@ -543,6 +587,37 @@ def oracle_sql() -> dict[str, str]:
         """,
         "regression": _regression_oracle(),
         "warp_3857": _warp_oracle(),
+        "area_timeseries": """
+            SELECT event_type,
+                   CAST(FLOOR(epoch(ts) / 86400) AS BIGINT) AS day,
+                   CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS area
+            FROM events
+            GROUP BY event_type, day ORDER BY event_type, day
+        """,
+        "weighted_timeseries": """
+            SELECT EXTRACT(year FROM l_shipdate) AS t,
+                   SUM(CAST(l_quantity AS DOUBLE) * CAST(l_linenumber AS DOUBLE))
+                       / SUM(CAST(l_linenumber AS DOUBLE)) AS weighted_mean,
+                   SQRT(SUM((CAST(l_quantity AS DOUBLE) * CAST(l_linenumber AS DOUBLE))
+                            * (CAST(l_quantity AS DOUBLE) * CAST(l_linenumber AS DOUBLE)))
+                            / COUNT(*)
+                        - (SUM(CAST(l_quantity AS DOUBLE) * CAST(l_linenumber AS DOUBLE)) / COUNT(*))
+                          * (SUM(CAST(l_quantity AS DOUBLE) * CAST(l_linenumber AS DOUBLE)) / COUNT(*)))
+                       AS weighted_std
+            FROM lineitem
+            WHERE l_quantity IS NOT NULL AND l_linenumber IS NOT NULL
+            GROUP BY t ORDER BY t
+        """,
+        "pack_roundtrip": f"""
+            WITH p AS (
+                SELECT CAST(ROUND((l_quantity - CAST(1.0 AS DOUBLE))
+                       / CAST({(50.0 - 1.0) / 65534!r} AS DOUBLE)) AS BIGINT) AS code
+                FROM lineitem
+            )
+            SELECT MIN(code) AS min_code, MAX(code) AS max_code,
+                   COUNT(code) AS count, CAST(SUM(code) AS BIGINT) AS sum_code
+            FROM p
+        """,
         "salted_agg": f"""
             WITH pages AS ({_PAGES_CTE})
             SELECT cell, CAST(SUM(LENGTH(text)) AS DOUBLE) AS sum,

@@ -118,6 +118,49 @@ def weighted_statistics(df: DataFrame, value_col: str, weight_col: str) -> DataF
     )
 
 
+def categorical_area_timeseries(
+    df: DataFrame, category_col: str, t_col: str, area_col: str
+) -> DataFrame:
+    """A9 (analysis/timeseries.py:12-44): total area per category per
+    timestep — {category: ts_array} becomes tidy (category, t, area) rows."""
+    return (
+        df.filter(F.col(category_col).isNotNull())
+        .groupBy(category_col, t_col)
+        .agg(F.sum(area_col).alias("area"))
+    )
+
+
+def weighted_statistics_timeseries(
+    df: DataFrame, t_col: str, value_col: str, weight_col: str
+) -> DataFrame:
+    """A10 (analysis/timeseries.py:47-76): weighted MEAN + the reference's
+    v*w population-std quirk, per timestep."""
+    both = df.filter(F.col(value_col).isNotNull() & F.col(weight_col).isNotNull())
+    v = F.col(value_col).cast("double")
+    w = F.col(weight_col).cast("double")
+    vw = v * w
+    return both.groupBy(t_col).agg(
+        (F.sum(vw) / F.sum(w)).alias("weighted_mean"),
+        F.sqrt(
+            F.sum(vw * vw) / F.count(F.lit(1))
+            - (F.sum(vw) / F.count(F.lit(1))) * (F.sum(vw) / F.count(F.lit(1)))
+        ).alias("weighted_std"),
+    )
+
+
+ZONAL_CSV_COLUMNS = ["filename", "variable", "t", "zone"]
+
+
+def write_zonal_csv(df: DataFrame, path: str, has_time: bool = True) -> None:
+    """S7 zonal-stats CSV sink — row layout per reference docs/cli.md:420-425
+    and cli/zones.py:306-332: filename, variable, [t,] zone, stat columns."""
+    lead = [c for c in ZONAL_CSV_COLUMNS if has_time or c != "t"]
+    stats = [c for c in df.columns if c not in lead]
+    df.select(*[c for c in lead if c in df.columns], *stats).write.option(
+        "header", True
+    ).mode("overwrite").csv(path)
+
+
 def mean_of_file_means(df: DataFrame, file_col: str, value_col: str) -> DataFrame:
     """A7 (utilities.py:336-365): global min/max but 'mean' = unweighted mean
     of per-file means — the reference quirk, preserved for parity.
