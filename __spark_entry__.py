@@ -402,6 +402,32 @@ def q_pack_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_quantile_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SURVEY §2 F4 (north-star quantile classification; absent in the
+    reference — TODO at render_netcdf.py:181): rank-based quartile classes
+    over event values (deterministic tie-break) + per-class stats.
+    The engine also exposes sketch-based breaks via
+    raster/classify.py::quantile_breaks (approxQuantile) for the
+    scale path; the checked query uses exact ntile semantics."""
+    from pyspark.sql.window import Window as W
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_id", F.round(F.col("value") * 100).cast("bigint").alias("cents")
+    )
+    w = W.orderBy("cents", "event_id")
+    classed = ev.withColumn("q", F.ntile(4).over(w))
+    return (
+        classed.groupBy("q")
+        .agg(
+            F.count(F.lit(1)).alias("count"),
+            F.min("cents").alias("min_cents"),
+            F.max("cents").alias("max_cents"),
+            F.sum("cents").alias("sum_cents"),
+        )
+        .orderBy("q")
+    )
+
+
 def q_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """North-rule skew handling: two-phase salted aggregation over the
     deliberately-skewed cell key (hot urban cluster) — equals plain
@@ -476,6 +502,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "area_timeseries": q_area_timeseries,
         "weighted_timeseries": q_weighted_timeseries,
         "pack_roundtrip": q_pack_roundtrip,
+        "quantile_classify": q_quantile_classify,
     }
 
 
@@ -617,6 +644,18 @@ def oracle_sql() -> dict[str, str]:
             SELECT MIN(code) AS min_code, MAX(code) AS max_code,
                    COUNT(code) AS count, CAST(SUM(code) AS BIGINT) AS sum_code
             FROM p
+        """,
+        "quantile_classify": """
+            WITH e AS (
+                SELECT event_id, CAST(ROUND(value * 100) AS BIGINT) AS cents
+                FROM events
+            ), c AS (
+                SELECT cents, ntile(4) OVER (ORDER BY cents, event_id) AS q FROM e
+            )
+            SELECT q, COUNT(*) AS count, MIN(cents) AS min_cents,
+                   MAX(cents) AS max_cents,
+                   CAST(SUM(cents) AS BIGINT) AS sum_cents
+            FROM c GROUP BY q ORDER BY q
         """,
         "salted_agg": f"""
             WITH pages AS ({_PAGES_CTE})
