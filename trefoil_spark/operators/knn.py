@@ -134,6 +134,91 @@ def knn_join_cells(
     )
 
 
+def knn_join_adaptive(
+    points: DataFrame,
+    queries: DataFrame,
+    k: int,
+    id_col: str = "doc_id",
+    lon_col: str = "lon",
+    lat_col: str = "lat",
+    res: int = 7,
+    max_ring: int = 8,
+) -> DataFrame:
+    """Complete grid kNN via ring EXPANSION (SURVEY.md §4.2 item 4).
+
+    A ring-R result for a query is PROVEN complete when its k-th neighbor
+    distance is at most R cells' guaranteed reach: any point outside the
+    (2R+1)² neighborhood is at least R·min(cell_w, cell_h) away (in the
+    same-latitude band approximation used by the squared-degree metric).
+    Queries failing the guarantee (or finding < k candidates) re-run at
+    ring 2R; the loop doubles until max_ring. Each iteration is a
+    broadcast equi-join — the big point table is never shuffled, and the
+    fraction of re-run queries drops geometrically for non-adversarial
+    densities.
+    """
+    n = 1 << res
+    cell_h_deg = 180.0 / n
+    cell_w_deg = 360.0 / n
+    guarantee_unit = min(cell_h_deg, cell_w_deg)
+
+    remaining = queries
+    results = []
+    ring = 1
+    spark = points.sparkSession
+    while True:
+        got = knn_join_cells(
+            points, remaining, k, id_col, lon_col, lat_col, res, ring
+        ).cache()
+        if ring >= max_ring:
+            results.append(got)
+            break
+        # completeness per query: found k candidates AND the k-th distance
+        # is within the ring guarantee radius
+        guard = (ring * guarantee_unit) ** 2
+        kth_d = (
+            got.filter(F.col("rank") == k)
+            .join(
+                remaining.select(
+                    F.col(id_col).alias("query_id"),
+                    F.col(lon_col).alias("_qlon"),
+                    F.col(lat_col).alias("_qlat"),
+                ),
+                "query_id",
+            )
+            .join(
+                points.select(
+                    F.col(id_col).alias("neighbor_id"),
+                    F.col(lon_col).alias("_plon"),
+                    F.col(lat_col).alias("_plat"),
+                ),
+                "neighbor_id",
+            )
+            .withColumn("_d", sq_dist("_qlon", "_qlat", "_plon", "_plat"))
+        )
+        done_ids = [
+            int(r["query_id"])
+            for r in kth_d.filter(F.col("_d") <= F.lit(guard)).collect()
+        ]
+        if done_ids:
+            done_df = spark.createDataFrame(
+                [(i,) for i in done_ids], "query_id bigint"
+            )
+            results.append(got.join(F.broadcast(done_df), "query_id", "left_semi"))
+            remaining = remaining.join(
+                F.broadcast(done_df),
+                remaining[id_col] == done_df["query_id"],
+                "left_anti",
+            )
+        if remaining.isEmpty():
+            break
+        ring *= 2
+
+    out = results[0]
+    for r in results[1:]:
+        out = out.unionByName(r)
+    return out
+
+
 def _cell_from_xy(ix: Column, iy: Column, res: int) -> Column:
     morton = F.lit(0).cast("bigint")
     for b in range(res):
