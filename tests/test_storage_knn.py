@@ -19,6 +19,12 @@ def test_bucketed_join_is_shuffle_free(spark):
         "zone_block", "block2"
     )
 
+    import shutil
+
+    for t in ("t_values", "t_zones"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+        shutil.rmtree(f"spark-warehouse/{t}", ignore_errors=True)
+
     write_tiles_bucketed(tiles, "t_values", n_buckets=4)
     write_tiles_bucketed(
         ztiles.select("ty", "tx", "block2", "h", "w").withColumn("cell", F.lit(0)),
