@@ -80,6 +80,25 @@ def test_pip_join_matches_oracle(pages, duck):
     assert (got["zone_value"] == "urban").sum() > 0
 
 
+def test_refine_modes_agree(pages):
+    """expr (pure-JVM CASE chain), udf (Arrow numpy), and split-udf refine
+    strategies must produce identical assignments."""
+    base = (
+        pip_join(pages, ZONE_LAYER, refine="expr")
+        .select("doc_id", "feature_id")
+        .orderBy("doc_id")
+        .collect()
+    )
+    for kwargs in ({"refine": "udf"}, {"refine": "udf", "split_python": True}):
+        got = (
+            pip_join(pages, ZONE_LAYER, **kwargs)
+            .select("doc_id", "feature_id")
+            .orderBy("doc_id")
+            .collect()
+        )
+        assert got == base, kwargs
+
+
 def test_text_byte_identity_through_shuffles(pages, spark, sf_dir):
     """input_hint invariant: byte-identical text per url through every
     shuffle stage (join + repartition + groupBy path)."""
