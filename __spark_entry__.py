@@ -14,6 +14,11 @@ identical in both engines), so value hashes match bit-for-bit.
 
 from __future__ import annotations
 
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))  # defensive
+
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
