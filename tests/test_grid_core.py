@@ -80,6 +80,20 @@ def test_bbox_projection():
     assert np.allclose(back.as_tuple(), bbox.as_tuple())
 
 
+def test_local_albers_pick():
+    # frozen expectation from reference test_bbox.py:20-24 (params only)
+    from trefoil_spark.grid.bbox import get_local_albers_projection
+
+    p4 = get_local_albers_projection(
+        BBox((-124.75, 48.625, -124.375, 49.0), "EPSG:4326")
+    )
+    assert "+proj=aea" in p4
+    assert "+lon_0=-124.562" in p4  # -124.5625
+    assert "+lat_1=48.6875" in p4
+    assert "+lat_2=48.9375" in p4
+    assert "+lat_0=0" in p4
+
+
 def test_union_bbox():
     a = BBox((0, 0, 2, 2), "EPSG:4326")
     b = BBox((1, -1, 3, 1), "EPSG:4326")

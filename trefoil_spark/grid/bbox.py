@@ -82,6 +82,25 @@ class BBox:
         )
 
 
+def get_local_albers_projection(bbox: BBox) -> str:
+    """F25 (reference bbox.py:99-114): pick a local Albers equal-area
+    projection for a bbox — standard parallels inset 1/6 of the height
+    from each edge, central meridian at the bbox center. Returns the
+    proj4 string (transform math for aea is out of v1 scope; this is the
+    projection-PICK rule, validated against the reference's frozen test
+    value in tests)."""
+    if not proj.is_latlong(bbox.projection or "EPSG:4326"):
+        raise ValueError("bbox must be geographic (lat/long)")
+    sixth = (bbox.ymax - bbox.ymin) / 6.0
+    lat_1 = bbox.ymin + sixth
+    lat_2 = bbox.ymax - sixth
+    lon_0 = (bbox.xmax + bbox.xmin) / 2.0
+    return (
+        f"+proj=aea +lat_1={lat_1:g} +lat_2={lat_2:g} +lat_0=0 +lon_0={lon_0:g} "
+        f"+x_0=0 +y_0=0 +ellps=WGS84 +datum=WGS84 +units=m +no_defs"
+    )
+
+
 def union_bbox(bboxes) -> BBox:
     """Union (min/max envelope); all inputs must share a CRS.
 
