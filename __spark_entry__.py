@@ -87,7 +87,7 @@ def q_zonal_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SURVEY §2 A1: zonal statistics {mean,min,max,std,sum,count} over the
     PIP-join result — the flagship zonal-stats pipeline (one shuffle)."""
     joined = pip_join(_pages(spark, sf_dir), ZONE_LAYER, key_cols=["doc_id"])
-    joined = joined.withColumn("n_chars", F.length("text"))
+    joined = joined.withColumn("n_chars", F.length("text").cast("bigint"))
     return zonal_statistics(joined, "zone_value", "n_chars").orderBy("zone_value")
 
 
@@ -129,7 +129,7 @@ def q_tile_classify_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SURVEY §2 F2+A2: digitize-classify tiles, count per class."""
     tiles = synthetic_tiles(spark, SPEC)
     hist = tile_histogram(tiles, transform=lambda b: classify_block(b, BREAKS))
-    return hist.withColumn("class", F.col("value").cast("int")).select(
+    return hist.withColumn("class", F.col("value").cast("bigint")).select(
         "class", "count"
     ).orderBy("class")
 
@@ -177,7 +177,10 @@ def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
     out = text_stats(docs)
     return out.select(
-        "doc_id", "n_chars", "n_tokens", "n_distinct_tokens",
+        "doc_id",
+        F.col("n_chars").cast("bigint").alias("n_chars"),
+        F.col("n_tokens").cast("bigint").alias("n_tokens"),
+        F.col("n_distinct_tokens").cast("bigint").alias("n_distinct_tokens"),
         "type_token_ratio", "mean_token_len", "fingerprint", "lang_pred",
     ).orderBy("doc_id")
 
@@ -198,9 +201,11 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = minhash_near_duplicates(
         _docs_with_dups(spark, sf_dir), threshold=0.5
     )
-    return pairs.select("id_a", "id_b", "inter", "union_size").orderBy(
-        "id_a", "id_b"
-    )
+    return pairs.select(
+        "id_a", "id_b",
+        F.col("inter").cast("bigint").alias("inter"),
+        F.col("union_size").cast("bigint").alias("union_size"),
+    ).orderBy("id_a", "id_b")
 
 
 def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -213,7 +218,11 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select((F.col("doc_id") - 2000000).alias("id_a"), F.col("doc_id").alias("id_b"))
     )
     out = jaccard_pairs(docs, pairs, ngram=2)
-    return out.select("id_a", "id_b", "inter", "union_size").orderBy("id_a")
+    return out.select(
+        "id_a", "id_b",
+        F.col("inter").cast("bigint").alias("inter"),
+        F.col("union_size").cast("bigint").alias("union_size"),
+    ).orderBy("id_a")
 
 
 def q_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -222,7 +231,10 @@ def q_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     pages = _pages(spark, sf_dir).select("doc_id", "lon", "lat")
     queries = pages.filter(F.col("doc_id") % 100 == 0)
-    return knn_join_bruteforce(pages, queries, k=5).orderBy("query_id", "rank")
+    out = knn_join_bruteforce(pages, queries, k=5)
+    return out.withColumn("rank", F.col("rank").cast("bigint")).orderBy(
+        "query_id", "rank"
+    )
 
 
 def q_knn_join_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -232,7 +244,8 @@ def q_knn_join_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     pages = _pages(spark, sf_dir).select("doc_id", "lon", "lat")
     queries = pages.filter(F.col("doc_id") % 100 == 0)
-    return knn_join_cells(pages, queries, k=5, res=6, ring=1).orderBy(
+    out = knn_join_cells(pages, queries, k=5, res=6, ring=1)
+    return out.withColumn("rank", F.col("rank").cast("bigint")).orderBy(
         "query_id", "rank"
     )
 
@@ -243,7 +256,11 @@ def q_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     queries = emb.filter(F.col("vec_id") < 10)
-    return cosine_topk(emb, queries, k=5).orderBy("query_id", "rank")
+    return (
+        cosine_topk(emb, queries, k=5)
+        .withColumn("rank", F.col("rank").cast("bigint"))
+        .orderBy("query_id", "rank")
+    )
 
 
 def q_similarity_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -252,7 +269,11 @@ def q_similarity_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     queries = emb.filter(F.col("vec_id") < 10)
-    return lsh_ann_topk(emb, queries, k=5).orderBy("query_id", "rank")
+    return (
+        lsh_ann_topk(emb, queries, k=5)
+        .withColumn("rank", F.col("rank").cast("bigint"))
+        .orderBy("query_id", "rank")
+    )
 
 
 def q_weighted_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -385,7 +406,7 @@ def q_weighted_timeseries(spark: SparkSession, sf_dir: str) -> DataFrame:
     from trefoil_spark.operators.zonal import weighted_statistics_timeseries
 
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
-        F.year("l_shipdate").alias("t"), "l_quantity", "l_linenumber"
+        F.year("l_shipdate").cast("bigint").alias("t"), "l_quantity", "l_linenumber"
     )
     return weighted_statistics_timeseries(li, "t", "l_quantity", "l_linenumber").orderBy("t")
 
@@ -420,7 +441,7 @@ def q_quantile_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id", F.round(F.col("value") * 100).cast("bigint").alias("cents")
     )
     w = W.orderBy("cents", "event_id")
-    classed = ev.withColumn("q", F.ntile(4).over(w))
+    classed = ev.withColumn("q", F.ntile(4).over(w).cast("bigint"))
     return (
         classed.groupBy("q")
         .agg(
@@ -564,7 +585,7 @@ def oracle_sql() -> dict[str, str]:
         "tile_window_stats": _tile_window_oracle(),
         "tile_classify_histogram": f"""
             WITH {_pixel_cte()}
-            SELECT CAST({classify_sql('v', BREAKS)} AS INT) AS class,
+            SELECT CAST({classify_sql('v', BREAKS)} AS BIGINT) AS class,
                    COUNT(*) AS count
             FROM geo WHERE v IS NOT NULL
             GROUP BY class ORDER BY class
@@ -671,7 +692,7 @@ def oracle_sql() -> dict[str, str]:
         "vectorize": f"""
             WITH {_pixel_cte()},
             z AS (SELECT CASE {_zone_fid_case_sql()} END AS class FROM geo)
-            SELECT class, COUNT(*) AS pixels
+            SELECT CAST(class AS BIGINT) AS class, COUNT(*) AS pixels
             FROM z WHERE class IS NOT NULL
             GROUP BY class ORDER BY class
         """,
