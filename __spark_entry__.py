@@ -414,7 +414,7 @@ def q_weighted_timeseries(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_pack_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SURVEY §2 F14: scale/offset packing — pack l_quantity to uint16 and
     report exact packed-code histogram bounds."""
-    from trefoil_spark.functions.packing import get_pack_atts, pack_col, unpack_col
+    from trefoil_spark.functions.packing import get_pack_atts, pack_col
 
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
     lo, hi = 1.0, 50.0

@@ -1,0 +1,45 @@
+"""IVF similarity: structural correctness (list-consistency + within-list
+ranking preserves the exact order) and determinism."""
+
+import numpy as np
+from pyspark.sql import functions as F
+
+
+def test_ivf_ann(spark, sf_dir):
+    from trefoil_spark.operators.similarity import (
+        cosine_topk,
+        ivf_ann_topk,
+        ivf_assign_expr,
+        train_ivf_centroids,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    cents = train_ivf_centroids(emb, n_centroids=8)
+    assert cents.shape == (8, 64)
+    # deterministic training
+    cents2 = train_ivf_centroids(emb, n_centroids=8)
+    assert np.array_equal(cents, cents2)
+
+    queries = emb.filter(F.col("vec_id") < 5)
+    approx = ivf_ann_topk(emb, queries, k=5, centroids=cents).toPandas()
+    assert len(approx) > 0
+
+    # list consistency: neighbor shares the query's IVF list
+    assign = ivf_assign_expr("embedding", cents)
+    lists = {
+        r["vec_id"]: r["l"]
+        for r in emb.selectExpr("vec_id", f"{assign} AS l").collect()
+    }
+    for q, n in zip(approx.query_id, approx.neighbor_id):
+        assert lists[q] == lists[n]
+
+    # within-list ranking preserves exact global cosine order
+    exact = cosine_topk(emb, queries, k=emb.count()).toPandas()
+    exact_rank = {
+        (q, n): r
+        for q, n, r in zip(exact.query_id, exact.neighbor_id, exact["rank"])
+    }
+    for q in approx.query_id.unique():
+        sub = approx[approx.query_id == q].sort_values("rank")
+        ranks = [exact_rank[(q, n)] for n in sub.neighbor_id]
+        assert ranks == sorted(ranks)

@@ -97,6 +97,98 @@ def bucket_expr(vec_col: str, planes: np.ndarray, engine: str = "spark") -> str:
     return "(" + " + ".join(terms) + ")"
 
 
+def train_ivf_centroids(
+    points: DataFrame,
+    n_centroids: int = 16,
+    vec_col: str = "embedding",
+    iters: int = 5,
+    seed: int = 11,
+    sample_rows: int = 4096,
+) -> np.ndarray:
+    """IVF coarse quantizer: k-means on a driver-side sample (Lloyd's,
+    deterministic seed/init). The sample bound keeps the driver O(KB-MB);
+    assignment (the expensive part) stays distributed."""
+    sample = np.array(
+        [r[vec_col] for r in points.select(vec_col).limit(sample_rows).collect()],
+        dtype=np.float64,
+    )
+    rng = np.random.default_rng(seed)
+    centroids = sample[rng.choice(len(sample), size=n_centroids, replace=False)]
+    for _ in range(iters):
+        d = ((sample[:, None, :] - centroids[None, :, :]) ** 2).sum(axis=2)
+        assign = d.argmin(axis=1)
+        for k in range(n_centroids):
+            sel = assign == k
+            if sel.any():
+                centroids[k] = sample[sel].mean(axis=0)
+    return centroids.round(6)  # rounded → portable literals
+
+
+def ivf_assign_expr(vec_col: str, centroids: np.ndarray) -> str:
+    """Nearest-centroid id as a Spark SQL expression (JVM argmin chain).
+
+    O(K·dim) arithmetic per row with no Python — the IVF list assignment
+    runs inside codegen; identical text could drive a DuckDB twin, but
+    the operator is checked by recall tests instead (kmeans is float-
+    order-sensitive only in training, which happens once on the driver)."""
+    dots = []
+    for k, c in enumerate(centroids):
+        arr = ", ".join(f"CAST({float(v)!r} AS DOUBLE)" for v in c)
+        d = (
+            f"aggregate(zip_with({vec_col}, array({arr}), "
+            f"(x, y) -> (CAST(x AS DOUBLE) - y) * (CAST(x AS DOUBLE) - y)), "
+            f"CAST(0 AS DOUBLE), (acc, v) -> acc + v)"
+        )
+        dots.append(d)
+    # argmin via nested CASE over pairwise comparisons with LEAST
+    least = f"LEAST({', '.join(dots)})"
+    case = " ".join(
+        f"WHEN {d} = {least} THEN {k}" for k, d in enumerate(dots)
+    )
+    return f"(CASE {case} END)"
+
+
+def ivf_ann_topk(
+    points: DataFrame,
+    queries: DataFrame,
+    k: int,
+    centroids: np.ndarray,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_probe: int = 1,
+) -> DataFrame:
+    """IVF approximate top-k: candidates share the query's nearest
+    centroid list (n_probe=1). At 10^12 rows the posting lists are the
+    partition layout (write the table clustered by list id) and a query
+    touches 1/K of the data."""
+    if n_probe != 1:
+        raise NotImplementedError("v1 probes the single nearest list")
+    assign = ivf_assign_expr(vec_col, centroids)
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("_qv"),
+        F.expr(assign).alias("_ql"),
+    )
+    p = points.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("_pv"),
+        F.expr(assign).alias("_pl"),
+    )
+    cand = p.join(F.broadcast(q), F.col("_pl") == F.col("_ql")).filter(
+        F.col("neighbor_id") != F.col("query_id")
+    )
+    scored = cand.withColumn(
+        "_cos",
+        F.expr(_dot("_qv", "_pv")) / (F.expr(_norm("_qv")) * F.expr(_norm("_pv"))),
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("_cos").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank")
+    )
+
+
 def lsh_ann_topk(
     points: DataFrame,
     queries: DataFrame,

@@ -27,7 +27,6 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 
 from ..grid import cells
-from .  import pages as _pages  # noqa: F401  (package anchor)
 from ..raster.gridspec import GridSpec
 from ..raster.synth import CELL_RES, TILE_SCHEMA
 
