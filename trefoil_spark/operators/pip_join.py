@@ -41,6 +41,7 @@ from ..grid import cells
 
 DEFAULT_RES = 9
 DEFAULT_FINE_RES = 14
+BOUNDARY = -2  # fine-index sentinel: cell needs the exact per-point test
 
 
 def cell_col(lon_col: str = "lon", lat_col: str = "lat", res: int = DEFAULT_RES) -> Column:
@@ -259,8 +260,11 @@ def _make_winner_udf(index: dict):
                     inside = points_in_rings(lon_v[idx], lat_v[idx], rings_by_fid[fid])
                     out[idx[inside]] = fid
                     idx = idx[~inside]
-        result = pd.Series(out)
-        return result.where(result >= 0, other=None)
+        # plain int64 with -1 = no match: an object series with Nones
+        # degrades to NaN doubles when the session runs the non-Arrow UDF
+        # serializer (arrow.pyspark.enabled=false), silently corrupting
+        # results — the NULL translation happens JVM-side instead
+        return pd.Series(out)
 
     # deterministic in fact, but marked otherwise so Catalyst doesn't
     # duplicate the (expensive) UDF when pushing filters through projects
@@ -314,16 +318,18 @@ def pip_join(
     cov1 = spark.createDataFrame(
         index["coarse"], "c1 bigint, fids array<bigint>, r1 bigint"
     )
-    fine_rows = index["fine"] or [(-1, -1)]  # dummy row keeps schema simple
     # Arrow path (pandas), not pickled tuples: the fine index can be ~10^5
     # rows and is rebuilt per query — pickle upload would serialize on the
-    # driver and cap scaling
-    fine_pdf = pd.DataFrame(fine_rows, columns=["c2", "r2"]).astype(
-        {"c2": "int64", "r2": "float64"}
-    )
-    cov2 = spark.createDataFrame(fine_pdf).withColumn(
-        "r2", F.col("r2").cast("bigint")
-    )
+    # driver and cap scaling. r2 uses an INTEGER SENTINEL (-2 = boundary)
+    # instead of NULL: nullable columns round-tripped through pandas turn
+    # into DOUBLE NaN when the session has arrow.pyspark.enabled=false
+    # (NaN is not NULL → silently corrupts the resolution ladder and then
+    # explodes under ANSI casts). Pure int64 is representation-proof.
+    fine_rows = [
+        (c, BOUNDARY if r is None else r) for c, r in (index["fine"] or [(-1, -1)])
+    ]
+    fine_pdf = pd.DataFrame(fine_rows, columns=["c2", "r2"]).astype("int64")
+    cov2 = spark.createDataFrame(fine_pdf)
 
     pts = points.withColumn("_cf", cell_col(lon_col, lat_col, fine_res))
     pts = pts.withColumn("_cc", parent_cell_col(F.col("_cf"), fine_res, res))
@@ -339,7 +345,11 @@ def pip_join(
     jvm_feature = F.when(F.col("r1") >= 0, F.col("r1")).when(
         F.col("r1").isNull() & (F.col("r2") >= 0), F.col("r2")
     )
-    is_py = F.col("r1").isNull() & F.col("fids").isNotNull() & F.col("r2").isNull()
+    is_py = (
+        F.col("r1").isNull()
+        & F.col("fids").isNotNull()
+        & (F.col("r2").isNull() | (F.col("r2") == BOUNDARY))
+    )
 
     if refine == "auto":
         # 'udf' wins on measured throughput (4.1M rows/s @16 cores vs
@@ -367,10 +377,20 @@ def pip_join(
         return joined
 
     winner = _make_winner_udf(index)
+    # the raw UDF output uses -1 for "no match"; the NULL translation is a
+    # separate JVM step (the UDF is nondeterministic-marked, so Catalyst
+    # cannot collapse/duplicate it into downstream expressions)
     if split_python:
         interior = joined.filter(~is_py).withColumn("feature_id", jvm_feature)
-        boundary = joined.filter(is_py).withColumn(
-            "feature_id", winner(F.col(lon_col), F.col(lat_col), F.col("_cf"))
+        boundary = (
+            joined.filter(is_py)
+            .withColumn(
+                "_fid_raw", winner(F.col(lon_col), F.col(lat_col), F.col("_cf"))
+            )
+            .withColumn(
+                "feature_id", F.when(F.col("_fid_raw") >= 0, F.col("_fid_raw"))
+            )
+            .drop("_fid_raw")
         )
         joined = interior.unionByName(boundary)
     else:
@@ -378,12 +398,15 @@ def pip_join(
         # Python side does zero math for them (they still ride the Arrow
         # pipe — use split_python=True to avoid even that)
         joined = joined.withColumn(
+            "_fid_raw",
+            winner(F.col(lon_col), F.col(lat_col), F.when(is_py, F.col("_cf"))),
+        ).withColumn(
             "feature_id",
             F.when(~is_py, jvm_feature).otherwise(
-                winner(F.col(lon_col), F.col(lat_col), F.when(is_py, F.col("_cf")))
+                F.when(F.col("_fid_raw") >= 0, F.col("_fid_raw"))
             ),
         )
-    joined = joined.drop("fids", "r1", "r2", "_cf", "_cc")
+    joined = joined.drop("fids", "r1", "r2", "_cf", "_cc", "_fid_raw")
 
     value_map = F.create_map(
         *[x for fid, poly in enumerate(polygons) for x in (F.lit(fid), F.lit(str(poly.value)))]
