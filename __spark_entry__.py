@@ -238,8 +238,9 @@ def q_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_knn_join_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Grid kNN (cell-neighborhood candidates) — the scale path; rows-only
-    driver check, exactness vs brute force asserted in tests."""
+    """Grid kNN (cell-neighborhood candidates) — the scale path. Exact at
+    this (res, ring) for the fixture density (also asserted vs brute force
+    in tests), so the brute-force SQL is its oracle."""
     from trefoil_spark.operators.knn import knn_join_cells
 
     pages = _pages(spark, sf_dir).select("doc_id", "lon", "lat")
@@ -468,8 +469,9 @@ def q_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_streaming_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Structured Streaming tumbling-window agg (A5 analog) — drains the
-    events table through a file-source stream; rows-only driver check
-    (stream results equal the batch twin, asserted in pytest)."""
+    events table through a file-source stream. Output projected to exact
+    integers (interval id + cents sum) so it hash-matches the DuckDB
+    batch-twin oracle; double-sum streaming variant tested in pytest."""
     import tempfile
 
     from trefoil_spark.streaming.interval import (
@@ -480,17 +482,31 @@ def q_streaming_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = spark.read.parquet(f"{sf_dir}/events.parquet").select("ts", "value")
     tmp = tempfile.mkdtemp(prefix="trefoil_stream_")
     ev.write.mode("overwrite").parquet(tmp)
-    stream = streaming_interval_stats(spark, tmp, "ts timestamp, value double")
-    return run_available_now(stream, "q_streaming_interval").orderBy("window_start")
+    stream = streaming_interval_stats(
+        spark, tmp, "ts timestamp, value double", exact_cents=True
+    )
+    res = run_available_now(stream, "q_streaming_interval")
+    return res.select(
+        F.floor(F.unix_timestamp("window_start") / 21600).cast("bigint").alias("interval"),
+        "count",
+        "sum_cents",
+    ).orderBy("interval")
 
 
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal plumbing: binary media + typed metadata → Arrow-batched
-    feature extraction (decode deterministically stubbed; rows-only)."""
+    feature extraction (decode deterministically stubbed). The 'digest'
+    method is engine-portable, and the array explodes to scalar rows so
+    the driver can hash the values (array columns are unhashable)."""
     from trefoil_spark.operators.multimodal import attach_fake_media, extract_features
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
-    return extract_features(attach_fake_media(docs)).orderBy("doc_id")
+    feats = extract_features(attach_fake_media(docs), method="digest")
+    return (
+        feats.select("doc_id", F.posexplode("features").alias("feature_idx", "value"))
+        .withColumn("feature_idx", F.col("feature_idx").cast("bigint"))
+        .orderBy("doc_id", "feature_idx")
+    )
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -708,6 +724,24 @@ def oracle_sql() -> dict[str, str]:
                    COUNT(*) AS n_gaps, MIN(gap_us) AS min_gap_us
             FROM g WHERE gap_us IS NOT NULL
             GROUP BY user_id ORDER BY user_id
+        """,
+        "knn_join_cells": _knn_oracle(),
+        "streaming_interval": """
+            WITH b AS (
+                SELECT CAST(FLOOR(epoch(ts) / 21600) AS BIGINT) AS interval,
+                       CAST(ROUND(value * 100) AS BIGINT) AS cents
+                FROM events
+            )
+            SELECT interval, COUNT(*) AS count,
+                   CAST(SUM(cents) AS BIGINT) AS sum_cents
+            FROM b GROUP BY interval ORDER BY interval
+        """,
+        "multimodal_features": f"""
+            SELECT doc_id, i AS feature_idx,
+                   CAST(('0x' || substr(md5(text), CAST(2 * i + 1 AS INT), 2))
+                        AS BIGINT) / CAST(255 AS DOUBLE) AS value
+            FROM documents, (SELECT UNNEST(range(16)) AS i)
+            ORDER BY doc_id, feature_idx
         """,
     }
 

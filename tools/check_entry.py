@@ -1,7 +1,7 @@
 """Local replica of the driver's correctness gate: run every queries()
 entry on Spark and its oracle_sql() on DuckDB at sf0.01; compare row count,
 schema width, and an order-insensitive value hash (columns sorted by name,
-values stringified). Run: python tools/check_entry.py [sf_dir]
+values stringified). Run: python tools/check_entry.py [sf_dir] [q1,q2,...]
 """
 
 from __future__ import annotations
@@ -62,6 +62,9 @@ def main():
     print(f"entry(): OK rows={n} schema={[f.name for f in edf.schema.fields]}")
 
     qs = entrymod.queries()
+    if len(sys.argv) > 2:
+        only = set(sys.argv[2].split(","))
+        qs = {k: v for k, v in qs.items() if k in only}
     oracles = entrymod.oracle_sql()
     failures = 0
     for name, fn in qs.items():

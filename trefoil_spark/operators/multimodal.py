@@ -59,15 +59,27 @@ def _fake_decode(payload: bytes, width: int, height: int) -> np.ndarray:
     return rng.integers(0, 256, size=(min(height, 32), min(width, 32)), dtype=np.uint8)
 
 
-def extract_features(df: DataFrame, decoder: str = "fake") -> DataFrame:
-    """media binary → features array<float> via mapInPandas.
+def extract_features(
+    df: DataFrame, decoder: str = "fake", method: str = "hist"
+) -> DataFrame:
+    """media binary → features via mapInPandas.
 
     The batch shape/partitioning is production-real; only the pixel
     decode is substituted. ``decoder='real'`` marks where PIL/ffmpeg
     plug in.
+
+    ``method``:
+      - ``'hist'``  — histogram of the (fake-)decoded pixels,
+        ``array<float>`` (the shape a real extractor produces);
+      - ``'digest'`` — the i-th md5 byte of the payload / 255.0,
+        ``array<double>``. Same per-row decode-style cost shape, but
+        engine-portable: an ANSI-SQL oracle can recompute it exactly
+        (md5 hex substrings), which the driver's value-hash gate needs.
     """
     if decoder not in ("fake", "real"):
         raise ValueError("decoder must be 'fake' or 'real'")
+    if method not in ("hist", "digest"):
+        raise ValueError("method must be 'hist' or 'digest'")
 
     def gen(batches):
         for pdf in batches:
@@ -78,7 +90,12 @@ def extract_features(df: DataFrame, decoder: str = "fake") -> DataFrame:
                         "real image decode requires PIL/ffmpeg (absent in "
                         "this container); use decoder='fake'"
                     )
-                img = _fake_decode(bytes(payload), meta["width"], meta["height"])
+                raw = bytes(payload)
+                if method == "digest":
+                    dig = hashlib.md5(raw).digest()[:FEATURE_DIM]
+                    feats.append([b / 255.0 for b in dig])
+                    continue
+                img = _fake_decode(raw, meta["width"], meta["height"])
                 # histogram-ish feature vector (vectorized numpy)
                 hist, _ = np.histogram(img, bins=FEATURE_DIM, range=(0, 256))
                 feats.append((hist / max(img.size, 1)).astype(np.float32).tolist())
@@ -86,7 +103,8 @@ def extract_features(df: DataFrame, decoder: str = "fake") -> DataFrame:
             out["features"] = feats
             yield out
 
-    return df.mapInPandas(gen, schema="doc_id bigint, features array<float>")
+    ftype = "array<double>" if method == "digest" else "array<float>"
+    return df.mapInPandas(gen, schema=f"doc_id bigint, features {ftype}")
 
 
 def frame_sample(df: DataFrame, every_n: int = 2, decoder: str = "fake") -> DataFrame:

@@ -26,23 +26,36 @@ def streaming_interval_stats(
     value_col: str = "value",
     window: str = "6 hours",
     watermark: str = "1 hour",
+    exact_cents: bool = False,
 ) -> DataFrame:
-    """readStream(file source) → watermark → tumbling-window sum/count."""
+    """readStream(file source) → watermark → tumbling-window sum/count.
+
+    ``exact_cents=True`` additionally carries an integer-cents sum
+    (BIGINT-exact, aggregation-order independent) so the result can be
+    hash-compared against a batch/DuckDB twin bit-for-bit."""
     stream = spark.readStream.schema(schema).parquet(source_dir)
-    return (
+    aggs = [
+        F.count(F.lit(1)).alias("count"),
+        F.sum(F.col(value_col).cast("double")).alias("value_sum"),
+    ]
+    if exact_cents:
+        aggs.append(
+            F.sum(F.round(F.col(value_col) * 100).cast("bigint")).alias("sum_cents")
+        )
+    out = (
         stream.withWatermark(ts_col, watermark)
         .groupBy(F.window(F.col(ts_col), window).alias("w"))
-        .agg(
-            F.count(F.lit(1)).alias("count"),
-            F.sum(F.col(value_col).cast("double")).alias("value_sum"),
-        )
-        .select(
-            F.col("w.start").alias("window_start"),
-            F.col("w.end").alias("window_end"),
-            "count",
-            "value_sum",
-        )
+        .agg(*aggs)
     )
+    cols = [
+        F.col("w.start").alias("window_start"),
+        F.col("w.end").alias("window_end"),
+        "count",
+        "value_sum",
+    ]
+    if exact_cents:
+        cols.append("sum_cents")
+    return out.select(*cols)
 
 
 def run_available_now(stream_df: DataFrame, query_name: str, timeout_sec: int = 120):
