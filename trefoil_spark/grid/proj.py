@@ -73,3 +73,28 @@ def transform(src_crs: str, dst_crs: str, x, y):
     if s == "EPSG:3857" and d == "EPSG:4326":
         return webmercator_to_lonlat(x, y)
     raise ValueError(f"Unsupported transform {src_crs} -> {dst_crs}")
+
+
+def transform_cols(src_crs: str, dst_crs: str, x, y):
+    """Catalyst-expression twin of :func:`transform` (same closed-form
+    math, JVM-side). Returns ``(x_col, y_col)``; used to generate
+    distributed grid math (e.g. warp tile-cover enumeration) without any
+    driver-side loops."""
+    from pyspark.sql import functions as F
+
+    s, d = normalize_crs(src_crs), normalize_crs(dst_crs)
+    x, y = F.col(x) if isinstance(x, str) else x, F.col(y) if isinstance(y, str) else y
+    if s == d:
+        return x.cast("double"), y.cast("double")
+    if s == "EPSG:4326" and d == "EPSG:3857":
+        lat = F.least(F.greatest(y, F.lit(-MAX_LAT)), F.lit(MAX_LAT))
+        return (
+            F.radians(x) * F.lit(EARTH_RADIUS),
+            F.log(F.tan(F.lit(np.pi / 4.0) + F.radians(lat) / 2)) * F.lit(EARTH_RADIUS),
+        )
+    if s == "EPSG:3857" and d == "EPSG:4326":
+        return (
+            F.degrees(x / F.lit(EARTH_RADIUS)),
+            F.degrees(F.atan(F.exp(y / F.lit(EARTH_RADIUS))) * 2 - F.lit(np.pi / 2.0)),
+        )
+    raise ValueError(f"Unsupported transform {src_crs} -> {dst_crs}")

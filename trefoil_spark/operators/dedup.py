@@ -180,43 +180,59 @@ def minhash_near_duplicates(
 
 # --- simhash ---
 
-def simhash_udf(num_bits: int = 64):
-    """pandas UDF: text → simhash (bit-majority over portable token hashes).
+SIMHASH_BITS = 60  # 15 md5 hex chars — the repo's portable BIGINT hash
 
-    numpy bit unpacking — the Python stage is one vectorized pass; at
-    scale this is the standard simhash map job (shuffle-free).
+
+def simhash_expr(text_col: str = "text") -> str:
+    """Spark SQL expression: text → 60-bit simhash, pure Catalyst.
+
+    One pass over the distinct token array: fold into a 60-counter array
+    (±1 per bit of the portable token hash), then assemble the signature
+    from the strictly-positive counters. Zero Python — whole-stage
+    codegen keeps this a shuffle-free map job at any scale.
     """
-    import hashlib
+    h = token_hash_expr("t")
+    toks = f"transform(array_distinct(split({text_col}, ' ')), t -> {h})"
+    counts = (
+        f"aggregate({toks}, "
+        f"transform(sequence(0, {SIMHASH_BITS - 1}), j -> 0L), "
+        f"(acc, x) -> zip_with(acc, "
+        f"transform(sequence(0, {SIMHASH_BITS - 1}), j -> shiftright(x, j) & 1L), "
+        f"(a, b) -> a + 2L * b - 1L))"
+    )
+    return (
+        f"aggregate(zip_with({counts}, sequence(0, {SIMHASH_BITS - 1}), "
+        f"(c, j) -> IF(c > 0, shiftleft(1L, CAST(j AS INT)), 0L)), "
+        f"0L, (a, x) -> a + x)"
+    )
 
-    @F.pandas_udf("long")
-    def simhash(text: pd.Series) -> pd.Series:
-        out = np.zeros(len(text), dtype=np.int64)
-        for i, t in enumerate(text):
-            toks = set(t.split(" ")) if t else set()
-            if not toks:
-                continue
-            acc = np.zeros(num_bits, dtype=np.int64)
-            for tok in toks:
-                h = int(hashlib.md5(tok.encode()).hexdigest()[:15], 16)
-                bits = (h >> np.arange(num_bits, dtype=np.int64)) & 1
-                acc += np.where(bits == 1, 1, -1)
-            sig = 0
-            for j in range(num_bits):
-                if acc[j] > 0:
-                    sig |= 1 << j
-            out[i] = np.int64(sig & ((1 << 63) - 1))
-        return pd.Series(out)
 
-    return simhash
+def simhash_sql_duckdb(text_col: str = "text") -> str:
+    """DuckDB twin of :func:`simhash_expr` — same integer math, written
+    as 60 per-bit majority terms (DuckDB's list_reduce cannot fold into
+    a list, so the counter array unrolls; bit j set ⇔ 2·ones_j > n)."""
+    h = token_hash_expr_duckdb("t")
+    toks = f"list_distinct(list_transform(string_split({text_col}, ' '), t -> {h}))"
+    terms = " + ".join(
+        f"(CASE WHEN 2 * len(list_filter(_th, x -> (x >> {j}) & 1 = 1)) > len(_th) "
+        f"THEN (CAST(1 AS BIGINT) << {j}) ELSE CAST(0 AS BIGINT) END)"
+        for j in range(SIMHASH_BITS)
+    )
+    return toks, f"({terms})"
+
+
+def simhash_signatures(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    return df.select(id_col, F.expr(simhash_expr(text_col)).alias("simhash"))
 
 
 def simhash_near_duplicates(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id", max_hamming: int = 3
 ) -> DataFrame:
-    """Hamming-ball pairing: 4x16-bit chunk band join (any identical chunk
+    """Hamming-ball pairing: 4x15-bit chunk band join (any identical chunk
     guarantees recall for distance <= 3 by pigeonhole) + exact popcount."""
-    sh = simhash_udf()
-    sigs = df.select(id_col, sh(F.col(text_col)).alias("simhash"))
+    sigs = simhash_signatures(df, text_col, id_col)
     chunks = sigs.select(
         id_col,
         "simhash",
@@ -224,7 +240,7 @@ def simhash_near_duplicates(
             F.array(*[
                 F.struct(
                     F.lit(c).alias("chunk"),
-                    F.shiftrightunsigned("simhash", 16 * c).bitwiseAND(F.lit(0xFFFF)).alias("key"),
+                    F.shiftrightunsigned("simhash", 15 * c).bitwiseAND(F.lit(0x7FFF)).alias("key"),
                 )
                 for c in range(4)
             ])

@@ -147,14 +147,23 @@ def knn_join_adaptive(
     """Complete grid kNN via ring EXPANSION (SURVEY.md §4.2 item 4).
 
     A ring-R result for a query is PROVEN complete when its k-th neighbor
-    distance is at most R cells' guaranteed reach: any point outside the
-    (2R+1)² neighborhood is at least R·min(cell_w, cell_h) away (in the
-    same-latitude band approximation used by the squared-degree metric).
-    Queries failing the guarantee (or finding < k candidates) re-run at
-    ring 2R; the loop doubles until max_ring. Each iteration is a
-    broadcast equi-join — the big point table is never shuffled, and the
-    fraction of re-run queries drops geometrically for non-adversarial
-    densities.
+    distance is strictly inside R cells' guaranteed reach: any point
+    outside the (2R+1)² neighborhood is at least R·min(cell_w, cell_h)
+    away (in the same-latitude band approximation used by the
+    squared-degree metric) — strict inequality, so a same-distance point
+    just outside the ring can never displace a returned neighbor on an
+    id tie-break. Queries failing the guarantee (or finding < k
+    candidates) re-run at ring 2R; the loop doubles until max_ring. Each
+    iteration is a broadcast equi-join — the big point table is never
+    shuffled, and the fraction of re-run queries drops geometrically for
+    non-adversarial densities.
+
+    The done/remaining split stays DataFrame-only (left_semi/left_anti
+    on the guard flag): nothing O(queries) is ever collected to the
+    driver, so 10⁸-query workloads are fine. Per-iteration results are
+    localCheckpoint-ed (eager) — that both materializes the ≤k·|remaining|
+    rows once (each feeds two consumers) and truncates the iterative
+    lineage.
     """
     n = 1 << res
     cell_h_deg = 180.0 / n
@@ -164,16 +173,15 @@ def knn_join_adaptive(
     remaining = queries
     results = []
     ring = 1
-    spark = points.sparkSession
     while True:
         got = knn_join_cells(
             points, remaining, k, id_col, lon_col, lat_col, res, ring
-        ).cache()
+        ).localCheckpoint(eager=True)
         if ring >= max_ring:
             results.append(got)
             break
         # completeness per query: found k candidates AND the k-th distance
-        # is within the ring guarantee radius
+        # is STRICTLY within the ring guarantee radius
         guard = (ring * guarantee_unit) ** 2
         kth_d = (
             got.filter(F.col("rank") == k)
@@ -195,20 +203,17 @@ def knn_join_adaptive(
             )
             .withColumn("_d", sq_dist("_qlon", "_qlat", "_plon", "_plat"))
         )
-        done_ids = [
-            int(r["query_id"])
-            for r in kth_d.filter(F.col("_d") <= F.lit(guard)).collect()
-        ]
-        if done_ids:
-            done_df = spark.createDataFrame(
-                [(i,) for i in done_ids], "query_id bigint"
-            )
-            results.append(got.join(F.broadcast(done_df), "query_id", "left_semi"))
-            remaining = remaining.join(
-                F.broadcast(done_df),
-                remaining[id_col] == done_df["query_id"],
-                "left_anti",
-            )
+        done_q = (
+            kth_d.filter(F.col("_d") < F.lit(guard))
+            .select("query_id")
+            .localCheckpoint(eager=True)
+        )
+        results.append(got.join(done_q, "query_id", "left_semi"))
+        remaining = remaining.join(
+            done_q,
+            remaining[id_col] == done_q["query_id"],
+            "left_anti",
+        ).localCheckpoint(eager=True)
         if remaining.isEmpty():
             break
         ring *= 2

@@ -137,6 +137,12 @@ def build_covering_index(
 ):
     """Two-level covering index (memoized).
 
+    ``fine_res`` must be strictly finer than ``res`` (an equal or coarser
+    fine level would make the fine index empty, silently dropping every
+    boundary point), and ≤ 24: fine cell ids pass through a float64
+    na_value round-trip in the winner UDF, and 2·24+6 = 54 bits is the
+    last size exactly representable in a double's 53-bit mantissa.
+
     Returns dict with:
       coarse: [(cell, fids_desc, resolved|None)]   (None = boundary)
       fine:   [(cell, resolved|None)]              (children of boundary
@@ -144,6 +150,13 @@ def build_covering_index(
       fine_fids: {fine_cell: fids_desc} for boundary fine cells (UDF map)
       rings_by_fid: {fid: rings}
     """
+    if not res < fine_res <= 24:
+        raise ValueError(
+            f"require res < fine_res <= 24 (got res={res}, fine_res={fine_res}): "
+            "fine_res == res would produce an empty fine index (boundary "
+            "points silently unresolved); fine_res > 24 would corrupt cell "
+            "ids in the winner UDF's float64 round-trip"
+        )
     key = (
         res,
         fine_res,

@@ -66,7 +66,10 @@ def checkpointed_write(
     replay of a half-committed unit overwrites instead of duplicating.
     """
     spark = df.sparkSession
-    todo = resume_filter(df, checkpoint_dir, stage, key_cols)
+    # persist: the write and the ledger metrics are two actions — with a
+    # nondeterministic source, recomputing `todo` for the metrics could
+    # commit ledger counts that diverge from the parquet actually written
+    todo = resume_filter(df, checkpoint_dir, stage, key_cols).persist()
 
     skipped = done_keys(spark, checkpoint_dir, stage).count()
 
@@ -90,6 +93,7 @@ def checkpointed_write(
         )
     )
     rows = metrics.collect()  # small: one row per work unit
+    todo.unpersist()
     if rows:
         spark.createDataFrame(rows, CHECKPOINT_SCHEMA).write.mode("append").parquet(
             checkpoint_dir

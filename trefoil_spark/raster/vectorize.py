@@ -13,13 +13,19 @@ Per tile, for each class value:
 
 Cross-tile: components touching a tile border carry border signatures
 (class, side, world-index run); ``merge_components`` unions them into
-global component ids with a driver-side union-find over the (small)
-adjacency graph — the polygons stay as per-tile ring fragments grouped
-by global id (exact coverage; geometric dissolve of shared borders is a
-presentation concern, not a correctness one).
+global component ids with DISTRIBUTED connected components (alternating
+large-star/small-star, Kiveris et al. "Connected Components in MapReduce
+and Beyond", O(log^2 n) rounds) over the border-adjacency edge graph —
+nothing is ever collected to the driver, so a speckled 100 TB raster
+with O(pixels) components cannot OOM it. Interior components (no border
+edge) never enter the edge graph at all: their global id is their own
+node id via a broadcast left join + coalesce. The polygons stay as
+per-tile ring fragments grouped by global id (exact coverage; geometric
+dissolve of shared borders is a presentation concern, not a correctness
+one).
 
-Shuffles: none for the per-tile stage (mapInPandas); the merge works on
-O(boundary) rows.
+Shuffles: none for the per-tile stage (mapInPandas); the merge shuffles
+only O(class-boundary border pixels) edge rows per star round.
 """
 
 from __future__ import annotations
@@ -228,14 +234,81 @@ def vectorize_tiles(class_tiles: DataFrame, spec: GridSpec, fill: int = FILL,
     return class_tiles.mapInPandas(gen, schema=VECTORIZE_SCHEMA)
 
 
+def connected_components(edges: DataFrame, max_rounds: int = 25) -> DataFrame:
+    """Distributed connected components over an undirected edge list
+    ``(node_a string, node_b string)`` → mapping ``(node, global_id)``
+    covering every node that appears in an edge; global_id is the
+    component's lexicographic-min node.
+
+    Alternating large-star / small-star (public algorithm: Kiveris et
+    al. 2014; same shape as the graphframes implementation). Each round
+    is two groupBy-min + join passes — pure DataFrame ops, O(log^2 n)
+    rounds, no driver materialization. Convergence is detected by an
+    (edge-count, order-insensitive checksum) fixpoint — two scalar
+    actions per round.
+    """
+    spark = edges.sparkSession
+    e = (
+        edges.select(F.col("node_a").alias("u"), F.col("node_b").alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+
+    def _large_star(ed: DataFrame) -> DataFrame:
+        bidir = ed.unionByName(ed.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        mins = bidir.groupBy("u").agg(F.least(F.min("v"), F.first("u")).alias("m"))
+        return (
+            bidir.filter(F.col("v") > F.col("u"))
+            .join(mins, "u")
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+        )
+
+    def _small_star(ed: DataFrame) -> DataFrame:
+        # orient every edge (max, min)
+        o = ed.select(
+            F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+        ).distinct()
+        mins = o.groupBy("u").agg(F.min("v").alias("m"))
+        mem = o.join(mins, "u").select(F.col("v").alias("u"), F.col("m").alias("v"))
+        own = mins.select(F.col("u"), F.col("m").alias("v"))
+        return (
+            mem.unionByName(own).filter(F.col("u") != F.col("v")).distinct()
+        )
+
+    prev_sig = None
+    # localCheckpoint per round: truncates the logical plan, which would
+    # otherwise grow exponentially (each round references the previous
+    # plan several times) — persist alone does not cap plan size.
+    cur = e.localCheckpoint(eager=True)
+    for _ in range(max_rounds):
+        nxt = _small_star(_large_star(cur)).localCheckpoint(eager=True)
+        stat = nxt.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.expr("bit_xor(xxhash64(u, v))").alias("chk"),
+        ).collect()[0]
+        sig = (stat["n"], stat["chk"])
+        cur = nxt
+        if sig == prev_sig:
+            break
+        prev_sig = sig
+    # star state: every edge is (member, root)
+    members = cur.select(F.col("u").alias("node"), F.col("v").alias("global_id"))
+    roots = cur.select(F.col("v").alias("node"), F.col("v").alias("global_id")).distinct()
+    return members.unionByName(roots).distinct()
+
+
 def merge_components(vec: DataFrame) -> DataFrame:
-    """Assign global component ids: tile-border adjacency union-find.
+    """Assign global component ids: tile-border adjacency resolved with
+    distributed connected components (see ``connected_components``).
 
     Adjacency: component A (tile ty,tx, side S at world pos p) touches
     component B (tile ty+1,tx, side N at pos p) of the same class, etc.
-    The adjacency edge list is O(total border length) — collected to the
-    driver for union-find (tiny even at large raster sizes relative to
-    pixels); the relabeled mapping is broadcast-joined back.
+    The adjacency edge list is O(class-boundary border length); interior
+    components never leave their executor — they keep ``global_id =
+    node`` through the coalesce, so the mapping side of the final join
+    holds border-touching components only.
     """
     keyed = vec.select(
         "class", "ty", "tx", "local_id",
@@ -266,26 +339,12 @@ def merge_components(vec: DataFrame) -> DataFrame:
     )
     h_edges = east.join(west, ["class", "nty", "ntx", "pos"]).select("node_a", "node_b")
 
-    edges = [(r["node_a"], r["node_b"]) for r in v_edges.union(h_edges).collect()]
-    nodes = [r["node"] for r in keyed.select("node").distinct().collect()]
-
-    parent = {n: n for n in nodes}
-
-    def find(x):
-        while parent[x] != x:
-            parent[x] = parent[parent[x]]
-            x = parent[x]
-        return x
-
-    for a, bb in edges:
-        ra, rb = find(a), find(bb)
-        if ra != rb:
-            parent[ra] = rb
-    mapping = [(n, find(n)) for n in nodes]
-    map_df = vec.sparkSession.createDataFrame(mapping, "node string, global_id string")
+    edges = v_edges.unionByName(h_edges)
+    map_df = connected_components(edges)
 
     return (
-        keyed.join(F.broadcast(map_df), "node")
+        keyed.join(F.broadcast(map_df), "node", "left")
+        .withColumn("global_id", F.coalesce("global_id", "node"))
         .join(vec, ["class", "ty", "tx", "local_id"])
         .select("class", "global_id", "ty", "tx", "rings", "pixel_count")
     )

@@ -13,8 +13,10 @@ This is inverse-mapping gather — exactly what GDAL does for nearest.
 
 Distributed shape (the J6 "template-domain join"):
 1. destination tile grid enumerated (spark.range over tiles);
-2. each dst tile's bbox back-projects into source CRS (densified edges,
-   reference BBox.project semantics) → covering source-tile range;
+2. each dst tile's bbox back-projects into source CRS (closed-form
+   corner math as Catalyst expressions — the supported transforms are
+   separable and monotone, so corners are exact) → covering
+   source-tile range, generated fully distributed via spark.range;
 3. equi-join dst-tile rows to the source tiles they need (broadcast of
    the small side; co-partitioned sort-merge when both are big);
 4. grouped gather: applyInPandas assembles each dst tile from its source
@@ -32,7 +34,6 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..grid import proj
-from ..grid.bbox import BBox
 from .gridspec import GridSpec
 
 
@@ -65,35 +66,75 @@ def warp_tiles(
 ) -> DataFrame:
     """Distributed warp: source tile table → destination tile table.
 
-    Plan: enumerate (dst_ty, dst_tx, src_ty, src_tx) need-pairs on the
-    driver (pure grid math, tiny), join source tiles to their dst
-    consumers (broadcast of the pair list), group by dst tile, gather.
+    Plan: the (dst_ty, dst_tx, src_ty, src_tx) need-pairs are generated
+    DISTRIBUTED — ``spark.range`` over the dst tile grid, the covered
+    source-tile range computed with the same closed-form corner math as
+    Catalyst expressions (the supported transforms are separable and
+    monotone, so corner projection is exact), then exploded. Zero driver
+    work / zero ``createDataFrame`` of a driver list: a 4×10⁸-tile
+    destination grid enumerates in parallel. Source tiles join to their
+    dst consumers (equi-join; broadcast-hinted when the pair side is
+    known-small from grid metadata, otherwise AQE picks the strategy),
+    group by dst tile, gather.
     """
-    pairs = []
-    for dty in range(dst_spec.ntiles_y):
-        for dtx in range(dst_spec.ntiles_x):
-            h, w = dst_spec.tile_shape(dty, dtx)
-            y0 = dst_spec.y0 - dty * dst_spec.tile * dst_spec.dy
-            x0 = dst_spec.x0 + dtx * dst_spec.tile * dst_spec.dx
-            dst_bbox = BBox(
-                (x0, y0 - h * dst_spec.dy, x0 + w * dst_spec.dx, y0), dst_spec.crs
-            )
-            sb = dst_bbox.project(src_spec.crs)
-            sx0 = int(np.floor((sb.xmin - src_spec.x0) / src_spec.dx))
-            sx1 = int(np.floor((sb.xmax - src_spec.x0) / src_spec.dx))
-            sy0 = int(np.floor((src_spec.y0 - sb.ymax) / src_spec.dy))
-            sy1 = int(np.floor((src_spec.y0 - sb.ymin) / src_spec.dy))
-            for sty in range(max(sy0 // src_spec.tile, 0),
-                             min(sy1 // src_spec.tile, src_spec.ntiles_y - 1) + 1):
-                for stx in range(max(sx0 // src_spec.tile, 0),
-                                 min(sx1 // src_spec.tile, src_spec.ntiles_x - 1) + 1):
-                    pairs.append((dty, dtx, sty, stx))
-    pair_df = spark.createDataFrame(
-        pd.DataFrame(pairs, columns=["dty", "dtx", "sty", "stx"])
+    ds, dd = dst_spec, src_spec  # dd: the grid we index into
+    ntx = ds.ntiles_x
+    base = spark.range(ds.ntiles_y * ntx).select(
+        F.floor(F.col("id") / ntx).cast("int").alias("dty"),
+        F.pmod(F.col("id"), F.lit(ntx)).cast("int").alias("dtx"),
     )
+    # dst tile bbox corners in dst CRS (closed-form; matches tile_shape)
+    th = F.least(F.lit(ds.tile), F.lit(ds.height) - F.col("dty") * ds.tile)
+    tw = F.least(F.lit(ds.tile), F.lit(ds.width) - F.col("dtx") * ds.tile)
+    dx0 = F.lit(ds.x0) + F.col("dtx") * F.lit(float(ds.tile)) * F.lit(ds.dx)
+    dy0 = F.lit(ds.y0) - F.col("dty") * F.lit(float(ds.tile)) * F.lit(ds.dy)
+    dx1 = dx0 + tw * F.lit(ds.dx)
+    dy1 = dy0 - th * F.lit(ds.dy)
+    # project corners to src CRS (monotone ⇒ min/max preserved)
+    sxmin, symax = proj.transform_cols(ds.crs, dd.crs, dx0, dy0)
+    sxmax, symin = proj.transform_cols(ds.crs, dd.crs, dx1, dy1)
+    # covered source tile range (floor pixel index // tile, clamped)
+    def _tile_range(lo_px, hi_px, n_tiles):
+        lo = F.greatest(
+            F.floor(lo_px / F.lit(float(dd.tile))).cast("int"), F.lit(0)
+        )
+        hi = F.least(
+            F.floor(hi_px / F.lit(float(dd.tile))).cast("int"), F.lit(n_tiles - 1)
+        )
+        return lo, hi
+
+    px_x0 = F.floor((sxmin - F.lit(dd.x0)) / F.lit(dd.dx))
+    px_x1 = F.floor((sxmax - F.lit(dd.x0)) / F.lit(dd.dx))
+    px_y0 = F.floor((F.lit(dd.y0) - symax) / F.lit(dd.dy))
+    px_y1 = F.floor((F.lit(dd.y0) - symin) / F.lit(dd.dy))
+    sty_lo, sty_hi = _tile_range(px_y0, px_y1, dd.ntiles_y)
+    stx_lo, stx_hi = _tile_range(px_x0, px_x1, dd.ntiles_x)
+    pair_df = (
+        base.withColumn(
+            "sty",
+            F.explode(
+                F.when(sty_lo <= sty_hi, F.sequence(sty_lo, sty_hi)).otherwise(
+                    F.array().cast("array<int>")
+                )
+            ),
+        )
+        .withColumn(
+            "stx",
+            F.explode(
+                F.when(stx_lo <= stx_hi, F.sequence(stx_lo, stx_hi)).otherwise(
+                    F.array().cast("array<int>")
+                )
+            ),
+        )
+        .select("dty", "dtx", "sty", "stx")
+    )
+    # grid metadata bounds the pair count — hint broadcast only when the
+    # whole dst grid is provably small (no data-dependent driver action)
+    if ds.ntiles_y * ntx <= 4096:
+        pair_df = F.broadcast(pair_df)
 
     joined = src_tiles.join(
-        F.broadcast(pair_df),
+        pair_df,
         (src_tiles["ty"] == pair_df["sty"]) & (src_tiles["tx"] == pair_df["stx"]),
     ).select("t", "dty", "dtx", "ty", "tx", "block", "h", "w")
 
