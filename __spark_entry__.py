@@ -91,6 +91,28 @@ def q_zonal_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return zonal_statistics(joined, "zone_value", "n_chars").orderBy("zone_value")
 
 
+def q_shp_zonal_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SURVEY §2 S3 (vector file source): the zone layer round-trips
+    through an actual ESRI .shp/.dbf file (pure-numpy writer+reader,
+    record-level bbox pushdown) before driving the same zonal pipeline —
+    a reference user's bring-your-own-shapefile path, end to end."""
+    import os
+    import tempfile
+
+    from trefoil_spark.sources.shapefile import (
+        read_polygon_layer,
+        write_polygon_shapefile,
+    )
+
+    d = tempfile.mkdtemp(prefix="trefoil_shp_")
+    path = os.path.join(d, "zones.shp")
+    write_polygon_shapefile(path, ZONE_LAYER)
+    polys = read_polygon_layer(path)  # bit-exact vertex round-trip
+    joined = pip_join(_pages(spark, sf_dir), polys, key_cols=["doc_id"])
+    joined = joined.withColumn("n_chars", F.length("text").cast("bigint"))
+    return zonal_statistics(joined, "zone_value", "n_chars").orderBy("zone_value")
+
+
 def q_count_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SURVEY §2 A2 (count by category) over pages."""
     return (
@@ -108,6 +130,32 @@ def q_tile_zonal_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     tiles = synthetic_tiles(spark, SPEC)
     ztiles = rasterize_zones(spark, SPEC, ZONE_LAYER)
     return tile_zonal_statistics(tiles, ztiles).orderBy("zone")
+
+
+def q_masked_zonal_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SURVEY §2 P9/J5: mask dataset OR-ed onto the data mask before the
+    zonal pipeline (reference render_netcdf.py:306-322 semantics) — the
+    mask rides as a tile table, co-keyed (ty,tx) join, masked pixels →
+    NaN, zonal stats unchanged downstream."""
+    from trefoil_spark.raster.mask import apply_mask, synthetic_mask_tiles
+
+    tiles = apply_mask(synthetic_tiles(spark, SPEC), synthetic_mask_tiles(spark, SPEC))
+    ztiles = rasterize_zones(spark, SPEC, ZONE_LAYER)
+    return tile_zonal_statistics(tiles, ztiles).orderBy("zone")
+
+
+def q_autocrop_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SURVEY §2 P10 (data-window autocrop): all-nodata borders are
+    blanked by a border mask, then the global non-nodata bounding window
+    is found with per-tile numpy partials + one exact integer min/max
+    agg (reference convert.py:140-152 semantics). The full crop operator
+    (tile trim + re-based GridSpec) is asserted in pytest."""
+    from trefoil_spark.raster.autocrop import data_window_df
+    from trefoil_spark.raster.mask import apply_mask, border_mask_tiles
+
+    bm = border_mask_tiles(spark, SPEC, top=7, bottom=3, left=5, right=11)
+    tiles = apply_mask(synthetic_tiles(spark, SPEC), bm)
+    return data_window_df(tiles, SPEC)
 
 
 def q_tile_window_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -531,8 +579,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cell_assign": q_cell_assign,
         "pip_join": q_pip_join,
         "zonal_stats": q_zonal_stats,
+        "shp_zonal_stats": q_shp_zonal_stats,
         "count_by_lang": q_count_by_lang,
         "tile_zonal_stats": q_tile_zonal_stats,
+        "masked_zonal_stats": q_masked_zonal_stats,
+        "autocrop_window": q_autocrop_window,
         "tile_window_stats": q_tile_window_stats,
         "tile_classify_histogram": q_tile_classify_histogram,
         "text_stats": q_text_stats,
@@ -579,18 +630,7 @@ def _pixel_cte() -> str:
 
 def oracle_sql() -> dict[str, str]:
     zone_case = _zone_case_sql()
-    return {
-        "cell_assign": f"""
-            WITH pages AS ({_PAGES_CTE})
-            SELECT doc_id, lat, lon, cell FROM pages ORDER BY doc_id
-        """,
-        "pip_join": f"""
-            WITH pages AS ({_PAGES_CTE})
-            SELECT doc_id, url, {zone_case} AS zone_value
-            FROM pages WHERE {zone_case} IS NOT NULL
-            ORDER BY doc_id
-        """,
-        "zonal_stats": f"""
+    zonal_sql = f"""
             WITH pages AS ({_PAGES_CTE}),
             z AS (
                 SELECT {zone_case} AS zone_value, LENGTH(text) AS n_chars
@@ -605,12 +645,27 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(n_chars) AS BIGINT) AS sum, COUNT(n_chars) AS count
             FROM z WHERE zone_value IS NOT NULL
             GROUP BY zone_value ORDER BY zone_value
+        """
+    return {
+        "cell_assign": f"""
+            WITH pages AS ({_PAGES_CTE})
+            SELECT doc_id, lat, lon, cell FROM pages ORDER BY doc_id
         """,
+        "pip_join": f"""
+            WITH pages AS ({_PAGES_CTE})
+            SELECT doc_id, url, {zone_case} AS zone_value
+            FROM pages WHERE {zone_case} IS NOT NULL
+            ORDER BY doc_id
+        """,
+        "zonal_stats": zonal_sql,
+        "shp_zonal_stats": zonal_sql,
         "count_by_lang": f"""
             WITH pages AS ({_PAGES_CTE})
             SELECT lang, COUNT(*) AS count FROM pages GROUP BY lang ORDER BY lang
         """,
         "tile_zonal_stats": _tile_zonal_oracle(),
+        "masked_zonal_stats": _tile_zonal_oracle(masked=True),
+        "autocrop_window": _autocrop_oracle(),
         "tile_window_stats": _tile_window_oracle(),
         "tile_classify_histogram": f"""
             WITH {_pixel_cte()}
@@ -1020,14 +1075,32 @@ def _regression_oracle() -> str:
     """
 
 
-def _tile_zonal_oracle() -> str:
+def _autocrop_oracle() -> str:
+    from trefoil_spark.raster.mask import border_mask_sql
+
+    border = border_mask_sql(
+        "y", "x", SPEC.height, SPEC.width, top=7, bottom=3, left=5, right=11
+    )
+    return f"""
+        WITH {_pixel_cte()}
+        SELECT MIN(y) AS ymin, MAX(y) AS ymax,
+               MIN(x) AS xmin, MAX(x) AS xmax,
+               COUNT(v) AS n_valid
+        FROM geo WHERE v IS NOT NULL AND NOT {border}
+    """
+
+
+def _tile_zonal_oracle(masked: bool = False) -> str:
+    from trefoil_spark.raster.mask import mask_sql
+
     cases = " ".join(
         f"WHEN {pip_sql_expr('lon', 'lat', ZONE_LAYER[fid])} THEN {fid}"
         for fid in reversed(range(len(ZONE_LAYER)))
     )
+    v_expr = f"(CASE WHEN {mask_sql('y', 'x')} THEN NULL ELSE v END)" if masked else "v"
     return f"""
         WITH {_pixel_cte()},
-        z AS (SELECT CASE {cases} END AS zone, v FROM geo)
+        z AS (SELECT CASE {cases} END AS zone, {v_expr} AS v FROM geo)
         SELECT zone,
                SUM(v) / COUNT(v) AS mean, MIN(v) AS min, MAX(v) AS max,
                SQRT(SUM(v*v)/COUNT(v) - (SUM(v)/COUNT(v))*(SUM(v)/COUNT(v))) AS std,

@@ -140,3 +140,57 @@ def tile_histogram(tiles: DataFrame, transform=None) -> DataFrame:
 
     partials = tiles.mapInPandas(gen, schema="value double, pcount bigint")
     return partials.groupBy("value").agg(F.sum("pcount").alias("count"))
+
+
+def stitch_window(
+    tiles: DataFrame,
+    spec: GridSpec,
+    bbox: BBox,
+    t: int = 0,
+    max_pixels: int = 64_000_000,
+) -> np.ndarray:
+    """Window → one dense float32 array (S10: the tiles→raster export
+    slice; reference conversion.py:72-136 writes the variable out as a
+    raster file — GDAL is absent, so the sink surface is the array +
+    ``save_window_npy`` below).
+
+    Driver-side BY DESIGN: a raster *file* is a single-machine artifact.
+    ``max_pixels`` (default ~256 MB float32) guards against exporting an
+    unbounded window — at 100 TB you export windows/overviews, never the
+    full grid."""
+    window = spec.window_for_bbox(bbox)
+    h = window.y_slice.stop - window.y_slice.start
+    w = window.x_slice.stop - window.x_slice.start
+    if h * w > max_pixels:
+        raise ValueError(
+            f"window {h}x{w} exceeds max_pixels={max_pixels}; export a "
+            "smaller window or raise the cap explicitly"
+        )
+    parts = extract_window_tiles(tiles.filter(F.col("t") == t), spec, bbox)
+    out = np.full((h, w), np.nan, dtype=np.float32)
+    oy0, ox0 = window.y_slice.start, window.x_slice.start
+    for row in parts.collect():
+        blk = np.frombuffer(row["block"], dtype=np.float32).reshape(row["h"], row["w"])
+        y, x = int(row["oy"]) - oy0, int(row["ox"]) - ox0
+        out[y : y + row["h"], x : x + row["w"]] = blk
+    return out
+
+
+def save_window_npy(
+    path: str, tiles: DataFrame, spec: GridSpec, bbox: BBox, t: int = 0
+) -> dict:
+    """Raster-file sink stand-in (.npy + sidecar dict of grid metadata —
+    the affine/crs payload a GTiff would carry)."""
+    arr = stitch_window(tiles, spec, bbox, t=t)
+    np.save(path, arr)
+    window = spec.window_for_bbox(bbox)
+    return {
+        "path": path,
+        "crs": spec.crs,
+        "x0": spec.x0 + window.x_slice.start * spec.dx,
+        "y0": spec.y0 - window.y_slice.start * spec.dy,
+        "dx": spec.dx,
+        "dy": spec.dy,
+        "height": arr.shape[0],
+        "width": arr.shape[1],
+    }
