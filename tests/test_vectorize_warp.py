@@ -230,6 +230,11 @@ def test_merge_components_distributed_scale(spark):
     edges = east.join(west, ["class", "nty", "ntx", "pos"]).select("node_a", "node_b")
     mapping = connected_components(edges)
     assert mapping.count() == ntx  # 8 chain members incl. root — not 16k
+    # distributed path returns the identical mapping
+    dist = connected_components(edges, driver_max_edges=0).toPandas()
+    assert sorted(map(tuple, dist.values)) == sorted(
+        map(tuple, mapping.toPandas().values)
+    )
 
 
 def test_connected_components_path_graph(spark):
@@ -246,7 +251,7 @@ def test_connected_components_path_graph(spark):
             columns=["node_a", "node_b"],
         )
     )
-    m = connected_components(e).toPandas()
+    m = connected_components(e, driver_max_edges=0).toPandas()  # force star loop
     assert len(m) == n
     assert set(m["global_id"]) == {"n000"}
 

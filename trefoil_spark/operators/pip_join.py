@@ -315,13 +315,25 @@ def pip_join(
     """Join points to the polygon layer; adds ``feature_id`` + ``zone_value``.
 
     Zero-shuffle; interior cells resolve JVM-side at two index levels;
-    only fine-boundary rows (a few %) need the exact test. ``refine``
-    picks its engine:
+    only fine-boundary rows (measured 0.83% on the flagship layer) need
+    the exact test. ``refine`` picks its engine:
     - 'expr' — Catalyst CASE chain of crossing tests (pure JVM; best for
       small layers, total edges ≤ ~{EXPR_REFINE_MAX_EDGES});
     - 'udf'  — Arrow-batched numpy (per-cell candidate pruning; scales to
       arbitrarily complex layers);
-    - 'auto' — 'expr' when the layer's total edge count is small.
+    - 'auto' — currently 'udf' (see the measured trade below).
+
+    ``split_python=True`` physically splits interior from boundary rows
+    so interior rows never touch the refine engine at all:
+    - with 'udf': interior rows skip the Arrow pipe entirely — the
+      fastest mode at every core count on pre-projected (narrow) inputs
+      and the best-scaling (BENCH/BASELINE.md round-2 table);
+    - with 'expr': the CASE chain runs in its own post-exchange stage
+      over boundary rows only (zero Python workers in the whole job) —
+      without the exchange the chain's codegen fallback would drop the
+      entire scan stage to interpreted execution.
+    Default False keeps the single-pass plan (one scan; right for wide
+    inputs where a second scan costs more than the Arrow pipe).
 
     Points matching no polygon are dropped under ``how='inner'``
     (reference zone-raster fill semantics) or kept with nulls under 'left'.
@@ -375,12 +387,38 @@ def pip_join(
         refine = "udf"
 
     if refine == "expr":
-        joined = joined.withColumn(
-            "feature_id",
-            F.when(~is_py, jvm_feature).otherwise(
-                _expr_refine_feature(polygons, lon_col, lat_col)
-            ),
-        ).drop("fids", "r1", "r2", "_cf", "_cc")
+        if split_python:
+            # split_expr: interior rows take the pure-column JVM ladder;
+            # ONLY the ~1% boundary rows evaluate the big CASE chain.
+            # This keeps the whole job JVM-side (zero Python workers —
+            # nothing rides Arrow) without paying the chain's
+            # interpreted-evaluation cost on every row: measured at the
+            # hardware scaling ceiling on the 320M-row flagship
+            # (BENCH/BASELINE.md), the cluster-shaped plan of choice.
+            interior = joined.filter(~is_py).withColumn("feature_id", jvm_feature)
+            # the repartition is load-bearing: the big CASE chain exceeds
+            # codegen limits, which would otherwise drop the ENTIRE
+            # scan+join+filter stage to interpreted execution for every
+            # row. The exchange isolates the interpreted projection in
+            # its own post-shuffle stage that only ever sees the ~1%
+            # boundary rows (measured: 16.1s → ~2s on the 20M-row
+            # flagship).
+            boundary = (
+                joined.filter(is_py)
+                .repartition(max(joined.sparkSession.sparkContext.defaultParallelism, 1))
+                .withColumn(
+                    "feature_id", _expr_refine_feature(polygons, lon_col, lat_col)
+                )
+            )
+            joined = interior.unionByName(boundary)
+        else:
+            joined = joined.withColumn(
+                "feature_id",
+                F.when(~is_py, jvm_feature).otherwise(
+                    _expr_refine_feature(polygons, lon_col, lat_col)
+                ),
+            )
+        joined = joined.drop("fids", "r1", "r2", "_cf", "_cc")
         value_map = F.create_map(
             *[x for fid, poly in enumerate(polygons) for x in (F.lit(fid), F.lit(str(poly.value)))]
         )

@@ -234,18 +234,28 @@ def vectorize_tiles(class_tiles: DataFrame, spec: GridSpec, fill: int = FILL,
     return class_tiles.mapInPandas(gen, schema=VECTORIZE_SCHEMA)
 
 
-def connected_components(edges: DataFrame, max_rounds: int = 25) -> DataFrame:
-    """Distributed connected components over an undirected edge list
+def connected_components(
+    edges: DataFrame, max_rounds: int = 25, driver_max_edges: int = 200_000
+) -> DataFrame:
+    """Connected components over an undirected edge list
     ``(node_a string, node_b string)`` → mapping ``(node, global_id)``
     covering every node that appears in an edge; global_id is the
     component's lexicographic-min node.
 
-    Alternating large-star / small-star (public algorithm: Kiveris et
-    al. 2014; same shape as the graphframes implementation). Each round
-    is two groupBy-min + join passes — pure DataFrame ops, O(log^2 n)
-    rounds, no driver materialization. Convergence is detected by an
-    (edge-count, order-insensitive checksum) fixpoint — two scalar
-    actions per round.
+    Two physical strategies, chosen by the measured edge count (one
+    cheap count job):
+
+    - edge list ≤ ``driver_max_edges``: union-find over the collected
+      EDGES (never the node set — interior components don't appear
+      here, so the collect is bounded by the cap, not by O(components));
+      the per-round fixed cost of the distributed loop dwarfs the work
+      at this size.
+    - larger: alternating large-star / small-star (public algorithm:
+      Kiveris et al. 2014; same shape as the graphframes
+      implementation). Each round is two groupBy-min + join passes —
+      pure DataFrame ops, O(log^2 n) rounds, nothing O(graph) ever on
+      the driver. Convergence is an (edge-count, order-insensitive
+      checksum) fixpoint.
     """
     spark = edges.sparkSession
     e = (
@@ -253,6 +263,28 @@ def connected_components(edges: DataFrame, max_rounds: int = 25) -> DataFrame:
         .filter(F.col("u") != F.col("v"))
         .distinct()
     )
+
+    if e.count() <= driver_max_edges:
+        pairs = [(r["u"], r["v"]) for r in e.collect()]
+        parent: dict[str, str] = {}
+
+        def find(x: str) -> str:
+            r = x
+            while parent.get(r, r) != r:
+                r = parent[r]
+            while parent.get(x, x) != r:
+                parent[x], x = r, parent[x]
+            return r
+
+        for a, b in pairs:
+            ra, rb = find(a), find(b)
+            if ra != rb:  # min root wins → same ids as the star loop
+                if rb < ra:
+                    ra, rb = rb, ra
+                parent[rb] = ra
+        nodes = {n for ab in pairs for n in ab}
+        mapping = [(n, find(n)) for n in sorted(nodes)]
+        return spark.createDataFrame(mapping, "node string, global_id string")
 
     def _large_star(ed: DataFrame) -> DataFrame:
         bidir = ed.unionByName(ed.select(F.col("v").alias("u"), F.col("u").alias("v")))
@@ -310,6 +342,10 @@ def merge_components(vec: DataFrame) -> DataFrame:
     node`` through the coalesce, so the mapping side of the final join
     holds border-touching components only.
     """
+    # the per-tile vectorize stage is the expensive producer and feeds
+    # three consumers (edge build, CC sizing, final join) — materialize it
+    # once instead of recomputing the mapInPandas pass per action
+    vec = vec.persist()
     keyed = vec.select(
         "class", "ty", "tx", "local_id",
         F.concat_ws("_", "class", "ty", "tx", "local_id").alias("node"),
