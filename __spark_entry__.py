@@ -158,6 +158,46 @@ def q_autocrop_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     return data_window_df(tiles, SPEC)
 
 
+def q_tile_delta_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SURVEY §2 J4/F1 (grid-alignment delta join): t=1 tiles ⨝ t=0 tiles
+    on (ty,tx), elementwise difference, histogram of delta values (exact
+    integer-valued float32 deltas → portable)."""
+    from trefoil_spark.raster.timeseries import calculate_delta
+    from trefoil_spark.raster.window_ops import tile_histogram
+
+    tiles = synthetic_tiles(spark, SPEC, timesteps=2)
+    base = tiles.filter(F.col("t") == 0)
+    comp = tiles.filter(F.col("t") == 1).withColumn("t", F.lit(0))
+    delta = calculate_delta(base, comp)
+    hist = tile_histogram(delta)
+    return hist.select(
+        F.col("value").cast("bigint").alias("delta"), "count"
+    ).orderBy("delta")
+
+
+def q_describe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SURVEY §2 A8/F23 (describe/info): per-variable time extent, value
+    min/max, valid-pixel count over a 2-timestep tile table."""
+    from trefoil_spark.sources.ingest import describe_tiles_df
+
+    tiles = synthetic_tiles(spark, SPEC, timesteps=2)
+    return describe_tiles_df(tiles).orderBy("var")
+
+
+def q_knn_join_adaptive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ring-EXPANSION grid kNN (proven-complete, DataFrame-only
+    done/remaining split): exactness guaranteed by the strict ring guard,
+    so the brute-force SQL is its oracle at any density."""
+    from trefoil_spark.operators.knn import knn_join_adaptive
+
+    pages = _pages(spark, sf_dir).select("doc_id", "lon", "lat")
+    queries = pages.filter(F.col("doc_id") % 100 == 0)
+    out = knn_join_adaptive(pages, queries, k=5, res=6, max_ring=64)
+    return out.withColumn("rank", F.col("rank").cast("bigint")).orderBy(
+        "query_id", "rank"
+    )
+
+
 def q_tile_window_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SURVEY §2 P3/P5: bbox → Window (half-pixel-inset reference semantics)
     → tile pruning → intra-tile slice; aggregated so the oracle is stable."""
@@ -332,6 +372,23 @@ def q_similarity_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries = emb.filter(F.col("vec_id") < 10)
     return (
         lsh_ann_topk(emb, queries, k=5)
+        .withColumn("rank", F.col("rank").cast("bigint"))
+        .orderBy("query_id", "rank")
+    )
+
+
+def q_similarity_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN top-5 (single-probe): deterministic centroids (pyarrow
+    fixture sample → numpy Lloyd's) become rounded literals, so the
+    posting-list assignment is a portable JVM argmin with a bit-identical
+    DuckDB twin baked from the same array."""
+    from trefoil_spark.operators.similarity import fixture_centroids, ivf_ann_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    cents = fixture_centroids(sf_dir, n_centroids=8)
+    queries = emb.filter(F.col("vec_id") < 10)
+    return (
+        ivf_ann_topk(emb, queries, k=5, centroids=cents)
         .withColumn("rank", F.col("rank").cast("bigint"))
         .orderBy("query_id", "rank")
     )
@@ -584,6 +641,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tile_zonal_stats": q_tile_zonal_stats,
         "masked_zonal_stats": q_masked_zonal_stats,
         "autocrop_window": q_autocrop_window,
+        "tile_delta_hist": q_tile_delta_hist,
+        "describe": q_describe,
+        "knn_join_adaptive": q_knn_join_adaptive,
         "tile_window_stats": q_tile_window_stats,
         "tile_classify_histogram": q_tile_classify_histogram,
         "text_stats": q_text_stats,
@@ -595,6 +655,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_join_cells": q_knn_join_cells,
         "similarity_topk": q_similarity_topk,
         "similarity_lsh": q_similarity_lsh,
+        "similarity_ivf": q_similarity_ivf,
         "weighted_stats": q_weighted_stats,
         "mean_of_file_means": q_mean_of_file_means,
         "interval_stats": q_interval_stats,
@@ -666,6 +727,36 @@ def oracle_sql() -> dict[str, str]:
         "tile_zonal_stats": _tile_zonal_oracle(),
         "masked_zonal_stats": _tile_zonal_oracle(masked=True),
         "autocrop_window": _autocrop_oracle(),
+        "tile_delta_hist": f"""
+            WITH px AS (
+                SELECT CAST(i // {SPEC.width} AS BIGINT) AS y,
+                       CAST(i % {SPEC.width} AS BIGINT) AS x
+                FROM (SELECT UNNEST(range({SPEC.width * SPEC.height})) AS i)
+            ), d AS (
+                SELECT {value_sql('y', 'x', '1')} - {value_sql('y', 'x', '0')}
+                       AS delta
+                FROM px
+            )
+            SELECT CAST(delta AS BIGINT) AS delta, COUNT(*) AS count
+            FROM d WHERE delta IS NOT NULL
+            GROUP BY delta ORDER BY delta
+        """,
+        "describe": f"""
+            WITH px AS (
+                SELECT CAST(i // {SPEC.width} AS BIGINT) AS y,
+                       CAST(i % {SPEC.width} AS BIGINT) AS x, t
+                FROM (SELECT UNNEST(range({SPEC.width * SPEC.height})) AS i),
+                     (SELECT UNNEST(range(2)) AS t)
+            ), g AS (
+                SELECT t, {value_sql('y', 'x', 't')} AS v FROM px
+            )
+            SELECT 'synth' AS var,
+                   CAST(MIN(t) AS INT) AS t_min, CAST(MAX(t) AS INT) AS t_max,
+                   MIN(v) AS min, MAX(v) AS max,
+                   COUNT(v) AS valid_pixels
+            FROM g
+        """,
+        "knn_join_adaptive": _knn_oracle(),
         "tile_window_stats": _tile_window_oracle(),
         "tile_classify_histogram": f"""
             WITH {_pixel_cte()}
@@ -687,6 +778,7 @@ def oracle_sql() -> dict[str, str]:
         "knn_join": _knn_oracle(),
         "similarity_topk": _similarity_oracle(lsh=False),
         "similarity_lsh": _similarity_oracle(lsh=True),
+        "similarity_ivf": _similarity_ivf_oracle(),
         "weighted_stats": """
             SELECT SUM(CAST(l_quantity AS DOUBLE) * CAST(l_linenumber AS DOUBLE))
                        / SUM(CAST(l_linenumber AS DOUBLE)) AS weighted_mean,
@@ -991,6 +1083,45 @@ def _similarity_oracle(lsh: bool) -> str:
         scored AS (
             SELECT q.query_id, p.vec_id AS neighbor_id, {cos} AS c
             FROM p JOIN q ON {join_cond}
+        ),
+        ranked AS (
+            SELECT query_id, neighbor_id,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY c DESC, neighbor_id) AS rank
+            FROM scored
+        )
+        SELECT query_id, neighbor_id, rank FROM ranked WHERE rank <= 5
+        ORDER BY query_id, rank
+    """
+
+
+def _similarity_ivf_oracle() -> str:
+    """IVF twin: same centroid literals (gate sf per driver contract),
+    same left-fold distance arithmetic, same cosine ranking."""
+    from trefoil_spark.operators.similarity import (
+        fixture_centroids,
+        ivf_assign_sql_duckdb,
+    )
+
+    cents = fixture_centroids("/root/testdata/sf0.01", n_centroids=8)
+    assign = ivf_assign_sql_duckdb("embedding", cents)
+    dot = (
+        "list_reduce(list_prepend(CAST(0 AS DOUBLE), "
+        "list_transform(list_zip({a}, {b}), "
+        "p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))), (x, y) -> x + y)"
+    )
+    cos = (
+        dot.format(a="q.qv", b="p.pv")
+        + " / (SQRT(" + dot.format(a="q.qv", b="q.qv") + ")"
+        + " * SQRT(" + dot.format(a="p.pv", b="p.pv") + "))"
+    )
+    return f"""
+        WITH e AS (SELECT vec_id, embedding, {assign} AS l FROM embeddings),
+        q AS (SELECT vec_id AS query_id, embedding AS qv, l FROM e WHERE vec_id < 10),
+        p AS (SELECT vec_id, embedding AS pv, l FROM e),
+        scored AS (
+            SELECT q.query_id, p.vec_id AS neighbor_id, {cos} AS c
+            FROM p JOIN q ON p.l = q.l AND p.vec_id != q.query_id
         ),
         ranked AS (
             SELECT query_id, neighbor_id,

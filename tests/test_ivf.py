@@ -43,3 +43,43 @@ def test_ivf_ann(spark, sf_dir):
         sub = approx[approx.query_id == q].sort_values("rank")
         ranks = [exact_rank[(q, n)] for n in sub.neighbor_id]
         assert ranks == sorted(ranks)
+
+
+def test_ivf_multiprobe_recall(spark, sf_dir):
+    """n_probe widens recall monotonically and n_probe=K is EXACT (equal
+    to brute-force top-k), all with zero Python in the probe math."""
+    from trefoil_spark.operators.similarity import (
+        cosine_topk,
+        ivf_ann_topk,
+        train_ivf_centroids,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    cents = train_ivf_centroids(emb, n_centroids=8)
+    queries = emb.filter(F.col("vec_id") < 8)
+    exact = cosine_topk(emb, queries, k=5).toPandas()
+    exact_pairs = set(zip(exact.query_id, exact.neighbor_id))
+
+    def recall(n_probe):
+        got = ivf_ann_topk(emb, queries, k=5, centroids=cents, n_probe=n_probe)
+        pairs = set(zip(*(c for _, c in got.toPandas()[
+            ["query_id", "neighbor_id"]].items())))
+        return len(pairs & exact_pairs) / len(exact_pairs)
+
+    r1, r2, r8 = recall(1), recall(2), recall(8)
+    # random embeddings cluster weakly, so recall ≈ n_probe/K — the
+    # guaranteed properties are monotonicity and exactness at n_probe=K
+    assert r1 <= r2 <= r8
+    assert r8 == 1.0  # probing every list = exact
+    assert r2 > r1 or r2 == 1.0
+
+
+def test_ivf_probe_validation(spark, sf_dir):
+    import pytest
+
+    from trefoil_spark.operators.similarity import ivf_ann_topk, train_ivf_centroids
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    cents = train_ivf_centroids(emb, n_centroids=4)
+    with pytest.raises(ValueError, match="n_probe"):
+        ivf_ann_topk(emb, emb.limit(1), k=3, centroids=cents, n_probe=9)

@@ -112,25 +112,18 @@ def train_ivf_centroids(
         [r[vec_col] for r in points.select(vec_col).limit(sample_rows).collect()],
         dtype=np.float64,
     )
-    rng = np.random.default_rng(seed)
-    centroids = sample[rng.choice(len(sample), size=n_centroids, replace=False)]
-    for _ in range(iters):
-        d = ((sample[:, None, :] - centroids[None, :, :]) ** 2).sum(axis=2)
-        assign = d.argmin(axis=1)
-        for k in range(n_centroids):
-            sel = assign == k
-            if sel.any():
-                centroids[k] = sample[sel].mean(axis=0)
-    return centroids.round(6)  # rounded → portable literals
+    return kmeans_numpy(sample, n_centroids, iters=iters, seed=seed)
 
 
 def ivf_assign_expr(vec_col: str, centroids: np.ndarray) -> str:
     """Nearest-centroid id as a Spark SQL expression (JVM argmin chain).
 
     O(K·dim) arithmetic per row with no Python — the IVF list assignment
-    runs inside codegen; identical text could drive a DuckDB twin, but
-    the operator is checked by recall tests instead (kmeans is float-
-    order-sensitive only in training, which happens once on the driver)."""
+    runs inside codegen. :func:`ivf_assign_sql_duckdb` is the
+    equivalent-fold DuckDB twin (bit-identical assignments, verified by
+    the similarity_ivf driver oracle); kmeans float-order sensitivity is
+    confined to training, which happens once on the driver with rounded
+    output literals."""
     dots = []
     for k, c in enumerate(centroids):
         arr = ", ".join(f"CAST({float(v)!r} AS DOUBLE)" for v in c)
@@ -148,6 +141,24 @@ def ivf_assign_expr(vec_col: str, centroids: np.ndarray) -> str:
     return f"(CASE {case} END)"
 
 
+def ivf_probe_lists_expr(vec_col: str, centroids: np.ndarray, n_probe: int) -> str:
+    """The ``n_probe`` nearest centroid ids as a Spark SQL array<int>
+    expression: build (distance, id) structs, array_sort (lexicographic
+    on the distance field), slice, project ids. Pure JVM like the argmin
+    assignment — multi-probe costs no Python either."""
+    entries = []
+    for k, c in enumerate(centroids):
+        arr = ", ".join(f"CAST({float(v)!r} AS DOUBLE)" for v in c)
+        d = (
+            f"aggregate(zip_with({vec_col}, array({arr}), "
+            f"(x, y) -> (CAST(x AS DOUBLE) - y) * (CAST(x AS DOUBLE) - y)), "
+            f"CAST(0 AS DOUBLE), (acc, v) -> acc + v)"
+        )
+        entries.append(f"named_struct('d', {d}, 'k', {k})")
+    sorted_arr = f"array_sort(array({', '.join(entries)}))"
+    return f"transform(slice({sorted_arr}, 1, {n_probe}), s -> s.k)"
+
+
 def ivf_ann_topk(
     points: DataFrame,
     queries: DataFrame,
@@ -157,22 +168,27 @@ def ivf_ann_topk(
     vec_col: str = "embedding",
     n_probe: int = 1,
 ) -> DataFrame:
-    """IVF approximate top-k: candidates share the query's nearest
-    centroid list (n_probe=1). At 10^12 rows the posting lists are the
-    partition layout (write the table clustered by list id) and a query
-    touches 1/K of the data."""
-    if n_probe != 1:
-        raise NotImplementedError("v1 probes the single nearest list")
-    assign = ivf_assign_expr(vec_col, centroids)
+    """IVF approximate top-k: candidates share one of the query's
+    ``n_probe`` nearest centroid lists. At 10^12 rows the posting lists
+    are the partition layout (write the table clustered by list id) and
+    a query touches n_probe/K of the data; recall → exact as n_probe→K
+    (tested). The probe-list explosion happens on the SMALL query side —
+    the point table still computes one argmin and never shuffles."""
+    if not 1 <= n_probe <= len(centroids):
+        raise ValueError(f"n_probe must be in [1, {len(centroids)}]")
+    if n_probe == 1:
+        ql = F.expr(ivf_assign_expr(vec_col, centroids))
+    else:
+        ql = F.explode(F.expr(ivf_probe_lists_expr(vec_col, centroids, n_probe)))
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("_qv"),
-        F.expr(assign).alias("_ql"),
+        ql.alias("_ql"),
     )
     p = points.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("_pv"),
-        F.expr(assign).alias("_pl"),
+        F.expr(ivf_assign_expr(vec_col, centroids)).alias("_pl"),
     )
     cand = p.join(F.broadcast(q), F.col("_pl") == F.col("_ql")).filter(
         F.col("neighbor_id") != F.col("query_id")
@@ -231,3 +247,50 @@ def lsh_ann_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank")
     )
+
+
+def ivf_assign_sql_duckdb(vec_col: str, centroids: np.ndarray) -> str:
+    """DuckDB twin of :func:`ivf_assign_expr` — identical left-fold
+    distance arithmetic (list_reduce ≡ aggregate) so the argmin picks the
+    same list in both engines bit-for-bit."""
+    dots = []
+    for k, c in enumerate(centroids):
+        arr = ", ".join(f"CAST({float(v)!r} AS DOUBLE)" for v in c)
+        d = (
+            f"list_reduce(list_prepend(CAST(0 AS DOUBLE), "
+            f"list_transform(list_zip({vec_col}, [{arr}]), "
+            f"p -> (CAST(p[1] AS DOUBLE) - p[2]) * (CAST(p[1] AS DOUBLE) - p[2]))), "
+            f"(acc, v) -> acc + v)"
+        )
+        dots.append(d)
+    least = f"LEAST({', '.join(dots)})"
+    case = " ".join(f"WHEN {d} = {least} THEN {k}" for k, d in enumerate(dots))
+    return f"(CASE {case} END)"
+
+
+def kmeans_numpy(sample: np.ndarray, n_centroids: int, iters: int = 5,
+                 seed: int = 11) -> np.ndarray:
+    """The deterministic Lloyd's core shared by both training paths."""
+    rng = np.random.default_rng(seed)
+    centroids = sample[rng.choice(len(sample), size=n_centroids, replace=False)]
+    for _ in range(iters):
+        d = ((sample[:, None, :] - centroids[None, :, :]) ** 2).sum(axis=2)
+        assign = d.argmin(axis=1)
+        for k in range(n_centroids):
+            sel = assign == k
+            if sel.any():
+                centroids[k] = sample[sel].mean(axis=0)
+    return centroids.round(6)  # rounded → portable literals
+
+
+def fixture_centroids(sf_dir: str, n_centroids: int = 8,
+                      sample_rows: int = 4096) -> np.ndarray:
+    """Centroids from a direct pyarrow read of the embeddings fixture —
+    byte-order deterministic, Spark-free, so the SAME array can be baked
+    as literals into both the Spark query and the static DuckDB oracle
+    (the correctness gate runs at sf0.01 by driver contract)."""
+    import pyarrow.parquet as pq
+
+    tbl = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["embedding"])
+    emb = np.array(tbl.column("embedding").to_pylist()[:sample_rows], dtype=np.float64)
+    return kmeans_numpy(emb, n_centroids)

@@ -91,9 +91,10 @@ def concat_variables(*tile_dfs: DataFrame) -> DataFrame:
     return out
 
 
-def describe_tiles(tiles: DataFrame, spec: GridSpec | None = None) -> dict:
-    """F23/A8 (reference describe.py:29-150): dataset summary — variables,
-    time extent, grid shape, value min/max — from one metadata-grade agg."""
+def describe_tiles_df(tiles: DataFrame) -> DataFrame:
+    """F23/A8 as a DataFrame: one row per variable with time extent,
+    value min/max, valid-pixel count — per-tile numpy partials + one
+    exact final agg (min/max of integer-valued floats, bigint count)."""
     from pyspark.sql import functions as F
 
     import numpy as np  # noqa: F811
@@ -115,7 +116,7 @@ def describe_tiles(tiles: DataFrame, spec: GridSpec | None = None) -> dict:
                 )
             yield pd.DataFrame(rows, columns=["var", "t", "vmin", "vmax", "n"])
 
-    agg = (
+    return (
         tiles.mapInPandas(stats, schema="var string, t int, vmin double, vmax double, n bigint")
         .groupBy("var")
         .agg(
@@ -126,6 +127,12 @@ def describe_tiles(tiles: DataFrame, spec: GridSpec | None = None) -> dict:
             F.sum("n").alias("valid_pixels"),
         )
     )
+
+
+def describe_tiles(tiles: DataFrame, spec: GridSpec | None = None) -> dict:
+    """F23/A8 (reference describe.py:29-150): dataset summary — variables,
+    time extent, grid shape, value min/max — via :func:`describe_tiles_df`."""
+    agg = describe_tiles_df(tiles)
     out = {
         r["var"]: {
             "t_range": (r["t_min"], r["t_max"]),
