@@ -85,9 +85,14 @@ def q_pip_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_zonal_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SURVEY §2 A1: zonal statistics {mean,min,max,std,sum,count} over the
-    PIP-join result — the flagship zonal-stats pipeline (one shuffle)."""
-    joined = pip_join(_pages(spark, sf_dir), ZONE_LAYER, key_cols=["doc_id"])
-    joined = joined.withColumn("n_chars", F.length("text").cast("bigint"))
+    PIP-join result — the flagship zonal-stats pipeline (one shuffle).
+    The wide text column is reduced to n_chars BEFORE the UDF-bearing
+    join: every column alive across an ArrowEvalPython node is buffered
+    JVM-side while awaiting Python results."""
+    slim = _pages(spark, sf_dir).select(
+        "lat", "lon", F.length("text").cast("bigint").alias("n_chars")
+    )
+    joined = pip_join(slim, ZONE_LAYER)
     return zonal_statistics(joined, "zone_value", "n_chars").orderBy("zone_value")
 
 
@@ -108,8 +113,10 @@ def q_shp_zonal_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     path = os.path.join(d, "zones.shp")
     write_polygon_shapefile(path, ZONE_LAYER)
     polys = read_polygon_layer(path)  # bit-exact vertex round-trip
-    joined = pip_join(_pages(spark, sf_dir), polys, key_cols=["doc_id"])
-    joined = joined.withColumn("n_chars", F.length("text").cast("bigint"))
+    slim = _pages(spark, sf_dir).select(
+        "lat", "lon", F.length("text").cast("bigint").alias("n_chars")
+    )
+    joined = pip_join(slim, polys)
     return zonal_statistics(joined, "zone_value", "n_chars").orderBy("zone_value")
 
 
