@@ -617,6 +617,61 @@ def q_streaming_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("interval")
 
 
+def _cf360_sql(epoch_col_sql: str) -> dict[str, str]:
+    """Shared Spark/DuckDB fragments: epoch seconds → CF 360_day calendar
+    fields, 'days since 2024-01-01' (functions/cftime.py:68-80 integer
+    math — every month 30 days, year 360)."""
+    days = f"CAST(FLOOR(({epoch_col_sql} - 1704067200) / 86400) AS BIGINT)"
+    return {
+        "days": days,
+        "year": f"(2024 + CAST(FLOOR({days} / 360) AS BIGINT))",
+        "month": f"(CAST(FLOOR(({days} % 360) / 30) AS BIGINT) + 1)",
+        "day": f"(({days} % 360) % 30 + 1)",
+    }
+
+
+def q_cf_360day(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SURVEY §2 F16/F17/W3 at row grain: events bucketed by CF 360_day
+    calendar (year, month) — the fixed-calendar integer codec as pure
+    Catalyst expressions, exact twin in DuckDB."""
+    frag = _cf360_sql("unix_timestamp(ts)")
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return (
+        ev.selectExpr(
+            f"{frag['year']} AS cf_year",
+            f"{frag['month']} AS cf_month",
+            f"{frag['day']} AS cf_day",
+            "CAST(ROUND(value * 100) AS BIGINT) AS cents",
+        )
+        .groupBy("cf_year", "cf_month", "cf_day")
+        .agg(
+            F.count(F.lit(1)).alias("count"),
+            F.sum("cents").alias("sum_cents"),
+        )
+        .orderBy("cf_year", "cf_month", "cf_day")
+    )
+
+
+def q_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful streaming operator (applyInPandasWithState):
+    cross-batch exact dedup, first-seen/min-id winner — drained with
+    AvailableNow so the result is deterministic and equals the batch
+    min-id-per-hash twin (the DuckDB oracle)."""
+    import tempfile
+
+    from trefoil_spark.streaming.interval import run_available_now
+    from trefoil_spark.streaming.stateful import streaming_dedup
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    tmp = tempfile.mkdtemp(prefix="trefoil_sdedup_")
+    docs.write.mode("overwrite").parquet(tmp)
+    stream = spark.readStream.schema("doc_id bigint, text string").parquet(tmp)
+    out = run_available_now(
+        streaming_dedup(stream), "q_streaming_dedup", output_mode="append"
+    )
+    return out.select("text_hash", "doc_id").orderBy("text_hash")
+
+
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal plumbing: binary media + typed metadata → Arrow-batched
     feature extraction (decode deterministically stubbed). The 'digest'
@@ -672,6 +727,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vectorize": q_vectorize,
         "salted_agg": q_salted_agg,
         "streaming_interval": q_streaming_interval,
+        "streaming_dedup": q_streaming_dedup,
+        "cf_360day": q_cf_360day,
         "multimodal_features": q_multimodal_features,
         "area_timeseries": q_area_timeseries,
         "weighted_timeseries": q_weighted_timeseries,
@@ -904,6 +961,11 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(cents) AS BIGINT) AS sum_cents
             FROM b GROUP BY interval ORDER BY interval
         """,
+        "cf_360day": _cf360_oracle(),
+        "streaming_dedup": """
+            SELECT md5(text) AS text_hash, MIN(doc_id) AS doc_id
+            FROM documents GROUP BY text_hash ORDER BY text_hash
+        """,
         "multimodal_features": f"""
             SELECT doc_id, i AS feature_idx,
                    CAST(('0x' || substr(md5(text), CAST(2 * i + 1 AS INT), 2))
@@ -1099,6 +1161,22 @@ def _similarity_oracle(lsh: bool) -> str:
         )
         SELECT query_id, neighbor_id, rank FROM ranked WHERE rank <= 5
         ORDER BY query_id, rank
+    """
+
+
+def _cf360_oracle() -> str:
+    frag = _cf360_sql("epoch(ts)")
+    return f"""
+        WITH e AS (
+            SELECT {frag['year']} AS cf_year, {frag['month']} AS cf_month,
+                   {frag['day']} AS cf_day,
+                   CAST(ROUND(value * 100) AS BIGINT) AS cents
+            FROM events
+        )
+        SELECT cf_year, cf_month, cf_day, COUNT(*) AS count,
+               CAST(SUM(cents) AS BIGINT) AS sum_cents
+        FROM e GROUP BY cf_year, cf_month, cf_day
+        ORDER BY cf_year, cf_month, cf_day
     """
 
 

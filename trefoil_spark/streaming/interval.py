@@ -58,13 +58,19 @@ def streaming_interval_stats(
     return out.select(*cols)
 
 
-def run_available_now(stream_df: DataFrame, query_name: str, timeout_sec: int = 120):
+def run_available_now(
+    stream_df: DataFrame,
+    query_name: str,
+    timeout_sec: int = 120,
+    output_mode: str = "complete",
+):
     """Drain all available input into a memory sink; returns the result
-    DataFrame (complete mode). Deterministic: Trigger.AvailableNow."""
+    DataFrame. Deterministic: Trigger.AvailableNow. ``output_mode``
+    'append' for stateful append-only operators."""
     q = (
         stream_df.writeStream.format("memory")
         .queryName(query_name)
-        .outputMode("complete")
+        .outputMode(output_mode)
         .trigger(availableNow=True)
         .start()
     )
