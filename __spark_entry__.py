@@ -388,11 +388,13 @@ def q_similarity_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF ANN top-5 (single-probe): deterministic centroids (pyarrow
     fixture sample → numpy Lloyd's) become rounded literals, so the
     posting-list assignment is a portable JVM argmin with a bit-identical
-    DuckDB twin baked from the same array."""
+    DuckDB twin baked from the same array. The centroid set is a FIXED
+    fixture (trained once on the sf0.01 sample, like ZONE_LAYER and the
+    LSH planes) so query and static oracle agree at every sf."""
     from trefoil_spark.operators.similarity import fixture_centroids, ivf_ann_topk
 
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    cents = fixture_centroids(sf_dir, n_centroids=8)
+    cents = fixture_centroids("/root/testdata/sf0.01", n_centroids=8)
     queries = emb.filter(F.col("vec_id") < 10)
     return (
         ivf_ann_topk(emb, queries, k=5, centroids=cents)
