@@ -139,6 +139,17 @@ def q_tile_zonal_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tile_zonal_statistics(tiles, ztiles).orderBy("zone")
 
 
+def q_albers_zone_area(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SURVEY §2 A3/F25 area-true variant: per-zone ellipsoid (WGS84)
+    area in m² via the authalic q function — the quantity the reference's
+    --albers local-projection workflow measures — with BIGINT-exact
+    per-pixel integer areas shared with the DuckDB oracle."""
+    from trefoil_spark.raster.zonal import zone_true_area
+
+    ztiles = rasterize_zones(spark, SPEC, ZONE_LAYER)
+    return zone_true_area(ztiles, SPEC).orderBy("zone")
+
+
 def q_masked_zonal_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SURVEY §2 P9/J5: mask dataset OR-ed onto the data mask before the
     zonal pipeline (reference render_netcdf.py:306-322 semantics) — the
@@ -704,6 +715,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "count_by_lang": q_count_by_lang,
         "tile_zonal_stats": q_tile_zonal_stats,
         "masked_zonal_stats": q_masked_zonal_stats,
+        "albers_zone_area": q_albers_zone_area,
         "autocrop_window": q_autocrop_window,
         "tile_delta_hist": q_tile_delta_hist,
         "describe": q_describe,
@@ -792,6 +804,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "tile_zonal_stats": _tile_zonal_oracle(),
         "masked_zonal_stats": _tile_zonal_oracle(masked=True),
+        "albers_zone_area": _albers_area_oracle(),
         "autocrop_window": _autocrop_oracle(),
         "tile_delta_hist": f"""
             WITH px AS (
@@ -1290,6 +1303,40 @@ def _regression_oracle() -> str:
             FROM events
         )
         SELECT * FROM ({inner}) ORDER BY event_type
+    """
+
+
+def _albers_area_oracle() -> str:
+    """Authalic per-pixel integer areas (same Snyder q, DuckDB libm —
+    floor-level agreement with numpy asserted in tests), summed per
+    rasterized zone."""
+    from trefoil_spark.grid import proj as _proj
+
+    e2 = _proj.WGS84_E2
+    e = float(e2 ** 0.5)
+    k = _proj.WGS84_A ** 2 / 2.0
+
+    def q(lat):
+        s = f"sin(radians({lat}))"
+        return (
+            f"((1-{e2!r})*({s}/(1-{e2!r}*{s}*{s}) "
+            f"- (1/(2*{e!r}))*ln((1-{e!r}*{s})/(1+{e!r}*{s}))))"
+        )
+
+    top = f"({SPEC.y0!r} - y*{SPEC.dy!r})"
+    bot = f"({SPEC.y0!r} - (y+1)*{SPEC.dy!r})"
+    area = (
+        f"CAST(FLOOR({k!r}*radians({SPEC.dx!r})*({q(top)} - {q(bot)})) AS BIGINT)"
+    )
+    return f"""
+        WITH {_pixel_cte()},
+        z AS (
+            SELECT CASE {_zone_fid_case_sql()} END AS zone, {area} AS parea
+            FROM geo
+        )
+        SELECT CAST(zone AS INT) AS zone, CAST(SUM(parea) AS BIGINT) AS area_m2
+        FROM z WHERE zone IS NOT NULL
+        GROUP BY zone ORDER BY zone
     """
 
 

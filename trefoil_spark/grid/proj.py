@@ -32,10 +32,14 @@ _ALIASES = {
 
 def normalize_crs(crs: str) -> str:
     key = crs.strip().lower()
+    if key.startswith("+proj=aea"):
+        return crs.strip()  # aea proj4 strings are their own canonical form
     for alias, canon in _ALIASES.items():
         if key.startswith(alias):
             return canon
-    raise ValueError(f"Unsupported CRS: {crs!r} (v1 supports EPSG:4326, EPSG:3857)")
+    raise ValueError(
+        f"Unsupported CRS: {crs!r} (supported: EPSG:4326, EPSG:3857, +proj=aea)"
+    )
 
 
 def same_crs(a: str, b: str) -> bool:
@@ -72,6 +76,14 @@ def transform(src_crs: str, dst_crs: str, x, y):
         return lonlat_to_webmercator(x, y)
     if s == "EPSG:3857" and d == "EPSG:4326":
         return webmercator_to_lonlat(x, y)
+    if s == "EPSG:4326" and d.startswith("+proj=aea"):
+        return aea_forward(d, x, y)
+    if s.startswith("+proj=aea") and d == "EPSG:4326":
+        return aea_inverse(s, x, y)
+    if s.startswith("+proj=aea") or d.startswith("+proj=aea"):
+        # via geographic
+        lon, lat = transform(s, "EPSG:4326", x, y)
+        return transform("EPSG:4326", d, lon, lat)
     raise ValueError(f"Unsupported transform {src_crs} -> {dst_crs}")
 
 
@@ -98,3 +110,97 @@ def transform_cols(src_crs: str, dst_crs: str, x, y):
             F.degrees(F.atan(F.exp(y / F.lit(EARTH_RADIUS))) * 2 - F.lit(np.pi / 2.0)),
         )
     raise ValueError(f"Unsupported transform {src_crs} -> {dst_crs}")
+
+
+# ---------------------------------------------------------------------------
+# Albers Equal-Area Conic, ellipsoidal (WGS84) — Snyder, USGS PP 1395,
+# eqs. 14-1..14-21 (public formulas). Completes the reference's
+# "project-to-local-Albers for area-true stats" workflow
+# (reference zones.py --albers path; our pick rule: grid/bbox.py:85).
+# ---------------------------------------------------------------------------
+
+WGS84_A = 6378137.0
+WGS84_F = 1.0 / 298.257223563
+WGS84_E2 = WGS84_F * (2.0 - WGS84_F)
+_WGS84_E = np.sqrt(WGS84_E2)
+
+
+def parse_proj4_aea(proj4: str) -> dict:
+    """+proj=aea parameter dict (lat_1, lat_2, lat_0, lon_0, x_0, y_0)."""
+    toks = dict(
+        t.split("=", 1) for t in proj4.split() if t.startswith("+") and "=" in t
+    )
+    if toks.get("+proj") != "aea":
+        raise ValueError(f"not an aea proj4 string: {proj4!r}")
+    return {
+        k: float(toks.get(f"+{k}", 0.0))
+        for k in ("lat_1", "lat_2", "lat_0", "lon_0", "x_0", "y_0")
+    }
+
+
+def _aea_q(sin_phi):
+    """Snyder eq. 3-12: the equal-area auxiliary q."""
+    e = _WGS84_E
+    es = e * sin_phi
+    return (1.0 - WGS84_E2) * (
+        sin_phi / (1.0 - es * es)
+        - (1.0 / (2.0 * e)) * np.log((1.0 - es) / (1.0 + es))
+    )
+
+
+def _aea_m(sin_phi, cos_phi):
+    """Snyder eq. 14-15."""
+    return cos_phi / np.sqrt(1.0 - WGS84_E2 * sin_phi * sin_phi)
+
+
+def _aea_constants(p: dict):
+    phi1, phi2 = np.radians(p["lat_1"]), np.radians(p["lat_2"])
+    phi0 = np.radians(p["lat_0"])
+    m1 = _aea_m(np.sin(phi1), np.cos(phi1))
+    m2 = _aea_m(np.sin(phi2), np.cos(phi2))
+    q1, q2, q0 = _aea_q(np.sin(phi1)), _aea_q(np.sin(phi2)), _aea_q(np.sin(phi0))
+    if abs(phi1 - phi2) < 1e-12:
+        n = np.sin(phi1)
+    else:
+        n = (m1 * m1 - m2 * m2) / (q2 - q1)
+    C = m1 * m1 + n * q1
+    rho0 = WGS84_A * np.sqrt(C - n * q0) / n
+    return n, C, rho0
+
+
+def aea_forward(proj4: str, lon, lat):
+    """lon/lat degrees → aea x/y metres (vectorized)."""
+    p = parse_proj4_aea(proj4)
+    n, C, rho0 = _aea_constants(p)
+    lam = np.radians(np.asarray(lon, dtype=np.float64)) - np.radians(p["lon_0"])
+    phi = np.radians(np.asarray(lat, dtype=np.float64))
+    q = _aea_q(np.sin(phi))
+    rho = WGS84_A * np.sqrt(C - n * q) / n
+    theta = n * lam
+    x = rho * np.sin(theta) + p["x_0"]
+    y = rho0 - rho * np.cos(theta) + p["y_0"]
+    return x, y
+
+
+def aea_inverse(proj4: str, x, y, iters: int = 6):
+    """aea x/y metres → lon/lat degrees (Snyder iteration 3-16)."""
+    p = parse_proj4_aea(proj4)
+    n, C, rho0 = _aea_constants(p)
+    x = np.asarray(x, dtype=np.float64) - p["x_0"]
+    y = rho0 - (np.asarray(y, dtype=np.float64) - p["y_0"])
+    rho = np.hypot(x, y)
+    theta = np.arctan2(np.sign(n) * x, np.sign(n) * y)
+    q = (C - (rho * n / WGS84_A) ** 2) / n
+    lam = theta / n + np.radians(p["lon_0"])
+    # iterate phi from q
+    e = _WGS84_E
+    phi = np.arcsin(np.clip(q / 2.0, -1.0, 1.0))
+    for _ in range(iters):
+        s = np.sin(phi)
+        es = e * s
+        phi = phi + ((1.0 - es * es) ** 2 / (2.0 * np.cos(phi))) * (
+            q / (1.0 - WGS84_E2)
+            - s / (1.0 - es * es)
+            + (1.0 / (2.0 * e)) * np.log((1.0 - es) / (1.0 + es))
+        )
+    return np.degrees(lam), np.degrees(phi)

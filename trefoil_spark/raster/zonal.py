@@ -102,3 +102,59 @@ def tile_zonal_statistics(
     """values ⨝ zones on (ty, tx) → partials → final agg."""
     joined = tiles.join(F.broadcast(zone_tiles.select("ty", "tx", "zone_block")), ["ty", "tx"])
     return finalize_zonal(tile_zonal_partials(joined), by_time=by_time)
+
+
+def authalic_row_areas_m2(spec: GridSpec) -> np.ndarray:
+    """Exact ellipsoid (WGS84) area of one pixel per grid row, floored to
+    integer m² (int64). Uses the same authalic q function as the Albers
+    equal-area projection (grid/proj.py — Snyder eq. 3-12): the area of
+    the lat band slice is a²/2 · Δλ · (q(top) − q(bot)). This is the
+    area-true computation behind the reference's --albers zonal workflow
+    (reference zones.py projects to a local AEA before measuring areas;
+    an equal-area projection preserves exactly this quantity).
+
+    Floored to integer m² so zone sums are BIGINT-exact and portable:
+    numpy's and DuckDB's libm agree on the floor at every row of the
+    fixture grids (asserted in tests); a boundary flip would need the
+    true area to sit within ~1 ulp of an integer."""
+    from ..grid import proj
+
+    y = np.arange(spec.height, dtype=np.float64)
+    lat_top = spec.y0 - y * spec.dy
+    lat_bot = spec.y0 - (y + 1) * spec.dy
+    k = proj.WGS84_A ** 2 / 2.0 * np.radians(spec.dx)
+    return np.floor(
+        k * (proj._aea_q(np.sin(np.radians(lat_top)))
+             - proj._aea_q(np.sin(np.radians(lat_bot))))
+    ).astype(np.int64)
+
+
+def zone_true_area(zone_tiles: DataFrame, spec: GridSpec,
+                   fill: int = 0xFFFF) -> DataFrame:
+    """(zone, area_m2): ellipsoid-true area per rasterized zone.
+
+    Per tile: one numpy bincount per row band × the per-row integer
+    pixel area (computed once, broadcast with the closure) → int64
+    partials; one exact BIGINT agg. Shuffle-free until the final
+    O(zones) aggregation."""
+    row_areas = authalic_row_areas_m2(spec)
+    tile = spec.tile
+
+    def gen(batches):
+        for pdf in batches:
+            rows = []
+            for row in pdf.itertuples(index=False):
+                z = np.frombuffer(row.zone_block, dtype=np.uint16).reshape(
+                    row.h, row.w
+                )
+                oy = int(row.ty) * tile
+                areas = row_areas[oy : oy + row.h]
+                for zone in np.unique(z):
+                    if int(zone) == fill:
+                        continue
+                    counts = (z == zone).sum(axis=1).astype(np.int64)
+                    rows.append((int(zone), int(np.dot(counts, areas))))
+            yield pd.DataFrame(rows, columns=["zone", "parea"])
+
+    partials = zone_tiles.mapInPandas(gen, schema="zone int, parea bigint")
+    return partials.groupBy("zone").agg(F.sum("parea").alias("area_m2"))
