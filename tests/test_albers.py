@@ -114,3 +114,35 @@ def test_zone_true_area_matches_pixel_oracle(spark):
     assert got == want
     # sanity: urban box ~951 km², west/east a few hundred thousand km²
     assert 1e8 < min(got.values()) and max(got.values()) < 1e12
+
+
+def test_warp_tiles_to_local_albers(spark):
+    """Distributed warp into the locally-picked AEA grid: every probe
+    pixel equals the single-process warp_tile_numpy oracle (J6/R2 with a
+    non-separable destination CRS — exercises the sampled+slack tile
+    cover and the Catalyst aea transforms)."""
+    from trefoil_spark.grid.bbox import get_local_albers_projection
+    from trefoil_spark.raster.synth import block_values, synthetic_tiles
+    from trefoil_spark.raster.warp import warp_tile_numpy, warp_tiles
+
+    src_spec = SPEC
+    p4 = get_local_albers_projection(src_spec.bbox)
+    b_aea = src_spec.bbox.project(p4)
+    dst_spec = GridSpec.from_bbox(b_aea, 512, 256)
+    tiles = synthetic_tiles(spark, src_spec)
+    warped = {(r["ty"], r["tx"]): r for r in
+              warp_tiles(spark, tiles, src_spec, dst_spec).collect()}
+    assert len(warped) == dst_spec.ntiles_y * dst_spec.ntiles_x
+
+    src_full = np.full((src_spec.height, src_spec.width), np.nan, dtype=np.float32)
+    for ty in range(src_spec.ntiles_y):
+        for tx in range(src_spec.ntiles_x):
+            b = block_values(src_spec, 0, ty, tx)
+            src_full[ty * 256 : ty * 256 + b.shape[0],
+                     tx * 256 : tx * 256 + b.shape[1]] = b
+    for (ty, tx), row in warped.items():
+        got = np.frombuffer(row["block"], dtype=np.float32).reshape(
+            row["h"], row["w"]
+        )
+        want = warp_tile_numpy(src_full, src_spec, dst_spec, ty, tx)
+        assert np.array_equal(got, want, equal_nan=True), (ty, tx)

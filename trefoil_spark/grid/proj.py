@@ -109,6 +109,10 @@ def transform_cols(src_crs: str, dst_crs: str, x, y):
             F.degrees(x / F.lit(EARTH_RADIUS)),
             F.degrees(F.atan(F.exp(y / F.lit(EARTH_RADIUS))) * 2 - F.lit(np.pi / 2.0)),
         )
+    if s == "EPSG:4326" and d.startswith("+proj=aea"):
+        return aea_forward_cols(d, x, y)
+    if s.startswith("+proj=aea") and d == "EPSG:4326":
+        return aea_inverse_cols(s, x, y)
     raise ValueError(f"Unsupported transform {src_crs} -> {dst_crs}")
 
 
@@ -204,3 +208,66 @@ def aea_inverse(proj4: str, x, y, iters: int = 6):
             + (1.0 / (2.0 * e)) * np.log((1.0 - es) / (1.0 + es))
         )
     return np.degrees(lam), np.degrees(phi)
+
+
+def _aea_q_col(s, F):
+    """Catalyst twin of _aea_q (s = sin(phi) Column)."""
+    e = float(_WGS84_E)
+    e2 = float(WGS84_E2)
+    es = s * F.lit(e)
+    return F.lit(1.0 - e2) * (
+        s / (F.lit(1.0) - es * es)
+        - F.lit(1.0 / (2.0 * e)) * F.log((F.lit(1.0) - es) / (F.lit(1.0) + es))
+    )
+
+
+def aea_forward_cols(proj4: str, lon, lat):
+    """Catalyst twin of aea_forward (same closed-form math, JVM-side)."""
+    from pyspark.sql import functions as F
+
+    p = parse_proj4_aea(proj4)
+    n, C, rho0 = (float(v) for v in _aea_constants(p))
+    lam = F.radians(lon) - F.lit(float(np.radians(p["lon_0"])))
+    s = F.sin(F.radians(lat))
+    q = _aea_q_col(s, F)
+    rho = F.lit(WGS84_A) * F.sqrt(F.lit(C) - F.lit(n) * q) / F.lit(n)
+    theta = F.lit(n) * lam
+    x = rho * F.sin(theta) + F.lit(p["x_0"])
+    y = F.lit(rho0) - rho * F.cos(theta) + F.lit(p["y_0"])
+    return x, y
+
+
+def aea_inverse_cols(proj4: str, x, y, iters: int = 6):
+    """Catalyst twin of aea_inverse. The Snyder phi fixed-point runs as
+    ONE ``aggregate(sequence(...))`` higher-order lambda — written once,
+    evaluated iteratively — because naive unrolling multiplies the
+    expression tree ~10x per iteration and OOMs the analyzer."""
+    from pyspark.sql import functions as F
+
+    p = parse_proj4_aea(proj4)
+    n, C, rho0 = (float(v) for v in _aea_constants(p))
+    e = float(_WGS84_E)
+    e2 = float(WGS84_E2)
+    xs = x - F.lit(p["x_0"])
+    ys = F.lit(rho0) - (y - F.lit(p["y_0"]))
+    rho = F.sqrt(xs * xs + ys * ys)
+    sgn = F.lit(float(np.sign(n) or 1.0))
+    theta = F.atan2(sgn * xs, sgn * ys)
+    q = (F.lit(C) - (rho * F.lit(n) / F.lit(WGS84_A)) ** F.lit(2.0)) / F.lit(n)
+    lam = theta / F.lit(n) + F.lit(float(np.radians(p["lon_0"])))
+    phi0 = F.asin(F.least(F.greatest(q / F.lit(2.0), F.lit(-1.0)), F.lit(1.0)))
+
+    def step(acc, _i):
+        s = F.sin(acc)
+        es = s * F.lit(e)
+        one_m = F.lit(1.0) - es * es
+        return acc + (one_m * one_m / (F.lit(2.0) * F.cos(acc))) * (
+            q / F.lit(1.0 - e2)
+            - s / one_m
+            + F.lit(1.0 / (2.0 * e)) * F.log((F.lit(1.0) - es) / (F.lit(1.0) + es))
+        )
+
+    phi = F.aggregate(
+        F.sequence(F.lit(1), F.lit(iters)), phi0.cast("double"), step
+    )
+    return F.degrees(lam), F.degrees(phi)

@@ -90,16 +90,42 @@ def warp_tiles(
     dy0 = F.lit(ds.y0) - F.col("dty") * F.lit(float(ds.tile)) * F.lit(ds.dy)
     dx1 = dx0 + tw * F.lit(ds.dx)
     dy1 = dy0 - th * F.lit(ds.dy)
-    # project corners to src CRS (monotone ⇒ min/max preserved)
-    sxmin, symax = proj.transform_cols(ds.crs, dd.crs, dx0, dy0)
-    sxmax, symin = proj.transform_cols(ds.crs, dd.crs, dx1, dy1)
+    # project the dst tile boundary to src CRS. For the separable
+    # monotone pairs (4326⇄3857, identity) two opposite corners are
+    # EXACT extremes; for conic/azimuthal CRS (aea) extremes can sit on
+    # edges, so sample corners + edge midpoints and pad the tile range
+    # by one tile of slack (conservative cover: extra pairs only cost a
+    # few spurious join rows, the gather drops them).
+    def _sep(a: str, b: str) -> bool:
+        sep = {"EPSG:4326", "EPSG:3857"}
+        return proj.normalize_crs(a) in sep and proj.normalize_crs(b) in sep
+
+    separable = _sep(ds.crs, dd.crs)
+    dxm = (dx0 + dx1) / 2
+    dym = (dy0 + dy1) / 2
+    pts = (
+        [(dx0, dy0), (dx1, dy1)]
+        if separable
+        else [
+            (dx0, dy0), (dx1, dy0), (dx0, dy1), (dx1, dy1),
+            (dxm, dy0), (dxm, dy1), (dx0, dym), (dx1, dym),
+        ]
+    )
+    prj = [proj.transform_cols(ds.crs, dd.crs, px, py) for px, py in pts]
+    sxmin = F.least(*[p[0] for p in prj]) if len(prj) > 1 else prj[0][0]
+    sxmax = F.greatest(*[p[0] for p in prj]) if len(prj) > 1 else prj[0][0]
+    symin = F.least(*[p[1] for p in prj])
+    symax = F.greatest(*[p[1] for p in prj])
+    slack = 0 if separable else 1
     # covered source tile range (floor pixel index // tile, clamped)
     def _tile_range(lo_px, hi_px, n_tiles):
         lo = F.greatest(
-            F.floor(lo_px / F.lit(float(dd.tile))).cast("int"), F.lit(0)
+            F.floor(lo_px / F.lit(float(dd.tile))).cast("int") - F.lit(slack),
+            F.lit(0),
         )
         hi = F.least(
-            F.floor(hi_px / F.lit(float(dd.tile))).cast("int"), F.lit(n_tiles - 1)
+            F.floor(hi_px / F.lit(float(dd.tile))).cast("int") + F.lit(slack),
+            F.lit(n_tiles - 1),
         )
         return lo, hi
 
