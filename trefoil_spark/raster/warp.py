@@ -37,24 +37,75 @@ from ..grid import proj
 from .gridspec import GridSpec
 
 
+def _sample_grid(
+    arr: np.ndarray,
+    origin: tuple[int, int],
+    src_spec: GridSpec,
+    sx: np.ndarray,
+    sy: np.ndarray,
+    method: str,
+) -> np.ndarray:
+    """Gather values at world coords (sx, sy) from ``arr``, a (possibly
+    partial) mosaic of the source grid whose [0,0] sits at global pixel
+    ``origin`` = (oy, ox).
+
+    - 'nearest': containing-cell copy (GDAL nearest semantics);
+    - 'bilinear': pixel-center interpolation, edge-replicate clamping at
+      the grid border, NaN if ANY of the four contributors is NaN
+      (conservative nodata propagation) or the center is off-grid.
+    """
+    oy, ox = origin
+    h, w = arr.shape
+    gx = (sx - src_spec.x0) / src_spec.dx
+    gy = (src_spec.y0 - sy) / src_spec.dy
+    ok = (
+        (gx >= 0) & (gx < src_spec.width) & (gy >= 0) & (gy < src_spec.height)
+    )
+    out = np.full(sx.shape, np.nan, dtype=np.float32)
+    if method == "nearest":
+        ix = np.clip(np.floor(gx).astype(np.int64) - ox, 0, w - 1)
+        iy = np.clip(np.floor(gy).astype(np.int64) - oy, 0, h - 1)
+        out[ok] = arr[iy[ok], ix[ok]]
+        return out
+    if method != "bilinear":
+        raise ValueError("method must be 'nearest' or 'bilinear'")
+    fx = gx - 0.5
+    fy = gy - 0.5
+    x0i = np.floor(fx).astype(np.int64)
+    y0i = np.floor(fy).astype(np.int64)
+    wx = (fx - x0i).astype(np.float64)
+    wy = (fy - y0i).astype(np.float64)
+    xa = np.clip(x0i, 0, src_spec.width - 1) - ox
+    xb = np.clip(x0i + 1, 0, src_spec.width - 1) - ox
+    ya = np.clip(y0i, 0, src_spec.height - 1) - oy
+    yb = np.clip(y0i + 1, 0, src_spec.height - 1) - oy
+    for c in (xa, xb):
+        np.clip(c, 0, w - 1, out=c)
+    for c in (ya, yb):
+        np.clip(c, 0, h - 1, out=c)
+    v = (
+        arr[ya, xa].astype(np.float64) * (1 - wy) * (1 - wx)
+        + arr[ya, xb].astype(np.float64) * (1 - wy) * wx
+        + arr[yb, xa].astype(np.float64) * wy * (1 - wx)
+        + arr[yb, xb].astype(np.float64) * wy * wx
+    )
+    out[ok] = v[ok].astype(np.float32)
+    return out
+
+
 def warp_tile_numpy(
     src: np.ndarray,
     src_spec: GridSpec,
     dst_spec: GridSpec,
     ty: int,
     tx: int,
+    method: str = "nearest",
 ) -> np.ndarray:
     """Single-process kernel: one dst tile gathered from a full src array
     (unit-test oracle + small-grid path)."""
     lat, lon = dst_spec.pixel_centers(ty, tx)
     sx, sy = proj.transform(dst_spec.crs, src_spec.crs, lon, lat)
-    # source pixel index of each dst center (nearest = containing cell)
-    ix = np.floor((sx - src_spec.x0) / src_spec.dx).astype(np.int64)
-    iy = np.floor((src_spec.y0 - sy) / src_spec.dy).astype(np.int64)
-    ok = (ix >= 0) & (ix < src_spec.width) & (iy >= 0) & (iy < src_spec.height)
-    out = np.full(lat.shape, np.nan, dtype=np.float32)
-    out[ok] = src[iy[ok], ix[ok]]
-    return out
+    return _sample_grid(src, (0, 0), src_spec, sx, sy, method)
 
 
 def warp_tiles(
@@ -63,6 +114,7 @@ def warp_tiles(
     src_spec: GridSpec,
     dst_spec: GridSpec,
     var: str = "synth",
+    method: str = "nearest",
 ) -> DataFrame:
     """Distributed warp: source tile table → destination tile table.
 
@@ -129,10 +181,11 @@ def warp_tiles(
         )
         return lo, hi
 
-    px_x0 = F.floor((sxmin - F.lit(dd.x0)) / F.lit(dd.dx))
-    px_x1 = F.floor((sxmax - F.lit(dd.x0)) / F.lit(dd.dx))
-    px_y0 = F.floor((F.lit(dd.y0) - symax) / F.lit(dd.dy))
-    px_y1 = F.floor((F.lit(dd.y0) - symin) / F.lit(dd.dy))
+    halo = 1 if method == "bilinear" else 0  # 4-neighborhood needs 1 px
+    px_x0 = F.floor((sxmin - F.lit(dd.x0)) / F.lit(dd.dx)) - F.lit(halo)
+    px_x1 = F.floor((sxmax - F.lit(dd.x0)) / F.lit(dd.dx)) + F.lit(halo)
+    px_y0 = F.floor((F.lit(dd.y0) - symax) / F.lit(dd.dy)) - F.lit(halo)
+    px_y1 = F.floor((F.lit(dd.y0) - symin) / F.lit(dd.dy)) + F.lit(halo)
     sty_lo, sty_hi = _tile_range(px_y0, px_y1, dd.ntiles_y)
     stx_lo, stx_hi = _tile_range(px_x0, px_x1, dd.ntiles_x)
     pair_df = (
@@ -168,18 +221,22 @@ def warp_tiles(
 
     def gather(key, pdf: pd.DataFrame) -> pd.DataFrame:
         t, dty, dtx = int(key[0]), int(key[1]), int(key[2])
-        dh, dw = dst_spec.tile_shape(dty, dtx)
         lat, lon = dst_spec.pixel_centers(dty, dtx)
         sx, sy = proj.transform(dst_spec.crs, src_spec.crs, lon, lat)
-        gx = np.floor((sx - src_spec.x0) / src_spec.dx).astype(np.int64)
-        gy = np.floor((src_spec.y0 - sy) / src_spec.dy).astype(np.int64)
-        out = np.full((dh, dw), np.nan, dtype=np.float32)
+        # mosaic-first: paste the contributing source tiles into one
+        # local window so bilinear 4-neighborhoods spanning tile borders
+        # resolve without inter-row coordination
+        oy = min(int(r.ty) for r in pdf.itertuples(index=False)) * tile
+        ox = min(int(r.tx) for r in pdf.itertuples(index=False)) * tile
+        ey = max(int(r.ty) * tile + int(r.h) for r in pdf.itertuples(index=False))
+        ex = max(int(r.tx) * tile + int(r.w) for r in pdf.itertuples(index=False))
+        mosaic = np.full((ey - oy, ex - ox), np.nan, dtype=np.float32)
         for row in pdf.itertuples(index=False):
             blk = np.frombuffer(row.block, dtype=np.float32).reshape(row.h, row.w)
-            oy, ox = int(row.ty) * tile, int(row.tx) * tile
-            ly, lx = gy - oy, gx - ox
-            sel = (ly >= 0) & (ly < row.h) & (lx >= 0) & (lx < row.w)
-            out[sel] = blk[ly[sel], lx[sel]]
+            y, x = int(row.ty) * tile - oy, int(row.tx) * tile - ox
+            mosaic[y : y + row.h, x : x + row.w] = blk
+        out = _sample_grid(mosaic, (oy, ox), src_spec, sx, sy, method)
+        dh, dw = out.shape
         return pd.DataFrame(
             [(var, t, dty, dtx, 0, out.tobytes(), dh, dw)],
             columns=["var", "t", "ty", "tx", "cell", "block", "h", "w"],
