@@ -21,6 +21,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))  # defensive
 
 from collections.abc import Callable
 
+import numpy as np
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -137,6 +138,29 @@ def q_tile_zonal_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     tiles = synthetic_tiles(spark, SPEC)
     ztiles = rasterize_zones(spark, SPEC, ZONE_LAYER)
     return tile_zonal_statistics(tiles, ztiles).orderBy("zone")
+
+
+def q_render_stretch_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SURVEY §2 F5/F6/S8 (render core): the StretchedRenderer's palette
+    INDICES — the image content; PNG encode is packaging — histogrammed
+    over the synthetic grid through the production `_indices` path
+    (trunc-toward-zero × factor, clip), with an exact integer oracle."""
+    from trefoil_spark.functions.color import Color
+    from trefoil_spark.raster.render import StretchedRenderer
+    from trefoil_spark.raster.window_ops import tile_histogram
+
+    renderer = StretchedRenderer(
+        [(0.0, Color(0, 0, 0)), (999.0, Color(255, 255, 255))],
+        colorspace="rgb",
+        palette_size=90,
+    )
+    tiles = synthetic_tiles(spark, SPEC)
+    hist = tile_histogram(
+        tiles, transform=lambda blk: renderer._indices(blk).astype(np.float64)
+    )
+    return hist.select(
+        F.col("value").cast("bigint").alias("palette_idx"), "count"
+    ).orderBy("palette_idx")
 
 
 def q_albers_zone_area(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -716,6 +740,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tile_zonal_stats": q_tile_zonal_stats,
         "masked_zonal_stats": q_masked_zonal_stats,
         "albers_zone_area": q_albers_zone_area,
+        "render_stretch_hist": q_render_stretch_hist,
         "autocrop_window": q_autocrop_window,
         "tile_delta_hist": q_tile_delta_hist,
         "describe": q_describe,
@@ -805,6 +830,17 @@ def oracle_sql() -> dict[str, str]:
         "tile_zonal_stats": _tile_zonal_oracle(),
         "masked_zonal_stats": _tile_zonal_oracle(masked=True),
         "albers_zone_area": _albers_area_oracle(),
+        "render_stretch_hist": f"""
+            WITH {_pixel_cte()},
+            ix AS (
+                SELECT LEAST(GREATEST(CAST(FLOOR(COALESCE(v, CAST(0 AS DOUBLE))
+                       * CAST({89.0 / 999.0!r} AS DOUBLE)) AS BIGINT), 0), 89)
+                       AS palette_idx
+                FROM geo
+            )
+            SELECT palette_idx, COUNT(*) AS count
+            FROM ix GROUP BY palette_idx ORDER BY palette_idx
+        """,
         "autocrop_window": _autocrop_oracle(),
         "tile_delta_hist": f"""
             WITH px AS (
