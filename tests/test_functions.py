@@ -93,3 +93,28 @@ def test_zonal_csv_layout(spark, tmp_path, sf_dir):
     # reference layout: filename, variable, zone lead the stat columns
     assert back.columns[:3] == ["filename", "variable", "zone"]
     assert back.count() == stats.count()
+
+
+def test_detect_geo_dims_and_interval():
+    """F21 heuristic parity (reference describe.py:10-26,95-105)."""
+    from trefoil_spark.sources.ingest import detect_geo_dims, get_interval
+
+    # bare common names
+    d = detect_geo_dims(["time", "lat", "lon"], dim_sizes={"time": 12})
+    assert d == {"x": "lon", "y": "lat", "time": "time"}
+    # standard_name wins over unrecognized bare names
+    d = detect_geo_dims(
+        ["t", "rlat", "rlon"],
+        standard_names={"rlat": "grid_latitude", "rlon": "grid_longitude",
+                        "t": "time"},
+        dim_sizes={"t": 4},
+    )
+    assert d == {"x": "rlon", "y": "rlat", "time": "t"}
+    # single-step time is NOT a time dimension (reference :104)
+    d = detect_geo_dims(["time", "y", "x"], dim_sizes={"time": 1})
+    assert d["time"] is None and d["x"] == "x" and d["y"] == "y"
+
+    assert get_interval([0.0, 0.5, 1.0, 1.5]) == 0.5
+    assert get_interval([3.0, 2.0, 1.0]) == 1.0  # descending → abs
+    assert get_interval([0.0, 1.0, 3.0]) is None
+    assert get_interval([7.0]) is None

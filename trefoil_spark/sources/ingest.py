@@ -150,3 +150,53 @@ def describe_tiles(tiles: DataFrame, spec: GridSpec | None = None) -> dict:
             "tile": spec.tile,
         }
     return out
+
+
+# --- F21: geo-dimension heuristic (reference describe.py:10-16,95-105) ---
+
+X_DIMENSION_STANDARD_NAMES = ("longitude", "grid_longitude", "projection_x_coordinate")
+X_DIMENSION_COMMON_NAMES = ("longitude", "lon", "long", "x")
+Y_DIMENSION_STANDARD_NAMES = ("latitude", "grid_latitude", "projection_y_coordinate")
+Y_DIMENSION_COMMON_NAMES = ("latitude", "lat", "y")
+TIME_DIMENSION_STANDARD_NAMES = ("time",)
+TIME_DIMENSION_COMMON_NAMES = ("time", "year", "years")
+
+
+def detect_geo_dims(
+    dims: list[str],
+    standard_names: dict[str, str] | None = None,
+    dim_sizes: dict[str, int] | None = None,
+) -> dict:
+    """Classify dimension/column names into x / y / time roles.
+
+    Reference semantics (describe.py:95-105): the CF ``standard_name``
+    attribute wins over the bare name; a time dimension only counts when
+    it has more than one step. ``standard_names`` maps dim → its CF
+    standard_name (metadata, when available); ``dim_sizes`` gates the
+    time rule."""
+    standard_names = standard_names or {}
+    dim_sizes = dim_sizes or {}
+    out = {"x": None, "y": None, "time": None}
+    for name in dims:
+        std = standard_names.get(name)
+        if std in X_DIMENSION_STANDARD_NAMES or name in X_DIMENSION_COMMON_NAMES:
+            out["x"] = name
+        elif std in Y_DIMENSION_STANDARD_NAMES or name in Y_DIMENSION_COMMON_NAMES:
+            out["y"] = name
+        elif std in TIME_DIMENSION_STANDARD_NAMES or name in TIME_DIMENSION_COMMON_NAMES:
+            if dim_sizes.get(name, 2) > 1:
+                out["time"] = name
+    return out
+
+
+def get_interval(data) -> float | None:
+    """Uniform-spacing detector (reference describe.py:19-26): the single
+    unique consecutive delta, else None."""
+    import numpy as np
+
+    data = np.asarray(data)
+    if data.shape[0] > 1:
+        uniq = np.unique(data[1:] - data[:-1])
+        if uniq.shape[0] == 1:
+            return float(abs(uniq[0]))
+    return None
