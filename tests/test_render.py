@@ -138,3 +138,28 @@ def test_render_tiles_distributed(spark):
         idx, pal, trans = decode_palette_png(bytes(row["png"]))
         assert idx.shape == (256, 256)
         assert trans == pal.shape[0] - 1
+
+
+def test_render_image_png_scale_flip():
+    """F11: flip_y + integer nearest upscale through the full PNG path."""
+    import numpy as np
+
+    from trefoil_spark.functions.color import Color
+    from trefoil_spark.functions.png import decode_palette_png
+    from trefoil_spark.raster.render import UniqueValuesRenderer, render_image_png
+
+    r = UniqueValuesRenderer([(1, Color(255, 0, 0)), (2, Color(0, 255, 0))])
+    data = np.array([[1.0, 2.0], [2.0, np.nan]])
+    base_idx, _, _ = decode_palette_png(render_image_png(r, data))
+
+    up, _, _ = decode_palette_png(render_image_png(r, data, scale=3))
+    assert up.shape == (6, 6)
+    assert np.array_equal(up, np.repeat(np.repeat(base_idx, 3, 0), 3, 1))
+
+    fl, _, _ = decode_palette_png(render_image_png(r, data, flip_y=True))
+    assert np.array_equal(fl, base_idx[::-1])
+
+    import pytest
+
+    with pytest.raises(ValueError, match="scale"):
+        render_image_png(r, data, scale=0)

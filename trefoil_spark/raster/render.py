@@ -227,3 +227,34 @@ def render_tiles(tiles: DataFrame, renderer: RasterRenderer) -> DataFrame:
             yield pd.DataFrame(rows, columns=["var", "t", "ty", "tx", "png"])
 
     return tiles.mapInPandas(gen, schema=RENDERED_SCHEMA)
+
+
+def render_image_png(
+    renderer: RasterRenderer,
+    data: np.ndarray,
+    scale: int = 1,
+    flip_y: bool = False,
+) -> bytes:
+    """F11 — the reference's render_image surface
+    (cli/utilities.py:16-34): optional y-flip + integer upscale + PNG.
+
+    The reference resizes the RENDERED image with PIL LANCZOS; PIL is
+    absent and Lanczos on a paletted image resamples *palette indices*
+    through the RGB composite, so the stand-in is nearest (np.repeat on
+    the index grid) — crisp and palette-faithful; LANCZOS stays a
+    declared non-goal (SURVEY §7.3)."""
+    if scale < 1 or int(scale) != scale:
+        raise ValueError("scale must be a positive integer")
+    if flip_y:
+        data = data[::-1]
+    idx = renderer._indices(data)
+    background_index = renderer.palette.shape[0]
+    idx = np.where(renderer._mask(data), background_index, idx).astype(np.uint8)
+    if scale != 1:
+        idx = np.repeat(np.repeat(idx, scale, axis=0), scale, axis=1)
+    pal = np.vstack([
+        renderer.palette[..., :3],
+        np.array(renderer.background_color.to_tuple()[:3], dtype=np.uint8),
+    ])
+    transparent = background_index if renderer.background_color.alpha == 0 else None
+    return encode_palette_png(idx, pal, transparent)
