@@ -71,3 +71,35 @@ def test_legend_elements_and_strip():
     idx, palette, _ = decode_palette_png(png)
     assert idx.shape == (12, 8)
     assert list(idx[:, 0]) == [0] * 4 + [1] * 4 + [2] * 4
+
+
+def test_font_and_legend_image():
+    """F12 end-to-end: patches, ticks, and rasterized labels land in the
+    composited PNG at the right indices."""
+    import numpy as np
+
+    from trefoil_spark.functions.font5x7 import glyph, render_text
+    from trefoil_spark.functions.format import legend_image_png
+    from trefoil_spark.functions.png import decode_palette_png
+    from trefoil_spark.raster.render import UniqueValuesRenderer
+
+    # font sanity: every glyph is 7x5; '1' has its stem in the middle col
+    g = glyph("1")
+    assert g.shape == (7, 5) and g[3, 2]
+    t = render_text("a-1")
+    assert t.shape == (7, 5 * 3 + 2)
+
+    r = UniqueValuesRenderer(
+        [(1, Color(255, 0, 0)), (2, Color(0, 255, 0)), (3, Color(0, 0, 255))],
+        labels=["low", "mid", "high"],
+    )
+    png = legend_image_png(r)
+    idx, palette, transparent = decode_palette_png(png)
+    n = 3
+    # patch pixels carry entry indices, in order, top to bottom
+    patch_rows = [idx[i * 16 + 2, 2] for i in range(n)]
+    assert patch_rows == [0, 1, 2]
+    # text pixels exist and use the text index (n+1)
+    assert (idx == n + 1).sum() > 20
+    # background is the transparent index
+    assert transparent == n + 2 and idx[0, -1] == n + 2

@@ -85,3 +85,48 @@ def legend_strip_png(renderer, width: int = 20, patch_height: int = 16) -> bytes
     img = np.broadcast_to(idx, (n * patch_height, width))
     palette = [c.to_tuple()[:3] for c in colors]
     return encode_palette_png(np.ascontiguousarray(img), palette)
+
+
+def legend_image_png(
+    renderer,
+    patch_width: int = 20,
+    patch_height: int = 12,
+    padding: int = 4,
+    label_gap: int = 8,
+) -> bytes:
+    """F12 CLOSED: the full legend image — color patches + tick lines +
+    rasterized text labels — composited like the reference's
+    LegendElement.to_image/composite_elements (legend.py:30-78), but
+    with the engine's own 5×7 bitmap font and PNG encoder instead of
+    PIL/TrueType. Palette layout: [entry colors..., tick grey, text
+    black, background]; background is transparent."""
+    from .font5x7 import GLYPH_H, render_text
+
+    els = legend_elements(renderer)
+    labels = [e["label"] for e in els]
+    texts = [render_text(l) for l in labels]
+    text_w = max((t.shape[1] for t in texts), default=0)
+
+    n = len(els)
+    tick_idx, text_idx, bg_idx = n, n + 1, n + 2
+    row_h = max(patch_height, GLYPH_H) + padding
+    height = row_h * n - padding if n else 1
+    width = patch_width + 2 + label_gap + text_w
+
+    canvas = np.full((max(height, 1), max(width, 1)), bg_idx, dtype=np.uint8)
+    for i, (e, txt) in enumerate(zip(els, texts)):
+        y0 = i * row_h
+        canvas[y0 : y0 + patch_height, 0:patch_width] = i
+        ty = y0 + patch_height // 2
+        canvas[ty, patch_width : patch_width + 2 + label_gap // 2] = tick_idx
+        gy = y0 + max((patch_height - GLYPH_H) // 2, 0)
+        gx = patch_width + 2 + label_gap
+        h, w = txt.shape
+        region = canvas[gy : gy + h, gx : gx + w]
+        region[txt[: region.shape[0], : region.shape[1]]] = text_idx
+
+    colors = [c.to_tuple()[:3] for _v, c in renderer.colormap]
+    palette = np.array(
+        colors + [(150, 150, 150), (0, 0, 0), (255, 255, 255)], dtype=np.uint8
+    )
+    return encode_palette_png(canvas, palette, transparent_index=bg_idx)
