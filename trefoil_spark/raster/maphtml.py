@@ -95,32 +95,56 @@ def write_map_preview(
     spec,
     renderer,
     variable: str = "synth",
+    max_frames: int = 64,
 ) -> str:
     """End-to-end preview: render each timestep to <var>_<t>.png, write
-    the legend image and index.html. Returns the index.html path."""
+    the legend image and index.html. Returns the index.html path.
+
+    Driver-safety: nothing unbounded is collected. The prepass is a
+    per-timestep tile COUNT (≤ one row per timestep, capped by
+    ``max_frames``); single-tile frames collect exactly one PNG each, and
+    multi-tile frames go through ``stitch_window``, which enforces its
+    own ``max_pixels`` guard — an oversized tile table raises instead of
+    OOMing the driver."""
+    from pyspark.sql import functions as F
+
     from ..functions.format import legend_image_png
     from .render import render_tiles
+    from .window_ops import stitch_window
 
     os.makedirs(output_dir, exist_ok=True)
-    rendered = render_tiles(tiles, renderer).collect()
-    # assemble one PNG per timestep: single-tile grids write directly;
-    # multi-tile grids go through the stitched window export
+    # bounded prepass: one row per timestep
+    frames = sorted(
+        (int(r["t"]), int(r["n"]))
+        for r in tiles.groupBy("t").agg(F.count(F.lit(1)).alias("n"))
+        .limit(max_frames + 1).collect()
+    )
+    if len(frames) > max_frames:
+        raise ValueError(
+            f"write_map_preview: more than {max_frames} timesteps; "
+            "a preview page with that many ImageOverlays is not useful — "
+            "filter the tile table or raise max_frames explicitly"
+        )
+    single = [t for t, n in frames if n == 1]
     layers: dict[str, str] = {}
-    by_t: dict[int, list] = {}
-    for r in rendered:
-        by_t.setdefault(int(r["t"]), []).append(r)
-    for t, rows in sorted(by_t.items()):
+    if single:
+        rendered = render_tiles(
+            tiles.filter(F.col("t").isin(single)), renderer
+        ).collect()  # bounded: one PNG per single-tile frame
+        for r in rendered:
+            name = f"{variable}_{int(r['t'])}.png"
+            with open(os.path.join(output_dir, name), "wb") as f:
+                f.write(bytes(r["png"]))
+            layers[f"t={int(r['t'])}"] = name
+    for t, n in frames:
+        if n == 1:
+            continue
+        # stitch via the max_pixels-guarded dense-array export, then
+        # render the full frame once
         name = f"{variable}_{t}.png"
-        if len(rows) == 1:
-            with open(os.path.join(output_dir, name), "wb") as f:
-                f.write(bytes(rows[0]["png"]))
-        else:
-            # stitch via the dense-array export + re-render full frame
-            from .window_ops import stitch_window
-
-            arr = stitch_window(tiles.filter(tiles["t"] == t), spec, spec.bbox, t=t)
-            with open(os.path.join(output_dir, name), "wb") as f:
-                f.write(renderer.render_png(arr.astype(float)))
+        arr = stitch_window(tiles.filter(tiles["t"] == t), spec, spec.bbox, t=t)
+        with open(os.path.join(output_dir, name), "wb") as f:
+            f.write(renderer.render_png(arr.astype(float)))
         layers[f"t={t}"] = name
 
     legend_name = f"{variable}_legend.png"

@@ -310,21 +310,35 @@ def connected_components(
         )
 
     prev_sig = None
+    converged = False
     # localCheckpoint per round: truncates the logical plan, which would
     # otherwise grow exponentially (each round references the previous
     # plan several times) — persist alone does not cap plan size.
     cur = e.localCheckpoint(eager=True)
     for _ in range(max_rounds):
         nxt = _small_star(_large_star(cur)).localCheckpoint(eager=True)
+        # fixpoint signature: edge count + TWO independent order-
+        # insensitive checksums (u,v and v,u hash differently), so a
+        # same-count collision between different edge sets needs a
+        # simultaneous 128-bit collision. bit_xor, not SUM: ANSI mode
+        # overflows BIGINT on summed hashes.
         stat = nxt.agg(
             F.count(F.lit(1)).alias("n"),
             F.expr("bit_xor(xxhash64(u, v))").alias("chk"),
+            F.expr("bit_xor(xxhash64(v, u))").alias("chk2"),
         ).collect()[0]
-        sig = (stat["n"], stat["chk"])
+        sig = (stat["n"], stat["chk"], stat["chk2"])
         cur = nxt
         if sig == prev_sig:
+            converged = True
             break
         prev_sig = sig
+    if not converged:
+        raise RuntimeError(
+            f"connected_components: no fixpoint after {max_rounds} rounds "
+            f"(last signature {prev_sig}); raise max_rounds — returning a "
+            "partial mapping would silently merge/split components"
+        )
     # star state: every edge is (member, root)
     members = cur.select(F.col("u").alias("node"), F.col("v").alias("global_id"))
     roots = cur.select(F.col("v").alias("node"), F.col("v").alias("global_id")).distinct()
@@ -344,8 +358,11 @@ def merge_components(vec: DataFrame) -> DataFrame:
     """
     # the per-tile vectorize stage is the expensive producer and feeds
     # three consumers (edge build, CC sizing, final join) — materialize it
-    # once instead of recomputing the mapInPandas pass per action
-    vec = vec.persist()
+    # once instead of recomputing the mapInPandas pass per action.
+    # localCheckpoint (not persist): truncates lineage AND releases its
+    # blocks when this DataFrame is GC'd, so a long-lived session doesn't
+    # accumulate pinned caches merge_components has no hook to unpersist.
+    vec = vec.localCheckpoint(eager=True)
     keyed = vec.select(
         "class", "ty", "tx", "local_id",
         F.concat_ws("_", "class", "ty", "tx", "local_id").alias("node"),
@@ -378,8 +395,12 @@ def merge_components(vec: DataFrame) -> DataFrame:
     edges = v_edges.unionByName(h_edges)
     map_df = connected_components(edges)
 
+    # no broadcast hint on the mapping: for speckled rasters the border-
+    # component mapping can exceed the broadcast limit / driver memory at
+    # exactly the scale the distributed CC targets — let AQE pick
+    # (it still broadcasts when the mapping measures small at runtime)
     return (
-        keyed.join(F.broadcast(map_df), "node", "left")
+        keyed.join(map_df, "node", "left")
         .withColumn("global_id", F.coalesce("global_id", "node"))
         .join(vec, ["class", "ty", "tx", "local_id"])
         .select("class", "global_id", "ty", "tx", "rings", "pixel_count")

@@ -131,6 +131,8 @@ def write_geotiff(
         else:
             e.append(ext_offset + len(ext))
             ext.extend(raw)
+            if len(ext) % 2:  # TIFF 6.0: values must begin on a word boundary
+                ext.append(0)
     data_offset = ext_offset + len(ext)
 
     # patch strip offsets now that data_offset is known
