@@ -75,17 +75,40 @@ def test_data_window_and_autocrop(spark):
         full[oy : oy + r["h"], ox : ox + r["w"]] = _blk(r)
     want = full[top : SPEC.height - bottom, left : SPEC.width - right]
 
+    # cropped tiles live on new_spec's OWN lattice: a consumer computing
+    # a tile's offset as ty*tile against new_spec must reassemble the
+    # exact crop (ADVICE r2: the old re-keying displaced unaligned tiles)
     got = np.full(want.shape, np.nan, dtype=np.float32)
-    crows = cropped.collect()
-    t0y = window.y_slice.start // SPEC.tile
-    t0x = window.x_slice.start // SPEC.tile
-    for r in crows:
-        gy = (r["ty"] + t0y) * SPEC.tile
-        gx = (r["tx"] + t0x) * SPEC.tile
-        oy = max(gy, top) - top
-        ox = max(gx, left) - left
+    seen = set()
+    for r in cropped.collect():
+        key = (r["ty"], r["tx"])
+        assert key not in seen, f"duplicate tile {key} on the new lattice"
+        seen.add(key)
+        assert (r["h"], r["w"]) == new_spec.tile_shape(r["ty"], r["tx"])
+        oy, ox = r["ty"] * new_spec.tile, r["tx"] * new_spec.tile
         got[oy : oy + r["h"], ox : ox + r["w"]] = _blk(r)
     assert np.array_equal(got, want, equal_nan=True)
+
+
+def test_autocrop_aligned_window_fast_path(spark):
+    """Tile-aligned windows take the shuffle-free path and still land on
+    the new lattice."""
+    from trefoil_spark.raster.autocrop import _retile
+
+    tiles = synthetic_tiles(spark, SPEC)
+    tile = SPEC.tile
+    y0, y1, x0, x1 = 0, SPEC.height, tile, SPEC.width  # x-aligned crop
+    new_spec = GridSpec(
+        crs=SPEC.crs, x0=SPEC.x0 + x0 * SPEC.dx, y0=SPEC.y0,
+        dx=SPEC.dx, dy=SPEC.dy, width=x1 - x0, height=y1 - y0, tile=tile,
+    )
+    out = _retile(tiles, tiles, y0, y1, x0, x1, new_spec)
+    # shuffle-free: no grouped-paste (FlatMapGroupsInPandas) in the plan
+    assert "FlatMapGroupsInPandas" not in out._jdf.queryExecution().toString()
+    rows = {(r["ty"], r["tx"]): r for r in out.collect()}
+    assert set(rows) == {(0, 0)}
+    want = block_values(SPEC, 0, 0, 1)
+    assert np.array_equal(_blk(rows[(0, 0)]), want, equal_nan=True)
 
 
 def test_autocrop_no_data_raises(spark):
