@@ -83,3 +83,32 @@ def test_ivf_probe_validation(spark, sf_dir):
     cents = train_ivf_centroids(emb, n_centroids=4)
     with pytest.raises(ValueError, match="n_probe"):
         ivf_ann_topk(emb, emb.limit(1), k=3, centroids=cents, n_probe=9)
+
+
+def test_ivf_assign_linear_at_k256(spark):
+    """The argmin expression is linear-size: at K=256 it must (a) agree
+    with numpy's argmin (ties→smallest k) and (b) have O(K) expression
+    text — the r2 CASE/LEAST chain was O(K²·dim) text, which blows the
+    analyzer and costs K² distance evaluations per row long before
+    K=256 (higher-order functions are interpreted, so text size IS the
+    per-row cost)."""
+    from trefoil_spark.operators.similarity import ivf_assign_expr
+
+    rng = np.random.default_rng(3)
+    dim, K, n = 16, 256, 200
+    cents = rng.standard_normal((K, dim)).round(6)
+    vecs = rng.standard_normal((n, dim)).round(6)
+    want = (((vecs[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)).argmin(axis=1)
+
+    df = spark.createDataFrame(
+        [(i, [float(v) for v in vecs[i]]) for i in range(n)],
+        "vec_id int, embedding array<double>",
+    )
+    out = df.selectExpr("vec_id", f"{ivf_assign_expr('embedding', cents)} AS l")
+    got = {r["vec_id"]: r["l"] for r in out.collect()}
+    assert [got[i] for i in range(n)] == [int(w) for w in want]
+
+    # linear text: 16x the centroids ⇒ ~16x the expression, not 256x
+    len16 = len(ivf_assign_expr("embedding", cents[:16]))
+    len256 = len(ivf_assign_expr("embedding", cents))
+    assert len256 < 20 * len16
