@@ -1,9 +1,17 @@
 """Closed-form coordinate transforms (pyproj absent — from scratch).
 
-Supported CRS: EPSG:4326 (lon/lat degrees, WGS84) and EPSG:3857
-(spherical Web Mercator), plus a local equirectangular helper. This is the
-declared v1 projection surface (SURVEY.md F20); the full proj database is
-out of scope.
+Supported CRS (SURVEY.md F20): EPSG:4326 (lon/lat degrees, WGS84),
+EPSG:3857 (spherical Web Mercator), ellipsoidal Albers Equal-Area
+(+proj=aea, this module), and — via :mod:`.projections` (Snyder closed
+forms, three backends: numpy / Catalyst / SQL text) — Lambert Conformal
+Conic (+proj=lcc), Transverse Mercator (+proj=tmerc, +proj=utm), Polar
+Stereographic (+proj=stere), and Lambert Azimuthal Equal-Area
+(+proj=laea). This matches the reference's CRS family surface
+(/root/reference/trefoil/netcdf/crs.py:44-106); the full proj database
+stays out of scope.
+
+Any supported pair transforms: non-geographic↔non-geographic composes
+through EPSG:4326 (same route pyproj takes without datum shifts).
 
 All functions are numpy-vectorized and are used both driver-side (bbox
 math) and inside Arrow-batched pandas UDFs (warp gather), never per-row.
@@ -12,6 +20,8 @@ math) and inside Arrow-batched pandas UDFs (warp gather), never per-row.
 from __future__ import annotations
 
 import numpy as np
+
+from . import projections as _pj
 
 EARTH_RADIUS = 6378137.0  # WGS84 semi-major, spherical mercator convention
 WEBMERC_MAX = np.pi * EARTH_RADIUS  # ±20037508.342789244
@@ -30,16 +40,28 @@ _ALIASES = {
 }
 
 
+_PROJ4_FAMILIES = ("aea", "lcc", "tmerc", "utm", "stere", "laea")
+
+
 def normalize_crs(crs: str) -> str:
     key = crs.strip().lower()
-    if key.startswith("+proj=aea"):
-        return crs.strip()  # aea proj4 strings are their own canonical form
+    for fam in _PROJ4_FAMILIES:
+        if key.startswith(f"+proj={fam}"):
+            return crs.strip()  # proj4 strings are their own canonical form
     for alias, canon in _ALIASES.items():
         if key.startswith(alias):
             return canon
     raise ValueError(
-        f"Unsupported CRS: {crs!r} (supported: EPSG:4326, EPSG:3857, +proj=aea)"
+        f"Unsupported CRS: {crs!r} (supported: EPSG:4326, EPSG:3857, "
+        f"and +proj={{{','.join(_PROJ4_FAMILIES)}}})"
     )
+
+
+def _family(canon: str) -> str | None:
+    """Projection family of a canonical CRS string, None for 4326/3857."""
+    if canon.startswith("+proj="):
+        return canon.split()[0][len("+proj="):]
+    return None
 
 
 def same_crs(a: str, b: str) -> bool:
@@ -67,53 +89,129 @@ def webmercator_to_lonlat(x, y):
     return lon, lat
 
 
+def _from_geographic(canon: str, lon, lat):
+    """(lon, lat) degrees → canonical CRS coords, numpy."""
+    if canon == "EPSG:4326":
+        return np.asarray(lon, dtype=np.float64), np.asarray(lat, dtype=np.float64)
+    if canon == "EPSG:3857":
+        return lonlat_to_webmercator(lon, lat)
+    if _family(canon) == "aea":
+        return aea_forward(canon, lon, lat)
+    return _pj.forward(_pj.NP, canon, lon, lat)
+
+
+def _to_geographic(canon: str, x, y):
+    """Canonical CRS coords → (lon, lat) degrees, numpy."""
+    if canon == "EPSG:4326":
+        return np.asarray(x, dtype=np.float64), np.asarray(y, dtype=np.float64)
+    if canon == "EPSG:3857":
+        return webmercator_to_lonlat(x, y)
+    if _family(canon) == "aea":
+        return aea_inverse(canon, x, y)
+    return _pj.inverse(_pj.NP, canon, x, y)
+
+
 def transform(src_crs: str, dst_crs: str, x, y):
-    """Vectorized transform between supported CRS."""
+    """Vectorized transform between supported CRS (projected↔projected
+    composes through EPSG:4326)."""
     s, d = normalize_crs(src_crs), normalize_crs(dst_crs)
     if s == d:
         return np.asarray(x, dtype=np.float64), np.asarray(y, dtype=np.float64)
-    if s == "EPSG:4326" and d == "EPSG:3857":
-        return lonlat_to_webmercator(x, y)
-    if s == "EPSG:3857" and d == "EPSG:4326":
-        return webmercator_to_lonlat(x, y)
-    if s == "EPSG:4326" and d.startswith("+proj=aea"):
-        return aea_forward(d, x, y)
-    if s.startswith("+proj=aea") and d == "EPSG:4326":
-        return aea_inverse(s, x, y)
-    if s.startswith("+proj=aea") or d.startswith("+proj=aea"):
-        # via geographic
-        lon, lat = transform(s, "EPSG:4326", x, y)
-        return transform("EPSG:4326", d, lon, lat)
-    raise ValueError(f"Unsupported transform {src_crs} -> {dst_crs}")
+    lon, lat = _to_geographic(s, x, y)
+    return _from_geographic(d, lon, lat)
 
 
 def transform_cols(src_crs: str, dst_crs: str, x, y):
     """Catalyst-expression twin of :func:`transform` (same closed-form
     math, JVM-side). Returns ``(x_col, y_col)``; used to generate
     distributed grid math (e.g. warp tile-cover enumeration) without any
-    driver-side loops."""
+    driver-side loops. Composes through EPSG:4326 like transform()."""
     from pyspark.sql import functions as F
 
     s, d = normalize_crs(src_crs), normalize_crs(dst_crs)
     x, y = F.col(x) if isinstance(x, str) else x, F.col(y) if isinstance(y, str) else y
     if s == d:
         return x.cast("double"), y.cast("double")
-    if s == "EPSG:4326" and d == "EPSG:3857":
-        lat = F.least(F.greatest(y, F.lit(-MAX_LAT)), F.lit(MAX_LAT))
-        return (
-            F.radians(x) * F.lit(EARTH_RADIUS),
-            F.log(F.tan(F.lit(np.pi / 4.0) + F.radians(lat) / 2)) * F.lit(EARTH_RADIUS),
-        )
-    if s == "EPSG:3857" and d == "EPSG:4326":
-        return (
-            F.degrees(x / F.lit(EARTH_RADIUS)),
-            F.degrees(F.atan(F.exp(y / F.lit(EARTH_RADIUS))) * 2 - F.lit(np.pi / 2.0)),
-        )
-    if s == "EPSG:4326" and d.startswith("+proj=aea"):
-        return aea_forward_cols(d, x, y)
-    if s.startswith("+proj=aea") and d == "EPSG:4326":
-        return aea_inverse_cols(s, x, y)
-    raise ValueError(f"Unsupported transform {src_crs} -> {dst_crs}")
+
+    def to_geo(canon, cx, cy):
+        if canon == "EPSG:4326":
+            return cx.cast("double"), cy.cast("double")
+        if canon == "EPSG:3857":
+            return (
+                F.degrees(cx / F.lit(EARTH_RADIUS)),
+                F.degrees(F.atan(F.exp(cy / F.lit(EARTH_RADIUS))) * 2 - F.lit(np.pi / 2.0)),
+            )
+        if _family(canon) == "aea":
+            return aea_inverse_cols(canon, cx, cy)
+        return _pj.inverse(_pj.COL(), canon, cx, cy)
+
+    def from_geo(canon, lon, lat):
+        if canon == "EPSG:4326":
+            return lon, lat
+        if canon == "EPSG:3857":
+            lat_c = F.least(F.greatest(lat, F.lit(-MAX_LAT)), F.lit(MAX_LAT))
+            return (
+                F.radians(lon) * F.lit(EARTH_RADIUS),
+                F.log(F.tan(F.lit(np.pi / 4.0) + F.radians(lat_c) / 2))
+                * F.lit(EARTH_RADIUS),
+            )
+        if _family(canon) == "aea":
+            return aea_forward_cols(canon, lon, lat)
+        return _pj.forward(_pj.COL(), canon, lon, lat)
+
+    lon, lat = to_geo(s, x, y)
+    return from_geo(d, lon, lat)
+
+
+def transform_sql(src_crs: str, dst_crs: str, x_sql: str, y_sql: str) -> tuple[str, str]:
+    """Engine-portable SQL-text twin of :func:`transform` (valid in both
+    Spark SQL and DuckDB) — used to generate correctness-oracle SQL for
+    warp queries in projected CRS. aea is not routed here (its oracles
+    use the dedicated authalic-area SQL)."""
+    s, d = normalize_crs(src_crs), normalize_crs(dst_crs)
+    be = _pj.SQL
+    xs, ys = be.asval(x_sql), be.asval(y_sql)
+    if s == d:
+        return str(xs), str(ys)
+
+    def to_geo(canon, cx, cy):
+        if canon == "EPSG:4326":
+            return cx, cy
+        if canon == "EPSG:3857":
+            R = be.lit(EARTH_RADIUS)
+            lon = (cx / R) * be.lit(180.0 / np.pi)
+            lat = (be.lit(2.0) * be.atan(_sql_exp(cy / R)) - be.lit(np.pi / 2.0)) * be.lit(180.0 / np.pi)
+            return lon, lat
+        if _family(canon) == "aea":
+            raise ValueError("transform_sql: aea not supported")
+        return _pj.inverse(be, canon, cx, cy)
+
+    def from_geo(canon, lon, lat):
+        if canon == "EPSG:4326":
+            return lon, lat
+        if canon == "EPSG:3857":
+            R = be.lit(EARTH_RADIUS)
+            rad = be.lit(np.pi / 180.0)
+            lat_c = be.where(
+                lat > be.lit(MAX_LAT), be.lit(MAX_LAT),
+                be.where(lat < be.lit(-MAX_LAT), be.lit(-MAX_LAT), lat),
+            )
+            x = lon * rad * R
+            y = be.log(be.tan(be.lit(np.pi / 4.0) + lat_c * rad / be.lit(2.0))) * R
+            return x, y
+        if _family(canon) == "aea":
+            raise ValueError("transform_sql: aea not supported")
+        return _pj.forward(be, canon, lon, lat)
+
+    lon, lat = to_geo(s, xs, ys)
+    ox, oy = from_geo(d, lon, lat)
+    return str(ox), str(oy)
+
+
+def _sql_exp(x):
+    from .projections import SqlE, _se
+
+    return SqlE(f"EXP({_se(x).s})")
 
 
 # ---------------------------------------------------------------------------
