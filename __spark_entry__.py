@@ -46,6 +46,48 @@ BREAKS = equal_interval_breaks(0.0, 999.0, 5)
 QUERY_BBOX = BBox((-122.3, 33.1, -115.7, 36.9), "EPSG:4326")
 _DST_SPEC = GridSpec.from_bbox(REGION.project("EPSG:3857"), width=1024, height=512)
 
+# F20 warp targets: a Lambert Conformal Conic grid covering the fixture
+# region (corners projected once, deterministically, with our own Snyder
+# forward) and the 2× mode-downsample grid
+_LCC_CRS = "+proj=lcc +lat_1=33 +lat_2=37 +lat_0=32 +lon_0=-119 +ellps=WGS84"
+
+
+def _make_lcc_spec() -> GridSpec:
+    from trefoil_spark.grid import proj as _proj
+
+    xs, ys = _proj.transform(
+        "EPSG:4326", _LCC_CRS,
+        np.array([-125.0, -113.0, -125.0, -113.0, -119.0]),
+        np.array([32.0, 32.0, 38.0, 38.0, 38.0]),
+    )
+    return GridSpec(
+        x0=float(xs.min()), y0=float(ys.max()),
+        dx=(float(xs.max()) - float(xs.min())) / 1024.0,
+        dy=(float(ys.max()) - float(ys.min())) / 512.0,
+        width=1024, height=512, crs=_LCC_CRS,
+    )
+
+
+_LCC_SPEC = _make_lcc_spec()
+_PNG_MD5_FIXTURE = (
+    (0, 0, '5691af84f8a565f292a209d45042f3e8'),
+    (0, 1, '032ed547d8acccfb07e873eea56586f4'),
+    (0, 2, '9ff53dd345d18960f521d06e22628ae1'),
+    (0, 3, '82b9a6c74b3b11584ab1b32326677f72'),
+    (1, 0, 'f9e720aa7baa4c44ef7c3cc087c9eb1f'),
+    (1, 1, '7aaefbb29621f9a81c56f09e44a4fc48'),
+    (1, 2, '1e39041e5871e5450e1b715a8841b3b9'),
+    (1, 3, '0a470b5018e6bbdcb6fc0da1c0b314b7'),
+)  # regenerate: python tools/freeze_png_md5.py (spark-free numpy path)
+_MODE_DST_SPEC = GridSpec.from_bbox(REGION, width=512, height=256)
+# bilinear dst grid: width 1000 (not 1024) ON PURPOSE — the dyadic
+# 1024-wide grid puts every dst column exactly on a src half-pixel, i.e.
+# floor(gx-0.5) sits ON a knife edge where a 1-ulp engine difference
+# (DuckDB fuses x0+(x+0.5)*dx into an FMA) flips the gather; with
+# 1024/1000 = 128/125, (2x+1)*128/125 = k+1/2 has no integer solution,
+# so every fx is provably bounded away from the flip boundary
+_BILIN_DST_SPEC = GridSpec.from_bbox(REGION.project("EPSG:3857"), width=1000, height=500)
+
 
 # ---------------------------------------------------------------------------
 # shared helpers
@@ -510,16 +552,11 @@ def q_lag_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def q_warp_3857(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SURVEY §2 R1/J6: nearest-neighbor warp 4326→3857 (template-domain
-    join + inverse-mapping gather), reduced to per-tile sum/count."""
+def _reduce_warp_sum_count(warped: DataFrame) -> DataFrame:
+    """Per-tile (sum, count) over non-NaN pixels — exact for the
+    integer-valued synth fixture, so the hash gate holds."""
     import numpy as np
     import pandas as pd
-
-    from trefoil_spark.raster.warp import warp_tiles
-
-    tiles = synthetic_tiles(spark, SPEC)
-    warped = warp_tiles(spark, tiles, SPEC, _DST_SPEC)
 
     def reduce_tiles(batches):
         for pdf in batches:
@@ -532,6 +569,127 @@ def q_warp_3857(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     return warped.mapInPandas(
         reduce_tiles, schema="ty int, tx int, sum double, count bigint"
+    ).orderBy("ty", "tx")
+
+
+def q_warp_3857(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SURVEY §2 R1/J6: nearest-neighbor warp 4326→3857 (template-domain
+    join + inverse-mapping gather), reduced to per-tile sum/count."""
+    from trefoil_spark.raster.warp import warp_tiles
+
+    tiles = synthetic_tiles(spark, SPEC)
+    return _reduce_warp_sum_count(warp_tiles(spark, tiles, SPEC, _DST_SPEC))
+
+
+def q_warp_lcc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SURVEY §2 R1/F20 breadth: nearest warp into a Lambert Conformal
+    Conic destination grid — the Catalyst corner math runs the Snyder lcc
+    inverse (8-point sampling + slack, non-separable pair), the gather
+    kernel its numpy twin; the DuckDB oracle recomputes the whole gather
+    through the SQL-text backend (grid/projections.py)."""
+    from trefoil_spark.raster.warp import warp_tiles
+
+    tiles = synthetic_tiles(spark, SPEC)
+    return _reduce_warp_sum_count(warp_tiles(spark, tiles, SPEC, _LCC_SPEC))
+
+
+def q_warp_bilinear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SURVEY §2 R1 kernel surface: BILINEAR warp 4326→3857 (mosaic
+    gather, 1px halo, NaN-propagating), reduced to per-tile
+    (Σ floor(v), count) — exact integers, order-free, so the DuckDB
+    bilinear recompute hash-matches."""
+    import numpy as np
+    import pandas as pd
+
+    from trefoil_spark.raster.warp import warp_tiles
+
+    tiles = synthetic_tiles(spark, SPEC)
+    warped = warp_tiles(spark, tiles, SPEC, _BILIN_DST_SPEC, method="bilinear")
+
+    def reduce_tiles(batches):
+        for pdf in batches:
+            rows = []
+            for row in pdf.itertuples(index=False):
+                v = np.frombuffer(row.block, dtype=np.float32)
+                ok = ~np.isnan(v)
+                rows.append(
+                    (int(row.ty), int(row.tx),
+                     int(np.floor(v[ok]).astype(np.int64).sum()), int(ok.sum()))
+                )
+            yield pd.DataFrame(rows, columns=["ty", "tx", "floor_sum", "count"])
+
+    return warped.mapInPandas(
+        reduce_tiles, schema="ty int, tx int, floor_sum bigint, count bigint"
+    ).orderBy("ty", "tx")
+
+
+def q_warp_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SURVEY §2 R1 kernel surface: MODE (majority-vote) resampling of a
+    CLASSIFIED grid downsampled 2× — per-class pixel counts of the
+    warped grid; ties break to the smallest class, nodata doesn't vote.
+    All-integer logic, so the oracle is float-risk-free."""
+    import numpy as np
+    import pandas as pd
+
+    from trefoil_spark.raster.warp import warp_tiles
+
+    tiles = _classified_tiles(spark)
+    warped = warp_tiles(spark, tiles, SPEC, _MODE_DST_SPEC, method="mode")
+
+    def hist(batches):
+        for pdf in batches:
+            rows = []
+            for row in pdf.itertuples(index=False):
+                v = np.frombuffer(row.block, dtype=np.float32)
+                vals, counts = np.unique(v[~np.isnan(v)], return_counts=True)
+                rows.extend((int(c), int(n)) for c, n in zip(vals, counts))
+            yield pd.DataFrame(rows, columns=["cls", "n"])
+
+    return (
+        warped.mapInPandas(hist, schema="cls bigint, n bigint")
+        .groupBy("cls").agg(F.sum("n").alias("n")).orderBy("cls")
+    )
+
+
+def _classified_tiles(spark: SparkSession) -> DataFrame:
+    """Synth tiles classified by the shared BREAKS rule (float32 class
+    ids, NaN preserved) — the categorical-warp fixture."""
+    import numpy as np
+    import pandas as pd
+
+    def classify(batches):
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                blk = np.frombuffer(r.block, dtype=np.float32).reshape(r.h, r.w)
+                cls = classify_block(blk, BREAKS).astype(np.float32)
+                cls[np.isnan(blk)] = np.nan
+                rows.append((r.var, r.t, r.ty, r.tx, r.cell, cls.tobytes(), r.h, r.w))
+            yield pd.DataFrame(
+                rows, columns=["var", "t", "ty", "tx", "cell", "block", "h", "w"]
+            )
+
+    return synthetic_tiles(spark, SPEC).mapInPandas(
+        classify,
+        schema="var string, t int, ty int, tx int, cell bigint, block binary, h int, w int",
+    )
+
+
+def q_png_stability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SURVEY §2 F10/S8 byte-stability: md5 of every rendered tile PNG vs
+    a frozen-literal oracle — locks the own-zlib encoder's byte output
+    into the driver gate (any encoder drift breaks the hash)."""
+    from trefoil_spark.functions.color import Color
+    from trefoil_spark.raster.render import StretchedRenderer, render_tiles
+
+    renderer = StretchedRenderer(
+        [(0.0, Color(0, 0, 0)), (999.0, Color(255, 255, 255))],
+        colorspace="rgb",
+        palette_size=90,
+    )
+    rendered = render_tiles(synthetic_tiles(spark, SPEC), renderer)
+    return rendered.select(
+        "ty", "tx", F.md5("png").alias("png_md5")
     ).orderBy("ty", "tx")
 
 
@@ -763,6 +921,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "regression": q_regression,
         "lag_intervals": q_lag_intervals,
         "warp_3857": q_warp_3857,
+        "warp_lcc": q_warp_lcc,
+        "warp_bilinear": q_warp_bilinear,
+        "warp_mode": q_warp_mode,
+        "png_stability": q_png_stability,
         "vectorize": q_vectorize,
         "salted_agg": q_salted_agg,
         "streaming_interval": q_streaming_interval,
@@ -932,6 +1094,10 @@ def oracle_sql() -> dict[str, str]:
         """,
         "regression": _regression_oracle(),
         "warp_3857": _warp_oracle(),
+        "warp_lcc": _warp_lcc_oracle(),
+        "warp_bilinear": _warp_bilinear_oracle(),
+        "warp_mode": _warp_mode_oracle(),
+        "png_stability": _png_stability_oracle(),
         "area_timeseries": """
             SELECT event_type,
                    CAST(FLOOR(epoch(ts) / 86400) AS BIGINT) AS day,
@@ -1320,6 +1486,150 @@ def _warp_oracle() -> str:
         )
         SELECT ty, tx, CAST(SUM(val) AS DOUBLE) AS sum, COUNT(val) AS count
         FROM v GROUP BY ty, tx ORDER BY ty, tx
+    """
+
+
+def _warp_lcc_oracle() -> str:
+    """Full inverse-LCC gather recompute in DuckDB through the SQL-text
+    backend (grid/projections.py) — the same Snyder formula the numpy
+    kernel and the Catalyst corner math evaluate."""
+    from trefoil_spark.grid import proj as _proj
+
+    d, s = _LCC_SPEC, SPEC
+
+    def dbl(v):
+        return f"CAST({float(v)!r} AS DOUBLE)"
+
+    slon, slat = _proj.transform_sql(_LCC_CRS, "EPSG:4326", "mx", "my")
+    n = d.width * d.height
+    return f"""
+        WITH px AS (
+            SELECT CAST(i // {d.width} AS BIGINT) AS y,
+                   CAST(i % {d.width} AS BIGINT) AS x
+            FROM (SELECT UNNEST(range({n})) AS i)
+        ), m AS (
+            SELECT y, x,
+                   {dbl(d.x0)} + (CAST(x AS DOUBLE) + CAST(0.5 AS DOUBLE)) * {dbl(d.dx)} AS mx,
+                   {dbl(d.y0)} - (CAST(y AS DOUBLE) + CAST(0.5 AS DOUBLE)) * {dbl(d.dy)} AS my
+            FROM px
+        ), geo AS (
+            SELECT y, x, {slon} AS slon, {slat} AS slat FROM m
+        ), idx AS (
+            SELECT y, x,
+                   CAST(FLOOR((slon - {dbl(s.x0)}) / {dbl(s.dx)}) AS BIGINT) AS six,
+                   CAST(FLOOR(({dbl(s.y0)} - slat) / {dbl(s.dy)}) AS BIGINT) AS siy
+            FROM geo
+        ), v AS (
+            SELECT CAST(y // {d.tile} AS INT) AS ty, CAST(x // {d.tile} AS INT) AS tx,
+                   CASE WHEN six >= 0 AND six < {s.width} AND siy >= 0 AND siy < {s.height}
+                        THEN {value_sql('siy', 'six')} END AS val
+            FROM idx
+        )
+        SELECT ty, tx, CAST(SUM(val) AS DOUBLE) AS sum, COUNT(val) AS count
+        FROM v GROUP BY ty, tx ORDER BY ty, tx
+    """
+
+
+def _warp_bilinear_oracle() -> str:
+    """Bilinear gather recompute in DuckDB: identical inverse-mercator,
+    identical left-associated weight arithmetic, NULL-propagating
+    contributors, float32 rounding via CAST(REAL) — reduced to exact
+    integers (Σ floor, count)."""
+    from trefoil_spark.grid import proj as _proj
+
+    d, s = _BILIN_DST_SPEC, SPEC
+
+    def dbl(v):
+        return f"CAST({float(v)!r} AS DOUBLE)"
+
+    slon, slat = _proj.transform_sql("EPSG:3857", "EPSG:4326", "mx", "my")
+    n = d.width * d.height
+    w_, h_ = s.width, s.height
+    return f"""
+        WITH px AS (
+            SELECT CAST(i // {d.width} AS BIGINT) AS y,
+                   CAST(i % {d.width} AS BIGINT) AS x
+            FROM (SELECT UNNEST(range({n})) AS i)
+        ), m AS (
+            SELECT y, x,
+                   {dbl(d.x0)} + (CAST(x AS DOUBLE) + CAST(0.5 AS DOUBLE)) * {dbl(d.dx)} AS mx,
+                   {dbl(d.y0)} - (CAST(y AS DOUBLE) + CAST(0.5 AS DOUBLE)) * {dbl(d.dy)} AS my
+            FROM px
+        ), g AS (
+            SELECT y, x,
+                   ({slon} - {dbl(s.x0)}) / {dbl(s.dx)} AS gx,
+                   ({dbl(s.y0)} - {slat}) / {dbl(s.dy)} AS gy
+            FROM m
+        ), f AS (
+            SELECT y, x, gx, gy,
+                   gx - CAST(0.5 AS DOUBLE) AS fx,
+                   gy - CAST(0.5 AS DOUBLE) AS fy
+            FROM g
+        ), wgt AS (
+            SELECT y, x, gx, gy,
+                   fx - FLOOR(fx) AS wx, fy - FLOOR(fy) AS wy,
+                   CAST(LEAST(GREATEST(FLOOR(fx), 0), {w_ - 1}) AS BIGINT) AS xa,
+                   CAST(LEAST(GREATEST(FLOOR(fx) + 1, 0), {w_ - 1}) AS BIGINT) AS xb,
+                   CAST(LEAST(GREATEST(FLOOR(fy), 0), {h_ - 1}) AS BIGINT) AS ya,
+                   CAST(LEAST(GREATEST(FLOOR(fy) + 1, 0), {h_ - 1}) AS BIGINT) AS yb
+            FROM f
+        ), v AS (
+            SELECT CAST(y // {d.tile} AS INT) AS ty, CAST(x // {d.tile} AS INT) AS tx,
+                   CASE WHEN gx >= 0 AND gx < {w_} AND gy >= 0 AND gy < {h_} THEN
+                     CAST((
+                         (({value_sql('ya', 'xa')} * (CAST(1 AS DOUBLE) - wy)) * (CAST(1 AS DOUBLE) - wx))
+                       + (({value_sql('ya', 'xb')} * (CAST(1 AS DOUBLE) - wy)) * wx)
+                       + (({value_sql('yb', 'xa')} * wy) * (CAST(1 AS DOUBLE) - wx))
+                       + (({value_sql('yb', 'xb')} * wy) * wx)
+                     ) AS REAL)
+                   END AS vf
+            FROM wgt
+        )
+        SELECT ty, tx,
+               CAST(SUM(CAST(FLOOR(CAST(vf AS DOUBLE)) AS BIGINT)) AS BIGINT) AS floor_sum,
+               COUNT(vf) AS count
+        FROM v GROUP BY ty, tx ORDER BY ty, tx
+    """
+
+
+def _warp_mode_oracle() -> str:
+    """Majority-vote (ties → smallest class, nodata doesn't vote) over
+    each dst pixel's exact 2×2 source box — pure integer SQL."""
+    d = _MODE_DST_SPEC
+    n = d.width * d.height
+    cls = classify_sql(value_sql("sy", "sx"), BREAKS)
+    return f"""
+        WITH dpx AS (
+            SELECT CAST(i // {d.width} AS BIGINT) AS y,
+                   CAST(i % {d.width} AS BIGINT) AS x
+            FROM (SELECT UNNEST(range({n})) AS i)
+        ), cand AS (
+            SELECT y, x, 2*y + ky AS sy, 2*x + kx AS sx
+            FROM dpx, (VALUES (0, 0), (0, 1), (1, 0), (1, 1)) AS k(ky, kx)
+        ), cl AS (
+            SELECT y, x, {cls} AS cls FROM cand
+        ), counts AS (
+            SELECT y, x, cls, COUNT(*) AS cnt
+            FROM cl WHERE cls IS NOT NULL GROUP BY y, x, cls
+        ), pick AS (
+            SELECT y, x, cls,
+                   ROW_NUMBER() OVER (PARTITION BY y, x ORDER BY cnt DESC, cls ASC) AS rn
+            FROM counts
+        )
+        SELECT CAST(cls AS BIGINT) AS cls, COUNT(*) AS n
+        FROM pick WHERE rn = 1 GROUP BY cls ORDER BY cls
+    """
+
+
+def _png_stability_oracle() -> str:
+    """Frozen-literal PNG md5s (sf-independent: the render fixture is the
+    synthetic SPEC grid). Regenerate with tools/freeze_png_md5.py if the
+    renderer fixture ever changes INTENTIONALLY."""
+    rows = ", ".join(f"({ty}, {tx}, '{h}')" for ty, tx, h in _PNG_MD5_FIXTURE)
+    return f"""
+        SELECT CAST(ty AS INT) AS ty, CAST(tx AS INT) AS tx, png_md5
+        FROM (VALUES {rows}) AS t(ty, tx, png_md5)
+        ORDER BY ty, tx
     """
 
 

@@ -335,3 +335,105 @@ def test_warp_tiles_bilinear_matches_numpy(spark):
     # nodata propagated: the synth scatter mask produces NaNs in output
     assert any(np.isnan(np.frombuffer(r["block"], dtype=np.float32)).any()
                for r in got.values())
+
+
+def test_warp_mode_majority_and_ties():
+    """Mode downsample 2x: each dst pixel = majority class of its 2x2
+    box; ties break to the SMALLEST class; all-nodata boxes → NaN;
+    nodata candidates don't vote."""
+    from trefoil_spark.raster.warp import warp_tile_numpy
+
+    spec = GridSpec.from_bbox(BBox((0.0, 0.0, 8.0, 8.0), "EPSG:4326"), 8, 8, tile=8)
+    dst = GridSpec.from_bbox(BBox((0.0, 0.0, 8.0, 8.0), "EPSG:4326"), 4, 4, tile=4)
+    src = np.zeros((8, 8), dtype=np.float32)
+    src[0:2, 0:2] = [[1, 1], [1, 2]]        # majority 1
+    src[0:2, 2:4] = [[3, 4], [4, 3]]        # tie 3/4 → 3
+    src[0:2, 4:6] = [[np.nan, np.nan], [np.nan, 7]]  # single voter 7
+    src[0:2, 6:8] = np.nan                  # no voters → NaN
+    out = warp_tile_numpy(src, spec, dst, 0, 0, method="mode")
+    assert out.shape == (4, 4)
+    assert out[0, 0] == 1 and out[0, 1] == 3 and out[0, 2] == 7
+    assert np.isnan(out[0, 3])
+    assert (out[1:] == 0).all()
+
+
+def test_warp_tiles_mode_matches_numpy(spark):
+    """Distributed mode warp equals the full-array kernel on a
+    classified grid downsampled 2x (the categorical use case)."""
+    from trefoil_spark.raster.classify import classify_block, equal_interval_breaks
+    from trefoil_spark.raster.synth import block_values, synthetic_tiles
+    from trefoil_spark.raster.warp import warp_tile_numpy, warp_tiles
+
+    src_spec = GridSpec.from_bbox(
+        BBox((-125.0, 32.0, -113.0, 38.0), "EPSG:4326"), 512, 256
+    )
+    dst_spec = GridSpec.from_bbox(src_spec.bbox, 256, 128)
+    breaks = equal_interval_breaks(0.0, 999.0, 5)
+
+    import pandas as pd
+
+    def classify(batches):
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                blk = np.frombuffer(r.block, dtype=np.float32).reshape(r.h, r.w)
+                cls = classify_block(blk, breaks).astype(np.float32)
+                cls[np.isnan(blk)] = np.nan
+                rows.append((r.var, r.t, r.ty, r.tx, r.cell, cls.tobytes(), r.h, r.w))
+            yield pd.DataFrame(rows, columns=["var", "t", "ty", "tx", "cell", "block", "h", "w"])
+
+    tiles = synthetic_tiles(spark, src_spec).mapInPandas(
+        classify, schema="var string, t int, ty int, tx int, cell bigint, block binary, h int, w int"
+    )
+    got = {(r["ty"], r["tx"]): r for r in
+           warp_tiles(spark, tiles, src_spec, dst_spec, method="mode").collect()}
+    assert len(got) == 1
+
+    full = np.full((src_spec.height, src_spec.width), np.nan, dtype=np.float32)
+    for ty in range(src_spec.ntiles_y):
+        for tx in range(src_spec.ntiles_x):
+            b = block_values(src_spec, 0, ty, tx)
+            c = classify_block(b, breaks).astype(np.float32)
+            c[np.isnan(b)] = np.nan
+            full[ty * 256 : ty * 256 + b.shape[0], tx * 256 : tx * 256 + b.shape[1]] = c
+    want = warp_tile_numpy(full, src_spec, dst_spec, 0, 0, method="mode")
+    blk = np.frombuffer(got[(0, 0)]["block"], dtype=np.float32).reshape(128, 256)
+    assert np.array_equal(blk, want, equal_nan=True)
+
+
+def test_warp_tiles_lcc_matches_numpy(spark):
+    """Distributed warp into a Lambert Conformal Conic destination grid
+    (the F20 breadth path: Catalyst corner math runs the lcc inverse,
+    the gather kernel the numpy twin) equals the full-array kernel."""
+    from trefoil_spark.grid import proj
+    from trefoil_spark.raster.synth import block_values, synthetic_tiles
+    from trefoil_spark.raster.warp import warp_tile_numpy, warp_tiles
+
+    src_spec = GridSpec.from_bbox(
+        BBox((-125.0, 32.0, -113.0, 38.0), "EPSG:4326"), 512, 256
+    )
+    lcc = "+proj=lcc +lat_1=33 +lat_2=37 +lat_0=32 +lon_0=-119 +ellps=WGS84"
+    # dst grid: project the region corners, take the covering box
+    xs, ys = proj.transform("EPSG:4326", lcc,
+                            np.array([-125.0, -113.0, -125.0, -113.0, -119.0]),
+                            np.array([32.0, 32.0, 38.0, 38.0, 38.0]))
+    dst_spec = GridSpec(
+        x0=float(xs.min()), y0=float(ys.max()),
+        dx=float(xs.max() - xs.min()) / 512.0, dy=float(ys.max() - ys.min()) / 256.0,
+        width=512, height=256, crs=lcc,
+    )
+    tiles = synthetic_tiles(spark, src_spec)
+    got = {(r["ty"], r["tx"]): r for r in
+           warp_tiles(spark, tiles, src_spec, dst_spec).collect()}
+    assert len(got) == 2
+
+    full = np.full((src_spec.height, src_spec.width), np.nan, dtype=np.float32)
+    for ty in range(src_spec.ntiles_y):
+        for tx in range(src_spec.ntiles_x):
+            b = block_values(src_spec, 0, ty, tx)
+            full[ty * 256 : ty * 256 + b.shape[0], tx * 256 : tx * 256 + b.shape[1]] = b
+    for (ty, tx), row in got.items():
+        blk = np.frombuffer(row["block"], dtype=np.float32).reshape(row["h"], row["w"])
+        want = warp_tile_numpy(full, src_spec, dst_spec, ty, tx)
+        assert np.array_equal(blk, want, equal_nan=True), (ty, tx)
+        assert np.isfinite(blk).any()

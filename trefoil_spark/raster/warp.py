@@ -62,6 +62,8 @@ def _sample_grid(
         (gx >= 0) & (gx < src_spec.width) & (gy >= 0) & (gy < src_spec.height)
     )
     out = np.full(sx.shape, np.nan, dtype=np.float32)
+    if method == "mode":
+        raise ValueError("mode resampling goes through sample_tile (needs pixel boxes)")
     if method == "nearest":
         ix = np.clip(np.floor(gx).astype(np.int64) - ox, 0, w - 1)
         iy = np.clip(np.floor(gy).astype(np.int64) - oy, 0, h - 1)
@@ -93,6 +95,112 @@ def _sample_grid(
     return out
 
 
+MODE_MAX_KERNEL = 64  # candidate cap per dst pixel (box_h × box_w)
+
+
+def _mode_ranges(edges: np.ndarray, g0: float, d: float, n: int):
+    """Candidate src index range per dst pixel along one axis: src pixel
+    centers (i+0.5) falling inside the dst pixel's box [lo, hi). Empty
+    boxes (upsampling) degrade to the box center's containing cell."""
+    g = (edges - g0) / d
+    lo = np.minimum(g[:-1], g[1:])
+    hi = np.maximum(g[:-1], g[1:])
+    i0 = np.ceil(lo - 0.5).astype(np.int64)
+    i1 = np.ceil(hi - 0.5).astype(np.int64) - 1
+    empty = i1 < i0
+    mid = np.floor((lo + hi) / 2.0).astype(np.int64)
+    i0 = np.where(empty, mid, i0)
+    i1 = np.where(empty, mid, i1)
+    return i0, i1
+
+
+def _sample_grid_mode(
+    arr: np.ndarray,
+    origin: tuple[int, int],
+    src_spec: GridSpec,
+    sx_edges: np.ndarray,
+    sy_edges: np.ndarray,
+) -> np.ndarray:
+    """Majority-vote gather for CATEGORICAL warps (GDAL-style 'mode'):
+    each dst pixel takes the most frequent value among the source pixels
+    whose centers fall inside its footprint box; ties break to the
+    SMALLEST value (deterministic, engine-portable); candidates off the
+    source grid don't vote; no voters → nodata."""
+    oy, ox = origin
+    h, w = arr.shape
+    cx0, cx1 = _mode_ranges(sx_edges, src_spec.x0, src_spec.dx, src_spec.width)
+    ry0, ry1 = _mode_ranges(sy_edges, src_spec.y0, -src_spec.dy, src_spec.height)
+    max_ky = int((ry1 - ry0).max()) + 1
+    max_kx = int((cx1 - cx0).max()) + 1
+    if max_ky * max_kx > MODE_MAX_KERNEL:
+        raise ValueError(
+            f"mode kernel {max_ky}x{max_kx} exceeds {MODE_MAX_KERNEL} "
+            "candidates/pixel — aggregate-classify before warping this far down"
+        )
+    H, W = len(ry0), len(cx0)
+    stack = np.full((H, W, max_ky * max_kx), np.nan, dtype=np.float32)
+    for ky in range(max_ky):
+        cy = ry0 + ky  # (H,)
+        vy = (cy <= ry1) & (cy >= 0) & (cy < src_spec.height)
+        my = np.clip(cy - oy, 0, h - 1)
+        for kx in range(max_kx):
+            cx = cx0 + kx  # (W,)
+            vx = (cx <= cx1) & (cx >= 0) & (cx < src_spec.width)
+            mx = np.clip(cx - ox, 0, w - 1)
+            vals = arr[my[:, None], mx[None, :]].astype(np.float32)
+            valid = vy[:, None] & vx[None, :]
+            stack[:, :, ky * max_kx + kx] = np.where(valid, vals, np.nan)
+    s = np.sort(stack, axis=2)  # ascending, NaN last
+    counts = (s[:, :, :, None] == s[:, :, None, :]).sum(axis=3)
+    idx = counts.argmax(axis=2)  # first max = smallest value (sorted)
+    return np.take_along_axis(s, idx[:, :, None], axis=2)[:, :, 0]
+
+
+def sample_tile(
+    arr: np.ndarray,
+    origin: tuple[int, int],
+    src_spec: GridSpec,
+    dst_spec: GridSpec,
+    ty: int,
+    tx: int,
+    method: str,
+) -> np.ndarray:
+    """Gather one dst tile from a (partial) source mosaic — dispatches on
+    kernel: center-based (nearest/bilinear) or box-based (mode)."""
+    if method in ("nearest", "bilinear"):
+        lat, lon = dst_spec.pixel_centers(ty, tx)
+        sx, sy = proj.transform(dst_spec.crs, src_spec.crs, lon, lat)
+        return _sample_grid(arr, origin, src_spec, sx, sy, method)
+    if method != "mode":
+        raise ValueError("method must be 'nearest', 'bilinear' or 'mode'")
+    h, w = dst_spec.tile_shape(ty, tx)
+    ey = dst_spec.y0 - (ty * dst_spec.tile + np.arange(h + 1, dtype=np.float64)) * dst_spec.dy
+    ex = dst_spec.x0 + (tx * dst_spec.tile + np.arange(w + 1, dtype=np.float64)) * dst_spec.dx
+    # box edges must stay boxes: separable transforms only (the mode use
+    # case is categorical grid downsampling — same-CRS or 4326⇄3857)
+    if not _separable(dst_spec.crs, src_spec.crs):
+        raise ValueError(
+            "mode resampling requires a separable CRS pair "
+            "(same CRS or 4326<->3857); got "
+            f"{dst_spec.crs!r} -> {src_spec.crs!r}"
+        )
+    sx_e, _ = proj.transform(dst_spec.crs, src_spec.crs, ex, np.zeros_like(ex))
+    _, sy_e = proj.transform(dst_spec.crs, src_spec.crs, np.zeros_like(ey), ey)
+    return _sample_grid_mode(arr, origin, src_spec, sx_e, sy_e)
+
+
+def _separable(a: str, b: str) -> bool:
+    """x'=f(x), y'=g(y) transforms: identity and 4326⇄3857 — corners are
+    exact extremes and boxes map to boxes."""
+    if proj.same_crs(a, b):
+        return True
+    sep = {"EPSG:4326", "EPSG:3857"}
+    try:
+        return proj.normalize_crs(a) in sep and proj.normalize_crs(b) in sep
+    except ValueError:
+        return False
+
+
 def warp_tile_numpy(
     src: np.ndarray,
     src_spec: GridSpec,
@@ -103,9 +211,7 @@ def warp_tile_numpy(
 ) -> np.ndarray:
     """Single-process kernel: one dst tile gathered from a full src array
     (unit-test oracle + small-grid path)."""
-    lat, lon = dst_spec.pixel_centers(ty, tx)
-    sx, sy = proj.transform(dst_spec.crs, src_spec.crs, lon, lat)
-    return _sample_grid(src, (0, 0), src_spec, sx, sy, method)
+    return sample_tile(src, (0, 0), src_spec, dst_spec, ty, tx, method)
 
 
 def warp_tiles(
@@ -144,15 +250,11 @@ def warp_tiles(
     dy1 = dy0 - th * F.lit(ds.dy)
     # project the dst tile boundary to src CRS. For the separable
     # monotone pairs (4326⇄3857, identity) two opposite corners are
-    # EXACT extremes; for conic/azimuthal CRS (aea) extremes can sit on
-    # edges, so sample corners + edge midpoints and pad the tile range
-    # by one tile of slack (conservative cover: extra pairs only cost a
-    # few spurious join rows, the gather drops them).
-    def _sep(a: str, b: str) -> bool:
-        sep = {"EPSG:4326", "EPSG:3857"}
-        return proj.normalize_crs(a) in sep and proj.normalize_crs(b) in sep
-
-    separable = _sep(ds.crs, dd.crs)
+    # EXACT extremes; for conic/azimuthal CRS (aea/lcc/tmerc/stere/laea)
+    # extremes can sit on edges, so sample corners + edge midpoints and
+    # pad the tile range by one tile of slack (conservative cover: extra
+    # pairs only cost a few spurious join rows, the gather drops them).
+    separable = _separable(ds.crs, dd.crs)
     dxm = (dx0 + dx1) / 2
     dym = (dy0 + dy1) / 2
     pts = (
@@ -181,28 +283,40 @@ def warp_tiles(
         )
         return lo, hi
 
-    halo = 1 if method == "bilinear" else 0  # 4-neighborhood needs 1 px
+    halo = 1 if method in ("bilinear", "mode") else 0  # neighborhood px
     px_x0 = F.floor((sxmin - F.lit(dd.x0)) / F.lit(dd.dx)) - F.lit(halo)
     px_x1 = F.floor((sxmax - F.lit(dd.x0)) / F.lit(dd.dx)) + F.lit(halo)
     px_y0 = F.floor((F.lit(dd.y0) - symax) / F.lit(dd.dy)) - F.lit(halo)
     px_y1 = F.floor((F.lit(dd.y0) - symin) / F.lit(dd.dy)) + F.lit(halo)
     sty_lo, sty_hi = _tile_range(px_y0, px_y1, dd.ntiles_y)
     stx_lo, stx_hi = _tile_range(px_x0, px_x1, dd.ntiles_x)
+    # materialize the corner-math bounds BEFORE the explodes: a generator
+    # expression referencing the projection tree would re-evaluate the
+    # full corner math once per exploded row (measured +16% on warp_3857
+    # in r2); as named columns below the first Generate it runs once per
+    # dst tile
+    bounds = base.select(
+        "dty", "dtx",
+        sty_lo.alias("sty_lo"), sty_hi.alias("sty_hi"),
+        stx_lo.alias("stx_lo"), stx_hi.alias("stx_hi"),
+    )
     pair_df = (
-        base.withColumn(
+        bounds.withColumn(
             "sty",
             F.explode(
-                F.when(sty_lo <= sty_hi, F.sequence(sty_lo, sty_hi)).otherwise(
-                    F.array().cast("array<int>")
-                )
+                F.when(
+                    F.col("sty_lo") <= F.col("sty_hi"),
+                    F.sequence(F.col("sty_lo"), F.col("sty_hi")),
+                ).otherwise(F.array().cast("array<int>"))
             ),
         )
         .withColumn(
             "stx",
             F.explode(
-                F.when(stx_lo <= stx_hi, F.sequence(stx_lo, stx_hi)).otherwise(
-                    F.array().cast("array<int>")
-                )
+                F.when(
+                    F.col("stx_lo") <= F.col("stx_hi"),
+                    F.sequence(F.col("stx_lo"), F.col("stx_hi")),
+                ).otherwise(F.array().cast("array<int>"))
             ),
         )
         .select("dty", "dtx", "sty", "stx")
@@ -221,11 +335,9 @@ def warp_tiles(
 
     def gather(key, pdf: pd.DataFrame) -> pd.DataFrame:
         t, dty, dtx = int(key[0]), int(key[1]), int(key[2])
-        lat, lon = dst_spec.pixel_centers(dty, dtx)
-        sx, sy = proj.transform(dst_spec.crs, src_spec.crs, lon, lat)
         # mosaic-first: paste the contributing source tiles into one
-        # local window so bilinear 4-neighborhoods spanning tile borders
-        # resolve without inter-row coordination
+        # local window so bilinear/mode neighborhoods spanning tile
+        # borders resolve without inter-row coordination
         oy = min(int(r.ty) for r in pdf.itertuples(index=False)) * tile
         ox = min(int(r.tx) for r in pdf.itertuples(index=False)) * tile
         ey = max(int(r.ty) * tile + int(r.h) for r in pdf.itertuples(index=False))
@@ -235,7 +347,7 @@ def warp_tiles(
             blk = np.frombuffer(row.block, dtype=np.float32).reshape(row.h, row.w)
             y, x = int(row.ty) * tile - oy, int(row.tx) * tile - ox
             mosaic[y : y + row.h, x : x + row.w] = blk
-        out = _sample_grid(mosaic, (oy, ox), src_spec, sx, sy, method)
+        out = sample_tile(mosaic, (oy, ox), src_spec, dst_spec, dty, dtx, method)
         dh, dw = out.shape
         return pd.DataFrame(
             [(var, t, dty, dtx, 0, out.tobytes(), dh, dw)],
