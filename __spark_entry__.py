@@ -748,6 +748,88 @@ def q_pack_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_NC_H, _NC_W, _NC_T = 300, 520, 2  # partial tiles + record axis on purpose
+
+
+def q_nc_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SURVEY §2 S1/S2 at the FORMAT level: a classic NetCDF (CDF-1)
+    file — written by the own pure-python writer with ascending
+    latitudes, a record time axis, _FillValue nodata and CF coordinate
+    metadata — is ingested via header-only driver parse + per-tile
+    byte-range reads (the y-flip and fill masking run distributed),
+    reduced to exact per-(t,tile) sums."""
+    import os
+    import tempfile
+
+    import numpy as np
+    import pandas as pd
+
+    from trefoil_spark.sources.netcdf3 import ingest_netcdf3, write_netcdf3
+
+    h, w, nt = _NC_H, _NC_W, _NC_T
+    d = tempfile.mkdtemp(prefix="trefoil_nc_")
+    path = os.path.join(d, "grid.nc")
+    # grid row g (north-first) carries the synth fixture formula; the
+    # FILE stores ascending latitudes, i.e. file row fr = grid row
+    # h-1-fr — the ingest flip must undo this exactly
+    gy = np.arange(h, dtype=np.int64)[::-1][:, None]
+    gx = np.arange(w, dtype=np.int64)[None, :]
+    frames = []
+    for t in range(nt):
+        v = ((gy * 37 + gx * 17 + t * 101) % 1000).astype(np.float32)
+        v[np.broadcast_to((gy * 131 + gx * 7) % 97 == 0, v.shape)] = -9999.0
+        frames.append(v)
+    lats = 38.0 - (np.arange(h, dtype=np.float64)[::-1] + 0.5) * 0.01  # ascending
+    lons = -125.0 + (np.arange(w, dtype=np.float64) + 0.5) * 0.01
+    write_netcdf3(
+        path,
+        dims={"time": None, "lat": h, "lon": w},
+        variables={
+            "lat": (("lat",), {"standard_name": "latitude"}, lats),
+            "lon": (("lon",), {"standard_name": "longitude"}, lons),
+            "tmin": (("time", "lat", "lon"),
+                     {"_FillValue": np.float32(-9999.0)}, np.stack(frames)),
+        },
+        global_attrs={"Conventions": "CF-1.6"},
+    )
+    tiles, spec = ingest_netcdf3(spark, path, "tmin")
+
+    def reduce_tiles(batches):
+        for pdf in batches:
+            rows = []
+            for row in pdf.itertuples(index=False):
+                v = np.frombuffer(row.block, dtype=np.float32).astype(np.float64)
+                ok = ~np.isnan(v)
+                rows.append(
+                    (int(row.t), int(row.ty), int(row.tx),
+                     float(v[ok].sum()), int(ok.sum()))
+                )
+            yield pd.DataFrame(rows, columns=["t", "ty", "tx", "sum", "count"])
+
+    return tiles.mapInPandas(
+        reduce_tiles, schema="t int, ty int, tx int, sum double, count bigint"
+    ).orderBy("t", "ty", "tx")
+
+
+def _nc_ingest_oracle() -> str:
+    h, w, nt = _NC_H, _NC_W, _NC_T
+    return f"""
+        WITH px AS (
+            SELECT CAST(i // {h * w} AS BIGINT) AS t,
+                   CAST((i % {h * w}) // {w} AS BIGINT) AS y,
+                   CAST(i % {w} AS BIGINT) AS x
+            FROM (SELECT UNNEST(range({nt * h * w})) AS i)
+        ), v AS (
+            SELECT CAST(t AS INT) AS t,
+                   CAST(y // 256 AS INT) AS ty, CAST(x // 256 AS INT) AS tx,
+                   {value_sql('y', 'x', 't')} AS val
+            FROM px
+        )
+        SELECT t, ty, tx, CAST(SUM(val) AS DOUBLE) AS sum, COUNT(val) AS count
+        FROM v GROUP BY t, ty, tx ORDER BY t, ty, tx
+    """
+
+
 def q_quantile_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SURVEY §2 F4 (north-star quantile classification; absent in the
     reference — TODO at render_netcdf.py:181): rank-based quartile classes
@@ -925,6 +1007,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "warp_bilinear": q_warp_bilinear,
         "warp_mode": q_warp_mode,
         "png_stability": q_png_stability,
+        "nc_ingest": q_nc_ingest,
         "vectorize": q_vectorize,
         "salted_agg": q_salted_agg,
         "streaming_interval": q_streaming_interval,
@@ -1098,6 +1181,7 @@ def oracle_sql() -> dict[str, str]:
         "warp_bilinear": _warp_bilinear_oracle(),
         "warp_mode": _warp_mode_oracle(),
         "png_stability": _png_stability_oracle(),
+        "nc_ingest": _nc_ingest_oracle(),
         "area_timeseries": """
             SELECT event_type,
                    CAST(FLOOR(epoch(ts) / 86400) AS BIGINT) AS day,
