@@ -868,6 +868,37 @@ def q_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("cell")
 
 
+def q_pages_text_invariant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """North-rule per-row invariant: byte-identical extracted text per url
+    through every shuffle stage. The pages table (html binary payload)
+    rides a deliberately shuffle-heavy plan — hash repartition by the
+    skewed cell key, per-cell count aggregation, join back on cell — and
+    only THEN is the text re-extracted from the html bytes (tag strip)
+    and digested. The DuckDB oracle digests the pristine text column
+    directly: a single corrupted byte in any exchange, spill, or Arrow
+    batch breaks the md5 hash match."""
+    pages = build_pages(spark, sf_dir, with_html=True).select(
+        "doc_id", "url", "cell", "html"
+    )
+    shuffled = pages.repartition("cell")  # exchange 1 (skewed key)
+    counts = shuffled.groupBy("cell").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cell_rows")
+    )  # exchange 2 (partial+final agg)
+    back = shuffled.join(counts, "cell")  # exchange 3 (join both sides)
+    extracted = back.withColumn(
+        "page_text",
+        F.expr(
+            "regexp_extract(decode(html, 'UTF-8'),"
+            " '(?s)^<html><body>(.*)</body></html>$', 1)"
+        ),
+    )
+    return extracted.select(
+        "url",
+        F.md5(F.encode("page_text", "UTF-8")).alias("text_md5"),
+        "cell_rows",
+    ).orderBy("url")
+
+
 def q_streaming_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Structured Streaming tumbling-window agg (A5 analog) — drains the
     events table through a file-source stream. Output projected to exact
@@ -1010,6 +1041,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "nc_ingest": q_nc_ingest,
         "vectorize": q_vectorize,
         "salted_agg": q_salted_agg,
+        "pages_text_invariant": q_pages_text_invariant,
         "streaming_interval": q_streaming_interval,
         "streaming_dedup": q_streaming_dedup,
         "cf_360day": q_cf_360day,
@@ -1230,6 +1262,13 @@ def oracle_sql() -> dict[str, str]:
             SELECT cell, CAST(SUM(LENGTH(text)) AS DOUBLE) AS sum,
                    COUNT(*) AS count
             FROM pages GROUP BY cell ORDER BY cell
+        """,
+        "pages_text_invariant": f"""
+            WITH pages AS ({_PAGES_CTE}),
+            counts AS (SELECT cell, COUNT(*) AS cell_rows FROM pages GROUP BY cell)
+            SELECT url, md5(text) AS text_md5,
+                   CAST(cell_rows AS BIGINT) AS cell_rows
+            FROM pages JOIN counts USING (cell) ORDER BY url
         """,
         "vectorize": f"""
             WITH {_pixel_cte()},
