@@ -1,0 +1,177 @@
+"""F11 full surface: Lanczos resampling + baseline JPEG codec + truecolor
+PNG (reference render_image, cli/utilities.py:16-34 — PIL-free)."""
+
+import numpy as np
+import pytest
+
+from trefoil_spark.functions.jpeg import decode_jpeg, encode_jpeg, quality_tables
+from trefoil_spark.functions.png import decode_rgb_png, encode_rgb_png
+from trefoil_spark.functions.resample import resample_lanczos, resample_weights
+
+
+def _gradient(h, w):
+    yy, xx = np.mgrid[0:h, 0:w]
+    return np.stack(
+        [
+            xx * 255 // max(w - 1, 1),
+            yy * 255 // max(h - 1, 1),
+            (xx + yy) * 255 // max(w + h - 2, 1),
+        ],
+        axis=-1,
+    ).astype(np.uint8)
+
+
+class TestLanczos:
+    def test_identity_weights(self):
+        assert np.allclose(resample_weights(64, 64), np.eye(64), atol=1e-12)
+
+    def test_constant_preserved(self):
+        img = np.full((50, 70, 3), 173, np.uint8)
+        out = resample_lanczos(img, 23, 31)
+        assert out.shape == (23, 31, 3)
+        assert np.all(out == 173)
+
+    def test_linear_ramp_downscale(self):
+        ramp = np.tile(np.arange(100, dtype=np.float64), (10, 1))
+        down = resample_lanczos(ramp, 10, 50)
+        # away from edges a 2x box center sits at 2*o + 0.5
+        want = np.arange(10, 40) * 2 + 0.5
+        assert np.abs(down[5, 10:40] - want).max() < 1e-9
+
+    def test_upscale_interpolates(self):
+        ramp = np.tile(np.arange(10, dtype=np.float64) * 10, (4, 1))
+        up = resample_lanczos(ramp, 4, 40)
+        # monotone-ish in the interior, endpoints near original range
+        assert up[2, 2] < up[2, 20] < up[2, 37]
+
+    def test_uint8_clips(self):
+        img = np.zeros((8, 16), np.uint8)
+        img[:, 8:] = 255  # hard edge → ringing must clip, not wrap
+        out = resample_lanczos(img, 8, 8)
+        assert out.dtype == np.uint8
+
+    def test_weights_rows_normalized(self):
+        for n_in, n_out in [(100, 37), (37, 100), (256, 256), (5, 1)]:
+            w = resample_weights(n_in, n_out)
+            assert np.allclose(w.sum(axis=1), 1.0, atol=1e-12)
+
+
+class TestJpeg:
+    def test_markers(self):
+        b = encode_jpeg(_gradient(40, 56), 80)
+        assert b[:2] == b"\xff\xd8" and b[-2:] == b"\xff\xd9"
+        assert b[2:4] == b"\xff\xe0" and b[6:11] == b"JFIF\x00"
+
+    def test_roundtrip_psnr(self):
+        img = _gradient(120, 200)
+        dec = decode_jpeg(encode_jpeg(img, 90))
+        mse = ((dec.astype(float) - img.astype(float)) ** 2).mean()
+        assert 10 * np.log10(255**2 / mse) > 40
+
+    def test_quality_monotone_size(self):
+        img = _gradient(64, 64)
+        assert len(encode_jpeg(img, 10)) < len(encode_jpeg(img, 90))
+
+    def test_non_multiple_of_8(self):
+        img = _gradient(13, 21)
+        dec = decode_jpeg(encode_jpeg(img, 95))
+        assert dec.shape == (13, 21, 3)
+        assert np.abs(dec.astype(float) - img.astype(float)).mean() < 6
+
+    def test_grayscale_input(self):
+        g = np.tile(np.arange(64, dtype=np.uint8) * 4, (16, 1))
+        dec = decode_jpeg(encode_jpeg(g, 90))
+        assert dec.shape == (16, 64, 3)
+        # gray stays gray (channels nearly equal)
+        assert np.abs(dec[..., 0].astype(int) - dec[..., 1].astype(int)).max() <= 3
+
+    def test_noise_roundtrip_bounded(self):
+        rng = np.random.default_rng(7)
+        img = rng.integers(0, 256, (64, 64, 3), dtype=np.uint8)
+        dec = decode_jpeg(encode_jpeg(img, 95))
+        assert np.abs(dec.astype(float) - img.astype(float)).mean() < 10
+
+    def test_quality_tables_clip(self):
+        lq, cq = quality_tables(1)
+        assert lq.max() <= 255 and cq.max() <= 255
+        lq100, _ = quality_tables(100)
+        assert lq100.min() >= 1
+
+    def test_deterministic(self):
+        img = _gradient(32, 32)
+        assert encode_jpeg(img, 75) == encode_jpeg(img, 75)
+
+
+class TestTruecolorPng:
+    def test_rgb_roundtrip(self):
+        img = _gradient(20, 30)
+        assert np.array_equal(decode_rgb_png(encode_rgb_png(img)), img)
+
+    def test_rgba_roundtrip(self):
+        img = np.dstack([_gradient(20, 30), np.full((20, 30), 127, np.uint8)])
+        assert np.array_equal(decode_rgb_png(encode_rgb_png(img)), img)
+
+    def test_rejects_bad_shape(self):
+        with pytest.raises(ValueError):
+            encode_rgb_png(np.zeros((4, 4), np.uint8))
+
+
+class TestRenderImageBytes:
+    def _renderer(self):
+        from trefoil_spark.functions.color import Color
+        from trefoil_spark.raster.render import StretchedRenderer
+
+        return StretchedRenderer(
+            [(0.0, Color(0, 0, 0, 255)), (100.0, Color(255, 0, 0, 255))]
+        )
+
+    def test_palette_fast_path_identical(self):
+        from trefoil_spark.raster.render import render_image_bytes, render_image_png
+
+        r = self._renderer()
+        data = np.linspace(0, 100, 40 * 60).reshape(40, 60)
+        assert render_image_bytes(
+            r, data, scale=2, format="png", resampling="nearest"
+        ) == render_image_png(r, data, 2)
+
+    def test_lanczos_fractional_scale_png(self):
+        from trefoil_spark.raster.render import render_image_bytes
+
+        r = self._renderer()
+        data = np.linspace(0, 100, 40 * 60).reshape(40, 60)
+        img = decode_rgb_png(render_image_bytes(r, data, scale=2.5, format="png"))
+        assert img.shape == (100, 150, 4)
+
+    def test_jpg_decodes_close_to_composite(self):
+        from trefoil_spark.raster.render import render_image_bytes
+
+        r = self._renderer()
+        data = np.linspace(0, 100, 40 * 60).reshape(40, 60)
+        jpg = render_image_bytes(r, data, scale=1, format="jpg", quality=92)
+        dec = decode_jpeg(jpg)
+        # red ramp: red channel grows along the flattened gradient
+        assert dec.shape == (40, 60, 3)
+        assert dec[0, 0, 0] < 30 and dec[-1, -1, 0] > 225
+
+    def test_flip_y(self):
+        from trefoil_spark.raster.render import render_image_bytes
+
+        r = self._renderer()
+        data = np.linspace(0, 100, 20 * 20).reshape(20, 20)
+        up = decode_rgb_png(render_image_bytes(r, data, format="png", scale=1.5))
+        fl = decode_rgb_png(
+            render_image_bytes(r, data, format="png", scale=1.5, flip_y=True)
+        )
+        assert up[0, 0, 0] < fl[0, 0, 0]  # flipped starts at the hot end
+
+    def test_rejects_bad_args(self):
+        from trefoil_spark.raster.render import render_image_bytes
+
+        r = self._renderer()
+        data = np.zeros((8, 8))
+        with pytest.raises(ValueError):
+            render_image_bytes(r, data, format="webp")
+        with pytest.raises(ValueError):
+            render_image_bytes(r, data, resampling="cubic")
+        with pytest.raises(ValueError):
+            render_image_bytes(r, data, scale=0)

@@ -1,0 +1,450 @@
+"""Baseline JPEG (JFIF) encoder + decoder — pure numpy, from scratch.
+
+Closes the F11 `format='jpg'` tail (reference `trefoil/cli/utilities.py:
+16-34` saves rendered images through PIL; PIL is absent here, so this
+implements the public ITU-T T.81 baseline process directly):
+
+- encoder: RGB → BT.601 YCbCr, 8×8 FDCT (exact DCT-II matrix, vectorized
+  over all blocks), Annex-K quantization tables scaled by the IJG quality
+  formula, zigzag, DC differential + AC run-length, Annex-K Huffman
+  tables, byte-stuffed entropy stream, JFIF APP0/DQT/SOF0/DHT/SOS markers.
+  4:4:4 (no chroma subsampling — quality-first, matches the small
+  preview-artifact use).
+- decoder: the matching subset (baseline, 8-bit, interleaved, restart-
+  free) — used by the tests to round-trip without PIL, and by
+  ``trefoil_spark.raster.render`` for format sniffing.
+
+The reference writes *progressive* JPEG; baseline is the deliberate
+from-scratch subset (same pixels, different scan order) and is noted in
+SURVEY §7.3.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+# ---------------------------------------------------------------------------
+# tables (ITU-T T.81 Annex K — public spec)
+# ---------------------------------------------------------------------------
+
+QUANT_LUMA = np.array([
+    16, 11, 10, 16, 24, 40, 51, 61,
+    12, 12, 14, 19, 26, 58, 60, 55,
+    14, 13, 16, 24, 40, 57, 69, 56,
+    14, 17, 22, 29, 51, 87, 80, 62,
+    18, 22, 37, 56, 68, 109, 103, 77,
+    24, 35, 55, 64, 81, 104, 113, 92,
+    49, 64, 78, 87, 103, 121, 120, 101,
+    72, 92, 95, 98, 112, 100, 103, 99,
+], dtype=np.int64).reshape(8, 8)
+
+QUANT_CHROMA = np.array([
+    17, 18, 24, 47, 99, 99, 99, 99,
+    18, 21, 26, 66, 99, 99, 99, 99,
+    24, 26, 56, 99, 99, 99, 99, 99,
+    47, 66, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+], dtype=np.int64).reshape(8, 8)
+
+# zigzag: index z -> (row, col) scan order
+_Z = np.array([
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+], dtype=np.int64)
+
+# Annex K Huffman specs: (BITS counts per code length 1..16, HUFFVAL)
+DC_LUMA_SPEC = (
+    [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0],
+    list(range(12)),
+)
+DC_CHROMA_SPEC = (
+    [0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0],
+    list(range(12)),
+)
+AC_LUMA_SPEC = (
+    [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D],
+    [
+        0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12, 0x21, 0x31, 0x41,
+        0x06, 0x13, 0x51, 0x61, 0x07, 0x22, 0x71, 0x14, 0x32, 0x81, 0x91,
+        0xA1, 0x08, 0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0, 0x24,
+        0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16, 0x17, 0x18, 0x19, 0x1A,
+        0x25, 0x26, 0x27, 0x28, 0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38,
+        0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49, 0x4A, 0x53,
+        0x54, 0x55, 0x56, 0x57, 0x58, 0x59, 0x5A, 0x63, 0x64, 0x65, 0x66,
+        0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+        0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8A, 0x92, 0x93,
+        0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5,
+        0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6, 0xB7,
+        0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9,
+        0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1,
+        0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF1, 0xF2,
+        0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
+    ],
+)
+AC_CHROMA_SPEC = (
+    [0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 0x77],
+    [
+        0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21, 0x31, 0x06, 0x12,
+        0x41, 0x51, 0x07, 0x61, 0x71, 0x13, 0x22, 0x32, 0x81, 0x08, 0x14,
+        0x42, 0x91, 0xA1, 0xB1, 0xC1, 0x09, 0x23, 0x33, 0x52, 0xF0, 0x15,
+        0x62, 0x72, 0xD1, 0x0A, 0x16, 0x24, 0x34, 0xE1, 0x25, 0xF1, 0x17,
+        0x18, 0x19, 0x1A, 0x26, 0x27, 0x28, 0x29, 0x2A, 0x35, 0x36, 0x37,
+        0x38, 0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49, 0x4A,
+        0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59, 0x5A, 0x63, 0x64, 0x65,
+        0x66, 0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78,
+        0x79, 0x7A, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8A,
+        0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3,
+        0xA4, 0xA5, 0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5,
+        0xB6, 0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7,
+        0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9,
+        0xDA, 0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF2,
+        0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
+    ],
+)
+
+
+def _build_codes(spec):
+    """BITS/HUFFVAL -> {symbol: (code, length)} (T.81 C.2 canonical)."""
+    bits, vals = spec
+    codes = {}
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            codes[vals[k]] = (code, length)
+            code += 1
+            k += 1
+        code <<= 1
+    return codes
+
+
+_DC_L, _DC_C = _build_codes(DC_LUMA_SPEC), _build_codes(DC_CHROMA_SPEC)
+_AC_L, _AC_C = _build_codes(AC_LUMA_SPEC), _build_codes(AC_CHROMA_SPEC)
+
+# exact DCT-II basis
+_C = np.cos((2 * np.arange(8)[None, :] + 1) * np.arange(8)[:, None] * np.pi / 16)
+_C *= np.sqrt(2.0 / 8.0)
+_C[0] /= np.sqrt(2.0)
+
+
+def quality_tables(quality: int):
+    """IJG quality scaling of the Annex-K tables (public libjpeg formula)."""
+    q = min(max(int(quality), 1), 100)
+    scale = 5000 // q if q < 50 else 200 - 2 * q
+    out = []
+    for t in (QUANT_LUMA, QUANT_CHROMA):
+        s = (t * scale + 50) // 100
+        out.append(np.clip(s, 1, 255).astype(np.int64))
+    return out
+
+
+def rgb_to_ycbcr(rgb: np.ndarray) -> np.ndarray:
+    r, g, b = (rgb[..., i].astype(np.float64) for i in range(3))
+    y = 0.299 * r + 0.587 * g + 0.114 * b
+    cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
+    cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
+    return np.stack([y, cb, cr], axis=-1)
+
+
+def ycbcr_to_rgb(ycc: np.ndarray) -> np.ndarray:
+    y, cb, cr = (ycc[..., i].astype(np.float64) for i in range(3))
+    r = y + 1.402 * (cr - 128.0)
+    g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
+    b = y + 1.772 * (cb - 128.0)
+    return np.clip(np.rint(np.stack([r, g, b], axis=-1)), 0, 255).astype(np.uint8)
+
+
+def _to_blocks(chan: np.ndarray) -> np.ndarray:
+    """(H,W) edge-replicated to 8-multiples -> (n_blocks, 8, 8), row-major."""
+    h, w = chan.shape
+    ph, pw = (-h) % 8, (-w) % 8
+    if ph or pw:
+        chan = np.pad(chan, ((0, ph), (0, pw)), mode="edge")
+    hh, ww = chan.shape
+    return (
+        chan.reshape(hh // 8, 8, ww // 8, 8).transpose(0, 2, 1, 3).reshape(-1, 8, 8)
+    )
+
+
+def _fdct_quant(blocks: np.ndarray, qt: np.ndarray) -> np.ndarray:
+    coef = np.einsum("ij,njk,lk->nil", _C, blocks - 128.0, _C)
+    return np.rint(coef / qt).astype(np.int64)
+
+
+class _BitWriter:
+    def __init__(self):
+        self.buf = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def write(self, code: int, length: int):
+        self.acc = (self.acc << length) | (code & ((1 << length) - 1))
+        self.nbits += length
+        while self.nbits >= 8:
+            self.nbits -= 8
+            byte = (self.acc >> self.nbits) & 0xFF
+            self.buf.append(byte)
+            if byte == 0xFF:
+                self.buf.append(0x00)  # byte stuffing
+
+    def flush(self):
+        if self.nbits:
+            pad = 8 - self.nbits
+            self.write((1 << pad) - 1, pad)  # pad with 1s
+
+
+def _magnitude(v: int):
+    """(size category, value bits) per T.81 F.1.2.1."""
+    if v == 0:
+        return 0, 0
+    a = abs(v)
+    size = a.bit_length()
+    bits = v if v > 0 else v + (1 << size) - 1
+    return size, bits
+
+
+def _encode_block(bw: _BitWriter, zz: np.ndarray, pred: int, dc_tab, ac_tab) -> int:
+    dc = int(zz[0])
+    size, bits = _magnitude(dc - pred)
+    code, ln = dc_tab[size]
+    bw.write(code, ln)
+    if size:
+        bw.write(bits, size)
+    run = 0
+    nz = np.nonzero(zz[1:])[0]
+    last = nz[-1] + 1 if len(nz) else 0
+    for k in range(1, last + 1):
+        v = int(zz[k])
+        if v == 0:
+            run += 1
+            continue
+        while run > 15:
+            code, ln = ac_tab[0xF0]  # ZRL
+            bw.write(code, ln)
+            run -= 16
+        size, bits = _magnitude(v)
+        code, ln = ac_tab[(run << 4) | size]
+        bw.write(code, ln)
+        bw.write(bits, size)
+        run = 0
+    if last < 63:
+        code, ln = ac_tab[0x00]  # EOB
+        bw.write(code, ln)
+    return dc
+
+
+def _seg(marker: int, payload: bytes) -> bytes:
+    return struct.pack(">HH", marker, len(payload) + 2) + payload
+
+
+def encode_jpeg(rgb: np.ndarray, quality: int = 85) -> bytes:
+    """(H,W,3) uint8 RGB (or (H,W) grayscale) -> baseline JFIF bytes."""
+    arr = np.asarray(rgb)
+    if arr.ndim == 2:
+        arr = np.stack([arr] * 3, axis=-1)
+    if arr.ndim != 3 or arr.shape[2] < 3:
+        raise ValueError("expected (H,W,3) RGB or (H,W) grayscale")
+    arr = arr[..., :3].astype(np.uint8)
+    h, w = arr.shape[:2]
+    qt_l, qt_c = quality_tables(quality)
+    ycc = rgb_to_ycbcr(arr)
+    comps = []
+    for ci in range(3):
+        qt = qt_l if ci == 0 else qt_c
+        blocks = _to_blocks(ycc[..., ci])
+        comps.append(_fdct_quant(blocks, qt)[:, _Z // 8, _Z % 8])  # zigzagged
+
+    out = bytearray(b"\xff\xd8")  # SOI
+    out += _seg(0xFFE0, b"JFIF\x00\x01\x01\x00" + struct.pack(">HHBB", 1, 1, 0, 0))
+    # DQT payload is in zigzag order: q[k] = table[zigzag(k)]
+    out += _seg(0xFFDB, b"\x00" + bytes(int(qt_l[z // 8, z % 8]) for z in _Z))
+    out += _seg(0xFFDB, b"\x01" + bytes(int(qt_c[z // 8, z % 8]) for z in _Z))
+    sof = struct.pack(">BHHB", 8, h, w, 3)
+    for cid, tq in ((1, 0), (2, 1), (3, 1)):
+        sof += struct.pack(">BBB", cid, 0x11, tq)  # 1x1 sampling (4:4:4)
+    out += _seg(0xFFC0, sof)
+    for tc_th, spec in (
+        (0x00, DC_LUMA_SPEC), (0x10, AC_LUMA_SPEC),
+        (0x01, DC_CHROMA_SPEC), (0x11, AC_CHROMA_SPEC),
+    ):
+        bits, vals = spec
+        out += _seg(0xFFC4, bytes([tc_th] + bits + vals))
+    sos = struct.pack(">B", 3)
+    for cid, tabs in ((1, 0x00), (2, 0x11), (3, 0x11)):
+        sos += struct.pack(">BB", cid, tabs)
+    sos += b"\x00\x3f\x00"
+    out += _seg(0xFFDA, sos)
+
+    bw = _BitWriter()
+    preds = [0, 0, 0]
+    tabs = [(_DC_L, _AC_L), (_DC_C, _AC_C), (_DC_C, _AC_C)]
+    for bi in range(comps[0].shape[0]):
+        for ci in range(3):
+            preds[ci] = _encode_block(
+                bw, comps[ci][bi], preds[ci], tabs[ci][0], tabs[ci][1]
+            )
+    bw.flush()
+    out += bw.buf
+    out += b"\xff\xd9"  # EOI
+    return bytes(out)
+
+
+# ---------------------------------------------------------------------------
+# decoder (baseline 8-bit, interleaved, no restarts — the writer's subset)
+# ---------------------------------------------------------------------------
+
+class _BitReader:
+    def __init__(self, data: bytes):
+        self.data = data
+        self.pos = 0
+        self.acc = 0
+        self.nbits = 0
+
+    def read(self, n: int) -> int:
+        while self.nbits < n:
+            b = self.data[self.pos]
+            self.pos += 1
+            if b == 0xFF:
+                nxt = self.data[self.pos]
+                if nxt == 0x00:
+                    self.pos += 1
+                else:
+                    b = 0  # marker hit; shouldn't happen mid-scan here
+            self.acc = (self.acc << 8) | b
+            self.nbits += 8
+        self.nbits -= n
+        v = (self.acc >> self.nbits) & ((1 << n) - 1)
+        return v
+
+
+def _decode_tree(spec):
+    """{(length, code): symbol}"""
+    bits, vals = spec
+    table = {}
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            table[(length, code)] = vals[k]
+            code += 1
+            k += 1
+        code <<= 1
+    return table
+
+
+def _read_symbol(br: _BitReader, table) -> int:
+    code = 0
+    for length in range(1, 17):
+        code = (code << 1) | br.read(1)
+        if (length, code) in table:
+            return table[(length, code)]
+    raise ValueError("invalid Huffman code")
+
+
+def _extend(bits: int, size: int) -> int:
+    if size == 0:
+        return 0
+    if bits < (1 << (size - 1)):
+        return bits - (1 << size) + 1
+    return bits
+
+
+def decode_jpeg(data: bytes) -> np.ndarray:
+    """Baseline JFIF bytes (this module's subset) -> (H,W,3) uint8 RGB."""
+    if data[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG (no SOI)")
+    pos = 2
+    qts: dict[int, np.ndarray] = {}
+    hts: dict[int, dict] = {}
+    h = w = 0
+    comps = []  # (cid, tq)
+    scan_tabs = {}
+    while pos < len(data):
+        if data[pos] != 0xFF:
+            raise ValueError("marker expected")
+        marker = data[pos + 1]
+        pos += 2
+        if marker == 0xD9:
+            break
+        ln = struct.unpack(">H", data[pos:pos + 2])[0]
+        payload = data[pos + 2:pos + ln]
+        if marker == 0xDB:
+            tq = payload[0] & 0x0F
+            if payload[0] >> 4:
+                raise NotImplementedError("16-bit quant tables")
+            t = np.zeros((8, 8), dtype=np.int64)
+            for k, z in enumerate(_Z):
+                t[z // 8, z % 8] = payload[1 + k]
+            qts[tq] = t
+        elif marker == 0xC0:
+            _, h, w, nc = struct.unpack(">BHHB", payload[:6])
+            for i in range(nc):
+                cid, samp, tq = payload[6 + 3 * i:9 + 3 * i]
+                if samp != 0x11:
+                    raise NotImplementedError("subsampled JPEG")
+                comps.append((cid, tq))
+        elif marker in (0xC1, 0xC2, 0xC3):
+            raise NotImplementedError("non-baseline SOF")
+        elif marker == 0xC4:
+            off = 0
+            while off < len(payload):
+                tcth = payload[off]
+                bits = list(payload[off + 1:off + 17])
+                n = sum(bits)
+                vals = list(payload[off + 17:off + 17 + n])
+                hts[tcth] = _decode_tree((bits, vals))
+                off += 17 + n
+        elif marker == 0xDA:
+            ns = payload[0]
+            for i in range(ns):
+                cid, tabs = payload[1 + 2 * i], payload[2 + 2 * i]
+                scan_tabs[cid] = (hts[tabs >> 4], hts[0x10 | (tabs & 0x0F)])
+            pos += ln
+            break
+        pos += ln
+
+    if not comps or not h:
+        raise ValueError("missing SOF")
+    br = _BitReader(data[pos:])
+    bh, bw_ = (h + 7) // 8, (w + 7) // 8
+    nb = bh * bw_
+    planes = [np.zeros((nb, 8, 8)) for _ in comps]
+    preds = [0] * len(comps)
+    for bi in range(nb):
+        for ci, (cid, tq) in enumerate(comps):
+            dct, act = scan_tabs[cid]
+            zz = np.zeros(64, dtype=np.int64)
+            size = _read_symbol(br, dct)
+            diff = _extend(br.read(size), size) if size else 0
+            preds[ci] += diff
+            zz[0] = preds[ci]
+            k = 1
+            while k < 64:
+                rs = _read_symbol(br, act)
+                r, s = rs >> 4, rs & 0x0F
+                if s == 0:
+                    if r == 15:
+                        k += 16
+                        continue
+                    break  # EOB
+                k += r
+                zz[k] = _extend(br.read(s), s)
+                k += 1
+            blk = np.zeros((8, 8))
+            blk[_Z // 8, _Z % 8] = zz * qts[tq][_Z // 8, _Z % 8]
+            planes[ci][bi] = np.einsum("ji,jk,kl->il", _C, blk, _C) + 128.0
+    chans = []
+    for p in planes:
+        full = p.reshape(bh, bw_, 8, 8).transpose(0, 2, 1, 3).reshape(bh * 8, bw_ * 8)
+        chans.append(full[:h, :w])
+    if len(chans) == 1:
+        g = np.clip(np.rint(chans[0]), 0, 255).astype(np.uint8)
+        return np.stack([g] * 3, axis=-1)
+    return ycbcr_to_rgb(np.stack(chans, axis=-1))

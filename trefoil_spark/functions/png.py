@@ -85,3 +85,46 @@ def decode_palette_png(data: bytes):
     raw = np.frombuffer(zlib.decompress(idat), dtype=np.uint8).reshape(h, w + 1)
     assert (raw[:, 0] == 0).all(), "only filter 0 supported"
     return raw[:, 1:].copy(), pal, trans
+
+
+def encode_rgb_png(img: np.ndarray, compress_level: int = 6) -> bytes:
+    """uint8 (H, W, 3) RGB or (H, W, 4) RGBA → truecolor PNG bytes.
+
+    The Lanczos-resized render path (F11) produces a continuous-tone
+    composite that no longer fits a 256-entry palette — color type 2/6.
+    Deterministic like the palette encoder (filter 0, fixed level)."""
+    arr = np.ascontiguousarray(img, dtype=np.uint8)
+    if arr.ndim != 3 or arr.shape[2] not in (3, 4):
+        raise ValueError("image must be (H, W, 3|4) uint8")
+    h, w, c = arr.shape
+    ctype = 2 if c == 3 else 6
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, ctype, 0, 0, 0)
+    raw = np.empty((h, w * c + 1), dtype=np.uint8)
+    raw[:, 0] = 0
+    raw[:, 1:] = arr.reshape(h, w * c)
+    idat = zlib.compress(raw.tobytes(), compress_level)
+    return b"".join(
+        [_SIGNATURE, _chunk(b"IHDR", ihdr), _chunk(b"IDAT", idat), _chunk(b"IEND", b"")]
+    )
+
+
+def decode_rgb_png(data: bytes) -> np.ndarray:
+    """Round-trip decoder for encode_rgb_png output only."""
+    assert data[:8] == _SIGNATURE
+    pos = 8
+    idat = b""
+    w = h = c = None
+    while pos < len(data):
+        (length,) = struct.unpack(">I", data[pos : pos + 4])
+        tag = data[pos + 4 : pos + 8]
+        payload = data[pos + 8 : pos + 8 + length]
+        pos += 12 + length
+        if tag == b"IHDR":
+            w, h, depth, ctype = struct.unpack(">IIBB", payload[:10])
+            assert depth == 8 and ctype in (2, 6)
+            c = 3 if ctype == 2 else 4
+        elif tag == b"IDAT":
+            idat += payload
+    raw = np.frombuffer(zlib.decompress(idat), dtype=np.uint8).reshape(h, w * c + 1)
+    assert (raw[:, 0] == 0).all(), "only filter 0 supported"
+    return raw[:, 1:].reshape(h, w, c).copy()

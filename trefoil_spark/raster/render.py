@@ -28,7 +28,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 
 from ..functions.color import Color, interpolate_linear
-from ..functions.png import encode_palette_png
+from ..functions.png import encode_palette_png, encode_rgb_png
 
 RENDERED_SCHEMA = "var string, t int, ty int, tx int, png binary"
 
@@ -238,11 +238,9 @@ def render_image_png(
     """F11 — the reference's render_image surface
     (cli/utilities.py:16-34): optional y-flip + integer upscale + PNG.
 
-    The reference resizes the RENDERED image with PIL LANCZOS; PIL is
-    absent and Lanczos on a paletted image resamples *palette indices*
-    through the RGB composite, so the stand-in is nearest (np.repeat on
-    the index grid) — crisp and palette-faithful; LANCZOS stays a
-    declared non-goal (SURVEY §7.3)."""
+    Byte-stable palette fast path (integer scale, nearest). The full
+    reference surface — LANCZOS resampling, fractional scales, JPEG —
+    lives in :func:`render_image_bytes`."""
     if scale < 1 or int(scale) != scale:
         raise ValueError("scale must be a positive integer")
     if flip_y:
@@ -258,3 +256,68 @@ def render_image_png(
     ])
     transparent = background_index if renderer.background_color.alpha == 0 else None
     return encode_palette_png(idx, pal, transparent)
+
+
+def render_image_bytes(
+    renderer: RasterRenderer,
+    data: np.ndarray,
+    scale: float = 1,
+    flip_y: bool = False,
+    format: str = "png",
+    resampling: str = "lanczos",
+    quality: int = 85,
+) -> bytes:
+    """F11 — the reference's full render_image surface
+    (cli/utilities.py:16-34): y-flip, resize with LANCZOS (or nearest),
+    save as PNG or JPEG.
+
+    Mirrors the reference's order of operations: render first, then
+    resample the RGBA *composite* (PIL resizes the rendered image, not
+    the data). `format='jpg'` drops the alpha channel exactly like PIL's
+    ``convert('RGB')`` and encodes baseline JFIF (own ITU T.81 codec —
+    the reference writes progressive; same pixels, different scan order).
+    WebP stays declared out (VP8 entropy coding; SURVEY §7.3). The
+    nearest+integer-scale+PNG combination routes through the byte-stable
+    paletted fast path."""
+    from ..functions.jpeg import encode_jpeg
+    from ..functions.resample import resample_lanczos
+
+    fmt = format.lower().lstrip(".")
+    fmt = "jpg" if fmt == "jpeg" else fmt
+    if fmt not in ("png", "jpg"):
+        raise ValueError(f"Unsupported format: {format!r} (png, jpg)")
+    if resampling not in ("nearest", "lanczos"):
+        raise ValueError(f"Unsupported resampling: {resampling!r}")
+    if scale <= 0:
+        raise ValueError("scale must be positive")
+    if flip_y:
+        data = data[::-1]
+    h, w = data.shape
+    # reference target size: numpy.array(data.shape[::-1]) * scale, cast uint
+    out_w, out_h = int(w * scale), int(h * scale)
+    if fmt == "png" and resampling == "nearest" and float(scale).is_integer():
+        return render_image_png(renderer, data, int(scale))
+
+    idx = renderer._indices(data)
+    bg_index = renderer.palette.shape[0]
+    idx = np.where(renderer._mask(data), bg_index, idx).astype(np.int64)
+    pal = renderer.palette
+    bg = renderer.background_color.to_tuple()
+    rgb_tab = np.vstack([pal[..., :3], np.array(bg[:3])[None, :]]).astype(np.uint8)
+    if pal.shape[1] == 4:
+        a_rows = pal[..., 3]
+    else:
+        a_rows = np.full(pal.shape[0], 255)
+    a_tab = np.concatenate([a_rows, [bg[3]]]).astype(np.uint8)
+    rgba = np.dstack([rgb_tab[idx], a_tab[idx]])
+
+    if (out_h, out_w) != (h, w):
+        if resampling == "lanczos":
+            rgba = resample_lanczos(rgba, out_h, out_w)
+        else:
+            sy = np.clip(((np.arange(out_h) + 0.5) * h / out_h).astype(np.int64), 0, h - 1)
+            sx = np.clip(((np.arange(out_w) + 0.5) * w / out_w).astype(np.int64), 0, w - 1)
+            rgba = rgba[sy][:, sx]
+    if fmt == "jpg":
+        return encode_jpeg(rgba[..., :3], quality=quality)
+    return encode_rgb_png(rgba)
