@@ -868,6 +868,67 @@ def q_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("cell")
 
 
+def q_proj_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SURVEY §2 F20 breadth, driver-checked: forward→inverse round trips
+    for EVERY supported projection family (lcc, tmerc, utm, polar stere,
+    laea, ellipsoidal aea, web mercator) run as pure Catalyst column
+    expressions over 64 deterministic in-domain points per family
+    (reference surface: trefoil/netcdf/crs.py:44-179, round-tripped by
+    trefoil/netcdf/tests/test_crs.py:12-176). A point counts as converged
+    when the round trip lands within 1e-7° (the reference tests'
+    tolerance, 5+ orders above the series error). The oracle is the
+    frozen all-points-converge contract: any broken inverse drops n_ok
+    and breaks the hash."""
+    from trefoil_spark.grid import projections as pj
+    from trefoil_spark.grid.proj import transform_cols
+
+    fams = [
+        ("aea", "+proj=aea +lat_1=29.5 +lat_2=45.5 +lat_0=37.5 +lon_0=-96 "
+         "+x_0=0 +y_0=0 +ellps=GRS80", -110.0, 4.0, 25.0, 3.0),
+        ("laea", "+proj=laea +lat_0=45 +lon_0=-100 +x_0=0 +y_0=0 +ellps=GRS80",
+         -130.0, 8.0, 20.0, 6.0),
+        ("lcc", "+proj=lcc +lat_1=33 +lat_2=45 +lat_0=40 +lon_0=-96 "
+         "+x_0=0 +y_0=0 +ellps=GRS80", -110.0, 4.0, 25.0, 3.0),
+        ("stere", "+proj=stere +lat_0=90 +lat_ts=70 +lon_0=-45 "
+         "+x_0=0 +y_0=0 +ellps=GRS80", -170.0, 45.0, 62.0, 3.0),
+        ("tmerc", "+proj=tmerc +lat_0=0 +lon_0=-93 +k=0.9996 +x_0=500000 "
+         "+y_0=0 +ellps=GRS80", -95.8, 0.8, 22.0, 6.0),
+        ("utm", "+proj=utm +zone=15 +ellps=GRS80", -95.8, 0.8, 22.0, 6.0),
+        ("webmerc", "EPSG:3857", -170.0, 45.0, -60.0, 17.0),
+    ]
+    parts = []
+    for name, crs, lon0, dlon, lat0, dlat in fams:
+        pts = spark.range(64).select(
+            (F.lit(lon0) + (F.col("id") % 8) * F.lit(dlon)).alias("lon"),
+            (F.lit(lat0) + (F.col("id") / 8).cast("int") * F.lit(dlat)).alias("lat"),
+        )
+        if name in ("aea", "webmerc"):
+            dst = crs if name == "webmerc" else crs
+            x, y = transform_cols("EPSG:4326", dst, F.col("lon"), F.col("lat"))
+            pts = pts.withColumn("x", x).withColumn("y", y)
+            lo, la = transform_cols(dst, "EPSG:4326", F.col("x"), F.col("y"))
+        else:
+            be = pj.COL()
+            x, y = pj.forward(be, crs, F.col("lon"), F.col("lat"))
+            pts = pts.withColumn("x", x).withColumn("y", y)
+            lo, la = pj.inverse(be, crs, F.col("x"), F.col("y"))
+        err = F.greatest(F.abs(lo - F.col("lon")), F.abs(la - F.col("lat")))
+        parts.append(
+            pts.select(F.lit(name).alias("family"), err.alias("err")).groupBy(
+                "family"
+            ).agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_points"),
+                F.sum(F.when(F.col("err") < 1e-7, 1).otherwise(0))
+                .cast("bigint")
+                .alias("n_ok"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.orderBy("family")
+
+
 def q_pages_text_invariant(spark: SparkSession, sf_dir: str) -> DataFrame:
     """North-rule per-row invariant: byte-identical extracted text per url
     through every shuffle stage. The pages table (html binary payload)
@@ -1042,6 +1103,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vectorize": q_vectorize,
         "salted_agg": q_salted_agg,
         "pages_text_invariant": q_pages_text_invariant,
+        "proj_roundtrip": q_proj_roundtrip,
         "streaming_interval": q_streaming_interval,
         "streaming_dedup": q_streaming_dedup,
         "cf_360day": q_cf_360day,
@@ -1262,6 +1324,15 @@ def oracle_sql() -> dict[str, str]:
             SELECT cell, CAST(SUM(LENGTH(text)) AS DOUBLE) AS sum,
                    COUNT(*) AS count
             FROM pages GROUP BY cell ORDER BY cell
+        """,
+        "proj_roundtrip": """
+            SELECT family, CAST(n_points AS BIGINT) AS n_points,
+                   CAST(n_ok AS BIGINT) AS n_ok
+            FROM (VALUES
+                ('aea', 64, 64), ('laea', 64, 64), ('lcc', 64, 64),
+                ('stere', 64, 64), ('tmerc', 64, 64), ('utm', 64, 64),
+                ('webmerc', 64, 64)
+            ) AS t(family, n_points, n_ok) ORDER BY family
         """,
         "pages_text_invariant": f"""
             WITH pages AS ({_PAGES_CTE}),
