@@ -170,7 +170,7 @@ class TestRenderImageBytes:
         r = self._renderer()
         data = np.zeros((8, 8))
         with pytest.raises(ValueError):
-            render_image_bytes(r, data, format="webp")
+            render_image_bytes(r, data, format="gif")
         with pytest.raises(ValueError):
             render_image_bytes(r, data, resampling="cubic")
         with pytest.raises(ValueError):

@@ -1,0 +1,94 @@
+"""WebP lossless (VP8L) codec round trips (F11 webp tail — PIL-free)."""
+
+import struct
+
+import numpy as np
+import pytest
+
+from trefoil_spark.functions.webp import decode_webp, encode_webp
+
+
+def _gradient(h, w):
+    yy, xx = np.mgrid[0:h, 0:w]
+    return np.stack(
+        [
+            xx * 255 // max(w - 1, 1),
+            yy * 255 // max(h - 1, 1),
+            (xx + yy) * 255 // max(w + h - 2, 1),
+        ],
+        axis=-1,
+    ).astype(np.uint8)
+
+
+class TestWebpContainer:
+    def test_riff_framing(self):
+        b = encode_webp(_gradient(10, 10))
+        assert b[:4] == b"RIFF" and b[8:12] == b"WEBP" and b[12:16] == b"VP8L"
+        (riff_size,) = struct.unpack("<I", b[4:8])
+        assert riff_size == len(b) - 8
+        (chunk_size,) = struct.unpack("<I", b[16:20])
+        assert len(b) == 20 + chunk_size + (chunk_size & 1)
+        assert b[20] == 0x2F  # VP8L signature
+
+    def test_deterministic(self):
+        img = _gradient(16, 24)
+        assert encode_webp(img) == encode_webp(img)
+
+
+class TestWebpRoundtrip:
+    def test_rgb_exact(self):
+        img = _gradient(20, 30)
+        out = decode_webp(encode_webp(img))
+        assert out.shape == (20, 30, 4)
+        assert np.array_equal(out[..., :3], img)
+        assert np.all(out[..., 3] == 255)
+
+    def test_rgba_exact(self):
+        rng = np.random.default_rng(3)
+        img = rng.integers(0, 256, (17, 23, 4), dtype=np.uint8)
+        assert np.array_equal(decode_webp(encode_webp(img)), img)
+
+    def test_noise_exact(self):
+        rng = np.random.default_rng(11)
+        img = rng.integers(0, 256, (31, 9, 3), dtype=np.uint8)
+        out = decode_webp(encode_webp(img))
+        assert np.array_equal(out[..., :3], img)
+
+    def test_grayscale_input(self):
+        g = np.tile(np.arange(32, dtype=np.uint8) * 8, (8, 1))
+        out = decode_webp(encode_webp(g))
+        assert np.array_equal(out[..., 0], g)
+        assert np.array_equal(out[..., 1], g)
+
+    def test_single_pixel(self):
+        img = np.array([[[1, 2, 3, 4]]], dtype=np.uint8)
+        assert np.array_equal(decode_webp(encode_webp(img)), img)
+
+    def test_all_byte_values(self):
+        img = np.arange(256, dtype=np.uint8).reshape(16, 16)
+        out = decode_webp(encode_webp(img))
+        assert np.array_equal(out[..., 1], img)
+
+    def test_rejects_oversize(self):
+        with pytest.raises(ValueError):
+            encode_webp(np.zeros((1 << 14 + 1, 4, 3), np.uint8))
+
+
+class TestRenderWebp:
+    def test_render_image_bytes_webp(self):
+        from trefoil_spark.functions.color import Color
+        from trefoil_spark.raster.render import StretchedRenderer, render_image_bytes
+
+        r = StretchedRenderer(
+            [(0.0, Color(0, 0, 0, 255)), (100.0, Color(255, 0, 0, 255))]
+        )
+        data = np.linspace(0, 100, 30 * 40).reshape(30, 40)
+        wb = render_image_bytes(r, data, scale=1.5, format="webp")
+        img = decode_webp(wb)
+        assert img.shape == (45, 60, 4)
+        # the lanczos-resized composite must round-trip losslessly: webp
+        # bytes decode to the exact same RGBA as the PNG twin
+        from trefoil_spark.functions.png import decode_rgb_png
+
+        png = decode_rgb_png(render_image_bytes(r, data, scale=1.5, format="png"))
+        assert np.array_equal(img, png)

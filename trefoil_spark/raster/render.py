@@ -276,16 +276,18 @@ def render_image_bytes(
     the data). `format='jpg'` drops the alpha channel exactly like PIL's
     ``convert('RGB')`` and encodes baseline JFIF (own ITU T.81 codec —
     the reference writes progressive; same pixels, different scan order).
-    WebP stays declared out (VP8 entropy coding; SURVEY §7.3). The
+    `format='webp'` keeps RGBA and encodes lossless VP8L (own codec,
+    literal subset) matching the reference's ``lossless=True``. The
     nearest+integer-scale+PNG combination routes through the byte-stable
     paletted fast path."""
     from ..functions.jpeg import encode_jpeg
     from ..functions.resample import resample_lanczos
+    from ..functions.webp import encode_webp
 
     fmt = format.lower().lstrip(".")
     fmt = "jpg" if fmt == "jpeg" else fmt
-    if fmt not in ("png", "jpg"):
-        raise ValueError(f"Unsupported format: {format!r} (png, jpg)")
+    if fmt not in ("png", "jpg", "webp"):
+        raise ValueError(f"Unsupported format: {format!r} (png, jpg, webp)")
     if resampling not in ("nearest", "lanczos"):
         raise ValueError(f"Unsupported resampling: {resampling!r}")
     if scale <= 0:
@@ -320,4 +322,6 @@ def render_image_bytes(
             rgba = rgba[sy][:, sx]
     if fmt == "jpg":
         return encode_jpeg(rgba[..., :3], quality=quality)
+    if fmt == "webp":
+        return encode_webp(rgba)
     return encode_rgb_png(rgba)
