@@ -868,6 +868,59 @@ def q_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("cell")
 
 
+def q_checkpoint_resume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """North-rule resumability, driver-checked end to end: a first job
+    writes HALF the documents through checkpointed_write (per-key ledger
+    rows with row counts + partition lineage), then a 'restarted' job
+    submits the FULL table — resume_filter anti-joins the done keys so
+    only the missing half recomputes, and dynamic partition overwrite
+    makes any replay idempotent. Output is the merged ledger + the
+    re-read output table: n_keys/ledger_rows/output_rows must equal the
+    DuckDB recomputation from documents alone — duplicated or dropped
+    work breaks the hash."""
+    import shutil
+    import tempfile
+
+    from trefoil_spark.plans.checkpointing import checkpointed_write
+
+    docs = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id", "lang", (F.col("doc_id") % 16).alias("bucket"))
+    )
+    d = tempfile.mkdtemp(prefix="trefoil_ckpt_")
+    out, cp = f"{d}/out", f"{d}/ledger"
+    try:
+        checkpointed_write(docs.filter(F.col("bucket") < 8), out, cp, "s1", ["bucket"])
+        r2 = checkpointed_write(docs, out, cp, "s1", ["bucket"])  # restart
+        row = (
+            spark.read.parquet(cp)
+            .groupBy("stage")
+            .agg(
+                F.countDistinct("key").cast("bigint").alias("n_keys"),
+                F.count(F.lit(1)).cast("bigint").alias("ledger_rows"),
+                F.sum("row_count").cast("bigint").alias("ledger_row_total"),
+            )
+            .collect()[0]  # one stage — materialize before the tmpdir goes
+        )
+        output_rows = spark.read.parquet(out).count()
+        return spark.createDataFrame(
+            [
+                (
+                    row["stage"],
+                    row["n_keys"],
+                    row["ledger_rows"],
+                    row["ledger_row_total"],
+                    int(r2["skipped_keys"]),
+                    output_rows,
+                )
+            ],
+            "stage string, n_keys bigint, ledger_rows bigint, "
+            "ledger_row_total bigint, skipped_keys bigint, output_rows bigint",
+        )
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
 def q_proj_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SURVEY §2 F20 breadth, driver-checked: forward→inverse round trips
     for EVERY supported projection family (lcc, tmerc, utm, polar stere,
@@ -1104,6 +1157,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "salted_agg": q_salted_agg,
         "pages_text_invariant": q_pages_text_invariant,
         "proj_roundtrip": q_proj_roundtrip,
+        "checkpoint_resume": q_checkpoint_resume,
         "streaming_interval": q_streaming_interval,
         "streaming_dedup": q_streaming_dedup,
         "cf_360day": q_cf_360day,
@@ -1324,6 +1378,15 @@ def oracle_sql() -> dict[str, str]:
             SELECT cell, CAST(SUM(LENGTH(text)) AS DOUBLE) AS sum,
                    COUNT(*) AS count
             FROM pages GROUP BY cell ORDER BY cell
+        """,
+        "checkpoint_resume": """
+            SELECT 's1' AS stage,
+                   CAST(16 AS BIGINT) AS n_keys,
+                   CAST(16 AS BIGINT) AS ledger_rows,
+                   CAST(COUNT(*) AS BIGINT) AS ledger_row_total,
+                   CAST(8 AS BIGINT) AS skipped_keys,
+                   CAST(COUNT(*) AS BIGINT) AS output_rows
+            FROM documents
         """,
         "proj_roundtrip": """
             SELECT family, CAST(n_points AS BIGINT) AS n_points,
