@@ -598,13 +598,18 @@ def q_warp_bilinear(spark: SparkSession, sf_dir: str) -> DataFrame:
     gather, 1px halo, NaN-propagating), reduced to per-tile
     (Σ floor(v), count) — exact integers, order-free, so the DuckDB
     bilinear recompute hash-matches."""
-    import numpy as np
-    import pandas as pd
-
     from trefoil_spark.raster.warp import warp_tiles
 
     tiles = synthetic_tiles(spark, SPEC)
     warped = warp_tiles(spark, tiles, SPEC, _BILIN_DST_SPEC, method="bilinear")
+    return _floor_count_reduce(warped)
+
+
+def _floor_count_reduce(warped: DataFrame) -> DataFrame:
+    """Per-tile (Σ floor(v), count of non-NaN) — exact integers,
+    order-free, so DuckDB kernel recomputes hash-match."""
+    import numpy as np
+    import pandas as pd
 
     def reduce_tiles(batches):
         for pdf in batches:
@@ -621,6 +626,19 @@ def q_warp_bilinear(spark: SparkSession, sf_dir: str) -> DataFrame:
     return warped.mapInPandas(
         reduce_tiles, schema="ty int, tx int, floor_sum bigint, count bigint"
     ).orderBy("ty", "tx")
+
+
+def q_warp_cubic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SURVEY §2 R1 kernel surface: CUBIC warp 4326→3857 — 4×4 Keys
+    kernel (a=-0.5, GDAL's cubic), mosaic gather with a 2px halo,
+    edge-replicate clamping, NaN-propagating. The DuckDB oracle
+    recomputes all 16 taps with the identical left-associated weight
+    arithmetic, so the floor/count reduction hash-matches bit-exactly."""
+    from trefoil_spark.raster.warp import warp_tiles
+
+    tiles = synthetic_tiles(spark, SPEC)
+    warped = warp_tiles(spark, tiles, SPEC, _BILIN_DST_SPEC, method="cubic")
+    return _floor_count_reduce(warped)
 
 
 def q_warp_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1150,6 +1168,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "warp_3857": q_warp_3857,
         "warp_lcc": q_warp_lcc,
         "warp_bilinear": q_warp_bilinear,
+        "warp_cubic": q_warp_cubic,
         "warp_mode": q_warp_mode,
         "png_stability": q_png_stability,
         "nc_ingest": q_nc_ingest,
@@ -1327,6 +1346,7 @@ def oracle_sql() -> dict[str, str]:
         "warp_3857": _warp_oracle(),
         "warp_lcc": _warp_lcc_oracle(),
         "warp_bilinear": _warp_bilinear_oracle(),
+        "warp_cubic": _warp_cubic_oracle(),
         "warp_mode": _warp_mode_oracle(),
         "png_stability": _png_stability_oracle(),
         "nc_ingest": _nc_ingest_oracle(),
@@ -1841,6 +1861,97 @@ def _warp_bilinear_oracle() -> str:
                      ) AS REAL)
                    END AS vf
             FROM wgt
+        )
+        SELECT ty, tx,
+               CAST(SUM(CAST(FLOOR(CAST(vf AS DOUBLE)) AS BIGINT)) AS BIGINT) AS floor_sum,
+               COUNT(vf) AS count
+        FROM v GROUP BY ty, tx ORDER BY ty, tx
+    """
+
+
+def _warp_cubic_oracle() -> str:
+    """Cubic (Keys a=-0.5) gather recompute in DuckDB: identical inverse
+    mercator, identical tap order (ky outer, kx inner, -1..2) and
+    left-associated `(v * wy) * wx` accumulation, identical weight
+    polynomial association — float32 via CAST(REAL)."""
+    from trefoil_spark.grid import proj as _proj
+
+    d, s = _BILIN_DST_SPEC, SPEC
+
+    def dbl(v):
+        return f"CAST({float(v)!r} AS DOUBLE)"
+
+    def inner(sx):  # |s| <= 1 — mirrors warp.py inner(): (1.5*s-2.5)*s*s+1
+        return (
+            f"(({dbl(1.5)} * {sx} - {dbl(2.5)}) * {sx} * {sx} + {dbl(1.0)})"
+        )
+
+    def outer(sx):  # 1 < |s| <= 2 — ((-0.5*s+2.5)*s-4)*s+2
+        return (
+            f"((({dbl(-0.5)} * {sx} + {dbl(2.5)}) * {sx} - {dbl(4.0)}) "
+            f"* {sx} + {dbl(2.0)})"
+        )
+
+    slon, slat = _proj.transform_sql("EPSG:3857", "EPSG:4326", "mx", "my")
+    n = d.width * d.height
+    w_, h_ = s.width, s.height
+    # clamped tap index columns (k = -1, 0, 1, 2)
+    tap_cols = []
+    for axis, base, lim in (("x", "FLOOR(fx)", w_ - 1), ("y", "FLOOR(fy)", h_ - 1)):
+        for i, k in enumerate((-1, 0, 1, 2)):
+            off = f" + {k}" if k else ""
+            tap_cols.append(
+                f"CAST(LEAST(GREATEST({base}{off}, 0), {lim}) AS BIGINT)"
+                f" AS {axis}t{i}"
+            )
+    wx = [outer(f"(tx + {dbl(1.0)})"), inner("tx"),
+          inner(f"({dbl(1.0)} - tx)"), outer(f"({dbl(2.0)} - tx)")]
+    wy = [outer(f"(ry + {dbl(1.0)})"), inner("ry"),
+          inner(f"({dbl(1.0)} - ry)"), outer(f"({dbl(2.0)} - ry)")]
+    terms = []
+    for ky in range(4):
+        for kx in range(4):
+            terms.append(
+                f"(({value_sql(f'yt{ky}', f'xt{kx}')} * wy{ky}) * wx{kx})"
+            )
+    acc = terms[0]
+    for t in terms[1:]:
+        acc = f"({acc} + {t})"
+    return f"""
+        WITH px AS (
+            SELECT CAST(i // {d.width} AS BIGINT) AS y,
+                   CAST(i % {d.width} AS BIGINT) AS x
+            FROM (SELECT UNNEST(range({n})) AS i)
+        ), m AS (
+            SELECT y, x,
+                   {dbl(d.x0)} + (CAST(x AS DOUBLE) + CAST(0.5 AS DOUBLE)) * {dbl(d.dx)} AS mx,
+                   {dbl(d.y0)} - (CAST(y AS DOUBLE) + CAST(0.5 AS DOUBLE)) * {dbl(d.dy)} AS my
+            FROM px
+        ), g AS (
+            SELECT y, x,
+                   ({slon} - {dbl(s.x0)}) / {dbl(s.dx)} AS gx,
+                   ({dbl(s.y0)} - {slat}) / {dbl(s.dy)} AS gy
+            FROM m
+        ), f AS (
+            SELECT y, x, gx, gy,
+                   gx - CAST(0.5 AS DOUBLE) AS fx,
+                   gy - CAST(0.5 AS DOUBLE) AS fy
+            FROM g
+        ), wgt AS (
+            SELECT y, x, gx, gy,
+                   fx - FLOOR(fx) AS tx, fy - FLOOR(fy) AS ry,
+                   {', '.join(tap_cols)}
+            FROM f
+        ), wts AS (
+            SELECT *, {', '.join(f'{wx[i]} AS wx{i}' for i in range(4))},
+                      {', '.join(f'{wy[i]} AS wy{i}' for i in range(4))}
+            FROM wgt
+        ), v AS (
+            SELECT CAST(y // {d.tile} AS INT) AS ty, CAST(x // {d.tile} AS INT) AS tx,
+                   CASE WHEN gx >= 0 AND gx < {w_} AND gy >= 0 AND gy < {h_} THEN
+                     CAST({acc} AS REAL)
+                   END AS vf
+            FROM wts
         )
         SELECT ty, tx,
                CAST(SUM(CAST(FLOOR(CAST(vf AS DOUBLE)) AS BIGINT)) AS BIGINT) AS floor_sum,

@@ -437,3 +437,57 @@ def test_warp_tiles_lcc_matches_numpy(spark):
         want = warp_tile_numpy(full, src_spec, dst_spec, ty, tx)
         assert np.array_equal(blk, want, equal_nan=True), (ty, tx)
         assert np.isfinite(blk).any()
+
+
+def test_warp_cubic_exact_on_cubic_polys():
+    """Keys a=-0.5 reproduces constants and linear surfaces exactly and
+    beats bilinear by orders of magnitude on a smooth field."""
+    from trefoil_spark.raster.warp import warp_tile_numpy
+
+    spec = GridSpec.from_bbox(BBox((0.0, 0.0, 64.0, 64.0), "EPSG:4326"), 64, 64, tile=64)
+    dst = GridSpec(x0=spec.x0 + spec.dx / 4, y0=spec.y0 - spec.dy / 4,
+                   dx=spec.dx, dy=spec.dy, width=63, height=63,
+                   crs=spec.crs, tile=64)
+    y, x = np.mgrid[0:64, 0:64]
+    const = np.full((64, 64), 7.25, dtype=np.float32)
+    out = warp_tile_numpy(const, spec, dst, 0, 0, method="cubic")
+    assert np.nanmax(np.abs(out - 7.25)) < 1e-6
+    lin = (2.0 * y + 3.0 * x).astype(np.float32)
+    out = warp_tile_numpy(lin, spec, dst, 0, 0, method="cubic")
+    want = (2.0 * (y[:63, :63] + 0.25) + 3.0 * (x[:63, :63] + 0.25)).astype(np.float32)
+    # the 4x4 kernel reads 2 px out: judge the interior
+    assert np.allclose(out[2:-2, 2:-2], want[2:-2, 2:-2], atol=1e-3)
+
+    smooth = (np.sin(x * 0.1) * np.cos(y * 0.08)).astype(np.float32)
+    cub = warp_tile_numpy(smooth, spec, dst, 0, 0, method="cubic")
+    bil = warp_tile_numpy(smooth, spec, dst, 0, 0, method="bilinear")
+    truth = np.sin((x[:63, :63] + 0.25) * 0.1) * np.cos((y[:63, :63] + 0.25) * 0.08)
+    c_err = np.abs(cub - truth)[4:-4, 4:-4].max()
+    b_err = np.abs(bil - truth)[4:-4, 4:-4].max()
+    assert c_err < b_err / 20
+
+
+def test_warp_tiles_cubic_matches_numpy(spark):
+    """Distributed cubic warp (mosaic gather + 2px halo) equals the
+    full-array kernel on every tile of the 3857 warp."""
+    from trefoil_spark.raster.synth import block_values, synthetic_tiles
+    from trefoil_spark.raster.warp import warp_tile_numpy, warp_tiles
+
+    src_spec = GridSpec.from_bbox(
+        BBox((-125.0, 32.0, -113.0, 38.0), "EPSG:4326"), 512, 256
+    )
+    dst_spec = GridSpec.from_bbox(src_spec.bbox.project("EPSG:3857"), 512, 256)
+    tiles = synthetic_tiles(spark, src_spec)
+    got = {(r["ty"], r["tx"]): r for r in
+           warp_tiles(spark, tiles, src_spec, dst_spec, method="cubic").collect()}
+
+    full = np.full((src_spec.height, src_spec.width), np.nan, dtype=np.float32)
+    for ty in range(src_spec.ntiles_y):
+        for tx in range(src_spec.ntiles_x):
+            b = block_values(src_spec, 0, ty, tx)
+            full[ty * 256 : ty * 256 + b.shape[0], tx * 256 : tx * 256 + b.shape[1]] = b
+    assert got
+    for (ty, tx), row in got.items():
+        blk = np.frombuffer(row["block"], dtype=np.float32).reshape(row["h"], row["w"])
+        want = warp_tile_numpy(full, src_spec, dst_spec, ty, tx, method="cubic")
+        assert np.array_equal(blk, want, equal_nan=True), (ty, tx)

@@ -53,6 +53,9 @@ def _sample_grid(
     - 'bilinear': pixel-center interpolation, edge-replicate clamping at
       the grid border, NaN if ANY of the four contributors is NaN
       (conservative nodata propagation) or the center is off-grid.
+    - 'cubic': 4×4 Keys kernel with a=-0.5 (Catmull-Rom, GDAL's cubic),
+      same clamping/NaN rules; fixed tap order + left-associated
+      accumulation so the DuckDB oracle reproduces it bit-exactly.
     """
     oy, ox = origin
     h, w = arr.shape
@@ -69,8 +72,39 @@ def _sample_grid(
         iy = np.clip(np.floor(gy).astype(np.int64) - oy, 0, h - 1)
         out[ok] = arr[iy[ok], ix[ok]]
         return out
+    if method == "cubic":
+        fx = gx - 0.5
+        fy = gy - 0.5
+        x0i = np.floor(fx).astype(np.int64)
+        y0i = np.floor(fy).astype(np.int64)
+        tx = (fx - x0i).astype(np.float64)
+        ty = (fy - y0i).astype(np.float64)
+
+        def inner(s):  # |s| <= 1, association mirrored by the SQL oracle
+            return (1.5 * s - 2.5) * s * s + 1.0
+
+        def outer(s):  # 1 < |s| <= 2
+            return ((-0.5 * s + 2.5) * s - 4.0) * s + 2.0
+
+        wxs = [outer(tx + 1.0), inner(tx), inner(1.0 - tx), outer(2.0 - tx)]
+        wys = [outer(ty + 1.0), inner(ty), inner(1.0 - ty), outer(2.0 - ty)]
+        xs = [
+            np.clip(np.clip(x0i + k, 0, src_spec.width - 1) - ox, 0, w - 1)
+            for k in (-1, 0, 1, 2)
+        ]
+        ys = [
+            np.clip(np.clip(y0i + k, 0, src_spec.height - 1) - oy, 0, h - 1)
+            for k in (-1, 0, 1, 2)
+        ]
+        acc = None
+        for ky in range(4):
+            for kx in range(4):
+                term = (arr[ys[ky], xs[kx]].astype(np.float64) * wys[ky]) * wxs[kx]
+                acc = term if acc is None else acc + term
+        out[ok] = acc[ok].astype(np.float32)
+        return out
     if method != "bilinear":
-        raise ValueError("method must be 'nearest' or 'bilinear'")
+        raise ValueError("method must be 'nearest', 'bilinear' or 'cubic'")
     fx = gx - 0.5
     fy = gy - 0.5
     x0i = np.floor(fx).astype(np.int64)
@@ -167,12 +201,12 @@ def sample_tile(
 ) -> np.ndarray:
     """Gather one dst tile from a (partial) source mosaic — dispatches on
     kernel: center-based (nearest/bilinear) or box-based (mode)."""
-    if method in ("nearest", "bilinear"):
+    if method in ("nearest", "bilinear", "cubic"):
         lat, lon = dst_spec.pixel_centers(ty, tx)
         sx, sy = proj.transform(dst_spec.crs, src_spec.crs, lon, lat)
         return _sample_grid(arr, origin, src_spec, sx, sy, method)
     if method != "mode":
-        raise ValueError("method must be 'nearest', 'bilinear' or 'mode'")
+        raise ValueError("method must be 'nearest', 'bilinear', 'cubic' or 'mode'")
     h, w = dst_spec.tile_shape(ty, tx)
     ey = dst_spec.y0 - (ty * dst_spec.tile + np.arange(h + 1, dtype=np.float64)) * dst_spec.dy
     ex = dst_spec.x0 + (tx * dst_spec.tile + np.arange(w + 1, dtype=np.float64)) * dst_spec.dx
@@ -283,7 +317,8 @@ def warp_tiles(
         )
         return lo, hi
 
-    halo = 1 if method in ("bilinear", "mode") else 0  # neighborhood px
+    # neighborhood px the gather reads beyond the center's cell
+    halo = {"bilinear": 1, "mode": 1, "cubic": 2}.get(method, 0)
     px_x0 = F.floor((sxmin - F.lit(dd.x0)) / F.lit(dd.dx)) - F.lit(halo)
     px_x1 = F.floor((sxmax - F.lit(dd.x0)) / F.lit(dd.dx)) + F.lit(halo)
     px_y0 = F.floor((F.lit(dd.y0) - symax) / F.lit(dd.dy)) - F.lit(halo)
