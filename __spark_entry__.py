@@ -1031,6 +1031,30 @@ def q_pages_text_invariant(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("url")
 
 
+def q_streaming_zonal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming zonal stats: geotagged pages drained through a file
+    stream → stream-static PIP join (broadcast covering index, pure-JVM
+    'expr' refine — zero Python in the micro-batch) → running per-zone
+    count + integer sum. Must equal the batch/DuckDB zonal recompute
+    exactly (streaming/batch unification)."""
+    import tempfile
+
+    from trefoil_spark.sources.zones import ZONE_LAYER
+    from trefoil_spark.streaming.interval import run_available_now
+    from trefoil_spark.streaming.zonal import streaming_zonal_stats
+
+    slim = _pages(spark, sf_dir).select(
+        "lon", "lat", F.length("text").cast("bigint").alias("n_chars")
+    )
+    tmp = tempfile.mkdtemp(prefix="trefoil_szonal_")
+    slim.write.mode("overwrite").parquet(tmp)
+    stream = streaming_zonal_stats(
+        spark, tmp, "lon double, lat double, n_chars bigint", ZONE_LAYER
+    )
+    res = run_available_now(stream, "q_streaming_zonal")
+    return res.orderBy("zone_value")
+
+
 def q_streaming_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Structured Streaming tumbling-window agg (A5 analog) — drains the
     events table through a file-source stream. Output projected to exact
@@ -1177,6 +1201,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pages_text_invariant": q_pages_text_invariant,
         "proj_roundtrip": q_proj_roundtrip,
         "checkpoint_resume": q_checkpoint_resume,
+        "streaming_zonal": q_streaming_zonal,
         "streaming_interval": q_streaming_interval,
         "streaming_dedup": q_streaming_dedup,
         "cf_360day": q_cf_360day,
@@ -1445,6 +1470,17 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY user_id ORDER BY user_id
         """,
         "knn_join_cells": _knn_oracle(),
+        "streaming_zonal": f"""
+            WITH pages AS ({_PAGES_CTE}),
+            z AS (
+                SELECT {zone_case} AS zone_value, LENGTH(text) AS n_chars
+                FROM pages
+            )
+            SELECT zone_value, CAST(COUNT(*) AS BIGINT) AS count,
+                   CAST(SUM(n_chars) AS BIGINT) AS value_sum
+            FROM z WHERE zone_value IS NOT NULL
+            GROUP BY zone_value ORDER BY zone_value
+        """,
         "streaming_interval": """
             WITH b AS (
                 SELECT CAST(FLOOR(epoch(ts) / 21600) AS BIGINT) AS interval,

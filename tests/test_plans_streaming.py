@@ -116,3 +116,33 @@ def test_multimodal_plumbing(spark, sf_dir):
     # real decoder is an explicit stub
     with pytest.raises(Exception):
         extract_features(media, decoder="real").collect()
+
+
+def test_streaming_zonal_equals_batch(spark, sf_dir):
+    """Stream-static PIP join + running zonal agg == batch twin."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from trefoil_spark.sources.pages import build_pages
+    from trefoil_spark.sources.zones import ZONE_LAYER
+    from trefoil_spark.streaming.interval import run_available_now
+    from trefoil_spark.streaming.zonal import batch_zonal_twin, streaming_zonal_stats
+
+    slim = build_pages(spark, sf_dir, with_html=False).select(
+        "lon", "lat", F.length("text").cast("bigint").alias("n_chars")
+    )
+    tmp = tempfile.mkdtemp(prefix="szonal_test_")
+    slim.write.mode("overwrite").parquet(tmp)
+    stream = streaming_zonal_stats(
+        spark, tmp, "lon double, lat double, n_chars bigint", ZONE_LAYER
+    )
+    got = {
+        r["zone_value"]: (r["count"], r["value_sum"])
+        for r in run_available_now(stream, "t_szonal").collect()
+    }
+    want = {
+        r["zone_value"]: (r["count"], r["value_sum"])
+        for r in batch_zonal_twin(slim, ZONE_LAYER).collect()
+    }
+    assert got == want and len(got) >= 2
