@@ -1152,6 +1152,31 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal with REAL codecs (r3): deterministic RGB images are
+    encoded to actual PNG (even doc_id) / lossless WebP (odd) bytes with
+    the engine's own encoders, ride the binary column through a hash
+    repartition, and are decoded back executor-side by magic-sniffed
+    dispatch into exact per-channel pixel sums. The DuckDB oracle
+    recomputes the sums from the closed-form pixel generator — a hash
+    match proves decode(encode(x)) == x through the shuffle for BOTH
+    container formats."""
+    from trefoil_spark.operators.multimodal import (
+        attach_real_images,
+        decode_image_features,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+    media = attach_real_images(docs).repartition(16, "doc_id")
+    out = decode_image_features(media)
+    return out.select(
+        "doc_id", "fmt",
+        F.col("width").cast("bigint").alias("width"),
+        F.col("height").cast("bigint").alias("height"),
+        "sum_r", "sum_g", "sum_b",
+    ).orderBy("doc_id")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: zonal stats over the PIP join at sf0.001."""
     return q_zonal_stats(spark, "/root/testdata/sf0.001")
@@ -1206,6 +1231,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_dedup": q_streaming_dedup,
         "cf_360day": q_cf_360day,
         "multimodal_features": q_multimodal_features,
+        "multimodal_decode": q_multimodal_decode,
         "area_timeseries": q_area_timeseries,
         "weighted_timeseries": q_weighted_timeseries,
         "pack_roundtrip": q_pack_roundtrip,
@@ -1495,6 +1521,23 @@ def oracle_sql() -> dict[str, str]:
         "streaming_dedup": """
             SELECT md5(text) AS text_hash, MIN(doc_id) AS doc_id
             FROM documents GROUP BY text_hash ORDER BY text_hash
+        """,
+        "multimodal_decode": """
+            WITH px AS (
+                SELECT doc_id, i
+                FROM documents, (SELECT UNNEST(range(256)) AS i)
+            ), s AS (
+                SELECT doc_id,
+                       CAST(SUM((doc_id * 31 + i) % 256) AS BIGINT) AS sum_r,
+                       CAST(SUM((doc_id * 57 + i) % 256) AS BIGINT) AS sum_g,
+                       CAST(SUM((doc_id * 89 + i) % 256) AS BIGINT) AS sum_b
+                FROM px GROUP BY doc_id
+            )
+            SELECT doc_id,
+                   CASE WHEN doc_id % 2 = 0 THEN 'png' ELSE 'webp' END AS fmt,
+                   CAST(16 AS BIGINT) AS width, CAST(16 AS BIGINT) AS height,
+                   sum_r, sum_g, sum_b
+            FROM s ORDER BY doc_id
         """,
         "multimodal_features": f"""
             SELECT doc_id, i AS feature_idx,

@@ -161,3 +161,28 @@ def test_text_fingerprint_order_sensitivity(spark, sf_dir):
     fps = [r["fp"] for r in df.collect()]
     assert fps[0] == fps[2]
     assert fps[0] != fps[1]
+
+
+def test_multimodal_real_decode_roundtrip(spark, sf_dir):
+    """Real PNG/WebP bytes through a repartition, decoded with the own
+    codecs: per-channel sums equal the closed-form generator."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from trefoil_spark.operators.multimodal import (
+        attach_real_images,
+        decode_image_features,
+        synth_image,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id").limit(40)
+    out = decode_image_features(
+        attach_real_images(docs).repartition(4, "doc_id")
+    ).collect()
+    assert len(out) == 40
+    for r in out:
+        img = synth_image(r["doc_id"])
+        sums = img.astype(np.int64).sum(axis=(0, 1))
+        assert (r["sum_r"], r["sum_g"], r["sum_b"]) == tuple(int(s) for s in sums)
+        assert r["fmt"] == ("png" if r["doc_id"] % 2 == 0 else "webp")
+        assert (r["width"], r["height"]) == (16, 16)

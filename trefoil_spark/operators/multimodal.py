@@ -2,12 +2,16 @@
 
 Image/audio/video ride as opaque ``binary`` columns + typed metadata
 structs; decode / feature-extract / resize / frame-sample run as
-Arrow-batched pandas UDFs over mapInPandas. The decode step itself is
-STUBBED (image/audio libs absent in this container — clearly marked):
-``decoder='fake'`` produces a deterministic pseudo-decode so the
-Spark-side plumbing (schema, partitioning, UDF signature, batch shape)
-is real and tested end-to-end; ``decoder='real'`` raises
-NotImplementedError where PIL/ffmpeg would be called.
+Arrow-batched pandas UDFs over mapInPandas.
+
+IMAGE decode is REAL as of round 3: the engine ships its own PNG, JPEG
+and WebP codecs (functions/png.py, jpeg.py, webp.py), and
+``attach_real_images`` / ``decode_image_features`` below push actual
+compressed bytes through shuffles and decode them executor-side
+(driver-checked: `multimodal_decode`). AUDIO/VIDEO decode remains
+stubbed (ffmpeg-bound — clearly marked): ``decoder='fake'`` produces a
+deterministic pseudo-decode so that plumbing is still tested end-to-end;
+``decoder='real'`` raises NotImplementedError where ffmpeg would go.
 
 Schema convention:
     media: binary                      -- opaque payload
@@ -129,3 +133,94 @@ def frame_sample(df: DataFrame, every_n: int = 2, decoder: str = "fake") -> Data
             yield pd.DataFrame(rows, columns=["doc_id", "frame_idx", "frame"])
 
     return df.mapInPandas(gen, schema="doc_id bigint, frame_idx int, frame binary")
+
+
+# ---------------------------------------------------------------------------
+# REAL image decode (round 3): the engine ships its own PNG / JPEG / WebP
+# codecs (functions/png.py, jpeg.py, webp.py), so the image half of the
+# multimodal surface no longer needs the 'fake' substitution — actual
+# compressed bytes ride the binary column through shuffles and are decoded
+# back to pixels executor-side. (Audio/video stay stubbed: ffmpeg-bound.)
+# ---------------------------------------------------------------------------
+
+IMG_SIDE = 16
+_CH_MULT = (31, 57, 89)  # per-channel generators, coprime with 256
+
+
+def synth_image(doc_id: int) -> np.ndarray:
+    """Deterministic 16×16 RGB test image: channel c pixel i =
+    (doc_id*mult_c + i) % 256 — closed form an ANSI-SQL oracle can sum."""
+    i = np.arange(IMG_SIDE * IMG_SIDE, dtype=np.int64)
+    chans = [
+        ((doc_id * m + i) % 256).astype(np.uint8).reshape(IMG_SIDE, IMG_SIDE)
+        for m in _CH_MULT
+    ]
+    return np.stack(chans, axis=-1)
+
+
+def attach_real_images(df: DataFrame) -> DataFrame:
+    """doc_id → actual encoded image bytes in the ``media`` column:
+    even doc_id → truecolor PNG, odd → lossless WebP (both byte-exact
+    codecs, so downstream features are closed-form checkable)."""
+    from ..functions.png import encode_rgb_png
+    from ..functions.webp import encode_webp
+
+    def gen(batches):
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                img = synth_image(d)
+                payload = encode_rgb_png(img) if d % 2 == 0 else encode_webp(img)
+                rows.append((d, payload))
+            yield pd.DataFrame(rows, columns=["doc_id", "media"])
+
+    return df.mapInPandas(gen, schema="doc_id bigint, media binary")
+
+
+def sniff_format(payload: bytes) -> str:
+    if payload[:8] == b"\x89PNG\r\n\x1a\n":
+        return "png"
+    if payload[:2] == b"\xff\xd8":
+        return "jpg"
+    if payload[:4] == b"RIFF" and payload[8:12] == b"WEBP":
+        return "webp"
+    raise ValueError("unknown image payload")
+
+
+def decode_image_features(df: DataFrame) -> DataFrame:
+    """media binary → REAL decode (magic-sniffed codec dispatch) →
+    (fmt, width, height, per-channel integer pixel sums). Exact bigint
+    features: order-free and lossless-codec-exact."""
+    from ..functions.jpeg import decode_jpeg
+    from ..functions.png import decode_rgb_png
+    from ..functions.webp import decode_webp
+
+    def gen(batches):
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["media"]):
+                raw = bytes(payload)
+                fmt = sniff_format(raw)
+                if fmt == "png":
+                    img = decode_rgb_png(raw)
+                elif fmt == "webp":
+                    img = decode_webp(raw)
+                else:
+                    img = decode_jpeg(raw)
+                sums = img[..., :3].astype(np.int64).sum(axis=(0, 1))
+                rows.append(
+                    (int(doc_id), fmt, img.shape[1], img.shape[0],
+                     int(sums[0]), int(sums[1]), int(sums[2]))
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "fmt", "width", "height",
+                         "sum_r", "sum_g", "sum_b"],
+            )
+
+    return df.mapInPandas(
+        gen,
+        schema="doc_id bigint, fmt string, width int, height int, "
+        "sum_r bigint, sum_g bigint, sum_b bigint",
+    )
