@@ -1,0 +1,129 @@
+"""Hypothesis property tests over the from-scratch codecs (PNG, JPEG,
+WebP/VP8L, Lanczos, NetCDF3) — randomized round-trip/invariant coverage
+beyond the fixed-vector tests."""
+
+import numpy as np
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from trefoil_spark.functions.jpeg import decode_jpeg, encode_jpeg
+from trefoil_spark.functions.png import (
+    decode_palette_png,
+    decode_rgb_png,
+    encode_palette_png,
+    encode_rgb_png,
+)
+from trefoil_spark.functions.resample import resample_lanczos, resample_weights
+from trefoil_spark.functions.webp import decode_webp, encode_webp
+
+_fast = settings(max_examples=25, deadline=None,
+                 suppress_health_check=[HealthCheck.too_slow])
+
+
+def _img(draw, maxside=24, channels=(3, 4)):
+    h = draw(st.integers(1, maxside))
+    w = draw(st.integers(1, maxside))
+    c = draw(st.sampled_from(channels))
+    seed = draw(st.integers(0, 2**31 - 1))
+    rng = np.random.default_rng(seed)
+    return rng.integers(0, 256, (h, w, c), dtype=np.uint8)
+
+
+@st.composite
+def rgba_images(draw):
+    return _img(draw)
+
+
+@st.composite
+def rgb_images(draw):
+    return _img(draw, channels=(3,))
+
+
+@_fast
+@given(rgba_images())
+def test_webp_roundtrip_exact(img):
+    out = decode_webp(encode_webp(img))
+    c = img.shape[2]
+    assert np.array_equal(out[..., :c], img)
+    if c == 3:
+        assert np.all(out[..., 3] == 255)
+
+
+@_fast
+@given(rgba_images())
+def test_rgb_png_roundtrip_exact(img):
+    assert np.array_equal(decode_rgb_png(encode_rgb_png(img)), img)
+
+
+@_fast
+@given(st.integers(0, 2**31 - 1), st.integers(1, 20), st.integers(1, 20),
+       st.integers(2, 256))
+def test_palette_png_roundtrip_exact(seed, h, w, ncolors):
+    rng = np.random.default_rng(seed)
+    idx = rng.integers(0, ncolors, (h, w), dtype=np.uint8)
+    pal = rng.integers(0, 256, (ncolors, 3), dtype=np.uint8)
+    got_idx, got_pal, trans = decode_palette_png(encode_palette_png(idx, pal))
+    assert np.array_equal(got_idx, idx)
+    assert np.array_equal(got_pal, pal)
+    assert trans is None
+
+
+@_fast
+@given(rgb_images(), st.integers(50, 98))
+def test_jpeg_roundtrip_shape_and_bound(img, quality):
+    dec = decode_jpeg(encode_jpeg(img, quality))
+    assert dec.shape == (img.shape[0], img.shape[1], 3)
+    # worst-case bound: quantization error can't exceed this on any input
+    assert np.abs(dec.astype(float) - img.astype(float)).mean() < 64
+
+
+@_fast
+@given(st.integers(0, 255), st.integers(1, 30), st.integers(1, 30))
+def test_jpeg_constant_image_near_exact(value, h, w):
+    img = np.full((h, w, 3), value, np.uint8)
+    dec = decode_jpeg(encode_jpeg(img, 95))
+    assert np.abs(dec.astype(int) - value).max() <= 2
+
+
+@_fast
+@given(st.integers(1, 400), st.integers(1, 400))
+def test_lanczos_weights_partition_of_unity(n_in, n_out):
+    w = resample_weights(n_in, n_out)
+    assert w.shape == (n_out, n_in)
+    assert np.allclose(w.sum(axis=1), 1.0, atol=1e-12)
+
+
+@_fast
+@given(st.integers(0, 255), st.integers(1, 40), st.integers(1, 40),
+       st.integers(1, 40), st.integers(1, 40))
+def test_lanczos_constant_preserved(value, h, w, oh, ow):
+    img = np.full((h, w), value, np.uint8)
+    out = resample_lanczos(img, oh, ow)
+    assert out.shape == (oh, ow)
+    assert np.all(out == value)
+
+
+@_fast
+@given(st.integers(0, 2**31 - 1), st.integers(1, 6), st.integers(1, 6),
+       st.sampled_from(["int8", "int16", "int32", "float32", "float64"]))
+def test_netcdf3_roundtrip_dtypes(seed, ny, nx, dtype):
+    import tempfile
+
+    from trefoil_spark.sources.netcdf3 import read_header, write_netcdf3
+
+    rng = np.random.default_rng(seed)
+    if dtype.startswith("int"):
+        info = np.iinfo(dtype)
+        arr = rng.integers(info.min, info.max, (ny, nx)).astype(dtype)
+    else:
+        arr = rng.normal(size=(ny, nx)).astype(dtype)
+    with tempfile.TemporaryDirectory() as d:
+        p = f"{d}/t.nc"
+        write_netcdf3(
+            p,
+            {"y": ny, "x": nx},
+            {"v": (("y", "x"), {}, arr)},
+        )
+        got = read_header(p).read("v")
+        assert got.dtype == np.dtype(dtype)
+        assert np.array_equal(got, arr)
