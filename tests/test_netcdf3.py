@@ -117,7 +117,8 @@ def test_scale_offset_unpack(tmp_path):
     assert arr[0, 0] == 5.0 and abs(arr[1, 0] - 25.0) < 1e-12
     assert np.isnan(arr[1, 1])
     raw = read_header(p).read("v", mask_and_scale=False)
-    assert raw.dtype == np.dtype(">i2") and raw[1, 1] == -32768
+    # reader hands back native-endian arrays regardless of file order
+    assert raw.dtype == np.dtype("int16") and raw[1, 1] == -32768
 
 
 def test_ingest_netcdf3_tiles(spark, tmp_path):

@@ -100,6 +100,10 @@ class NCFile:
                     f.seek(v.begin + r * self.recsize)
                     out[r] = np.frombuffer(f.read(nbytes), dtype=v.dtype).reshape(per_rec)
                 arr = out
+        # file storage is big-endian; hand callers native-endian arrays
+        # (downstream .tobytes()/Arrow paths assume native byte order)
+        if arr.dtype.byteorder == ">":
+            arr = arr.astype(arr.dtype.newbyteorder("="))
         return _unpack(arr, v.attrs) if mask_and_scale else arr
 
 
