@@ -1152,6 +1152,30 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Webtext payload core: realistic page markup (head/title, style, an
+    adversarial in-body script whose string literal contains '</p>') is
+    built around each document, then stripped back to text with the
+    extraction chain (script/style removal → body extract → tag strip),
+    all pure Catalyst regexp expressions. The oracle digests the pristine
+    text: extraction must recover the original BYTES exactly."""
+    from trefoil_spark.operators.textstats import (
+        build_rich_html_col,
+        extract_text_col,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text", "source"
+    )
+    html = docs.withColumn("html", build_rich_html_col())
+    out = html.withColumn("extracted", extract_text_col("html"))
+    return out.select(
+        "doc_id",
+        F.md5(F.encode("extracted", "UTF-8")).alias("text_md5"),
+        F.length("extracted").cast("bigint").alias("n_chars"),
+    ).orderBy("doc_id")
+
+
 def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal with REAL codecs (r3): deterministic RGB images are
     encoded to actual PNG (even doc_id) / lossless WebP (odd) bytes with
@@ -1232,6 +1256,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cf_360day": q_cf_360day,
         "multimodal_features": q_multimodal_features,
         "multimodal_decode": q_multimodal_decode,
+        "html_extract": q_html_extract,
         "area_timeseries": q_area_timeseries,
         "weighted_timeseries": q_weighted_timeseries,
         "pack_roundtrip": q_pack_roundtrip,
@@ -1521,6 +1546,11 @@ def oracle_sql() -> dict[str, str]:
         "streaming_dedup": """
             SELECT md5(text) AS text_hash, MIN(doc_id) AS doc_id
             FROM documents GROUP BY text_hash ORDER BY text_hash
+        """,
+        "html_extract": """
+            SELECT doc_id, md5(text) AS text_md5,
+                   CAST(LENGTH(text) AS BIGINT) AS n_chars
+            FROM documents ORDER BY doc_id
         """,
         "multimodal_decode": """
             WITH px AS (

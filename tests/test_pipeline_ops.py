@@ -186,3 +186,35 @@ def test_multimodal_real_decode_roundtrip(spark, sf_dir):
         assert (r["sum_r"], r["sum_g"], r["sum_b"]) == tuple(int(s) for s in sums)
         assert r["fmt"] == ("png" if r["doc_id"] % 2 == 0 else "webp")
         assert (r["width"], r["height"]) == (16, 16)
+
+
+def test_html_extract_recovers_bytes(spark, sf_dir):
+    """Extraction chain inverts the markup construction exactly, and the
+    in-body script removal is load-bearing (its literal contains </p>)."""
+    from pyspark.sql import functions as F
+
+    from trefoil_spark.operators.textstats import (
+        build_rich_html_col,
+        extract_text_col,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text", "source"
+    ).limit(50)
+    out = (
+        docs.withColumn("html", build_rich_html_col())
+        .withColumn("extracted", extract_text_col("html"))
+        .withColumn("same", F.col("extracted") == F.col("text"))
+    )
+    rows = out.collect()
+    assert len(rows) == 50 and all(r["same"] for r in rows)
+    # without script removal the extraction corrupts: prove the noise bites
+    naive = docs.withColumn("html", build_rich_html_col()).withColumn(
+        "bad",
+        F.regexp_replace(
+            F.regexp_extract("html", r"(?s)<body[^>]*>(.*)</body>", 1),
+            r"(?s)<[^>]*>", "",
+        ),
+    )
+    bad = naive.withColumn("same", F.col("bad") == F.col("text")).collect()
+    assert not any(r["same"] for r in bad)

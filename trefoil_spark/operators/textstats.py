@@ -120,3 +120,35 @@ def text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
     return out.withColumn("lang_pred", lang_expr).drop(
         *[f"_c_{lang}" for lang in STOPWORDS]
     )
+
+
+# ---------------------------------------------------------------------------
+# HTML → text extraction (webtext payload core; r3)
+# ---------------------------------------------------------------------------
+
+def build_rich_html_col(text_col: str = "text", title_col: str = "source") -> Column:
+    """Realistic page markup around the payload: head/title, a script
+    block, entity noise in an attribute — only the <body> paragraph holds
+    the extractable text. Pure Catalyst (concat), so construction and
+    extraction both stay JVM-side."""
+    return F.concat(
+        F.lit('<html><head><title>'), F.col(title_col),
+        F.lit('</title><style>p{color:#000}</style></head>'
+              '<body data-x="a-b">'
+              '<script>var t="</p>";track();</script><p>'),
+        F.col(text_col),
+        F.lit("</p></body></html>"),
+    )
+
+
+def extract_text_col(html_col) -> Column:
+    """Strip a page down to its body text: drop script/style blocks
+    (lazy, dotall — their content may contain markup-lookalikes), take
+    the <body> element, remove remaining tags. The per-row invariant the
+    engine guarantees (north rule): applied to `build_rich_html_col`
+    output this recovers the original text BYTES exactly."""
+    col = html_col if not isinstance(html_col, str) else F.col(html_col)
+    no_script = F.regexp_replace(col, r"(?s)<script.*?</script>", "")
+    no_style = F.regexp_replace(no_script, r"(?s)<style.*?</style>", "")
+    body = F.regexp_extract(no_style, r"(?s)<body[^>]*>(.*)</body>", 1)
+    return F.regexp_replace(body, r"(?s)<[^>]*>", "")
