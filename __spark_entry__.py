@@ -769,6 +769,37 @@ def q_pack_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 _NC_H, _NC_W, _NC_T = 300, 520, 2  # partial tiles + record axis on purpose
 
 
+def q_nc_export(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SURVEY §2 S5/S10 in the reference's NATIVE format: the synthetic
+    tile table is window-stitched and written to a classic NetCDF file
+    (CF coordinate variables, descending latitudes) by the own writer,
+    then re-ingested by the own header-parse + byte-range reader and
+    reduced to exact integers. The oracle recomputes the window directly
+    from the pixel generator — a full export→import identity proof."""
+    import os
+    import shutil
+    import tempfile
+
+    from trefoil_spark.sources.netcdf3 import export_netcdf3, ingest_netcdf3
+
+    tiles = synthetic_tiles(spark, SPEC)
+    d = tempfile.mkdtemp(prefix="trefoil_ncx_")
+    path = os.path.join(d, "window.nc")
+    try:
+        h, w = export_netcdf3(tiles, SPEC, QUERY_BBOX, path, variable="synth")
+        re_tiles, _re_spec = ingest_netcdf3(spark, path, "synth")
+        row = _floor_count_reduce(re_tiles).groupBy().agg(
+            F.sum("floor_sum").cast("bigint").alias("floor_sum"),
+            F.sum("count").cast("bigint").alias("count"),
+        ).collect()[0]  # materialize before the tmp file goes away
+        return spark.createDataFrame(
+            [(row["floor_sum"], row["count"], h, w)],
+            "floor_sum bigint, count bigint, height bigint, width bigint",
+        )
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
 def q_nc_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SURVEY §2 S1/S2 at the FORMAT level: a classic NetCDF (CDF-1)
     file — written by the own pure-python writer with ascending
@@ -1245,6 +1276,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "warp_mode": q_warp_mode,
         "png_stability": q_png_stability,
         "nc_ingest": q_nc_ingest,
+        "nc_export": q_nc_export,
         "vectorize": q_vectorize,
         "salted_agg": q_salted_agg,
         "pages_text_invariant": q_pages_text_invariant,
@@ -1361,6 +1393,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "knn_join_adaptive": _knn_oracle(),
         "tile_window_stats": _tile_window_oracle(),
+        "nc_export": _nc_export_oracle(),
         "tile_classify_histogram": f"""
             WITH {_pixel_cte()}
             SELECT CAST({classify_sql('v', BREAKS)} AS BIGINT) AS class,
@@ -2195,6 +2228,21 @@ def _tile_zonal_oracle(masked: bool = False) -> str:
                SUM(v) AS sum, COUNT(v) AS count
         FROM z WHERE zone IS NOT NULL AND v IS NOT NULL
         GROUP BY zone ORDER BY zone
+    """
+
+
+def _nc_export_oracle() -> str:
+    w = SPEC.window_for_bbox(QUERY_BBOX)
+    y0, y1 = w.y_slice.start, w.y_slice.stop
+    x0, x1 = w.x_slice.start, w.x_slice.stop
+    return f"""
+        WITH {_pixel_cte()}
+        SELECT CAST(SUM(CAST(FLOOR(v) AS BIGINT)) AS BIGINT) AS floor_sum,
+               COUNT(v) AS count,
+               CAST({y1 - y0} AS BIGINT) AS height,
+               CAST({x1 - x0} AS BIGINT) AS width
+        FROM geo
+        WHERE y >= {y0} AND y < {y1} AND x >= {x0} AND x < {x1}
     """
 
 

@@ -172,3 +172,33 @@ def test_ingest_ascending_y_flips(spark, tmp_path):
     # tile row 0 = NORTH edge = the LAST source row
     assert np.array_equal(blk, data[::-1])
     assert abs(spec.y0 - 13.5) < 1e-9
+
+
+def test_export_netcdf3_roundtrip(spark):
+    """tiles → export window .nc (CF coords, descending lats) → read back
+    equals the stitched array, NaN holes preserved."""
+    import os
+    import tempfile
+
+    from trefoil_spark.grid.bbox import BBox
+    from trefoil_spark.raster.gridspec import GridSpec
+    from trefoil_spark.raster.synth import synthetic_tiles
+    from trefoil_spark.raster.window_ops import stitch_window
+    from trefoil_spark.sources.netcdf3 import export_netcdf3, read_header
+
+    spec = GridSpec.from_bbox(BBox((-125.0, 32.0, -113.0, 38.0), "EPSG:4326"), 512, 256)
+    bbox = BBox((-122.0, 33.0, -116.0, 37.0), "EPSG:4326")
+    tiles = synthetic_tiles(spark, spec)
+    with tempfile.TemporaryDirectory() as d:
+        p = os.path.join(d, "w.nc")
+        h, w = export_netcdf3(tiles, spec, bbox, p, variable="v")
+        nc = read_header(p)
+        assert nc.attrs["Conventions"] == "CF-1.6" and nc.attrs["crs"] == "EPSG:4326"
+        assert nc.variables["y"].attrs["standard_name"] == "latitude"
+        got = nc.read("v")
+        want = stitch_window(tiles, spec, bbox)
+        assert got.shape == (h, w) == want.shape
+        assert np.array_equal(got, want.astype(np.float32), equal_nan=True)
+        assert np.isnan(want).any()  # the synth holes actually exercised
+        ys = nc.read("y")
+        assert ys[0] > ys[-1]  # north-first (descending), CF-consistent

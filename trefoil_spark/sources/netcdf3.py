@@ -483,3 +483,61 @@ def ingest_netcdf3(spark, path: str, variable: str, var_label: str | None = None
             )
 
     return idx.mapInPandas(cut, schema=TILE_SCHEMA), spec
+
+
+def export_netcdf3(
+    tiles,
+    spec,
+    bbox,
+    path: str,
+    variable: str = "synth",
+    t: int = 0,
+    global_attrs: dict | None = None,
+    max_pixels: int = 64_000_000,
+):
+    """Tiles → window stitch → classic NetCDF with CF coordinate
+    variables (S5/S10 in the reference's NATIVE format — the inverse of
+    :func:`ingest_netcdf3`; reference netcdf_to_raster surface,
+    conversion.py:72-136, with .nc instead of GTiff).
+
+    Driver-side by design like ``stitch_window`` (a raster *file* is a
+    single-machine artifact; ``max_pixels`` guards the export window).
+    Returns the written (height, width).
+    """
+    from ..raster.window_ops import stitch_window
+
+    arr = stitch_window(tiles, spec, bbox, t=t, max_pixels=max_pixels)
+    win = spec.window_for_bbox(bbox)
+    ys = (
+        spec.y0
+        - (np.arange(win.y_slice.start, win.y_slice.stop, dtype=np.float64) + 0.5)
+        * spec.dy
+    )
+    xs = (
+        spec.x0
+        + (np.arange(win.x_slice.start, win.x_slice.stop, dtype=np.float64) + 0.5)
+        * spec.dx
+    )
+    geographic = spec.crs in ("EPSG:4326", "epsg:4326")
+    y_attrs = (
+        {"standard_name": "latitude", "units": "degrees_north"}
+        if geographic
+        else {"standard_name": "projection_y_coordinate", "units": "m"}
+    )
+    x_attrs = (
+        {"standard_name": "longitude", "units": "degrees_east"}
+        if geographic
+        else {"standard_name": "projection_x_coordinate", "units": "m"}
+    )
+    write_netcdf3(
+        path,
+        {"y": len(ys), "x": len(xs)},
+        {
+            "y": (("y",), y_attrs, ys),
+            "x": (("x",), x_attrs, xs),
+            variable: (("y", "x"), {}, arr.astype(np.float32)),
+        },
+        global_attrs={"Conventions": "CF-1.6", "crs": spec.crs,
+                      **(global_attrs or {})},
+    )
+    return arr.shape
