@@ -1183,6 +1183,28 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_audio_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal audio with a REAL codec: deterministic int16 waveforms
+    are encoded to actual RIFF/WAVE PCM bytes (own codec), repartitioned,
+    and decoded back executor-side into exact integer amplitude stats.
+    The oracle aggregates the closed-form waveform — a hash match proves
+    the WAV bytes round-trip through the shuffle."""
+    from trefoil_spark.operators.multimodal import (
+        attach_real_audio,
+        decode_audio_features,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+    media = attach_real_audio(docs).repartition(16, "doc_id")
+    out = decode_audio_features(media)
+    return out.select(
+        "doc_id",
+        F.col("sample_rate").cast("bigint").alias("sample_rate"),
+        F.col("n_samples").cast("bigint").alias("n_samples"),
+        "sum_amp", "sum_abs",
+    ).orderBy("doc_id")
+
+
 def q_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Webtext payload core: realistic page markup (head/title, style, an
     adversarial in-body script whose string literal contains '</p>') is
@@ -1289,6 +1311,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_features": q_multimodal_features,
         "multimodal_decode": q_multimodal_decode,
         "html_extract": q_html_extract,
+        "audio_decode": q_audio_decode,
         "area_timeseries": q_area_timeseries,
         "weighted_timeseries": q_weighted_timeseries,
         "pack_roundtrip": q_pack_roundtrip,
@@ -1579,6 +1602,17 @@ def oracle_sql() -> dict[str, str]:
         "streaming_dedup": """
             SELECT md5(text) AS text_hash, MIN(doc_id) AS doc_id
             FROM documents GROUP BY text_hash ORDER BY text_hash
+        """,
+        "audio_decode": """
+            WITH sm AS (
+                SELECT doc_id, ((doc_id * 9176 + i * 37) % 65536) - 32768 AS s
+                FROM documents, (SELECT UNNEST(range(1024)) AS i)
+            )
+            SELECT doc_id, CAST(16000 AS BIGINT) AS sample_rate,
+                   CAST(1024 AS BIGINT) AS n_samples,
+                   CAST(SUM(s) AS BIGINT) AS sum_amp,
+                   CAST(SUM(ABS(s)) AS BIGINT) AS sum_abs
+            FROM sm GROUP BY doc_id ORDER BY doc_id
         """,
         "html_extract": """
             SELECT doc_id, md5(text) AS text_md5,

@@ -218,3 +218,19 @@ def test_html_extract_recovers_bytes(spark, sf_dir):
     )
     bad = naive.withColumn("same", F.col("bad") == F.col("text")).collect()
     assert not any(r["same"] for r in bad)
+
+
+def test_audio_wav_roundtrip():
+    """Own WAV codec: int16 mono and stereo round-trip byte-exactly."""
+    import numpy as np
+
+    from trefoil_spark.functions.wav import decode_wav, encode_wav
+
+    rng = np.random.default_rng(5)
+    mono = rng.integers(-32768, 32768, 777, dtype=np.int16)
+    arr, rate = decode_wav(encode_wav(mono, 8000))
+    assert rate == 8000 and arr.shape == (777, 1)
+    assert np.array_equal(arr[:, 0], mono)
+    stereo = rng.integers(-32768, 32768, (100, 2), dtype=np.int16)
+    arr2, rate2 = decode_wav(encode_wav(stereo, 44100))
+    assert rate2 == 44100 and np.array_equal(arr2, stereo)

@@ -8,9 +8,11 @@ IMAGE decode is REAL as of round 3: the engine ships its own PNG, JPEG
 and WebP codecs (functions/png.py, jpeg.py, webp.py), and
 ``attach_real_images`` / ``decode_image_features`` below push actual
 compressed bytes through shuffles and decode them executor-side
-(driver-checked: `multimodal_decode`). AUDIO/VIDEO decode remains
-stubbed (ffmpeg-bound — clearly marked): ``decoder='fake'`` produces a
-deterministic pseudo-decode so that plumbing is still tested end-to-end;
+(driver-checked: `multimodal_decode`). AUDIO decode is REAL for PCM:
+own WAV codec (functions/wav.py, driver-checked: `audio_decode`).
+COMPRESSED audio (MP3/AAC) and VIDEO decode remain stubbed (ffmpeg-bound
+— clearly marked): ``decoder='fake'`` produces a deterministic
+pseudo-decode so that plumbing is still tested end-to-end;
 ``decoder='real'`` raises NotImplementedError where ffmpeg would go.
 
 Schema convention:
@@ -140,7 +142,7 @@ def frame_sample(df: DataFrame, every_n: int = 2, decoder: str = "fake") -> Data
 # codecs (functions/png.py, jpeg.py, webp.py), so the image half of the
 # multimodal surface no longer needs the 'fake' substitution — actual
 # compressed bytes ride the binary column through shuffles and are decoded
-# back to pixels executor-side. (Audio/video stay stubbed: ffmpeg-bound.)
+# back to pixels executor-side. (Video stays stubbed: ffmpeg-bound.)
 # ---------------------------------------------------------------------------
 
 IMG_SIDE = 16
@@ -223,4 +225,63 @@ def decode_image_features(df: DataFrame) -> DataFrame:
         gen,
         schema="doc_id bigint, fmt string, width int, height int, "
         "sum_r bigint, sum_g bigint, sum_b bigint",
+    )
+
+
+# ---------------------------------------------------------------------------
+# REAL audio decode (r3): own WAV/PCM codec (functions/wav.py). Compressed
+# audio and video remain honestly ffmpeg-stubbed.
+# ---------------------------------------------------------------------------
+
+AUDIO_N = 1024
+AUDIO_RATE = 16000
+
+
+def synth_audio(doc_id: int) -> np.ndarray:
+    """Deterministic int16 waveform: s_i = (doc_id*9176 + i*37) % 65536
+    - 32768 — closed form an ANSI-SQL oracle can aggregate."""
+    i = np.arange(AUDIO_N, dtype=np.int64)
+    return ((doc_id * 9176 + i * 37) % 65536 - 32768).astype(np.int16)
+
+
+def attach_real_audio(df: DataFrame) -> DataFrame:
+    """doc_id → actual RIFF/WAVE PCM bytes in the ``media`` column."""
+    from ..functions.wav import encode_wav
+
+    def gen(batches):
+        for pdf in batches:
+            rows = [
+                (int(d), encode_wav(synth_audio(int(d)), AUDIO_RATE))
+                for d in pdf["doc_id"]
+            ]
+            yield pd.DataFrame(rows, columns=["doc_id", "media"])
+
+    return df.mapInPandas(gen, schema="doc_id bigint, media binary")
+
+
+def decode_audio_features(df: DataFrame) -> DataFrame:
+    """media binary → REAL WAV decode → exact integer amplitude stats
+    (sum + sum of |s|: order-free, codec-exact)."""
+    from ..functions.wav import decode_wav
+
+    def gen(batches):
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["media"]):
+                samples, rate = decode_wav(bytes(payload))
+                s = samples[:, 0].astype(np.int64)
+                rows.append(
+                    (int(doc_id), rate, len(s), int(s.sum()),
+                     int(np.abs(s).sum()))
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "sample_rate", "n_samples", "sum_amp",
+                         "sum_abs"],
+            )
+
+    return df.mapInPandas(
+        gen,
+        schema="doc_id bigint, sample_rate int, n_samples int, "
+        "sum_amp bigint, sum_abs bigint",
     )
