@@ -1183,6 +1183,40 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup pipeline completion: verified near-dup PAIRS become
+    CLUSTERS via the engine's distributed connected components (the same
+    large-star/small-star operator the raster vectorizer uses —
+    raster/vectorize.py:connected_components), and each cluster elects
+    its min-id canonical document. Ids ride as zero-padded strings so the
+    operator's lexicographic-min global id IS the numeric min. The
+    oracle recomputes the clustering with a recursive-CTE transitive
+    closure in DuckDB."""
+    from trefoil_spark.operators.dedup import minhash_near_duplicates
+    from trefoil_spark.raster.vectorize import connected_components
+
+    pairs = minhash_near_duplicates(_docs_with_dups(spark, sf_dir), threshold=0.5)
+    edges = pairs.select(
+        F.lpad(F.col("id_a").cast("string"), 9, "0").alias("node_a"),
+        F.lpad(F.col("id_b").cast("string"), 9, "0").alias("node_b"),
+    )
+    mapping = connected_components(edges)
+    comp = mapping.select(
+        F.col("node").cast("bigint").alias("node"),
+        F.col("global_id").cast("bigint").alias("gid"),
+    )
+    return (
+        comp.groupBy("gid")
+        .agg(
+            F.min("node").cast("bigint").alias("canonical_id"),
+            F.count(F.lit(1)).cast("bigint").alias("cluster_size"),
+            F.sum("node").cast("bigint").alias("member_sum"),
+        )
+        .select("canonical_id", "cluster_size", "member_sum")
+        .orderBy("canonical_id")
+    )
+
+
 def q_audio_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal audio with a REAL codec: deterministic int16 waveforms
     are encoded to actual RIFF/WAVE PCM bytes (own codec), repartitioned,
@@ -1312,6 +1346,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_decode": q_multimodal_decode,
         "html_extract": q_html_extract,
         "audio_decode": q_audio_decode,
+        "dedup_clusters": q_dedup_clusters,
         "area_timeseries": q_area_timeseries,
         "weighted_timeseries": q_weighted_timeseries,
         "pack_roundtrip": q_pack_roundtrip,
@@ -1432,6 +1467,7 @@ def oracle_sql() -> dict[str, str]:
             FROM d GROUP BY text_hash HAVING COUNT(*) > 1 ORDER BY text_hash
         """,
         "dedup_minhash": _dedup_minhash_oracle(),
+        "dedup_clusters": _dedup_clusters_oracle(),
         "dedup_simhash": _dedup_simhash_oracle(),
         "dedup_ngram_jaccard": _dedup_ngram_oracle(),
         "knn_join": _knn_oracle(),
@@ -1703,7 +1739,9 @@ def _dedup_simhash_oracle() -> str:
     """
 
 
-def _dedup_minhash_oracle() -> str:
+def _minhash_pairs_ctes() -> str:
+    """The minhash LSH + exact-Jaccard-verify CTE chain (through
+    ``verified``) — shared by the pairs oracle and the clusters oracle."""
     from trefoil_spark.operators.dedup import minhash_sql_duckdb
 
     toks, sig = minhash_sql_duckdb()
@@ -1714,8 +1752,7 @@ def _dedup_minhash_oracle() -> str:
     band_union = " UNION ALL ".join(
         f"SELECT doc_id, {b} AS band, _k{b} AS key FROM s" for b in range(4)
     )
-    return f"""
-        WITH d AS ({_DOCS_DUPS_SQL_DUCK}),
+    return f"""d AS ({_DOCS_DUPS_SQL_DUCK}),
         s AS (
             SELECT doc_id, {bands} FROM (
                 SELECT doc_id, _th, {sig} AS minhash FROM (
@@ -1739,10 +1776,42 @@ def _dedup_minhash_oracle() -> str:
                    len(list_distinct(list_concat(a.tok_set, b.tok_set))) AS union_size
             FROM pairs JOIN sets a ON pairs.id_a = a.doc_id
                        JOIN sets b ON pairs.id_b = b.doc_id
-        )
+        )"""
+
+
+def _dedup_minhash_oracle() -> str:
+    return f"""
+        WITH {_minhash_pairs_ctes()}
         SELECT id_a, id_b, inter, union_size FROM verified
         WHERE 2 * inter >= union_size
         ORDER BY id_a, id_b
+    """
+
+
+def _dedup_clusters_oracle() -> str:
+    """Near-dup clusters via recursive transitive closure with min-label
+    selection (SQL twin of the engine's distributed connected
+    components). Component sizes here are tiny (a doc + its copies), so
+    the closure set is small; the engine side has no such bound."""
+    return f"""
+        WITH RECURSIVE {_minhash_pairs_ctes()},
+        vpairs AS (
+            SELECT id_a, id_b FROM verified WHERE 2 * inter >= union_size
+        ),
+        e2 AS (
+            SELECT id_a AS u, id_b AS v FROM vpairs
+            UNION SELECT id_b, id_a FROM vpairs
+        ),
+        closure AS (
+            SELECT DISTINCT u AS node, u AS root FROM e2
+            UNION
+            SELECT e2.u, c.root FROM e2, closure c WHERE c.node = e2.v
+        ),
+        comp AS (SELECT node, MIN(root) AS gid FROM closure GROUP BY node)
+        SELECT CAST(gid AS BIGINT) AS canonical_id,
+               CAST(COUNT(*) AS BIGINT) AS cluster_size,
+               CAST(SUM(node) AS BIGINT) AS member_sum
+        FROM comp GROUP BY gid ORDER BY canonical_id
     """
 
 
