@@ -1183,6 +1183,20 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_kmeans_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed k-means TRAINING (not just assignment): two Lloyd
+    iterations over the full embeddings table in quantized integer
+    space — assignment via linear struct-sort argmin, update via exact
+    (cid, dim) integer sums with floor-means; only the K×dim centroid
+    matrix touches the driver. The DuckDB oracle replays the identical
+    training (CTE per iteration) — counts AND squared-distance sums
+    hash-match bit-for-bit, something float k-means cannot offer."""
+    from trefoil_spark.operators.similarity import kmeans_lloyd_quantized
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return kmeans_lloyd_quantized(emb, n_centroids=8, n_iters=2)
+
+
 def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dedup pipeline completion: verified near-dup PAIRS become
     CLUSTERS via the engine's distributed connected components (the same
@@ -1347,6 +1361,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "html_extract": q_html_extract,
         "audio_decode": q_audio_decode,
         "dedup_clusters": q_dedup_clusters,
+        "kmeans_train": q_kmeans_train,
         "area_timeseries": q_area_timeseries,
         "weighted_timeseries": q_weighted_timeseries,
         "pack_roundtrip": q_pack_roundtrip,
@@ -1468,6 +1483,53 @@ def oracle_sql() -> dict[str, str]:
         """,
         "dedup_minhash": _dedup_minhash_oracle(),
         "dedup_clusters": _dedup_clusters_oracle(),
+        "kmeans_train": """
+            WITH emb AS (
+              SELECT vec_id, list_transform(embedding,
+                x -> CAST(ROUND(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS e
+              FROM embeddings
+            ),
+            init AS (
+              SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS k, e
+              FROM (SELECT vec_id, e FROM emb ORDER BY vec_id LIMIT 8)
+            ),
+            d1 AS (
+              SELECT emb.vec_id, emb.e, init.k,
+                     list_sum(list_transform(list_zip(emb.e, init.e),
+                       s -> (s[1] - s[2]) * (s[1] - s[2]))) AS d
+              FROM emb CROSS JOIN init
+            ),
+            a1 AS (
+              SELECT vec_id, e, k, d FROM (
+                SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                                             ORDER BY d, k) AS rn FROM d1
+              ) WHERE rn = 1
+            ),
+            u1 AS (
+              SELECT k, i AS pos,
+                     CAST(FLOOR(CAST(SUM(e[i]) AS DOUBLE) / COUNT(*)) AS BIGINT) AS cv
+              FROM a1, (SELECT UNNEST(range(1, 65)) AS i) GROUP BY k, i
+            ),
+            c1 AS (
+              SELECT ROW_NUMBER() OVER (ORDER BY k) - 1 AS k, e
+              FROM (SELECT k, list(cv ORDER BY pos) AS e FROM u1 GROUP BY k)
+            ),
+            d2 AS (
+              SELECT emb.vec_id, emb.e, c1.k,
+                     list_sum(list_transform(list_zip(emb.e, c1.e),
+                       s -> (s[1] - s[2]) * (s[1] - s[2]))) AS d
+              FROM emb CROSS JOIN c1
+            ),
+            a2 AS (
+              SELECT vec_id, k, d FROM (
+                SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                                             ORDER BY d, k) AS rn FROM d2
+              ) WHERE rn = 1
+            )
+            SELECT CAST(k AS BIGINT) AS cid, CAST(COUNT(*) AS BIGINT) AS n_points,
+                   CAST(SUM(d) AS BIGINT) AS sum_dist
+            FROM a2 GROUP BY k ORDER BY cid
+        """,
         "dedup_simhash": _dedup_simhash_oracle(),
         "dedup_ngram_jaccard": _dedup_ngram_oracle(),
         "knn_join": _knn_oracle(),

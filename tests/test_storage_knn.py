@@ -59,3 +59,47 @@ def test_adaptive_knn_is_complete(spark, sf_dir):
         .reset_index(drop=True)
     )
     pd.testing.assert_frame_equal(got, want)
+
+
+def test_kmeans_lloyd_quantized_matches_numpy(spark, sf_dir):
+    """Distributed quantized Lloyd's equals a numpy replay of the same
+    quantized algorithm, and iterating reduces total within-cluster
+    distance."""
+    import numpy as np
+
+    from trefoil_spark.operators.similarity import kmeans_lloyd_quantized
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    rows = sorted(
+        (r["vec_id"], np.round(np.asarray(r["embedding"], dtype=np.float64) * 1e6)
+         .astype(np.int64))
+        for r in emb.select("vec_id", "embedding").collect()
+    )
+    X = np.stack([v for _, v in rows])
+    K = 4
+
+    def replay(n_iters):
+        cents = X[:K].copy()
+        for _ in range(n_iters):
+            d = ((X[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+            assign = d.argmin(axis=1)  # argmin ties -> smallest k, same rule
+            dist = d[np.arange(len(X)), assign]
+            new = []
+            for k in sorted(set(assign.tolist())):
+                sel = X[assign == k]
+                new.append(np.floor(sel.sum(axis=0) / len(sel)).astype(np.int64))
+            cents = np.stack(new)
+        return assign, dist
+
+    for iters in (1, 2):
+        got = {r["cid"]: (r["n_points"], r["sum_dist"]) for r in
+               kmeans_lloyd_quantized(emb, n_centroids=K, n_iters=iters).collect()}
+        assign, dist = replay(iters)
+        want = {}
+        for k in sorted(set(assign.tolist())):
+            sel = assign == k
+            want[k] = (int(sel.sum()), int(dist[sel].sum()))
+        assert got == want
+    _, d1 = replay(1)
+    _, d2 = replay(2)
+    assert d2.sum() <= d1.sum()  # Lloyd monotonicity (quantization-tolerant)

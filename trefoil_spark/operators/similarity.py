@@ -290,3 +290,97 @@ def fixture_centroids(sf_dir: str, n_centroids: int = 8,
     tbl = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["embedding"])
     emb = np.array(tbl.column("embedding").to_pylist()[:sample_rows], dtype=np.float64)
     return kmeans_numpy(emb, n_centroids)
+
+
+# ---------------------------------------------------------------------------
+# Distributed k-means training (r3): Lloyd iterations where ASSIGNMENT and
+# UPDATE both run distributed over ALL rows — only the K×dim centroid
+# matrix (KBs) ever lands on the driver per iteration (the MLlib shape;
+# train_ivf_centroids above is the documented driver-sample variant).
+# Arithmetic runs in QUANTIZED integer space (1e6 fixed-point) so every
+# distance, sum and floor-mean is exact — a DuckDB oracle reproduces the
+# whole training bit-for-bit, which float k-means cannot offer (float
+# sums are merge-order dependent).
+# ---------------------------------------------------------------------------
+
+KMEANS_SCALE = 1_000_000
+
+
+def quantize_col(vec_col: str) -> str:
+    """array<float> → array<bigint> fixed-point (identical in DuckDB via
+    list_transform + ROUND)."""
+    return (
+        f"transform({vec_col}, x -> CAST(ROUND(CAST(x AS DOUBLE) "
+        f"* {KMEANS_SCALE}) AS BIGINT))"
+    )
+
+
+def _int_dist_structs(vec_col: str, centroids: list[list[int]]) -> str:
+    entries = []
+    for k, c in enumerate(centroids):
+        arr = ", ".join(f"{int(v)}L" for v in c)
+        d = (
+            f"aggregate(zip_with({vec_col}, array({arr}), "
+            f"(x, y) -> (x - y) * (x - y)), CAST(0 AS BIGINT), "
+            f"(acc, v) -> acc + v)"
+        )
+        entries.append(f"named_struct('d', {d}, 'k', {k})")
+    return f"array({', '.join(entries)})"
+
+
+def kmeans_lloyd_quantized(
+    points: DataFrame,
+    n_centroids: int = 8,
+    n_iters: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Distributed quantized Lloyd's. Init = the vectors of the
+    ``n_centroids`` smallest ids (deterministic, engine-portable). Each
+    iteration: linear-size struct-sort argmin assignment (all rows,
+    JVM-side), then a (cid, dim) grouped exact integer sum → floor-mean
+    centroids (K×dim rows collected — the k-means state, not the data).
+    Returns the final assignment summary (cid, n_points, sum_dist) —
+    integer-exact, so hash-comparable with the SQL recompute."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    q = points.select(
+        F.col(id_col).alias("vec_id"), F.expr(quantize_col(vec_col)).alias("e")
+    )
+    init_rows = q.orderBy("vec_id").limit(n_centroids).collect()
+    centroids = [list(r["e"]) for r in init_rows]
+
+    assigned = None
+    for _ in range(n_iters):
+        structs = _int_dist_structs("e", centroids)
+        assigned = q.select(
+            "vec_id", "e",
+            F.expr(f"element_at(array_sort({structs}), 1).k").alias("cid"),
+            F.expr(f"element_at(array_sort({structs}), 1).d").alias("dist"),
+        )
+        sums = (
+            assigned.select("cid", F.posexplode("e").alias("pos", "val"))
+            .groupBy("cid", "pos")
+            .agg(F.sum("val").alias("s"), F.count(F.lit(1)).alias("n"))
+            .collect()
+        )
+        by_cid: dict[int, dict[int, tuple[int, int]]] = {}
+        for r in sums:
+            by_cid.setdefault(r["cid"], {})[r["pos"]] = (r["s"], r["n"])
+        # floor(sum/count) via IEEE double division — identical to the
+        # oracle's FLOOR(CAST(SUM AS DOUBLE)/COUNT) (sums < 2^53: exact)
+        centroids = [
+            [int(math.floor(s / n)) for _p, (s, n) in sorted(dims.items())]
+            for _cid, dims in sorted(by_cid.items())
+        ]
+    return (
+        assigned.groupBy("cid")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_points"),
+            F.sum("dist").cast("bigint").alias("sum_dist"),
+        )
+        .select(F.col("cid").cast("bigint").alias("cid"), "n_points", "sum_dist")
+        .orderBy("cid")
+    )
