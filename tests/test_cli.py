@@ -1,0 +1,123 @@
+"""`python -m trefoil_spark` CLI — the reference's command surface
+(trefoil/cli/main.py) over the engine, with real .nc/.shp/image I/O."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+from trefoil_spark.cli import main
+from trefoil_spark.sources.netcdf3 import read_header, write_netcdf3
+from trefoil_spark.sources.shapefile import write_polygon_shapefile
+from trefoil_spark.sources.zones import ZONE_LAYER
+
+
+@pytest.fixture(scope="module")
+def workspace(tmp_path_factory):
+    d = tmp_path_factory.mktemp("cli")
+    h, w = 60, 120
+    ys = 38.0 - (np.arange(h) + 0.5) * 0.05
+    xs = -125.0 + (np.arange(w) + 0.5) * 0.05
+    data = (np.add.outer(np.arange(h), np.arange(w)) % 97).astype(np.float32)
+    nc = str(d / "tmin.nc")
+    write_netcdf3(
+        nc,
+        {"lat": h, "lon": w},
+        {
+            "lat": (("lat",), {"standard_name": "latitude"}, ys),
+            "lon": (("lon",), {"standard_name": "longitude"}, xs),
+            "tmin": (("lat", "lon"), {"units": "C"}, data),
+        },
+    )
+    shp = str(d / "zones.shp")
+    write_polygon_shapefile(shp, ZONE_LAYER)
+    return {"dir": str(d), "nc": nc, "shp": shp, "data": data}
+
+
+def test_describe_and_variables(workspace, capsys):
+    assert main(["describe", workspace["nc"]]) == 0
+    info = json.loads(capsys.readouterr().out)
+    assert info["dimensions"] == {"lat": 60, "lon": 120}
+    assert info["variables"]["tmin"]["dims"] == ["lat", "lon"]
+    assert main(["variables", workspace["nc"]]) == 0
+    assert "tmin(lat, lon): float32" in capsys.readouterr().out
+
+
+def test_stats(spark, workspace, capsys):
+    assert main(["stats", workspace["nc"]]) == 0
+    out = json.loads(capsys.readouterr().out)
+    assert out["tmin"]["tmin"]["min"] == 0.0
+    assert out["tmin"]["tmin"]["max"] == 96.0
+    assert out["tmin"]["tmin"]["valid_pixels"] == 60 * 120
+
+
+def test_zonal_stats_csv(spark, workspace):
+    out = os.path.join(workspace["dir"], "z.csv")
+    assert main(
+        ["zonal_stats", workspace["shp"], workspace["nc"] + ":tmin", out]
+    ) == 0
+    import pandas as pd
+
+    pdf = pd.read_csv(out)
+    assert set(pdf.columns) >= {"zone", "mean", "min", "max", "std", "count"}
+    assert len(pdf) >= 2 and (pdf["count"] > 0).all()
+
+
+def test_render_all_formats(spark, workspace):
+    from trefoil_spark.functions.jpeg import decode_jpeg
+    from trefoil_spark.functions.webp import decode_webp
+
+    outdir = os.path.join(workspace["dir"], "img")
+    for fmt in ("png", "jpg", "webp"):
+        assert main(
+            ["render_netcdf", workspace["nc"] + ":tmin", outdir,
+             "--colormap", "0:#0000ff,96:#ff0000", "--format", fmt,
+             "--scale", "2"]
+        ) == 0
+        path = os.path.join(outdir, f"tmin_tmin_0.{fmt}")
+        blob = open(path, "rb").read()
+        if fmt == "png":
+            assert blob[:8] == b"\x89PNG\r\n\x1a\n"
+        elif fmt == "jpg":
+            assert decode_jpeg(blob).shape == (120, 240, 3)
+        else:
+            assert decode_webp(blob).shape == (120, 240, 4)
+
+
+def test_warp_to_3857(spark, workspace):
+    out = os.path.join(workspace["dir"], "warped.nc")
+    assert main(
+        ["warp", workspace["nc"] + ":tmin", out, "--dst-crs", "EPSG:3857"]
+    ) == 0
+    nc = read_header(out)
+    assert nc.attrs["crs"] == "EPSG:3857"
+    assert nc.variables["y"].attrs["standard_name"] == "projection_y_coordinate"
+    arr = nc.read("tmin")
+    assert arr.shape == (60, 120)
+    # nearest warp preserves the value domain
+    assert np.nanmin(arr) >= 0.0 and np.nanmax(arr) <= 96.0
+
+
+def test_extract_subset(workspace):
+    out = os.path.join(workspace["dir"], "sub.nc")
+    assert main(["extract", workspace["nc"], out, "--variables", "tmin"]) == 0
+    nc = read_header(out)
+    # tmin + its coordinate variables ride along
+    assert set(nc.variables) == {"tmin", "lat", "lon"}
+    assert np.array_equal(nc.read("tmin"), workspace["data"])
+
+
+def test_delta_zero_against_self(spark, workspace):
+    outdir = os.path.join(workspace["dir"], "dl")
+    assert main(
+        ["delta", workspace["nc"] + ":tmin", workspace["nc"],
+         "--outdir", outdir]
+    ) == 0
+    nc = read_header(os.path.join(outdir, "tmin_delta.nc"))
+    assert np.nanmax(np.abs(nc.read("tmin"))) == 0.0
+
+
+def test_unknown_variable_errors(workspace):
+    with pytest.raises(SystemExit):
+        main(["extract", workspace["nc"], "/tmp/x.nc", "--variables", "nope"])

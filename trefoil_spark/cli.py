@@ -1,0 +1,312 @@
+"""`python -m trefoil_spark` — the reference's CLI surface on the engine.
+
+The reference is driven as `trefoil <command>` (trefoil/cli/main.py:
+describe/variables/stats from info.py, zonal_stats from zones.py:189,
+render_netcdf, warp, extract, delta from calc.py:25, to_netcdf). This
+module maps those commands onto the distributed engine with REAL file
+I/O end to end: classic NetCDF via the own CDF-1/2 codec
+(sources/netcdf3.py), shapefiles via the own .shp/.dbf parser,
+PNG/JPEG/WebP images via the own encoders — a reference user's shell
+workflow runs unchanged in shape:
+
+    python -m trefoil_spark describe tmin.nc
+    python -m trefoil_spark zonal_stats zones.shp tmin.nc:tmin out.csv
+    python -m trefoil_spark render_netcdf tmin.nc:tmin out/ \\
+        --colormap "0:#0000ff,100:#ff0000" --format png --scale 2
+    python -m trefoil_spark warp tmin.nc:tmin out.nc --dst-crs EPSG:3857
+    python -m trefoil_spark delta base.nc:tmin comp.nc --outdir out/
+
+Commands needing the cluster create (or reuse) the engine SparkSession;
+`describe`/`variables` are header-only and never start the JVM.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+import numpy as np
+
+
+def _spark():
+    from .session import get_spark
+
+    return get_spark(app_name="trefoil_spark_cli")
+
+
+def _resolve(path_var: str, default_var: str | None = None):
+    from .functions.packing import resolve_dataset_variable
+
+    path, var = resolve_dataset_variable(path_var)
+    if var is None:
+        var = default_var
+    if var is None:
+        from .sources.netcdf3 import read_header
+
+        nc = read_header(path)
+        data_vars = [
+            n for n, v in nc.variables.items()
+            if len(v.dims) >= 2 and n not in nc.dimensions
+        ]
+        if len(data_vars) != 1:
+            raise SystemExit(
+                f"{path}: specify the variable as {path}:VAR "
+                f"(found {data_vars or list(nc.variables)})"
+            )
+        var = data_vars[0]
+    return path, var
+
+
+def _header_dict(path: str) -> dict:
+    from .sources.netcdf3 import read_header
+
+    nc = read_header(path)
+    return {
+        "path": path,
+        "format": f"CDF-{nc.version}",
+        "dimensions": dict(nc.dimensions),
+        "attributes": dict(nc.attrs),
+        "variables": {
+            n: {
+                "dims": list(v.dims),
+                "dtype": str(np.dtype(v.dtype.str.lstrip('><='))),
+                "shape": list(v.shape),
+                "attributes": dict(v.attrs),
+            }
+            for n, v in nc.variables.items()
+        },
+    }
+
+
+def cmd_describe(args) -> int:
+    print(json.dumps(_header_dict(args.file), indent=2, default=str))
+    return 0
+
+
+def cmd_variables(args) -> int:
+    info = _header_dict(args.file)
+    for n, v in info["variables"].items():
+        dims = ", ".join(v["dims"])
+        print(f"{n}({dims}): {v['dtype']} {tuple(v['shape'])}")
+    return 0
+
+
+def cmd_stats(args) -> int:
+    from .sources.ingest import describe_tiles
+    from .sources.netcdf3 import ingest_netcdf3
+
+    spark = _spark()
+    names = args.variables.split(",") if args.variables else None
+    info = _header_dict(args.file)
+    targets = names or [
+        n for n, v in info["variables"].items()
+        if len(v["dims"]) >= 2 and n not in info["dimensions"]
+    ]
+    out = {}
+    for var in targets:
+        tiles, spec = ingest_netcdf3(spark, args.file, var)
+        out[var] = describe_tiles(tiles, spec)
+    print(json.dumps(out, indent=2, default=str))
+    return 0
+
+
+def cmd_extract(args) -> int:
+    from .sources.netcdf3 import read_header, write_netcdf3
+
+    nc = read_header(args.file)
+    keep = set(args.variables.split(","))
+    missing = keep - set(nc.variables)
+    if missing:
+        raise SystemExit(f"variables not in file: {sorted(missing)}")
+    # carry each kept variable plus its coordinate variables
+    for v in list(keep):
+        keep |= {d for d in nc.variables[v].dims if d in nc.variables}
+    used_dims = {d for v in keep for d in nc.variables[v].dims}
+    dims = {
+        d: (None if d == nc.record_dim else s)
+        for d, s in nc.dimensions.items()
+        if d in used_dims
+    }
+    variables = {
+        n: (nc.variables[n].dims, dict(nc.variables[n].attrs),
+            nc.read(n, mask_and_scale=False))
+        for n in sorted(keep)
+    }
+    write_netcdf3(args.out, dims, variables, global_attrs=dict(nc.attrs))
+    print(f"wrote {args.out} ({len(keep)} variables)")
+    return 0
+
+
+def cmd_zonal_stats(args) -> int:
+    from .raster.rasterize import rasterize_zones
+    from .raster.zonal import tile_zonal_statistics
+    from .sources.netcdf3 import ingest_netcdf3
+    from .sources.shapefile import read_polygon_layer
+
+    spark = _spark()
+    path, var = _resolve(args.dataset)
+    tiles, spec = ingest_netcdf3(spark, path, var)
+    polys = read_polygon_layer(args.zones)
+    zone_tiles = rasterize_zones(spark, spec, polys)
+    by_time = tiles.select("t").distinct().count() > 1
+    stats = tile_zonal_statistics(tiles, zone_tiles, by_time=by_time).orderBy(
+        *(["t", "zone"] if by_time else ["zone"])
+    )
+    pdf = stats.toPandas()  # one row per (t,) zone — bounded by the layer
+    pdf.to_csv(args.out, index=False)
+    print(f"wrote {args.out} ({len(pdf)} rows)")
+    return 0
+
+
+def _parse_colormap(s: str):
+    from .functions.color import Color
+
+    entries = []
+    for part in s.split(","):
+        val, _, hexcolor = part.partition(":")
+        entries.append((float(val), Color.from_hex(hexcolor.strip())))
+    if len(entries) < 2:
+        raise SystemExit("colormap needs at least two 'value:#hex' stops")
+    return entries
+
+
+def cmd_render_netcdf(args) -> int:
+    from .raster.render import StretchedRenderer, render_image_bytes
+    from .raster.window_ops import stitch_window
+    from .sources.netcdf3 import ingest_netcdf3
+
+    spark = _spark()
+    path, var = _resolve(args.dataset)
+    tiles, spec = ingest_netcdf3(spark, path, var)
+    renderer = StretchedRenderer(
+        _parse_colormap(args.colormap), colorspace=args.colorspace
+    )
+    os.makedirs(args.outdir, exist_ok=True)
+    ts = sorted(r["t"] for r in tiles.select("t").distinct().collect())
+    base = os.path.splitext(os.path.basename(path))[0]
+    for t in ts:
+        arr = stitch_window(tiles, spec, spec.bbox, t=t)
+        img = render_image_bytes(
+            renderer, arr.astype(np.float64), scale=args.scale,
+            flip_y=args.flip_y, format=args.format,
+            resampling=args.resampling,
+        )
+        out = os.path.join(args.outdir, f"{base}_{var}_{t}.{args.format}")
+        with open(out, "wb") as f:
+            f.write(img)
+        print(f"wrote {out}")
+    return 0
+
+
+def cmd_warp(args) -> int:
+    from .raster.gridspec import GridSpec
+    from .raster.warp import warp_tiles
+    from .sources.netcdf3 import export_netcdf3, ingest_netcdf3
+
+    spark = _spark()
+    path, var = _resolve(args.dataset)
+    tiles, spec = ingest_netcdf3(spark, path, var)
+    # default transform: projected bbox at the source pixel counts (R3)
+    dst_spec = GridSpec.from_bbox(
+        spec.bbox.project(args.dst_crs), spec.width, spec.height
+    )
+    warped = warp_tiles(
+        spark, tiles, spec, dst_spec, var=var, method=args.resampling
+    )
+    h, w = export_netcdf3(
+        warped, dst_spec, dst_spec.bbox, args.out, variable=var
+    )
+    print(f"wrote {args.out} ({h}x{w}, {dst_spec.crs}, {args.resampling})")
+    return 0
+
+
+def cmd_delta(args) -> int:
+    from .raster.timeseries import calculate_delta
+    from .sources.netcdf3 import export_netcdf3, ingest_netcdf3
+
+    spark = _spark()
+    bpath, var = _resolve(args.baseline)
+    base_tiles, spec = ingest_netcdf3(spark, bpath, var)
+    os.makedirs(args.outdir, exist_ok=True)
+    for f in args.files:
+        cpath, cvar = _resolve(f, default_var=var)
+        comp_tiles, _cspec = ingest_netcdf3(spark, cpath, cvar)
+        delta = calculate_delta(base_tiles, comp_tiles, proportion=args.proportion)
+        name = os.path.splitext(os.path.basename(cpath))[0]
+        out = os.path.join(args.outdir, f"{name}_delta.nc")
+        export_netcdf3(delta, spec, spec.bbox, out, variable=cvar)
+        print(f"wrote {out}")
+    return 0
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="trefoil_spark",
+        description="PySpark-native trefoil: distributed raster/zonal/render CLI",
+    )
+    sub = p.add_subparsers(dest="command", required=True)
+
+    d = sub.add_parser("describe", help="print dataset structure (header-only)")
+    d.add_argument("file")
+    d.set_defaults(fn=cmd_describe)
+
+    v = sub.add_parser("variables", help="list variables (header-only)")
+    v.add_argument("file")
+    v.set_defaults(fn=cmd_variables)
+
+    s = sub.add_parser("stats", help="distributed min/max/mean per variable")
+    s.add_argument("file")
+    s.add_argument("--variables", help="comma-separated (default: data vars)")
+    s.set_defaults(fn=cmd_stats)
+
+    e = sub.add_parser("extract", help="copy variables to a new NetCDF")
+    e.add_argument("file")
+    e.add_argument("out")
+    e.add_argument("--variables", required=True)
+    e.set_defaults(fn=cmd_extract)
+
+    z = sub.add_parser("zonal_stats", help="shapefile zones × grid → CSV stats")
+    z.add_argument("zones", help="polygon shapefile")
+    z.add_argument("dataset", help="file.nc:var")
+    z.add_argument("out", help="output CSV")
+    z.set_defaults(fn=cmd_zonal_stats)
+
+    r = sub.add_parser("render_netcdf", help="render timesteps to images")
+    r.add_argument("dataset", help="file.nc:var")
+    r.add_argument("outdir")
+    r.add_argument("--colormap", required=True, help="'0:#0000ff,100:#ff0000'")
+    r.add_argument("--colorspace", default="hsv", choices=["hsv", "rgb"])
+    r.add_argument("--format", default="png", choices=["png", "jpg", "webp"])
+    r.add_argument("--scale", type=float, default=1.0)
+    r.add_argument("--resampling", default="lanczos",
+                   choices=["nearest", "lanczos"])
+    r.add_argument("--flip-y", dest="flip_y", action="store_true")
+    r.set_defaults(fn=cmd_render_netcdf)
+
+    w = sub.add_parser("warp", help="reproject a grid to a new CRS → NetCDF")
+    w.add_argument("dataset", help="file.nc:var")
+    w.add_argument("out")
+    w.add_argument("--dst-crs", dest="dst_crs", required=True)
+    w.add_argument("--resampling", default="nearest",
+                   choices=["nearest", "bilinear", "cubic", "mode"])
+    w.set_defaults(fn=cmd_warp)
+
+    c = sub.add_parser("delta", help="comp − base (or proportion) per file")
+    c.add_argument("baseline", help="file.nc:var")
+    c.add_argument("files", nargs="+")
+    c.add_argument("--outdir", required=True)
+    c.add_argument("--proportion", action="store_true")
+    c.set_defaults(fn=cmd_delta)
+
+    return p
+
+
+def main(argv: list[str] | None = None) -> int:
+    args = build_parser().parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())
