@@ -121,3 +121,62 @@ def test_delta_zero_against_self(spark, workspace):
 def test_unknown_variable_errors(workspace):
     with pytest.raises(SystemExit):
         main(["extract", workspace["nc"], "/tmp/x.nc", "--variables", "nope"])
+
+
+def test_zones_and_mask(spark, workspace):
+    out_z = os.path.join(workspace["dir"], "zones_grid.nc")
+    assert main(
+        ["zones", workspace["shp"], out_z, "--like", workspace["nc"] + ":tmin"]
+    ) == 0
+    z = read_header(out_z).read("zones")
+    assert z.shape == (60, 120)
+    vals = set(np.unique(z[~np.isnan(z)]).astype(int).tolist())
+    assert vals and vals <= set(range(len(ZONE_LAYER)))
+
+    out_m = os.path.join(workspace["dir"], "mask_grid.nc")
+    assert main(
+        ["mask", workspace["shp"], out_m, "--like", workspace["nc"] + ":tmin"]
+    ) == 0
+    m = read_header(out_m).read("mask")
+    # numpy-mask polarity: 1 = OUTSIDE features = where zones are NaN
+    assert np.array_equal(m == 1.0, np.isnan(z))
+    out_i = os.path.join(workspace["dir"], "mask_inv.nc")
+    assert main(
+        ["mask", workspace["shp"], out_i, "--like", workspace["nc"] + ":tmin",
+         "--invert"]
+    ) == 0
+    assert np.array_equal(read_header(out_i).read("mask"), 1.0 - m)
+
+
+def test_set_crs_rewrite(workspace):
+    import shutil
+
+    f = os.path.join(workspace["dir"], "crs_copy.nc")
+    shutil.copy(workspace["nc"], f)
+    p4 = "+proj=aea +lat_1=29.5 +lat_2=45.5 +lat_0=37.5 +lon_0=-96"
+    assert main(["set_crs", f, "--proj4", p4]) == 0
+    nc = read_header(f)
+    assert nc.attrs["crs"] == p4
+    assert np.array_equal(nc.read("tmin"), workspace["data"])  # data intact
+
+
+def test_to_netcdf_from_geotiff(spark, workspace):
+    from trefoil_spark.sources.geotiff import write_geotiff
+
+    tif = os.path.join(workspace["dir"], "r.tif")
+    arr = (np.arange(40 * 50, dtype=np.float32) % 13).reshape(40, 50)
+    write_geotiff(tif, arr, x0=-120.0, y0=40.0, dx=0.1, dy=0.1)
+    out = os.path.join(workspace["dir"], "from_tif.nc")
+    assert main(["to_netcdf", tif, out, "--variable", "elev"]) == 0
+    nc = read_header(out)
+    assert np.array_equal(nc.read("elev"), arr)
+
+
+def test_map_preview(spark, workspace):
+    outdir = os.path.join(workspace["dir"], "map")
+    assert main(
+        ["map", workspace["nc"] + ":tmin", outdir,
+         "--colormap", "0:#0000ff,96:#ff0000"]
+    ) == 0
+    html = open(os.path.join(outdir, "index.html")).read()
+    assert "ImageOverlay" in html or "imageOverlay" in html

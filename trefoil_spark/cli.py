@@ -241,6 +241,132 @@ def cmd_delta(args) -> int:
     return 0
 
 
+def _zone_tiles_to_value_tiles(zone_tiles, spec, var: str, invert_mask=None):
+    """zone-index tiles (uint16, FILL=no zone) → TILE_SCHEMA float32 tiles.
+
+    ``invert_mask`` None → zone INDEX grid (no-zone → NaN, the `zones`
+    command); False/True → numpy-mask semantics 0/1 grid (reference
+    mask.py: 1 = masked = OUTSIDE features; invert flips)."""
+    import pandas as pd
+
+    from .grid import cells
+    from .raster.rasterize import FILL
+    from .raster.synth import CELL_RES, TILE_SCHEMA
+
+    y0, x0, dy, dx, tile = spec.y0, spec.x0, spec.dy, spec.dx, spec.tile
+
+    def gen(batches):
+        for pdf in batches:
+            rows = []
+            for row in pdf.itertuples(index=False):
+                z = np.frombuffer(row.zone_block, dtype=np.uint16).reshape(
+                    row.h, row.w
+                )
+                if invert_mask is None:
+                    out = np.where(z == FILL, np.nan, z.astype(np.float32))
+                else:
+                    masked = (z == FILL) != bool(invert_mask)
+                    out = masked.astype(np.float32)
+                lat_c = y0 - (row.ty * tile + row.h / 2.0) * dy
+                lon_c = x0 + (row.tx * tile + row.w / 2.0) * dx
+                cell = int(cells.latlon_to_cell(lat_c, lon_c, CELL_RES))
+                rows.append(
+                    (var, 0, int(row.ty), int(row.tx), cell,
+                     out.astype(np.float32).tobytes(), int(row.h), int(row.w))
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["var", "t", "ty", "tx", "cell", "block", "h", "w"],
+            )
+
+    return zone_tiles.mapInPandas(gen, schema=TILE_SCHEMA)
+
+
+def _like_spec(spark, like: str):
+    from .sources.netcdf3 import ingest_netcdf3
+
+    path, var = _resolve(like)
+    _tiles, spec = ingest_netcdf3(spark, path, var)  # lazy: header only
+    return spec
+
+
+def cmd_zones(args) -> int:
+    from .raster.rasterize import rasterize_zones
+    from .sources.netcdf3 import export_netcdf3
+    from .sources.shapefile import read_polygon_layer
+
+    spark = _spark()
+    spec = _like_spec(spark, args.like)
+    polys = read_polygon_layer(args.input)
+    zt = rasterize_zones(spark, spec, polys)
+    tiles = _zone_tiles_to_value_tiles(zt, spec, "zones")
+    h, w = export_netcdf3(tiles, spec, spec.bbox, args.out, variable="zones")
+    print(f"wrote {args.out} ({h}x{w}, {len(polys)} features)")
+    return 0
+
+
+def cmd_mask(args) -> int:
+    from .raster.rasterize import rasterize_zones
+    from .sources.netcdf3 import export_netcdf3
+    from .sources.shapefile import read_polygon_layer
+
+    spark = _spark()
+    spec = _like_spec(spark, args.like)
+    polys = read_polygon_layer(args.input)
+    zt = rasterize_zones(spark, spec, polys)
+    tiles = _zone_tiles_to_value_tiles(zt, spec, "mask", invert_mask=args.invert)
+    h, w = export_netcdf3(tiles, spec, spec.bbox, args.out, variable="mask")
+    print(f"wrote {args.out} ({h}x{w}, numpy-mask semantics)")
+    return 0
+
+
+def cmd_set_crs(args) -> int:
+    from .sources.netcdf3 import read_header, write_netcdf3
+
+    nc = read_header(args.file)
+    dims = {
+        d: (None if d == nc.record_dim else s) for d, s in nc.dimensions.items()
+    }
+    variables = {
+        n: (v.dims, dict(v.attrs), nc.read(n, mask_and_scale=False))
+        for n, v in nc.variables.items()
+    }
+    attrs = dict(nc.attrs)
+    attrs["crs"] = args.proj4
+    write_netcdf3(args.file, dims, variables, global_attrs=attrs,
+                  version=nc.version)
+    print(f"set crs on {args.file}: {args.proj4}")
+    return 0
+
+
+def cmd_to_netcdf(args) -> int:
+    from .sources.geotiff import geotiff_to_tiles
+    from .sources.netcdf3 import export_netcdf3
+
+    spark = _spark()
+    spec, tiles = geotiff_to_tiles(spark, args.raster, var=args.variable)
+    h, w = export_netcdf3(tiles, spec, spec.bbox, args.out,
+                          variable=args.variable)
+    print(f"wrote {args.out} ({h}x{w})")
+    return 0
+
+
+def cmd_map(args) -> int:
+    from .raster.maphtml import write_map_preview
+    from .raster.render import StretchedRenderer
+    from .sources.netcdf3 import ingest_netcdf3
+
+    spark = _spark()
+    path, var = _resolve(args.dataset)
+    tiles, spec = ingest_netcdf3(spark, path, var)
+    renderer = StretchedRenderer(
+        _parse_colormap(args.colormap), colorspace=args.colorspace
+    )
+    index = write_map_preview(args.outdir, tiles, spec, renderer, variable=var)
+    print(f"wrote {index}")
+    return 0
+
+
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(
         prog="trefoil_spark",
@@ -299,6 +425,37 @@ def build_parser() -> argparse.ArgumentParser:
     c.add_argument("--outdir", required=True)
     c.add_argument("--proportion", action="store_true")
     c.set_defaults(fn=cmd_delta)
+
+    zo = sub.add_parser("zones", help="rasterize shapefile → zone-index NetCDF")
+    zo.add_argument("input", help="polygon shapefile")
+    zo.add_argument("out")
+    zo.add_argument("--like", required=True, help="template file.nc[:var]")
+    zo.set_defaults(fn=cmd_zones)
+
+    m = sub.add_parser("mask", help="shapefile → 0/1 mask NetCDF (numpy semantics)")
+    m.add_argument("input", help="polygon shapefile")
+    m.add_argument("out")
+    m.add_argument("--like", required=True, help="template file.nc[:var]")
+    m.add_argument("--invert", action="store_true")
+    m.set_defaults(fn=cmd_mask)
+
+    sc = sub.add_parser("set_crs", help="stamp a proj4 crs attribute on a NetCDF")
+    sc.add_argument("file")
+    sc.add_argument("--proj4", required=True)
+    sc.set_defaults(fn=cmd_set_crs)
+
+    t = sub.add_parser("to_netcdf", help="GeoTIFF → NetCDF")
+    t.add_argument("raster", help="uncompressed single-band GeoTIFF")
+    t.add_argument("out")
+    t.add_argument("--variable", default="data")
+    t.set_defaults(fn=cmd_to_netcdf)
+
+    mp = sub.add_parser("map", help="interactive Leaflet preview of a grid")
+    mp.add_argument("dataset", help="file.nc:var")
+    mp.add_argument("outdir")
+    mp.add_argument("--colormap", required=True)
+    mp.add_argument("--colorspace", default="hsv", choices=["hsv", "rgb"])
+    mp.set_defaults(fn=cmd_map)
 
     return p
 
