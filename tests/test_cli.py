@@ -180,3 +180,29 @@ def test_map_preview(spark, workspace):
     ) == 0
     html = open(os.path.join(outdir, "index.html")).read()
     assert "ImageOverlay" in html or "imageOverlay" in html
+
+
+def test_bin_ts(spark, workspace):
+    # 5 timesteps, interval 2 -> bins 0,1; trailing t=4 dropped (bin_ts rule)
+    d = workspace["dir"]
+    h, w, nt = 20, 30, 5
+    ys = 38.0 - (np.arange(h) + 0.5) * 0.05
+    xs = -125.0 + (np.arange(w) + 0.5) * 0.05
+    frames = np.stack([
+        np.full((h, w), float(t * 10), dtype=np.float32) for t in range(nt)
+    ])
+    nc = os.path.join(d, "ts.nc")
+    write_netcdf3(
+        nc, {"time": None, "lat": h, "lon": w},
+        {
+            "lat": (("lat",), {"standard_name": "latitude"}, ys),
+            "lon": (("lon",), {"standard_name": "longitude"}, xs),
+            "v": (("time", "lat", "lon"), {}, frames),
+        },
+    )
+    outdir = os.path.join(d, "bins")
+    assert main(["bin_ts", nc + ":v", "--outdir", outdir, "--interval", "2"]) == 0
+    b0 = read_header(os.path.join(outdir, "ts_v_bin0.nc")).read("v")
+    b1 = read_header(os.path.join(outdir, "ts_v_bin1.nc")).read("v")
+    assert np.all(b0 == 5.0) and np.all(b1 == 25.0)  # mean of (0,10), (20,30)
+    assert not os.path.exists(os.path.join(outdir, "ts_v_bin2.nc"))

@@ -351,6 +351,29 @@ def cmd_to_netcdf(args) -> int:
     return 0
 
 
+def cmd_bin_ts(args) -> int:
+    from .raster.timeseries import statistic_by_interval
+    from .sources.netcdf3 import export_netcdf3, ingest_netcdf3
+
+    spark = _spark()
+    path, var = _resolve(args.dataset)
+    tiles, spec = ingest_netcdf3(spark, path, var)
+    nt = tiles.agg({"t": "max"}).collect()[0][0] + 1
+    binned = statistic_by_interval(
+        tiles, args.interval, statistic=args.statistic, n_timesteps=nt
+    )
+    os.makedirs(args.outdir, exist_ok=True)
+    base = os.path.splitext(os.path.basename(path))[0]
+    for b in range(nt // args.interval):
+        out = os.path.join(args.outdir, f"{base}_{var}_bin{b}.nc")
+        export_netcdf3(
+            binned.filter(binned["t"] == b), spec, spec.bbox, out,
+            variable=var, t=b,
+        )
+        print(f"wrote {out}")
+    return 0
+
+
 def cmd_map(args) -> int:
     from .raster.maphtml import write_map_preview
     from .raster.render import StretchedRenderer
@@ -449,6 +472,13 @@ def build_parser() -> argparse.ArgumentParser:
     t.add_argument("out")
     t.add_argument("--variable", default="data")
     t.set_defaults(fn=cmd_to_netcdf)
+
+    b = sub.add_parser("bin_ts", help="time-binned statistic grids → one .nc per bin")
+    b.add_argument("dataset", help="file.nc:var (record time dimension)")
+    b.add_argument("--outdir", required=True)
+    b.add_argument("--interval", type=int, default=2)
+    b.add_argument("--statistic", default="mean", choices=["mean", "sum"])
+    b.set_defaults(fn=cmd_bin_ts)
 
     mp = sub.add_parser("map", help="interactive Leaflet preview of a grid")
     mp.add_argument("dataset", help="file.nc:var")
