@@ -206,3 +206,19 @@ def test_bin_ts(spark, workspace):
     b1 = read_header(os.path.join(outdir, "ts_v_bin1.nc")).read("v")
     assert np.all(b0 == 5.0) and np.all(b1 == 25.0)  # mean of (0,10), (20,30)
     assert not os.path.exists(os.path.join(outdir, "ts_v_bin2.nc"))
+
+
+def test_render_tif(spark, workspace):
+    from trefoil_spark.functions.png import decode_rgb_png
+    from trefoil_spark.sources.geotiff import write_geotiff
+
+    tif = os.path.join(workspace["dir"], "render_me.tif")
+    arr = (np.arange(30 * 40, dtype=np.float32) % 50).reshape(30, 40)
+    write_geotiff(tif, arr, x0=-120.0, y0=40.0, dx=0.1, dy=0.1)
+    out = os.path.join(workspace["dir"], "render_me.png")
+    assert main(
+        ["render_tif", tif, out, "--colormap", "0:#000000,49:#ffffff",
+         "--scale", "1.5"]
+    ) == 0
+    img = decode_rgb_png(open(out, "rb").read())
+    assert img.shape == (45, 60, 4)

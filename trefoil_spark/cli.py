@@ -351,6 +351,27 @@ def cmd_to_netcdf(args) -> int:
     return 0
 
 
+def cmd_render_tif(args) -> int:
+    from .raster.render import StretchedRenderer, render_image_bytes
+    from .raster.window_ops import stitch_window
+    from .sources.geotiff import geotiff_to_tiles
+
+    spark = _spark()
+    spec, tiles = geotiff_to_tiles(spark, args.raster)
+    renderer = StretchedRenderer(
+        _parse_colormap(args.colormap), colorspace=args.colorspace
+    )
+    arr = stitch_window(tiles, spec, spec.bbox)
+    img = render_image_bytes(
+        renderer, arr.astype(np.float64), scale=args.scale,
+        format=args.format, resampling=args.resampling,
+    )
+    with open(args.out, "wb") as f:
+        f.write(img)
+    print(f"wrote {args.out}")
+    return 0
+
+
 def cmd_bin_ts(args) -> int:
     from .raster.timeseries import statistic_by_interval
     from .sources.netcdf3 import export_netcdf3, ingest_netcdf3
@@ -472,6 +493,17 @@ def build_parser() -> argparse.ArgumentParser:
     t.add_argument("out")
     t.add_argument("--variable", default="data")
     t.set_defaults(fn=cmd_to_netcdf)
+
+    rt = sub.add_parser("render_tif", help="render a GeoTIFF to an image")
+    rt.add_argument("raster")
+    rt.add_argument("out")
+    rt.add_argument("--colormap", required=True)
+    rt.add_argument("--colorspace", default="hsv", choices=["hsv", "rgb"])
+    rt.add_argument("--format", default="png", choices=["png", "jpg", "webp"])
+    rt.add_argument("--scale", type=float, default=1.0)
+    rt.add_argument("--resampling", default="lanczos",
+                    choices=["nearest", "lanczos"])
+    rt.set_defaults(fn=cmd_render_tif)
 
     b = sub.add_parser("bin_ts", help="time-binned statistic grids → one .nc per bin")
     b.add_argument("dataset", help="file.nc:var (record time dimension)")
