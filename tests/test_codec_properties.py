@@ -127,3 +127,56 @@ def test_netcdf3_roundtrip_dtypes(seed, ny, nx, dtype):
         got = read_header(p).read("v")
         assert got.dtype == np.dtype(dtype)
         assert np.array_equal(got, arr)
+
+
+# ---------------------------------------------------------------------------
+# projection round-trip properties (F20) — randomized in-domain points
+# ---------------------------------------------------------------------------
+
+_PROJ4 = {
+    "aea": "+proj=aea +lat_1=29.5 +lat_2=45.5 +lat_0=37.5 +lon_0=-96 "
+           "+x_0=0 +y_0=0 +ellps=GRS80",
+    "laea": "+proj=laea +lat_0=45 +lon_0=-100 +x_0=0 +y_0=0 +ellps=GRS80",
+    "lcc": "+proj=lcc +lat_1=33 +lat_2=45 +lat_0=40 +lon_0=-96 "
+           "+x_0=0 +y_0=0 +ellps=GRS80",
+    "stere": "+proj=stere +lat_0=90 +lat_ts=70 +lon_0=-45 "
+             "+x_0=0 +y_0=0 +ellps=GRS80",
+    "utm": "+proj=utm +zone=15 +ellps=GRS80",
+}
+_DOMAIN = {
+    "aea": ((-120.0, -70.0), (20.0, 55.0)),
+    "laea": ((-140.0, -60.0), (15.0, 75.0)),
+    "lcc": ((-115.0, -75.0), (22.0, 55.0)),
+    "stere": ((-180.0, 180.0), (55.0, 88.0)),
+    "utm": ((-96.0, -90.0), (5.0, 70.0)),
+}
+
+
+@settings(max_examples=40, deadline=None)
+@given(st.sampled_from(sorted(_PROJ4)), st.floats(0, 1), st.floats(0, 1))
+def test_projection_roundtrip_random_points(fam, fx, fy):
+    from trefoil_spark.grid import projections as pj
+
+    (lo0, lo1), (la0, la1) = _DOMAIN[fam]
+    lon = lo0 + fx * (lo1 - lo0)
+    lat = la0 + fy * (la1 - la0)
+    if fam == "aea":  # ellipsoidal Albers lives in grid/proj.py
+        from trefoil_spark.grid.proj import transform
+
+        x, y = transform("EPSG:4326", _PROJ4[fam], np.float64(lon), np.float64(lat))
+        lo, la = transform(_PROJ4[fam], "EPSG:4326", x, y)
+    else:
+        be = pj._NumpyBackend()
+        x, y = pj.forward(be, _PROJ4[fam], np.float64(lon), np.float64(lat))
+        lo, la = pj.inverse(be, _PROJ4[fam], x, y)
+    assert abs(float(lo) - lon) < 1e-7 and abs(float(la) - lat) < 1e-7
+
+
+@settings(max_examples=30, deadline=None)
+@given(st.floats(-179.9, 179.9), st.floats(-85.0, 85.0))
+def test_webmerc_roundtrip_random(lon, lat):
+    from trefoil_spark.grid.proj import transform
+
+    x, y = transform("EPSG:4326", "EPSG:3857", np.float64(lon), np.float64(lat))
+    lo, la = transform("EPSG:3857", "EPSG:4326", x, y)
+    assert abs(float(lo) - lon) < 1e-9 and abs(float(la) - lat) < 1e-9
