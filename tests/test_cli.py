@@ -222,3 +222,17 @@ def test_render_tif(spark, workspace):
     ) == 0
     img = decode_rgb_png(open(out, "rb").read())
     assert img.shape == (45, 60, 4)
+
+
+def test_render_classified_json(spark, workspace):
+    from trefoil_spark.functions.png import decode_palette_png
+
+    outdir = os.path.join(workspace["dir"], "img_cls")
+    cfg = '{"type": "classified", "colors": [[30, "#0000ff"], [97, "#ff0000"]]}'
+    assert main(
+        ["render_netcdf", workspace["nc"] + ":tmin", outdir,
+         "--renderer-json", cfg, "--resampling", "nearest"]
+    ) == 0
+    blob = open(os.path.join(outdir, "tmin_tmin_0.png"), "rb").read()
+    idx, pal, _ = decode_palette_png(blob)
+    assert idx.shape == (60, 120) and set(np.unique(idx)) <= {0, 1, 2}

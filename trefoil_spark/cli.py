@@ -172,17 +172,30 @@ def _parse_colormap(s: str):
     return entries
 
 
+def _build_renderer(args):
+    """--renderer-json (full reference renderer config: stretched /
+    classified / unique, renderers/utilities.py semantics) wins over the
+    simple --colormap shorthand (stretched)."""
+    from .raster.render import StretchedRenderer, renderer_from_dict
+
+    if getattr(args, "renderer_json", None):
+        return renderer_from_dict(json.loads(args.renderer_json))
+    if not args.colormap:
+        raise SystemExit("provide --colormap or --renderer-json")
+    return StretchedRenderer(
+        _parse_colormap(args.colormap), colorspace=args.colorspace
+    )
+
+
 def cmd_render_netcdf(args) -> int:
-    from .raster.render import StretchedRenderer, render_image_bytes
+    from .raster.render import render_image_bytes
     from .raster.window_ops import stitch_window
     from .sources.netcdf3 import ingest_netcdf3
 
     spark = _spark()
     path, var = _resolve(args.dataset)
     tiles, spec = ingest_netcdf3(spark, path, var)
-    renderer = StretchedRenderer(
-        _parse_colormap(args.colormap), colorspace=args.colorspace
-    )
+    renderer = _build_renderer(args)
     os.makedirs(args.outdir, exist_ok=True)
     ts = sorted(r["t"] for r in tiles.select("t").distinct().collect())
     base = os.path.splitext(os.path.basename(path))[0]
@@ -446,7 +459,10 @@ def build_parser() -> argparse.ArgumentParser:
     r = sub.add_parser("render_netcdf", help="render timesteps to images")
     r.add_argument("dataset", help="file.nc:var")
     r.add_argument("outdir")
-    r.add_argument("--colormap", required=True, help="'0:#0000ff,100:#ff0000'")
+    r.add_argument("--colormap", help="'0:#0000ff,100:#ff0000' (stretched)")
+    r.add_argument("--renderer-json", dest="renderer_json",
+                   help='full config, e.g. \'{"type":"classified",'
+                        '"colors":[[10,"#0000ff"],[50,"#ff0000"]]}\'')
     r.add_argument("--colorspace", default="hsv", choices=["hsv", "rgb"])
     r.add_argument("--format", default="png", choices=["png", "jpg", "webp"])
     r.add_argument("--scale", type=float, default=1.0)
