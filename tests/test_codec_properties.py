@@ -169,7 +169,9 @@ def test_projection_roundtrip_random_points(fam, fx, fy):
         be = pj._NumpyBackend()
         x, y = pj.forward(be, _PROJ4[fam], np.float64(lon), np.float64(lat))
         lo, la = pj.inverse(be, _PROJ4[fam], x, y)
-    assert abs(float(lo) - lon) < 1e-7 and abs(float(la) - lat) < 1e-7
+    # ±180° is one meridian: compare longitudes on the circle
+    dlon = abs((float(lo) - lon + 180.0) % 360.0 - 180.0)
+    assert dlon < 1e-7 and abs(float(la) - lat) < 1e-7
 
 
 @settings(max_examples=30, deadline=None)
