@@ -1,6 +1,8 @@
 """S6 GeoTIFF sink + S2 scan: pure-numpy TIFF 6.0/GeoTIFF 1.1 writer and
 reader, roundtrip through the tile engine."""
 
+import os
+
 import numpy as np
 import pytest
 
@@ -73,19 +75,199 @@ def test_window_export_and_reingest(spark, tmp_path):
     assert np.array_equal(got, want, equal_nan=True)
 
 
-def test_reader_rejects_compressed(tmp_path):
+def _build_tiff(path, tags_list, segments):
+    """Minimal hand-rolled TIFF for reader coverage: tags_list =
+    [(tag, type, values)], segments = list of raw segment payloads whose
+    offsets patch the entry with tag 273 (strips) or 324 (tiles)."""
+    import struct
+
+    TYPE_PACK = {3: "<H", 4: "<I", 12: "<d"}
+    entries = []
+    for tag, ty, values in tags_list:
+        raw = b"".join(struct.pack(TYPE_PACK[ty], v) for v in values)
+        entries.append([tag, ty, len(values), raw, None])
+    entries.sort(key=lambda e: e[0])
+    ifd_size = 2 + len(entries) * 12 + 4
+    ext_off = 8 + ifd_size
+    ext = bytearray()
+    for e in entries:
+        if len(e[3]) > 4:
+            e[4] = ext_off + len(ext)
+            ext.extend(e[3])
+            if len(ext) % 2:
+                ext.append(0)
+    data_off = ext_off + len(ext)
+    seg_offsets = []
+    pos = data_off
+    for s in segments:
+        seg_offsets.append(pos)
+        pos += len(s)
+    for e in entries:
+        if e[0] in (273, 324):  # strip/tile offsets
+            raw = b"".join(struct.pack("<I", o) for o in seg_offsets)
+            if e[4] is None:
+                e[3] = raw
+            else:
+                ext[e[4] - ext_off : e[4] - ext_off + len(raw)] = raw
+    out = bytearray(struct.pack("<2sHI", b"II", 42, 8))
+    out += struct.pack("<H", len(entries))
+    for tag, ty, count, raw, off in entries:
+        out += struct.pack("<HHI", tag, ty, count)
+        out += struct.pack("<I", off) if off is not None else raw.ljust(4, b"\x00")
+    out += struct.pack("<I", 0)
+    out += ext
+    for s in segments:
+        out += s
+    open(path, "wb").write(bytes(out))
+
+
+def _lzw_encode(data: bytes) -> bytes:
+    """TIFF-variant LZW encoder (test-side twin of the reader's decoder)."""
+    CLEAR, EOI = 256, 257
+    out = bytearray()
+    acc = accbits = 0
+
+    def put(code, width):
+        nonlocal acc, accbits
+        acc = (acc << width) | code
+        accbits += width
+        while accbits >= 8:
+            accbits -= 8
+            out.append((acc >> accbits) & 0xFF)
+
+    table = {bytes([i]): i for i in range(256)}
+    next_code = 258
+    width = 9
+    put(CLEAR, width)
+    cur = b""
+    for byte in data:
+        nxt = cur + bytes([byte])
+        if nxt in table:
+            cur = nxt
+            continue
+        put(table[cur], width)
+        table[nxt] = next_code
+        next_code += 1
+        if next_code == (1 << width) - 1 and width < 12:  # early change
+            width += 1
+        if next_code >= 4094:
+            put(CLEAR, width)
+            table = {bytes([i]): i for i in range(256)}
+            next_code = 258
+            width = 9
+        cur = bytes([byte])
+    if cur:
+        put(table[cur], width)
+    put(EOI, width)
+    if accbits:
+        out.append((acc << (8 - accbits)) & 0xFF)
+    return bytes(out)
+
+
+def _float_predict3(row_bytes: np.ndarray) -> bytes:
+    """Encode one row with TIFF TechNote-3 float predictor: big-endian
+    byte planes, then horizontal byte differencing."""
+    h, itemsize = row_bytes.shape
+    planes = row_bytes.T.reshape(-1).astype(np.int64)
+    diff = np.diff(planes, prepend=0) % 256
+    return diff.astype(np.uint8).tobytes()
+
+
+def test_reader_deflate_strips_predictor3(tmp_path):
+    import zlib
+
+    rng = np.random.default_rng(4)
+    data = rng.normal(size=(5, 7)).astype(np.float32)
+    segs = []
+    for r in range(5):
+        be = data[r].astype(">f4")
+        row = np.frombuffer(be.tobytes(), dtype=np.uint8).reshape(7, 4)
+        segs.append(zlib.compress(_float_predict3(row)))
+    p = str(tmp_path / "d3.tif")
+    _build_tiff(
+        p,
+        [(256, 4, [7]), (257, 4, [5]), (258, 3, [32]), (259, 3, [8]),
+         (262, 3, [1]), (277, 3, [1]), (278, 4, [1]), (317, 3, [3]),
+         (339, 3, [3]), (273, 4, [0] * 5),
+         (279, 4, [len(s) for s in segs])],
+        segs,
+    )
+    arr, meta = read_geotiff(p)
+    assert np.array_equal(arr, data)
+
+
+def test_reader_lzw_strips_predictor2(tmp_path):
+    rng = np.random.default_rng(9)
+    data = rng.integers(0, 65535, (6, 9), dtype=np.uint16)
+    segs = []
+    for r in range(6):
+        d = np.diff(data[r].astype(np.int64), prepend=0) % 65536
+        segs.append(_lzw_encode(d.astype("<u2").tobytes()))
+    p = str(tmp_path / "lzw.tif")
+    _build_tiff(
+        p,
+        [(256, 4, [9]), (257, 4, [6]), (258, 3, [16]), (259, 3, [5]),
+         (262, 3, [1]), (277, 3, [1]), (278, 4, [1]), (317, 3, [2]),
+         (339, 3, [1]), (273, 4, [0] * 6),
+         (279, 4, [len(s) for s in segs])],
+        segs,
+    )
+    arr, meta = read_geotiff(p)
+    assert np.array_equal(arr, data)
+
+
+def test_reader_tiled_deflate(tmp_path):
+    import zlib
+
+    rng = np.random.default_rng(2)
+    data = rng.normal(size=(10, 13)).astype(np.float32)  # crops 16x16 tiles
+    tw = tl = 16
+    pad = np.zeros((tl, tw), dtype=np.float32)
+    pad[:10, :13] = data
+    segs = [zlib.compress(pad.astype("<f4").tobytes())]
+    p = str(tmp_path / "tiled.tif")
+    _build_tiff(
+        p,
+        [(256, 4, [13]), (257, 4, [10]), (258, 3, [32]), (259, 3, [8]),
+         (262, 3, [1]), (277, 3, [1]), (339, 3, [3]),
+         (322, 4, [tw]), (323, 4, [tl]),
+         (324, 4, [0]), (325, 4, [len(segs[0])])],
+        segs,
+    )
+    arr, meta = read_geotiff(p)
+    assert arr.shape == (10, 13)
+    assert np.array_equal(arr, data)
+
+
+def test_reader_rejects_jpeg_compression(tmp_path):
     p = str(tmp_path / "bad.tif")
     data = np.zeros((2, 2), dtype=np.float32)
     write_geotiff(p, data, 0, 0, 1, 1)
     raw = bytearray(open(p, "rb").read())
-    # flip the compression tag value to 5 (LZW)
     import struct
 
     (n,) = struct.unpack_from("<H", raw, 8)
     for i in range(n):
         tag = struct.unpack_from("<H", raw, 10 + i * 12)[0]
         if tag == 259:
-            struct.pack_into("<H", raw, 10 + i * 12 + 8, 5)
+            struct.pack_into("<H", raw, 10 + i * 12 + 8, 7)  # JPEG-in-TIFF
     open(p, "wb").write(bytes(raw))
-    with pytest.raises(ValueError, match="uncompressed"):
+    with pytest.raises(ValueError, match="compression"):
         read_geotiff(p)
+
+
+def test_writer_deflate_roundtrip(tmp_path):
+    rng = np.random.default_rng(13)
+    data = rng.normal(size=(17, 23)).astype(np.float32)
+    p = str(tmp_path / "c.tif")
+    write_geotiff(p, data, -120.0, 40.0, 0.1, 0.1, compress="deflate")
+    arr, meta = read_geotiff(p)
+    assert np.array_equal(arr, data)
+    assert meta["x0"] == -120.0
+    # constant data compresses: deflate file smaller than uncompressed
+    flat = np.zeros((64, 64), np.float32)
+    pc, pu = str(tmp_path / "fc.tif"), str(tmp_path / "fu.tif")
+    write_geotiff(pc, flat, 0, 0, 1, 1, compress="deflate")
+    write_geotiff(pu, flat, 0, 0, 1, 1)
+    assert os.path.getsize(pc) < os.path.getsize(pu) / 4
+    assert np.array_equal(read_geotiff(pc)[0], flat)

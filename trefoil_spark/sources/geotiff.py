@@ -23,6 +23,7 @@ This module is the file-format tail of that export, plus the inverse
 from __future__ import annotations
 
 import struct
+import zlib
 
 import numpy as np
 
@@ -61,11 +62,15 @@ def write_geotiff(
     dy: float,
     crs: str = "EPSG:4326",
     nodata: float | None = None,
+    compress: str | None = None,
 ) -> None:
-    """(H, W) float32|uint8 array → uncompressed striped GeoTIFF.
+    """(H, W) float32|uint8 array → striped GeoTIFF, optionally
+    per-strip DEFLATE (``compress='deflate'``, TIFF compression 8).
 
     (x0, y0) is the OUTER corner of the top-left pixel (GDAL geotransform
     convention); dy positive (north-up, rows go south)."""
+    if compress not in (None, "deflate"):
+        raise ValueError("compress must be None or 'deflate'")
     if data.ndim != 2:
         raise ValueError("data must be 2-D (single band)")
     if data.dtype == np.float32:
@@ -77,7 +82,6 @@ def write_geotiff(
     if crs not in _EPSG_GEOKEYS:
         raise ValueError(f"supported CRS: {sorted(_EPSG_GEOKEYS)}")
     h, w = data.shape
-    row_bytes = w * (bps // 8)
 
     geokeys = _EPSG_GEOKEYS[crs]
     key_shorts = [1, 1, 0, len(geokeys)]
@@ -99,10 +103,18 @@ def write_geotiff(
             raw = b"".join(struct.pack(pack, v) for v in values)
         entries.append([tag, ty, count, raw])
 
+    # strip payloads (one row per strip; deflate per strip when asked)
+    arr0 = np.ascontiguousarray(data)
+    if arr0.dtype.byteorder == ">":
+        arr0 = arr0.astype(arr0.dtype.newbyteorder("<"))
+    strips = [arr0[r].tobytes() for r in range(h)]
+    if compress == "deflate":
+        strips = [zlib.compress(s, 6) for s in strips]
+
     entry(T_WIDTH, TY_LONG, [w])
     entry(T_HEIGHT, TY_LONG, [h])
     entry(T_BPS, TY_SHORT, [bps])
-    entry(T_COMPRESSION, TY_SHORT, [1])
+    entry(T_COMPRESSION, TY_SHORT, [8 if compress == "deflate" else 1])
     entry(T_PHOTOMETRIC, TY_SHORT, [1])
     entry(T_SPP, TY_SHORT, [1])
     entry(T_ROWS_PER_STRIP, TY_LONG, [1])
@@ -116,7 +128,7 @@ def write_geotiff(
         entry(T_GDAL_NODATA, TY_ASCII, repr(float(nodata)))
     # strip tables appended after we know the layout
     entry(T_STRIP_OFFSETS, TY_LONG, [0] * h)      # patched below
-    entry(T_STRIP_COUNTS, TY_LONG, [row_bytes] * h)
+    entry(T_STRIP_COUNTS, TY_LONG, [len(s) for s in strips])
     entries.sort(key=lambda e: e[0])
 
     n = len(entries)
@@ -136,11 +148,14 @@ def write_geotiff(
     data_offset = ext_offset + len(ext)
 
     # patch strip offsets now that data_offset is known
+    strip_offsets = []
+    pos = data_offset
+    for s in strips:
+        strip_offsets.append(pos)
+        pos += len(s)
     for e in entries:
         if e[0] == T_STRIP_OFFSETS:
-            raw = b"".join(
-                struct.pack("<I", data_offset + i * row_bytes) for i in range(h)
-            )
+            raw = b"".join(struct.pack("<I", o) for o in strip_offsets)
             if e[4] is None:  # h == 1: inline
                 e[3] = raw
             else:
@@ -154,17 +169,112 @@ def write_geotiff(
         out += struct.pack("<I", off) if off is not None else raw.ljust(4, b"\x00")
     out += struct.pack("<I", 0)  # no next IFD
     out += ext
-    arr = np.ascontiguousarray(data)
-    if arr.dtype.byteorder == ">":
-        arr = arr.astype(arr.dtype.newbyteorder("<"))
-    out += arr.tobytes()
+    for s in strips:
+        out += s
     with open(path, "wb") as f:
         f.write(bytes(out))
 
 
-def read_geotiff(path: str):
-    """Uncompressed single-band GeoTIFF → (array, meta dict).
+T_PREDICTOR = 317
+T_TILE_WIDTH, T_TILE_LENGTH, T_TILE_OFFSETS, T_TILE_COUNTS = 322, 323, 324, 325
 
+_DTYPES = {
+    (8, 1): np.uint8, (16, 1): np.uint16, (32, 1): np.uint32,
+    (8, 2): np.int8, (16, 2): np.int16, (32, 2): np.int32,
+    (32, 3): np.float32, (64, 3): np.float64,
+}
+
+
+def _lzw_decode(data: bytes) -> bytes:
+    """TIFF-variant LZW (MSB-first codes, early code-width change)."""
+    CLEAR, EOI = 256, 257
+    out = bytearray()
+    acc = accbits = pos = 0
+
+    def read(width):
+        nonlocal acc, accbits, pos
+        while accbits < width:
+            if pos >= len(data):
+                return EOI
+            acc = (acc << 8) | data[pos]
+            pos += 1
+            accbits += 8
+        accbits -= width
+        return (acc >> accbits) & ((1 << width) - 1)
+
+    base = [bytes([i]) for i in range(256)] + [b"", b""]
+    table = list(base)
+    width = 9
+    prev = None
+    while True:
+        code = read(width)
+        if code == EOI:
+            break
+        if code == CLEAR:
+            table = list(base)
+            width = 9
+            prev = None
+            continue
+        if prev is None:
+            entry = table[code]
+        elif code < len(table):
+            entry = table[code]
+            table.append(prev + entry[:1])
+        elif code == len(table):
+            entry = prev + prev[:1]
+            table.append(entry)
+        else:
+            raise ValueError("corrupt LZW stream")
+        out += entry
+        prev = entry
+        if len(table) == (1 << width) - 1 and width < 12:  # early change
+            width += 1
+    return bytes(out)
+
+
+def _decompress(raw: bytes, compression: int) -> bytes:
+    if compression == 1:
+        return raw
+    if compression in (8, 32946):  # Adobe / old-style deflate
+        return zlib.decompress(raw)
+    if compression == 5:
+        return _lzw_decode(raw)
+    raise ValueError(f"unsupported TIFF compression {compression}")
+
+
+def _unpredict(seg: bytes, rows: int, cols: int, dtype, predictor: int) -> np.ndarray:
+    """One decompressed segment → (rows, cols) array, predictor undone.
+
+    predictor 2 = horizontal differencing (integer samples, TIFF 6.0);
+    predictor 3 = floating-point byte-plane differencing (TechNote 3)."""
+    itemsize = np.dtype(dtype).itemsize
+    need = rows * cols * itemsize
+    seg = seg[:need].ljust(need, b"\x00")
+    if predictor == 3:
+        b = np.frombuffer(seg, dtype=np.uint8).reshape(rows, cols * itemsize)
+        b = np.cumsum(b.astype(np.int64), axis=1).astype(np.uint8)
+        # byte planes, MSB first → per-pixel big-endian bytes
+        planes = b.reshape(rows, itemsize, cols).transpose(0, 2, 1)
+        be = np.dtype(dtype).newbyteorder(">")
+        return np.frombuffer(planes.tobytes(), dtype=be).reshape(rows, cols).astype(dtype)
+    arr = np.frombuffer(seg, dtype=f"<{np.dtype(dtype).str[1:]}").reshape(rows, cols)
+    if predictor == 2:
+        if np.dtype(dtype).kind not in "ui":
+            raise ValueError("predictor 2 requires integer samples")
+        u = arr.view(f"<u{itemsize}").astype(np.int64)
+        u = np.cumsum(u, axis=1) % (1 << (8 * itemsize))
+        return u.astype(f"<u{itemsize}").view(f"<{np.dtype(dtype).str[1:]}").copy()
+    if predictor != 1:
+        raise ValueError(f"unsupported predictor {predictor}")
+    return arr.copy()
+
+
+def read_geotiff(path: str):
+    """Single-band GeoTIFF → (array, meta dict).
+
+    Real-world coverage: striped OR tiled layout; uncompressed, DEFLATE
+    (8/32946) or LZW (5) compression; predictor 1/2/3 (horizontal and
+    floating-point differencing); u8/u16/u32/i8/i16/i32/f32/f64 samples.
     meta: {x0, y0, dx, dy, crs, nodata} (GDAL geotransform convention)."""
     with open(path, "rb") as f:
         buf = f.read()
@@ -191,17 +301,37 @@ def read_geotiff(path: str):
         tags[tag] = vals
 
     w, h = tags[T_WIDTH][0], tags[T_HEIGHT][0]
-    if tags.get(T_COMPRESSION, [1])[0] != 1:
-        raise ValueError("only uncompressed TIFF supported")
+    compression = tags.get(T_COMPRESSION, [1])[0]
+    predictor = tags.get(T_PREDICTOR, [1])[0]
     bps = tags[T_BPS][0]
     fmt = tags.get(T_SAMPLE_FORMAT, [1])[0]
-    dtype = {(32, 3): np.float32, (8, 1): np.uint8}.get((bps, fmt))
+    if tags.get(T_SPP, [1])[0] != 1:
+        raise ValueError("single-band TIFF only")
+    dtype = _DTYPES.get((bps, fmt))
     if dtype is None:
         raise ValueError(f"unsupported sample layout bps={bps} fmt={fmt}")
-    offsets = tags[T_STRIP_OFFSETS]
-    counts = tags[T_STRIP_COUNTS]
-    raw = b"".join(buf[o : o + c] for o, c in zip(offsets, counts))
-    arr = np.frombuffer(raw, dtype=f"<{np.dtype(dtype).str[1:]}").reshape(h, w)
+
+    if T_TILE_OFFSETS in tags:  # tiled layout
+        tw, tl = tags[T_TILE_WIDTH][0], tags[T_TILE_LENGTH][0]
+        offsets, counts = tags[T_TILE_OFFSETS], tags[T_TILE_COUNTS]
+        ntx = (w + tw - 1) // tw
+        nty = (h + tl - 1) // tl
+        arr = np.zeros((nty * tl, ntx * tw), dtype=dtype)
+        for i, (o, c) in enumerate(zip(offsets, counts)):
+            seg = _decompress(buf[o : o + c], compression)
+            blk = _unpredict(seg, tl, tw, dtype, predictor)
+            ty, tx = divmod(i, ntx)
+            arr[ty * tl : (ty + 1) * tl, tx * tw : (tx + 1) * tw] = blk
+        arr = arr[:h, :w]
+    else:  # strips
+        rps = tags.get(T_ROWS_PER_STRIP, [h])[0]
+        offsets, counts = tags[T_STRIP_OFFSETS], tags[T_STRIP_COUNTS]
+        parts = []
+        for i, (o, c) in enumerate(zip(offsets, counts)):
+            rows = min(rps, h - i * rps)
+            seg = _decompress(buf[o : o + c], compression)
+            parts.append(_unpredict(seg, rows, w, dtype, predictor))
+        arr = np.vstack(parts)
 
     scale = tags.get(T_MODEL_PIXEL_SCALE, [1.0, 1.0, 0.0])
     tie = tags.get(T_MODEL_TIEPOINT, [0.0] * 6)
