@@ -175,3 +175,34 @@ class TestRenderImageBytes:
             render_image_bytes(r, data, resampling="cubic")
         with pytest.raises(ValueError):
             render_image_bytes(r, data, scale=0)
+
+
+class TestJpeg420:
+    def test_roundtrip_psnr(self):
+        img = _gradient(121, 203)  # non-multiple of 16
+        dec = decode_jpeg(encode_jpeg(img, 90, subsampling="420"))
+        assert dec.shape == (121, 203, 3)
+        mse = ((dec.astype(float) - img.astype(float)) ** 2).mean()
+        assert 10 * np.log10(255**2 / mse) > 40
+
+    def test_smaller_than_444(self):
+        img = _gradient(96, 96)
+        assert len(encode_jpeg(img, 85, subsampling="420")) < len(
+            encode_jpeg(img, 85, subsampling="444")
+        )
+
+    def test_luma_full_resolution(self):
+        # a luma-only checkerboard survives 420 (chroma flat, Y full-res)
+        yy, xx = np.mgrid[0:32, 0:32]
+        g = (((yy // 4 + xx // 4) % 2) * 200 + 20).astype(np.uint8)
+        img = np.stack([g] * 3, axis=-1)
+        dec = decode_jpeg(encode_jpeg(img, 95, subsampling="420"))
+        assert np.abs(dec.astype(float) - img.astype(float)).mean() < 6
+
+    def test_rejects_unknown_subsampling(self):
+        with pytest.raises(ValueError):
+            encode_jpeg(_gradient(8, 8), subsampling="422")
+
+    def test_default_444_bytes_unchanged(self):
+        img = _gradient(40, 56)
+        assert encode_jpeg(img, 80) == encode_jpeg(img, 80, subsampling="444")

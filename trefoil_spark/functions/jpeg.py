@@ -244,22 +244,66 @@ def _seg(marker: int, payload: bytes) -> bytes:
     return struct.pack(">HH", marker, len(payload) + 2) + payload
 
 
-def encode_jpeg(rgb: np.ndarray, quality: int = 85) -> bytes:
-    """(H,W,3) uint8 RGB (or (H,W) grayscale) -> baseline JFIF bytes."""
+def _pad_to(chan: np.ndarray, mh: int, mw: int) -> np.ndarray:
+    h, w = chan.shape
+    return np.pad(chan, ((0, mh - h), (0, mw - w)), mode="edge")
+
+
+def encode_jpeg(
+    rgb: np.ndarray, quality: int = 85, subsampling: str = "444"
+) -> bytes:
+    """(H,W,3) uint8 RGB (or (H,W) grayscale) -> baseline JFIF bytes.
+
+    ``subsampling``: '444' (default — deterministic with earlier rounds)
+    or '420' (2×2 box-averaged chroma, the real-world default; MCUs are
+    16×16 with 4 Y + 1 Cb + 1 Cr blocks)."""
     arr = np.asarray(rgb)
     if arr.ndim == 2:
         arr = np.stack([arr] * 3, axis=-1)
     if arr.ndim != 3 or arr.shape[2] < 3:
         raise ValueError("expected (H,W,3) RGB or (H,W) grayscale")
+    if subsampling not in ("444", "420"):
+        raise ValueError("subsampling must be '444' or '420'")
     arr = arr[..., :3].astype(np.uint8)
     h, w = arr.shape[:2]
     qt_l, qt_c = quality_tables(quality)
     ycc = rgb_to_ycbcr(arr)
-    comps = []
-    for ci in range(3):
-        qt = qt_l if ci == 0 else qt_c
-        blocks = _to_blocks(ycc[..., ci])
-        comps.append(_fdct_quant(blocks, qt)[:, _Z // 8, _Z % 8])  # zigzagged
+
+    if subsampling == "444":
+        y_samp = 0x11
+        comps = []
+        for ci in range(3):
+            qt = qt_l if ci == 0 else qt_c
+            blocks = _to_blocks(ycc[..., ci])
+            comps.append(_fdct_quant(blocks, qt)[:, _Z // 8, _Z % 8])
+        n_mcus = comps[0].shape[0]
+        mcu_layout = [(0, 1), (1, 1), (2, 1)]  # (comp idx, blocks per MCU)
+    else:
+        y_samp = 0x22
+        mh, mw = -(-h // 16), -(-w // 16)  # MCU grid
+        ypl = _pad_to(ycc[..., 0], mh * 16, mw * 16)
+        # 16x16 MCU tiles → row-major 2x2 of 8x8 blocks per MCU
+        yb = (
+            ypl.reshape(mh, 16, mw, 16).transpose(0, 2, 1, 3)
+            .reshape(mh, mw, 2, 8, 2, 8).transpose(0, 1, 2, 4, 3, 5)
+            .reshape(-1, 8, 8)
+        )
+        # 2x2 box average on an even-padded plane
+        def half(chan):
+            p = _pad_to(chan, -(-h // 2) * 2, -(-w // 2) * 2)
+            q = (p[0::2, 0::2] + p[0::2, 1::2] + p[1::2, 0::2] + p[1::2, 1::2]) / 4.0
+            return _pad_to(q, mh * 8, mw * 8)
+
+        cbp, crp = half(ycc[..., 1]), half(ycc[..., 2])
+        cb = cbp.reshape(mh, 8, mw, 8).transpose(0, 2, 1, 3).reshape(-1, 8, 8)
+        cr = crp.reshape(mh, 8, mw, 8).transpose(0, 2, 1, 3).reshape(-1, 8, 8)
+        comps = [
+            _fdct_quant(yb, qt_l)[:, _Z // 8, _Z % 8],
+            _fdct_quant(cb, qt_c)[:, _Z // 8, _Z % 8],
+            _fdct_quant(cr, qt_c)[:, _Z // 8, _Z % 8],
+        ]
+        n_mcus = mh * mw
+        mcu_layout = [(0, 4), (1, 1), (2, 1)]
 
     out = bytearray(b"\xff\xd8")  # SOI
     out += _seg(0xFFE0, b"JFIF\x00\x01\x01\x00" + struct.pack(">HHBB", 1, 1, 0, 0))
@@ -267,8 +311,8 @@ def encode_jpeg(rgb: np.ndarray, quality: int = 85) -> bytes:
     out += _seg(0xFFDB, b"\x00" + bytes(int(qt_l[z // 8, z % 8]) for z in _Z))
     out += _seg(0xFFDB, b"\x01" + bytes(int(qt_c[z // 8, z % 8]) for z in _Z))
     sof = struct.pack(">BHHB", 8, h, w, 3)
-    for cid, tq in ((1, 0), (2, 1), (3, 1)):
-        sof += struct.pack(">BBB", cid, 0x11, tq)  # 1x1 sampling (4:4:4)
+    for cid, samp, tq in ((1, y_samp, 0), (2, 0x11, 1), (3, 0x11, 1)):
+        sof += struct.pack(">BBB", cid, samp, tq)
     out += _seg(0xFFC0, sof)
     for tc_th, spec in (
         (0x00, DC_LUMA_SPEC), (0x10, AC_LUMA_SPEC),
@@ -285,11 +329,15 @@ def encode_jpeg(rgb: np.ndarray, quality: int = 85) -> bytes:
     bw = _BitWriter()
     preds = [0, 0, 0]
     tabs = [(_DC_L, _AC_L), (_DC_C, _AC_C), (_DC_C, _AC_C)]
-    for bi in range(comps[0].shape[0]):
-        for ci in range(3):
-            preds[ci] = _encode_block(
-                bw, comps[ci][bi], preds[ci], tabs[ci][0], tabs[ci][1]
-            )
+    counters = [0, 0, 0]
+    for _m in range(n_mcus):
+        for ci, nblk in mcu_layout:
+            for _ in range(nblk):
+                preds[ci] = _encode_block(
+                    bw, comps[ci][counters[ci]], preds[ci],
+                    tabs[ci][0], tabs[ci][1],
+                )
+                counters[ci] += 1
     bw.flush()
     out += bw.buf
     out += b"\xff\xd9"  # EOI
@@ -387,9 +435,10 @@ def decode_jpeg(data: bytes) -> np.ndarray:
             _, h, w, nc = struct.unpack(">BHHB", payload[:6])
             for i in range(nc):
                 cid, samp, tq = payload[6 + 3 * i:9 + 3 * i]
-                if samp != 0x11:
-                    raise NotImplementedError("subsampled JPEG")
-                comps.append((cid, tq))
+                hi, vi = samp >> 4, samp & 0x0F
+                if (hi, vi) not in ((1, 1), (2, 2)):
+                    raise NotImplementedError(f"sampling {hi}x{vi}")
+                comps.append((cid, tq, hi, vi))
         elif marker in (0xC1, 0xC2, 0xC3):
             raise NotImplementedError("non-baseline SOF")
         elif marker == 0xC4:
@@ -413,37 +462,54 @@ def decode_jpeg(data: bytes) -> np.ndarray:
     if not comps or not h:
         raise ValueError("missing SOF")
     br = _BitReader(data[pos:])
-    bh, bw_ = (h + 7) // 8, (w + 7) // 8
-    nb = bh * bw_
-    planes = [np.zeros((nb, 8, 8)) for _ in comps]
+    hmax = max(c[2] for c in comps)
+    vmax = max(c[3] for c in comps)
+    mcux = -(-w // (8 * hmax))
+    mcuy = -(-h // (8 * vmax))
+    planes = [
+        np.zeros((mcuy * 8 * vi, mcux * 8 * hi)) for _cid, _tq, hi, vi in comps
+    ]
     preds = [0] * len(comps)
-    for bi in range(nb):
-        for ci, (cid, tq) in enumerate(comps):
-            dct, act = scan_tabs[cid]
-            zz = np.zeros(64, dtype=np.int64)
-            size = _read_symbol(br, dct)
-            diff = _extend(br.read(size), size) if size else 0
-            preds[ci] += diff
-            zz[0] = preds[ci]
-            k = 1
-            while k < 64:
-                rs = _read_symbol(br, act)
-                r, s = rs >> 4, rs & 0x0F
-                if s == 0:
-                    if r == 15:
-                        k += 16
-                        continue
-                    break  # EOB
-                k += r
-                zz[k] = _extend(br.read(s), s)
-                k += 1
-            blk = np.zeros((8, 8))
-            blk[_Z // 8, _Z % 8] = zz * qts[tq][_Z // 8, _Z % 8]
-            planes[ci][bi] = np.einsum("ji,jk,kl->il", _C, blk, _C) + 128.0
+
+    def read_block(cid, tq):
+        dct, act = scan_tabs[cid]
+        zz = np.zeros(64, dtype=np.int64)
+        size = _read_symbol(br, dct)
+        diff = _extend(br.read(size), size) if size else 0
+        zz[0] = diff  # caller adds the DC prediction
+        k = 1
+        while k < 64:
+            rs = _read_symbol(br, act)
+            r, s = rs >> 4, rs & 0x0F
+            if s == 0:
+                if r == 15:
+                    k += 16
+                    continue
+                break  # EOB
+            k += r
+            zz[k] = _extend(br.read(s), s)
+            k += 1
+        return zz
+
+    for my in range(mcuy):
+        for mx in range(mcux):
+            for ci, (cid, tq, hi, vi) in enumerate(comps):
+                for by in range(vi):
+                    for bx in range(hi):
+                        zz = read_block(cid, tq)
+                        preds[ci] += int(zz[0])
+                        zz[0] = preds[ci]
+                        blk = np.zeros((8, 8))
+                        blk[_Z // 8, _Z % 8] = zz * qts[tq][_Z // 8, _Z % 8]
+                        px = np.einsum("ji,jk,kl->il", _C, blk, _C) + 128.0
+                        r0 = my * 8 * vi + by * 8
+                        c0 = mx * 8 * hi + bx * 8
+                        planes[ci][r0:r0 + 8, c0:c0 + 8] = px
     chans = []
-    for p in planes:
-        full = p.reshape(bh, bw_, 8, 8).transpose(0, 2, 1, 3).reshape(bh * 8, bw_ * 8)
-        chans.append(full[:h, :w])
+    for (cid, _tq, hi, vi), p in zip(comps, planes):
+        if hi != hmax or vi != vmax:  # replicate-upsample subsampled chroma
+            p = np.repeat(np.repeat(p, vmax // vi, axis=0), hmax // hi, axis=1)
+        chans.append(p[:h, :w])
     if len(chans) == 1:
         g = np.clip(np.rint(chans[0]), 0, 255).astype(np.uint8)
         return np.stack([g] * 3, axis=-1)
