@@ -206,3 +206,41 @@ class TestJpeg420:
     def test_default_444_bytes_unchanged(self):
         img = _gradient(40, 56)
         assert encode_jpeg(img, 80) == encode_jpeg(img, 80, subsampling="444")
+
+
+class TestJpegProgressive:
+    def test_pixel_identical_to_baseline(self):
+        img = _gradient(77, 130)
+        db = decode_jpeg(encode_jpeg(img, 90))
+        dp = decode_jpeg(encode_jpeg(img, 90, progressive=True))
+        assert np.array_equal(db, dp)
+
+    def test_sof2_marker(self):
+        b = encode_jpeg(_gradient(16, 16), 80, progressive=True)
+        assert b"\xff\xc2" in b and b"\xff\xc0" not in b
+        # four SOS markers: DC + three per-component AC scans
+        assert b.count(b"\xff\xda") == 4
+
+    def test_noise_identical(self):
+        rng = np.random.default_rng(3)
+        img = rng.integers(0, 256, (41, 29, 3), dtype=np.uint8)
+        assert np.array_equal(
+            decode_jpeg(encode_jpeg(img, 75)),
+            decode_jpeg(encode_jpeg(img, 75, progressive=True)),
+        )
+
+    def test_rejects_progressive_420(self):
+        with pytest.raises(ValueError):
+            encode_jpeg(_gradient(8, 8), progressive=True, subsampling="420")
+
+    def test_render_jpg_is_progressive(self):
+        from trefoil_spark.functions.color import Color
+        from trefoil_spark.raster.render import StretchedRenderer, render_image_bytes
+
+        r = StretchedRenderer(
+            [(0.0, Color(0, 0, 0, 255)), (100.0, Color(255, 0, 0, 255))]
+        )
+        data = np.linspace(0, 100, 20 * 20).reshape(20, 20)
+        jpg = render_image_bytes(r, data, format="jpg")
+        assert b"\xff\xc2" in jpg
+        assert decode_jpeg(jpg).shape == (20, 20, 3)

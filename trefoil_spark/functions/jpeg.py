@@ -7,16 +7,13 @@ implements the public ITU-T T.81 baseline process directly):
 - encoder: RGB → BT.601 YCbCr, 8×8 FDCT (exact DCT-II matrix, vectorized
   over all blocks), Annex-K quantization tables scaled by the IJG quality
   formula, zigzag, DC differential + AC run-length, Annex-K Huffman
-  tables, byte-stuffed entropy stream, JFIF APP0/DQT/SOF0/DHT/SOS markers.
-  4:4:4 (no chroma subsampling — quality-first, matches the small
-  preview-artifact use).
-- decoder: the matching subset (baseline, 8-bit, interleaved, restart-
-  free) — used by the tests to round-trip without PIL, and by
-  ``trefoil_spark.raster.render`` for format sniffing.
-
-The reference writes *progressive* JPEG; baseline is the deliberate
-from-scratch subset (same pixels, different scan order) and is noted in
-SURVEY §7.3.
+  tables, byte-stuffed entropy stream, JFIF APP0/DQT/SOF/DHT/SOS markers.
+  4:4:4 or 4:2:0 chroma subsampling; baseline (SOF0) or PROGRESSIVE
+  (SOF2, spectral-selection scans — matching the reference's
+  ``progressive=True`` save; decodes pixel-identical to baseline).
+- decoder: the matching subsets (baseline 444/420 + progressive
+  spectral-selection with general EOBn runs, 8-bit, restart-free) —
+  round-trips the tests without PIL.
 """
 
 from __future__ import annotations
@@ -249,14 +246,59 @@ def _pad_to(chan: np.ndarray, mh: int, mw: int) -> np.ndarray:
     return np.pad(chan, ((0, mh - h), (0, mw - w)), mode="edge")
 
 
+def _encode_dc_only(bw: _BitWriter, dc: int, pred: int, dc_tab) -> int:
+    size, bits = _magnitude(dc - pred)
+    code, ln = dc_tab[size]
+    bw.write(code, ln)
+    if size:
+        bw.write(bits, size)
+    return dc
+
+
+def _encode_ac_band(bw: _BitWriter, zz: np.ndarray, ac_tab):
+    """Progressive AC scan (Ss=1, Se=63, no successive approximation) for
+    one block. EOB runs are flushed at length 1 (symbol 0x00 — the only
+    EOBn the Annex-K tables can express), which is spec-legal and makes
+    the per-block coding identical to baseline's AC part."""
+    run = 0
+    nz = np.nonzero(zz[1:])[0]
+    last = nz[-1] + 1 if len(nz) else 0
+    for k in range(1, last + 1):
+        v = int(zz[k])
+        if v == 0:
+            run += 1
+            continue
+        while run > 15:
+            code, ln = ac_tab[0xF0]
+            bw.write(code, ln)
+            run -= 16
+        size, bits = _magnitude(v)
+        code, ln = ac_tab[(run << 4) | size]
+        bw.write(code, ln)
+        bw.write(bits, size)
+        run = 0
+    if last < 63:
+        code, ln = ac_tab[0x00]  # EOB run of exactly 1
+        bw.write(code, ln)
+
+
 def encode_jpeg(
-    rgb: np.ndarray, quality: int = 85, subsampling: str = "444"
+    rgb: np.ndarray,
+    quality: int = 85,
+    subsampling: str = "444",
+    progressive: bool = False,
 ) -> bytes:
-    """(H,W,3) uint8 RGB (or (H,W) grayscale) -> baseline JFIF bytes.
+    """(H,W,3) uint8 RGB (or (H,W) grayscale) -> JFIF bytes.
 
     ``subsampling``: '444' (default — deterministic with earlier rounds)
     or '420' (2×2 box-averaged chroma, the real-world default; MCUs are
-    16×16 with 4 Y + 1 Cb + 1 Cr blocks)."""
+    16×16 with 4 Y + 1 Cb + 1 Cr blocks).
+
+    ``progressive``: SOF2 spectral-selection scans matching the
+    reference's ``progressive=True`` save (cli/utilities.py:28): one
+    interleaved DC scan then one full-band AC scan per component; no
+    successive approximation. Same pixels as baseline — only the scan
+    order differs. 4:4:4 only."""
     arr = np.asarray(rgb)
     if arr.ndim == 2:
         arr = np.stack([arr] * 3, axis=-1)
@@ -264,6 +306,8 @@ def encode_jpeg(
         raise ValueError("expected (H,W,3) RGB or (H,W) grayscale")
     if subsampling not in ("444", "420"):
         raise ValueError("subsampling must be '444' or '420'")
+    if progressive and subsampling != "444":
+        raise ValueError("progressive supports 4:4:4 only")
     arr = arr[..., :3].astype(np.uint8)
     h, w = arr.shape[:2]
     qt_l, qt_c = quality_tables(quality)
@@ -313,22 +357,52 @@ def encode_jpeg(
     sof = struct.pack(">BHHB", 8, h, w, 3)
     for cid, samp, tq in ((1, y_samp, 0), (2, 0x11, 1), (3, 0x11, 1)):
         sof += struct.pack(">BBB", cid, samp, tq)
-    out += _seg(0xFFC0, sof)
+    out += _seg(0xFFC2 if progressive else 0xFFC0, sof)
     for tc_th, spec in (
         (0x00, DC_LUMA_SPEC), (0x10, AC_LUMA_SPEC),
         (0x01, DC_CHROMA_SPEC), (0x11, AC_CHROMA_SPEC),
     ):
         bits, vals = spec
         out += _seg(0xFFC4, bytes([tc_th] + bits + vals))
+
+    tabs = [(_DC_L, _AC_L), (_DC_C, _AC_C), (_DC_C, _AC_C)]
+    if progressive:
+        # scan 1: interleaved DC, all components (Ss=0, Se=0)
+        sos = struct.pack(">B", 3)
+        for cid, td in ((1, 0x00), (2, 0x10), (3, 0x10)):
+            sos += struct.pack(">BB", cid, td)
+        sos += b"\x00\x00\x00"
+        out += _seg(0xFFDA, sos)
+        bw = _BitWriter()
+        preds = [0, 0, 0]
+        for bi in range(n_mcus):
+            for ci in range(3):
+                preds[ci] = _encode_dc_only(
+                    bw, int(comps[ci][bi][0]), preds[ci], tabs[ci][0]
+                )
+        bw.flush()
+        out += bw.buf
+        # scans 2-4: per-component AC band 1..63 (non-interleaved)
+        for ci, (cid, ta) in enumerate(((1, 0x00), (2, 0x01), (3, 0x01))):
+            out += _seg(
+                0xFFDA, struct.pack(">BBB", 1, cid, ta) + b"\x01\x3f\x00"
+            )
+            bw = _BitWriter()
+            for bi in range(comps[ci].shape[0]):
+                _encode_ac_band(bw, comps[ci][bi], tabs[ci][1])
+            bw.flush()
+            out += bw.buf
+        out += b"\xff\xd9"  # EOI
+        return bytes(out)
+
     sos = struct.pack(">B", 3)
-    for cid, tabs in ((1, 0x00), (2, 0x11), (3, 0x11)):
-        sos += struct.pack(">BB", cid, tabs)
+    for cid, tabs_b in ((1, 0x00), (2, 0x11), (3, 0x11)):
+        sos += struct.pack(">BB", cid, tabs_b)
     sos += b"\x00\x3f\x00"
     out += _seg(0xFFDA, sos)
 
     bw = _BitWriter()
     preds = [0, 0, 0]
-    tabs = [(_DC_L, _AC_L), (_DC_C, _AC_C), (_DC_C, _AC_C)]
     counters = [0, 0, 0]
     for _m in range(n_mcus):
         for ci, nblk in mcu_layout:
@@ -404,8 +478,21 @@ def _extend(bits: int, size: int) -> int:
     return bits
 
 
+def _scan_end(data: bytes, start: int) -> int:
+    """Index of the marker terminating an entropy-coded segment."""
+    i = start
+    while i + 1 < len(data):
+        if data[i] == 0xFF and data[i + 1] != 0x00 and not (
+            0xD0 <= data[i + 1] <= 0xD7
+        ):
+            return i
+        i += 1
+    return len(data)
+
+
 def decode_jpeg(data: bytes) -> np.ndarray:
-    """Baseline JFIF bytes (this module's subset) -> (H,W,3) uint8 RGB."""
+    """JFIF bytes (this module's subsets: baseline 444/420, progressive
+    spectral-selection 444) -> (H,W,3) uint8 RGB."""
     if data[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG (no SOI)")
     pos = 2
@@ -414,6 +501,18 @@ def decode_jpeg(data: bytes) -> np.ndarray:
     h = w = 0
     comps = []  # (cid, tq)
     scan_tabs = {}
+    progressive = False
+
+    def parse_dht(payload):
+        off = 0
+        while off < len(payload):
+            tcth = payload[off]
+            bits = list(payload[off + 1:off + 17])
+            n = sum(bits)
+            vals = list(payload[off + 17:off + 17 + n])
+            hts[tcth] = _decode_tree((bits, vals))
+            off += 17 + n
+
     while pos < len(data):
         if data[pos] != 0xFF:
             raise ValueError("marker expected")
@@ -431,26 +530,26 @@ def decode_jpeg(data: bytes) -> np.ndarray:
             for k, z in enumerate(_Z):
                 t[z // 8, z % 8] = payload[1 + k]
             qts[tq] = t
-        elif marker == 0xC0:
+        elif marker in (0xC0, 0xC2):
+            progressive = marker == 0xC2
             _, h, w, nc = struct.unpack(">BHHB", payload[:6])
             for i in range(nc):
                 cid, samp, tq = payload[6 + 3 * i:9 + 3 * i]
                 hi, vi = samp >> 4, samp & 0x0F
                 if (hi, vi) not in ((1, 1), (2, 2)):
                     raise NotImplementedError(f"sampling {hi}x{vi}")
+                if progressive and (hi, vi) != (1, 1):
+                    raise NotImplementedError("progressive + subsampling")
                 comps.append((cid, tq, hi, vi))
-        elif marker in (0xC1, 0xC2, 0xC3):
+        elif marker in (0xC1, 0xC3):
             raise NotImplementedError("non-baseline SOF")
         elif marker == 0xC4:
-            off = 0
-            while off < len(payload):
-                tcth = payload[off]
-                bits = list(payload[off + 1:off + 17])
-                n = sum(bits)
-                vals = list(payload[off + 17:off + 17 + n])
-                hts[tcth] = _decode_tree((bits, vals))
-                off += 17 + n
+            parse_dht(payload)
         elif marker == 0xDA:
+            if progressive:
+                return _decode_progressive(
+                    data, pos, ln, payload, comps, qts, hts, parse_dht, h, w
+                )
             ns = payload[0]
             for i in range(ns):
                 cid, tabs = payload[1 + 2 * i], payload[2 + 2 * i]
@@ -510,6 +609,92 @@ def decode_jpeg(data: bytes) -> np.ndarray:
         if hi != hmax or vi != vmax:  # replicate-upsample subsampled chroma
             p = np.repeat(np.repeat(p, vmax // vi, axis=0), hmax // hi, axis=1)
         chans.append(p[:h, :w])
+    if len(chans) == 1:
+        g = np.clip(np.rint(chans[0]), 0, 255).astype(np.uint8)
+        return np.stack([g] * 3, axis=-1)
+    return ycbcr_to_rgb(np.stack(chans, axis=-1))
+
+
+def _decode_progressive(data, pos, ln, payload, comps, qts, hts, parse_dht, h, w):
+    """Progressive (SOF2) scan loop: spectral selection without
+    successive approximation — an interleaved DC scan plus per-component
+    AC band scans (general EOBn runs accepted). Accumulates dequantized
+    coefficients per block, then one IDCT pass at the end."""
+    bh, bw_ = (h + 7) // 8, (w + 7) // 8
+    nb = bh * bw_
+    coefs = {cid: np.zeros((nb, 64), dtype=np.int64) for cid, _t, _h, _v in comps}
+
+    while True:
+        ns = payload[0]
+        scomps = [(payload[1 + 2 * i], payload[2 + 2 * i]) for i in range(ns)]
+        ss, se, ahal = payload[1 + 2 * ns], payload[2 + 2 * ns], payload[3 + 2 * ns]
+        if ahal:
+            raise NotImplementedError("successive approximation")
+        end = _scan_end(data, pos + ln)
+        br = _BitReader(data[pos + ln:end])
+        if ss == 0:  # DC scan (interleaved; 1x1 → MCU order == block order)
+            if se != 0:
+                raise NotImplementedError("mixed DC/AC spectral band")
+            preds = {cid: 0 for cid, _t in scomps}
+            for bi in range(nb):
+                for cid, tdta in scomps:
+                    dct = hts[tdta >> 4]
+                    size = _read_symbol(br, dct)
+                    diff = _extend(br.read(size), size) if size else 0
+                    preds[cid] += diff
+                    coefs[cid][bi, 0] = preds[cid]
+        else:  # AC scan: exactly one component
+            cid, tdta = scomps[0]
+            act = hts[0x10 | (tdta & 0x0F)]
+            eobrun = 0
+            for bi in range(nb):
+                if eobrun:
+                    eobrun -= 1
+                    continue
+                k = ss
+                while k <= se:
+                    rs = _read_symbol(br, act)
+                    r, s = rs >> 4, rs & 0x0F
+                    if s == 0:
+                        if r == 15:
+                            k += 16
+                            continue
+                        eobrun = (1 << r) + (br.read(r) if r else 0) - 1
+                        break
+                    k += r
+                    coefs[cid][bi, k] = _extend(br.read(s), s)
+                    k += 1
+        # next marker
+        pos = end
+        if pos + 1 >= len(data) or data[pos] != 0xFF:
+            break
+        marker = data[pos + 1]
+        pos += 2
+        if marker == 0xD9:
+            break
+        ln = struct.unpack(">H", data[pos:pos + 2])[0]
+        payload = data[pos + 2:pos + ln]
+        if marker == 0xC4:
+            parse_dht(payload)
+            pos += ln
+            # read the following marker (expect SOS)
+            marker = data[pos + 1]
+            pos += 2
+            if marker == 0xD9:
+                break
+            ln = struct.unpack(">H", data[pos:pos + 2])[0]
+            payload = data[pos + 2:pos + ln]
+        if marker != 0xDA:
+            raise NotImplementedError(f"unexpected marker 0x{marker:02X} mid-stream")
+
+    chans = []
+    for cid, tq, _hi, _vi in comps:
+        zz = coefs[cid]
+        blk = np.zeros((nb, 8, 8))
+        blk[:, _Z // 8, _Z % 8] = zz * qts[tq][_Z // 8, _Z % 8]
+        px = np.einsum("ji,njk,kl->nil", _C, blk, _C) + 128.0
+        full = px.reshape(bh, bw_, 8, 8).transpose(0, 2, 1, 3).reshape(bh * 8, bw_ * 8)
+        chans.append(full[:h, :w])
     if len(chans) == 1:
         g = np.clip(np.rint(chans[0]), 0, 255).astype(np.uint8)
         return np.stack([g] * 3, axis=-1)

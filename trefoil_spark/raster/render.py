@@ -274,8 +274,8 @@ def render_image_bytes(
     Mirrors the reference's order of operations: render first, then
     resample the RGBA *composite* (PIL resizes the rendered image, not
     the data). `format='jpg'` drops the alpha channel exactly like PIL's
-    ``convert('RGB')`` and encodes baseline JFIF (own ITU T.81 codec —
-    the reference writes progressive; same pixels, different scan order).
+    ``convert('RGB')`` and encodes PROGRESSIVE JFIF (own ITU T.81 codec,
+    SOF2 spectral selection — the reference's ``progressive=True``).
     `format='webp'` keeps RGBA and encodes lossless VP8L (own codec,
     literal subset) matching the reference's ``lossless=True``. The
     nearest+integer-scale+PNG combination routes through the byte-stable
@@ -321,7 +321,7 @@ def render_image_bytes(
             sx = np.clip(((np.arange(out_w) + 0.5) * w / out_w).astype(np.int64), 0, w - 1)
             rgba = rgba[sy][:, sx]
     if fmt == "jpg":
-        return encode_jpeg(rgba[..., :3], quality=quality)
+        return encode_jpeg(rgba[..., :3], quality=quality, progressive=True)
     if fmt == "webp":
         return encode_webp(rgba)
     return encode_rgb_png(rgba)
