@@ -202,3 +202,69 @@ def test_export_netcdf3_roundtrip(spark):
         assert np.isnan(want).any()  # the synth holes actually exercised
         ys = nc.read("y")
         assert ys[0] > ys[-1]  # north-first (descending), CF-consistent
+
+
+def test_ingest_fixed_time_dim(spark, tmp_path):
+    """3-D variable over a FIXED (non-record) time dim: each timestep slab
+    must seek to begin + t*h*w*itemsize, not replay t=0 (r3 advice, high)."""
+    p = str(tmp_path / "fixed_t.nc")
+    nt, h, w = 3, 4, 5
+    ys = 10.0 - np.arange(h) * 1.0
+    xs = np.arange(w) * 1.0
+    data = np.arange(nt * h * w, dtype=np.float32).reshape(nt, h, w)
+    write_netcdf3(
+        p, dims={"time": nt, "lat": h, "lon": w},  # time FIXED, not None
+        variables={
+            "lat": (("lat",), {"standard_name": "latitude"}, ys),
+            "lon": (("lon",), {"standard_name": "longitude"}, xs),
+            "v": (("time", "lat", "lon"), {}, data),
+        },
+    )
+    assert read_header(p).record_dim is None  # precondition: truly fixed
+    tiles, spec = ingest_netcdf3(spark, p, "v")
+    got = {r["t"]: np.frombuffer(r["block"], dtype=np.float32).reshape(h, w)
+           for r in tiles.collect()}
+    for t in range(nt):
+        assert np.array_equal(got[t], data[t]), f"timestep {t} slab wrong"
+
+
+def test_ingest_descending_x(spark, tmp_path):
+    """Descending x coordinates: dx stays positive, tile col 0 = WEST edge
+    (the last source column)."""
+    p = str(tmp_path / "descx.nc")
+    h, w = 3, 4
+    ys = 10.0 - np.arange(h) * 1.0
+    xs = 3.0 - np.arange(w) * 1.0  # DESCENDING longitudes
+    data = np.arange(h * w, dtype=np.float32).reshape(h, w)
+    write_netcdf3(
+        p, dims={"lat": h, "lon": w},
+        variables={
+            "lat": (("lat",), {"standard_name": "latitude"}, ys),
+            "lon": (("lon",), {"standard_name": "longitude"}, xs),
+            "v": (("lat", "lon"), {}, data),
+        },
+    )
+    tiles, spec = ingest_netcdf3(spark, p, "v")
+    assert spec.dx > 0 and abs(spec.x0 - -0.5) < 1e-9
+    blk = np.frombuffer(tiles.collect()[0]["block"], dtype=np.float32).reshape(h, w)
+    assert np.array_equal(blk, data[:, ::-1])
+
+
+def test_ingest_length1_axis(spark, tmp_path):
+    """A 1-pixel-wide grid must not IndexError on spacing inference."""
+    p = str(tmp_path / "one.nc")
+    ys = np.array([5.0, 4.0])
+    xs = np.array([0.0])  # single-element x axis
+    data = np.array([[1.0], [2.0]], dtype=np.float32)
+    write_netcdf3(
+        p, dims={"lat": 2, "lon": 1},
+        variables={
+            "lat": (("lat",), {"standard_name": "latitude"}, ys),
+            "lon": (("lon",), {"standard_name": "longitude"}, xs),
+            "v": (("lat", "lon"), {}, data),
+        },
+    )
+    tiles, spec = ingest_netcdf3(spark, p, "v")
+    assert spec.dx == 1.0 and spec.width == 1
+    blk = np.frombuffer(tiles.collect()[0]["block"], dtype=np.float32).reshape(2, 1)
+    assert np.array_equal(blk, data)

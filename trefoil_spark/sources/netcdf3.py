@@ -183,10 +183,16 @@ def read_header(path: str) -> NCFile:
     """Parse the classic header (driver-side; a few KB)."""
     with open(path, "rb") as f:
         head = f.read(65536)
+        if head[:3] != b"CDF" or (len(head) > 3 and head[3] not in (1, 2)):
+            # fail fast on wrong magic — no point growing the buffer
+            raise ValueError(f"{path}: not a classic NetCDF (CDF-1/CDF-2) file")
         while True:  # headers are usually tiny; grow if unusually large
             try:
                 return _parse_header(path, head)
-            except (struct.error, IndexError):
+            # a truncated header can surface as struct.error/IndexError
+            # (cursor math), ValueError (np.frombuffer on a short slice),
+            # or UnicodeDecodeError (a UTF-8 name split at the boundary)
+            except (struct.error, IndexError, ValueError, UnicodeDecodeError):
                 more = f.read(1 << 20)
                 if not more:
                     raise
@@ -435,14 +441,19 @@ def ingest_netcdf3(spark, path: str, variable: str, var_label: str | None = None
     if ys is None or xs is None:
         spec = GridSpec(x0=0.0, y0=float(h), dx=1.0, dy=1.0, width=w, height=h)
         y_flip = False
+        x_flip = False
     else:
-        dy = float(abs(ys[1] - ys[0]))
-        dx = float(xs[1] - xs[0])
+        # length-1 axes carry no spacing information — fall back to unit
+        # spacing instead of indexing past the end
+        dy = float(abs(ys[1] - ys[0])) if len(ys) > 1 else 1.0
+        dx = float(abs(xs[1] - xs[0])) if len(xs) > 1 else 1.0
         y_desc = bool(ys[0] > ys[-1])
         y_flip = not y_desc  # tile row 0 is the NORTH edge
+        x_flip = bool(xs[0] > xs[-1])  # tile col 0 is the WEST edge
         y_top = float(ys[0] if y_desc else ys[-1])
+        x_left = float(xs[-1] if x_flip else xs[0])
         spec = GridSpec(
-            x0=float(xs[0]) - dx / 2.0, y0=y_top + dy / 2.0,
+            x0=x_left - dx / 2.0, y0=y_top + dy / 2.0,
             dx=dx, dy=dy, width=w, height=h,
         )
 
@@ -466,13 +477,17 @@ def ingest_netcdf3(spark, path: str, variable: str, var_label: str | None = None
                 ty, tx = rem // ntx, rem % ntx
                 th = min(tile, h - ty * tile)
                 tw = min(tile, w - tx * tile)
-                base = begin + (t * recsize if is_rec else 0)
+                # record vars stride by the file recsize; FIXED 3-D vars
+                # store time-major contiguous slabs of h*w*itemsize each
+                base = begin + t * (recsize if is_rec else h * w * itemsize)
                 blk = np.empty((th, tw), dtype=dt)
                 for r in range(th):
                     row_src = ty * tile + r
                     src_r = (h - 1 - row_src) if y_flip else row_src
-                    f.seek(base + (src_r * w + tx * tile) * itemsize)
-                    blk[r] = np.frombuffer(f.read(tw * itemsize), dtype=dt)
+                    src_c = (w - (tx * tile + tw)) if x_flip else tx * tile
+                    f.seek(base + (src_r * w + src_c) * itemsize)
+                    seg = np.frombuffer(f.read(tw * itemsize), dtype=dt)
+                    blk[r] = seg[::-1] if x_flip else seg
                 vals = _unpack(blk, attrs).astype(np.float32)
                 lat_c = spec.y0 - (ty * tile + th / 2.0) * spec.dy
                 lon_c = spec.x0 + (tx * tile + tw / 2.0) * spec.dx
