@@ -268,18 +268,37 @@ def q_describe(spark: SparkSession, sf_dir: str) -> DataFrame:
     return describe_tiles_df(tiles).orderBy("var")
 
 
-def q_knn_join_adaptive(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Ring-EXPANSION grid kNN (proven-complete, DataFrame-only
-    done/remaining split): exactness guaranteed by the strict ring guard,
-    so the brute-force SQL is its oracle at any density."""
-    from trefoil_spark.operators.knn import knn_join_adaptive
+def q_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parameterized kNN join (SURVEY §2 J— north rule): ALL THREE
+    strategies in one driver row — 'adaptive' (ring-expansion grid kNN,
+    proven-complete DataFrame-only done/remaining split), 'brute' (the
+    declared exactness baseline), 'cells' (cell-neighborhood candidates,
+    the scale path; exact at this (res, ring) for the fixture density,
+    also asserted vs brute in tests). Each strategy is exact here, so
+    ONE brute-force SQL replicated per strategy label is the oracle."""
+    from trefoil_spark.operators.knn import (
+        knn_join_adaptive,
+        knn_join_bruteforce,
+        knn_join_cells,
+    )
 
     pages = _pages(spark, sf_dir).select("doc_id", "lon", "lat")
     queries = pages.filter(F.col("doc_id") % 100 == 0)
-    out = knn_join_adaptive(pages, queries, k=5, res=6, max_ring=64)
-    return out.withColumn("rank", F.col("rank").cast("bigint")).orderBy(
-        "query_id", "rank"
-    )
+    outs = [
+        ("adaptive", knn_join_adaptive(pages, queries, k=5, res=6, max_ring=64)),
+        ("brute", knn_join_bruteforce(pages, queries, k=5)),
+        ("cells", knn_join_cells(pages, queries, k=5, res=6, ring=1)),
+    ]
+    u = None
+    for name, out in outs:
+        o = out.select(
+            F.lit(name).alias("strategy"),
+            "query_id",
+            "neighbor_id",
+            F.col("rank").cast("bigint").alias("rank"),
+        )
+        u = o if u is None else u.unionByName(o)
+    return u.orderBy("strategy", "query_id", "rank")
 
 
 def q_tile_window_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -409,75 +428,39 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def q_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact kNN join (brute force baseline): 5 nearest pages per query."""
-    from trefoil_spark.operators.knn import knn_join_bruteforce
-
-    pages = _pages(spark, sf_dir).select("doc_id", "lon", "lat")
-    queries = pages.filter(F.col("doc_id") % 100 == 0)
-    out = knn_join_bruteforce(pages, queries, k=5)
-    return out.withColumn("rank", F.col("rank").cast("bigint")).orderBy(
-        "query_id", "rank"
+def q_similarity_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parameterized ANN search — all three strategies in one driver row:
+    'exact' (brute-force cosine top-5, the declared baseline), 'lsh'
+    (random-hyperplane bucket equi-join), 'ivf' (posting-list ANN on a
+    FIXED centroid fixture trained once on the sf0.01 sample — like
+    ZONE_LAYER and the LSH planes — so query and static oracle agree at
+    every sf; assignment is a portable JVM argmin with a bit-identical
+    DuckDB twin baked from the same array)."""
+    from trefoil_spark.operators.similarity import (
+        cosine_topk,
+        fixture_centroids,
+        ivf_ann_topk,
+        lsh_ann_topk,
     )
-
-
-def q_knn_join_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Grid kNN (cell-neighborhood candidates) — the scale path. Exact at
-    this (res, ring) for the fixture density (also asserted vs brute force
-    in tests), so the brute-force SQL is its oracle."""
-    from trefoil_spark.operators.knn import knn_join_cells
-
-    pages = _pages(spark, sf_dir).select("doc_id", "lon", "lat")
-    queries = pages.filter(F.col("doc_id") % 100 == 0)
-    out = knn_join_cells(pages, queries, k=5, res=6, ring=1)
-    return out.withColumn("rank", F.col("rank").cast("bigint")).orderBy(
-        "query_id", "rank"
-    )
-
-
-def q_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Brute-force cosine top-5 neighbors for the first 10 vectors."""
-    from trefoil_spark.operators.similarity import cosine_topk
 
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     queries = emb.filter(F.col("vec_id") < 10)
-    return (
-        cosine_topk(emb, queries, k=5)
-        .withColumn("rank", F.col("rank").cast("bigint"))
-        .orderBy("query_id", "rank")
-    )
-
-
-def q_similarity_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """LSH-bucketed approximate top-5 (random-hyperplane signatures)."""
-    from trefoil_spark.operators.similarity import lsh_ann_topk
-
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    queries = emb.filter(F.col("vec_id") < 10)
-    return (
-        lsh_ann_topk(emb, queries, k=5)
-        .withColumn("rank", F.col("rank").cast("bigint"))
-        .orderBy("query_id", "rank")
-    )
-
-
-def q_similarity_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF ANN top-5 (single-probe): deterministic centroids (pyarrow
-    fixture sample → numpy Lloyd's) become rounded literals, so the
-    posting-list assignment is a portable JVM argmin with a bit-identical
-    DuckDB twin baked from the same array. The centroid set is a FIXED
-    fixture (trained once on the sf0.01 sample, like ZONE_LAYER and the
-    LSH planes) so query and static oracle agree at every sf."""
-    from trefoil_spark.operators.similarity import fixture_centroids, ivf_ann_topk
-
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     cents = fixture_centroids("/root/testdata/sf0.01", n_centroids=8)
-    queries = emb.filter(F.col("vec_id") < 10)
-    return (
-        ivf_ann_topk(emb, queries, k=5, centroids=cents)
-        .withColumn("rank", F.col("rank").cast("bigint"))
-        .orderBy("query_id", "rank")
-    )
+    outs = [
+        ("exact", cosine_topk(emb, queries, k=5)),
+        ("ivf", ivf_ann_topk(emb, queries, k=5, centroids=cents)),
+        ("lsh", lsh_ann_topk(emb, queries, k=5)),
+    ]
+    u = None
+    for name, out in outs:
+        o = out.select(
+            F.lit(name).alias("strategy"),
+            "query_id",
+            "neighbor_id",
+            F.col("rank").cast("bigint").alias("rank"),
+        )
+        u = o if u is None else u.unionByName(o)
+    return u.orderBy("strategy", "query_id", "rank")
 
 
 def q_weighted_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -572,37 +555,54 @@ def _reduce_warp_sum_count(warped: DataFrame) -> DataFrame:
     ).orderBy("ty", "tx")
 
 
-def q_warp_3857(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SURVEY §2 R1/J6: nearest-neighbor warp 4326→3857 (template-domain
-    join + inverse-mapping gather), reduced to per-tile sum/count."""
+def q_warp_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SURVEY §2 R1/R2/J6/F20: nearest-neighbor warp into TWO destination
+    grids in one driver row — 'webmerc' (4326→3857 template-domain join +
+    inverse-mapping gather) and 'lcc' (Lambert Conformal Conic: the
+    Catalyst corner math runs the Snyder lcc inverse — 8-point sampling +
+    slack, non-separable pair — the gather kernel its numpy twin; the
+    DuckDB oracle recomputes the whole gather through the SQL-text
+    backend, grid/projections.py). Reduced to per-tile sum/count."""
     from trefoil_spark.raster.warp import warp_tiles
 
     tiles = synthetic_tiles(spark, SPEC)
-    return _reduce_warp_sum_count(warp_tiles(spark, tiles, SPEC, _DST_SPEC))
+    u = None
+    for name, dst in (("lcc", _LCC_SPEC), ("webmerc", _DST_SPEC)):
+        o = _reduce_warp_sum_count(warp_tiles(spark, tiles, SPEC, dst)).select(
+            F.lit(name).alias("dst"), "ty", "tx", "sum", "count"
+        )
+        u = o if u is None else u.unionByName(o)
+    return u.orderBy("dst", "ty", "tx")
 
 
-def q_warp_lcc(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SURVEY §2 R1/F20 breadth: nearest warp into a Lambert Conformal
-    Conic destination grid — the Catalyst corner math runs the Snyder lcc
-    inverse (8-point sampling + slack, non-separable pair), the gather
-    kernel its numpy twin; the DuckDB oracle recomputes the whole gather
-    through the SQL-text backend (grid/projections.py)."""
-    from trefoil_spark.raster.warp import warp_tiles
-
-    tiles = synthetic_tiles(spark, SPEC)
-    return _reduce_warp_sum_count(warp_tiles(spark, tiles, SPEC, _LCC_SPEC))
-
-
-def q_warp_bilinear(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SURVEY §2 R1 kernel surface: BILINEAR warp 4326→3857 (mosaic
-    gather, 1px halo, NaN-propagating), reduced to per-tile
+def q_warp_kernels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SURVEY §2 R1 kernel surface in ONE driver row — 'bilinear' (1px
+    halo, NaN-propagating), 'cubic' (4×4 Keys a=-0.5, GDAL's cubic, 2px
+    halo), 'lanczos' (6×6 windowed sinc a=3, GDAL's lanczos, 3px halo;
+    reference choice list trefoil/cli/warp.py:21-23), and 'mode'
+    (majority vote of a CLASSIFIED grid downsampled 2×, ties → smallest
+    class, nodata doesn't vote). Every kernel reduces to per-tile
     (Σ floor(v), count) — exact integers, order-free, so the DuckDB
-    bilinear recompute hash-matches."""
+    per-kernel recomputes hash-match bit-exactly."""
     from trefoil_spark.raster.warp import warp_tiles
 
     tiles = synthetic_tiles(spark, SPEC)
-    warped = warp_tiles(spark, tiles, SPEC, _BILIN_DST_SPEC, method="bilinear")
-    return _floor_count_reduce(warped)
+    u = None
+    for name in ("bilinear", "cubic", "lanczos"):
+        warped = warp_tiles(spark, tiles, SPEC, _BILIN_DST_SPEC, method=name)
+        o = _floor_count_reduce(warped).select(
+            F.lit(name).alias("kernel"), "ty", "tx", "floor_sum", "count"
+        )
+        u = o if u is None else u.unionByName(o)
+    mode_warped = warp_tiles(
+        spark, _classified_tiles(spark), SPEC, _MODE_DST_SPEC, method="mode"
+    )
+    u = u.unionByName(
+        _floor_count_reduce(mode_warped).select(
+            F.lit("mode").alias("kernel"), "ty", "tx", "floor_sum", "count"
+        )
+    )
+    return u.orderBy("kernel", "ty", "tx")
 
 
 def _floor_count_reduce(warped: DataFrame) -> DataFrame:
@@ -626,47 +626,6 @@ def _floor_count_reduce(warped: DataFrame) -> DataFrame:
     return warped.mapInPandas(
         reduce_tiles, schema="ty int, tx int, floor_sum bigint, count bigint"
     ).orderBy("ty", "tx")
-
-
-def q_warp_cubic(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SURVEY §2 R1 kernel surface: CUBIC warp 4326→3857 — 4×4 Keys
-    kernel (a=-0.5, GDAL's cubic), mosaic gather with a 2px halo,
-    edge-replicate clamping, NaN-propagating. The DuckDB oracle
-    recomputes all 16 taps with the identical left-associated weight
-    arithmetic, so the floor/count reduction hash-matches bit-exactly."""
-    from trefoil_spark.raster.warp import warp_tiles
-
-    tiles = synthetic_tiles(spark, SPEC)
-    warped = warp_tiles(spark, tiles, SPEC, _BILIN_DST_SPEC, method="cubic")
-    return _floor_count_reduce(warped)
-
-
-def q_warp_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SURVEY §2 R1 kernel surface: MODE (majority-vote) resampling of a
-    CLASSIFIED grid downsampled 2× — per-class pixel counts of the
-    warped grid; ties break to the smallest class, nodata doesn't vote.
-    All-integer logic, so the oracle is float-risk-free."""
-    import numpy as np
-    import pandas as pd
-
-    from trefoil_spark.raster.warp import warp_tiles
-
-    tiles = _classified_tiles(spark)
-    warped = warp_tiles(spark, tiles, SPEC, _MODE_DST_SPEC, method="mode")
-
-    def hist(batches):
-        for pdf in batches:
-            rows = []
-            for row in pdf.itertuples(index=False):
-                v = np.frombuffer(row.block, dtype=np.float32)
-                vals, counts = np.unique(v[~np.isnan(v)], return_counts=True)
-                rows.extend((int(c), int(n)) for c, n in zip(vals, counts))
-            yield pd.DataFrame(rows, columns=["cls", "n"])
-
-    return (
-        warped.mapInPandas(hist, schema="cls bigint, n bigint")
-        .groupBy("cls").agg(F.sum("n").alias("n")).orderBy("cls")
-    )
 
 
 def _classified_tiles(spark: SparkSession) -> DataFrame:
@@ -749,9 +708,9 @@ def q_weighted_timeseries(spark: SparkSession, sf_dir: str) -> DataFrame:
     return weighted_statistics_timeseries(li, "t", "l_quantity", "l_linenumber").orderBy("t")
 
 
-def q_pack_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SURVEY §2 F14: scale/offset packing — pack l_quantity to uint16 and
-    report exact packed-code histogram bounds."""
+def _pack_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SURVEY §2 F14 (folded into the nc_export row): scale/offset
+    packing — pack l_quantity to uint16, exact packed-code bounds."""
     from trefoil_spark.functions.packing import get_pack_atts, pack_col
 
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
@@ -761,7 +720,7 @@ def q_pack_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return packed.groupBy().agg(
         F.min("code").alias("min_code"),
         F.max("code").alias("max_code"),
-        F.count("code").alias("count"),
+        F.count("code").alias("pack_count"),
         F.sum("code").alias("sum_code"),
     )
 
@@ -775,7 +734,10 @@ def q_nc_export(spark: SparkSession, sf_dir: str) -> DataFrame:
     (CF coordinate variables, descending latitudes) by the own writer,
     then re-ingested by the own header-parse + byte-range reader and
     reduced to exact integers. The oracle recomputes the window directly
-    from the pixel generator — a full export→import identity proof."""
+    from the pixel generator — a full export→import identity proof.
+    The F14 pack/quantize check (formerly its own `pack_roundtrip` row)
+    rides along as four cross-joined columns — the .nc export path is
+    where packing is used for real, so one row proves both."""
     import os
     import shutil
     import tempfile
@@ -792,10 +754,11 @@ def q_nc_export(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("floor_sum").cast("bigint").alias("floor_sum"),
             F.sum("count").cast("bigint").alias("count"),
         ).collect()[0]  # materialize before the tmp file goes away
-        return spark.createDataFrame(
+        nc = spark.createDataFrame(
             [(row["floor_sum"], row["count"], h, w)],
             "floor_sum bigint, count bigint, height bigint, width bigint",
         )
+        return nc.crossJoin(_pack_agg(spark, sf_dir))
     finally:
         shutil.rmtree(d, ignore_errors=True)
 
@@ -1309,6 +1272,20 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
+        # --- formerly outside the driver's 50-row window: lead the list
+        "audio_decode": q_audio_decode,
+        "dedup_clusters": q_dedup_clusters,
+        "kmeans_train": q_kmeans_train,
+        "area_timeseries": q_area_timeseries,
+        "weighted_timeseries": q_weighted_timeseries,
+        "quantile_classify": q_quantile_classify,
+        # --- consolidated multi-strategy rows (r4): one row per family
+        "knn_join": q_knn_join,
+        "similarity_ann": q_similarity_ann,
+        "warp_nearest": q_warp_nearest,
+        "warp_kernels": q_warp_kernels,
+        "nc_export": q_nc_export,  # includes the F14 pack columns
+        # --- the rest of the surface
         "cell_assign": q_cell_assign,
         "pip_join": q_pip_join,
         "zonal_stats": q_zonal_stats,
@@ -1321,7 +1298,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "autocrop_window": q_autocrop_window,
         "tile_delta_hist": q_tile_delta_hist,
         "describe": q_describe,
-        "knn_join_adaptive": q_knn_join_adaptive,
         "tile_window_stats": q_tile_window_stats,
         "tile_classify_histogram": q_tile_classify_histogram,
         "text_stats": q_text_stats,
@@ -1329,24 +1305,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash": q_dedup_minhash,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_simhash": q_dedup_simhash,
-        "knn_join": q_knn_join,
-        "knn_join_cells": q_knn_join_cells,
-        "similarity_topk": q_similarity_topk,
-        "similarity_lsh": q_similarity_lsh,
-        "similarity_ivf": q_similarity_ivf,
         "weighted_stats": q_weighted_stats,
         "mean_of_file_means": q_mean_of_file_means,
         "interval_stats": q_interval_stats,
         "regression": q_regression,
         "lag_intervals": q_lag_intervals,
-        "warp_3857": q_warp_3857,
-        "warp_lcc": q_warp_lcc,
-        "warp_bilinear": q_warp_bilinear,
-        "warp_cubic": q_warp_cubic,
-        "warp_mode": q_warp_mode,
         "png_stability": q_png_stability,
         "nc_ingest": q_nc_ingest,
-        "nc_export": q_nc_export,
         "vectorize": q_vectorize,
         "salted_agg": q_salted_agg,
         "pages_text_invariant": q_pages_text_invariant,
@@ -1359,13 +1324,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_features": q_multimodal_features,
         "multimodal_decode": q_multimodal_decode,
         "html_extract": q_html_extract,
-        "audio_decode": q_audio_decode,
-        "dedup_clusters": q_dedup_clusters,
-        "kmeans_train": q_kmeans_train,
-        "area_timeseries": q_area_timeseries,
-        "weighted_timeseries": q_weighted_timeseries,
-        "pack_roundtrip": q_pack_roundtrip,
-        "quantile_classify": q_quantile_classify,
     }
 
 
@@ -1464,9 +1422,20 @@ def oracle_sql() -> dict[str, str]:
                    COUNT(v) AS valid_pixels
             FROM g
         """,
-        "knn_join_adaptive": _knn_oracle(),
         "tile_window_stats": _tile_window_oracle(),
-        "nc_export": _nc_export_oracle(),
+        "nc_export": f"""
+            SELECT * FROM ({_nc_export_oracle()}) AS ncx
+            CROSS JOIN (
+                WITH p AS (
+                    SELECT CAST(ROUND((l_quantity - CAST(1.0 AS DOUBLE))
+                           / CAST({(50.0 - 1.0) / 65534!r} AS DOUBLE)) AS BIGINT) AS code
+                    FROM lineitem
+                )
+                SELECT MIN(code) AS min_code, MAX(code) AS max_code,
+                       COUNT(code) AS pack_count, CAST(SUM(code) AS BIGINT) AS sum_code
+                FROM p
+            ) AS pk
+        """,
         "tile_classify_histogram": f"""
             WITH {_pixel_cte()}
             SELECT CAST({classify_sql('v', BREAKS)} AS BIGINT) AS class,
@@ -1532,10 +1501,8 @@ def oracle_sql() -> dict[str, str]:
         """,
         "dedup_simhash": _dedup_simhash_oracle(),
         "dedup_ngram_jaccard": _dedup_ngram_oracle(),
-        "knn_join": _knn_oracle(),
-        "similarity_topk": _similarity_oracle(lsh=False),
-        "similarity_lsh": _similarity_oracle(lsh=True),
-        "similarity_ivf": _similarity_ivf_oracle(),
+        "knn_join": _knn_strategies_oracle(),
+        "similarity_ann": _similarity_ann_oracle(),
         "weighted_stats": """
             SELECT SUM(CAST(l_quantity AS DOUBLE) * CAST(l_linenumber AS DOUBLE))
                        / SUM(CAST(l_linenumber AS DOUBLE)) AS weighted_mean,
@@ -1573,11 +1540,8 @@ def oracle_sql() -> dict[str, str]:
             FROM b GROUP BY interval ORDER BY interval
         """,
         "regression": _regression_oracle(),
-        "warp_3857": _warp_oracle(),
-        "warp_lcc": _warp_lcc_oracle(),
-        "warp_bilinear": _warp_bilinear_oracle(),
-        "warp_cubic": _warp_cubic_oracle(),
-        "warp_mode": _warp_mode_oracle(),
+        "warp_nearest": _warp_nearest_oracle(),
+        "warp_kernels": _warp_kernels_oracle(),
         "png_stability": _png_stability_oracle(),
         "nc_ingest": _nc_ingest_oracle(),
         "area_timeseries": """
@@ -1600,16 +1564,6 @@ def oracle_sql() -> dict[str, str]:
             FROM lineitem
             WHERE l_quantity IS NOT NULL AND l_linenumber IS NOT NULL
             GROUP BY t ORDER BY t
-        """,
-        "pack_roundtrip": f"""
-            WITH p AS (
-                SELECT CAST(ROUND((l_quantity - CAST(1.0 AS DOUBLE))
-                       / CAST({(50.0 - 1.0) / 65534!r} AS DOUBLE)) AS BIGINT) AS code
-                FROM lineitem
-            )
-            SELECT MIN(code) AS min_code, MAX(code) AS max_code,
-                   COUNT(code) AS count, CAST(SUM(code) AS BIGINT) AS sum_code
-            FROM p
         """,
         "quantile_classify": """
             WITH e AS (
@@ -1674,7 +1628,6 @@ def oracle_sql() -> dict[str, str]:
             FROM g WHERE gap_us IS NOT NULL
             GROUP BY user_id ORDER BY user_id
         """,
-        "knn_join_cells": _knn_oracle(),
         "streaming_zonal": f"""
             WITH pages AS ({_PAGES_CTE}),
             z AS (
@@ -1920,6 +1873,54 @@ def _knn_oracle() -> str:
         SELECT query_id, neighbor_id, rank FROM ranked WHERE rank <= 5
         ORDER BY query_id, rank
     """
+
+
+def _knn_strategies_oracle() -> str:
+    """One brute-force kNN recompute replicated per strategy label: every
+    registered strategy is exact on this fixture, so the union is the
+    oracle for the parameterized knn_join row."""
+    base = _knn_oracle()
+    parts = [
+        f"SELECT '{s}' AS strategy, * FROM ({base}) AS knn_{s}"
+        for s in ("adaptive", "brute", "cells")
+    ]
+    return (
+        " UNION ALL ".join(parts) + " ORDER BY strategy, query_id, rank"
+    )
+
+
+def _similarity_ann_oracle() -> str:
+    """Per-strategy ANN oracles (exact brute cosine / IVF posting lists /
+    LSH buckets) united under strategy labels."""
+    parts = [
+        f"SELECT 'exact' AS strategy, * FROM ({_similarity_oracle(lsh=False)}) AS ann_e",
+        f"SELECT 'ivf' AS strategy, * FROM ({_similarity_ivf_oracle()}) AS ann_i",
+        f"SELECT 'lsh' AS strategy, * FROM ({_similarity_oracle(lsh=True)}) AS ann_l",
+    ]
+    return (
+        " UNION ALL ".join(parts) + " ORDER BY strategy, query_id, rank"
+    )
+
+
+def _warp_nearest_oracle() -> str:
+    """lcc + webmerc nearest-warp recomputes united under dst labels."""
+    parts = [
+        f"SELECT 'lcc' AS dst, * FROM ({_warp_lcc_oracle()}) AS w_lcc",
+        f"SELECT 'webmerc' AS dst, * FROM ({_warp_oracle()}) AS w_wm",
+    ]
+    return " UNION ALL ".join(parts) + " ORDER BY dst, ty, tx"
+
+
+def _warp_kernels_oracle() -> str:
+    """Per-kernel full-gather recomputes (bilinear/cubic/lanczos/mode)
+    united under kernel labels on the shared floor_sum/count shape."""
+    parts = [
+        f"SELECT 'bilinear' AS kernel, * FROM ({_warp_bilinear_oracle()}) AS k_b",
+        f"SELECT 'cubic' AS kernel, * FROM ({_warp_cubic_oracle()}) AS k_c",
+        f"SELECT 'lanczos' AS kernel, * FROM ({_warp_lanczos_oracle()}) AS k_l",
+        f"SELECT 'mode' AS kernel, * FROM ({_warp_mode_oracle()}) AS k_m",
+    ]
+    return " UNION ALL ".join(parts) + " ORDER BY kernel, ty, tx"
 
 
 def _similarity_oracle(lsh: bool) -> str:
@@ -2267,9 +2268,125 @@ def _warp_cubic_oracle() -> str:
     """
 
 
+def _warp_lanczos_oracle() -> str:
+    """Lanczos-3 (6×6 windowed sinc) gather recompute in DuckDB: the
+    identical sinc expression the numpy kernel evaluates
+    (`CASE WHEN x=0 THEN 1 ELSE SIN(PI()*x)/(PI()*x) END` ≡ warp._sinc —
+    np.pi and PI() are the same double, numpy float64 SIN and DuckDB SIN
+    both resolve to this box's libm, already evidenced bit-identical by
+    the warp_lcc trig oracle), identical fixed tap order (k=-2..3, ky
+    outer kx inner), identical left-associated normalization sums and
+    `(v * wy) * wx` accumulation — float32 via CAST(REAL)."""
+    from trefoil_spark.grid import proj as _proj
+
+    d, s = _BILIN_DST_SPEC, SPEC
+
+    def dbl(v):
+        return f"CAST({float(v)!r} AS DOUBLE)"
+
+    def sinc(x):  # mirrors warp._sinc: px = PI()*x; x==0 -> 1
+        return (
+            f"(CASE WHEN {x} = CAST(0 AS DOUBLE) THEN CAST(1 AS DOUBLE) "
+            f"ELSE SIN(PI() * {x}) / (PI() * {x}) END)"
+        )
+
+    def lw(dist):  # raw Lanczos-3 weight at distance expression `dist`
+        return f"({sinc(dist)} * {sinc(f'({dist} / {dbl(3.0)})')})"
+
+    slon, slat = _proj.transform_sql("EPSG:3857", "EPSG:4326", "mx", "my")
+    n = d.width * d.height
+    w_, h_ = s.width, s.height
+    # clamped tap index columns (k = -2..3)
+    tap_cols = []
+    for axis, base, lim in (("x", "FLOOR(fx)", w_ - 1), ("y", "FLOOR(fy)", h_ - 1)):
+        for i, k in enumerate((-2, -1, 0, 1, 2, 3)):
+            off = f" + {k}" if k >= 0 else f" - {-k}"
+            off = "" if k == 0 else off
+            tap_cols.append(
+                f"CAST(LEAST(GREATEST({base}{off}, 0), {lim}) AS BIGINT)"
+                f" AS {axis}t{i}"
+            )
+    # raw weights at distances t-k (t in [0,1)): k=-2..3
+    def raw_ws(t):
+        dists = [f"({t} + {dbl(2.0)})", f"({t} + {dbl(1.0)})", t,
+                 f"({t} - {dbl(1.0)})", f"({t} - {dbl(2.0)})",
+                 f"({t} - {dbl(3.0)})"]
+        return [lw(dist) for dist in dists]
+
+    wx_raw = raw_ws("tx")
+    wy_raw = raw_ws("ry")
+
+    def lsum(cols):  # left-associated sum, matches _lanczos_weights
+        acc = cols[0]
+        for c in cols[1:]:
+            acc = f"({acc} + {c})"
+        return acc
+
+    terms = []
+    for ky in range(6):
+        for kx in range(6):
+            terms.append(
+                f"(({value_sql(f'yt{ky}', f'xt{kx}')} * wy{ky}) * wx{kx})"
+            )
+    acc = terms[0]
+    for t in terms[1:]:
+        acc = f"({acc} + {t})"
+    return f"""
+        WITH px AS (
+            SELECT CAST(i // {d.width} AS BIGINT) AS y,
+                   CAST(i % {d.width} AS BIGINT) AS x
+            FROM (SELECT UNNEST(range({n})) AS i)
+        ), m AS (
+            SELECT y, x,
+                   {dbl(d.x0)} + (CAST(x AS DOUBLE) + CAST(0.5 AS DOUBLE)) * {dbl(d.dx)} AS mx,
+                   {dbl(d.y0)} - (CAST(y AS DOUBLE) + CAST(0.5 AS DOUBLE)) * {dbl(d.dy)} AS my
+            FROM px
+        ), g AS (
+            SELECT y, x,
+                   ({slon} - {dbl(s.x0)}) / {dbl(s.dx)} AS gx,
+                   ({dbl(s.y0)} - {slat}) / {dbl(s.dy)} AS gy
+            FROM m
+        ), f AS (
+            SELECT y, x, gx, gy,
+                   gx - CAST(0.5 AS DOUBLE) AS fx,
+                   gy - CAST(0.5 AS DOUBLE) AS fy
+            FROM g
+        ), wgt AS (
+            SELECT y, x, gx, gy,
+                   fx - FLOOR(fx) AS tx, fy - FLOOR(fy) AS ry,
+                   {', '.join(tap_cols)}
+            FROM f
+        ), raw AS (
+            SELECT *, {', '.join(f'{wx_raw[i]} AS rwx{i}' for i in range(6))},
+                      {', '.join(f'{wy_raw[i]} AS rwy{i}' for i in range(6))}
+            FROM wgt
+        ), nrm AS (
+            SELECT *, {lsum([f'rwx{i}' for i in range(6)])} AS swx,
+                      {lsum([f'rwy{i}' for i in range(6)])} AS swy
+            FROM raw
+        ), wts AS (
+            SELECT *, {', '.join(f'(rwx{i} / swx) AS wx{i}' for i in range(6))},
+                      {', '.join(f'(rwy{i} / swy) AS wy{i}' for i in range(6))}
+            FROM nrm
+        ), v AS (
+            SELECT CAST(y // {d.tile} AS INT) AS ty, CAST(x // {d.tile} AS INT) AS tx,
+                   CASE WHEN gx >= 0 AND gx < {w_} AND gy >= 0 AND gy < {h_} THEN
+                     CAST({acc} AS REAL)
+                   END AS vf
+            FROM wts
+        )
+        SELECT ty, tx,
+               CAST(SUM(CAST(FLOOR(CAST(vf AS DOUBLE)) AS BIGINT)) AS BIGINT) AS floor_sum,
+               COUNT(vf) AS count
+        FROM v GROUP BY ty, tx ORDER BY ty, tx
+    """
+
+
 def _warp_mode_oracle() -> str:
     """Majority-vote (ties → smallest class, nodata doesn't vote) over
-    each dst pixel's exact 2×2 source box — pure integer SQL."""
+    each dst pixel's exact 2×2 source box — pure integer SQL, reduced to
+    the same per-tile (Σ floor, count) shape as the other kernels (class
+    ids are integers, so floor(class) = class)."""
     d = _MODE_DST_SPEC
     n = d.width * d.height
     cls = classify_sql(value_sql("sy", "sx"), BREAKS)
@@ -2291,8 +2408,10 @@ def _warp_mode_oracle() -> str:
                    ROW_NUMBER() OVER (PARTITION BY y, x ORDER BY cnt DESC, cls ASC) AS rn
             FROM counts
         )
-        SELECT CAST(cls AS BIGINT) AS cls, COUNT(*) AS n
-        FROM pick WHERE rn = 1 GROUP BY cls ORDER BY cls
+        SELECT CAST(y // {d.tile} AS INT) AS ty, CAST(x // {d.tile} AS INT) AS tx,
+               CAST(SUM(CAST(cls AS BIGINT)) AS BIGINT) AS floor_sum,
+               COUNT(*) AS count
+        FROM pick WHERE rn = 1 GROUP BY ty, tx ORDER BY ty, tx
     """
 
 

@@ -23,7 +23,7 @@ sf = %(sf)r
 out = {
     "pip": e.q_pip_join(spark, sf).count(),
     "zonal": sorted(map(str, e.q_zonal_stats(spark, sf).collect())),
-    "lsh": e.q_similarity_lsh(spark, sf).count(),
+    "lsh": e.q_similarity_ann(spark, sf).count(),
 }
 print("RESULT" + json.dumps(out))
 """
@@ -35,7 +35,7 @@ def test_raw_session_matches_engine_session(spark, sf_dir):
     want = {
         "pip": e.q_pip_join(spark, sf_dir).count(),
         "zonal": sorted(map(str, e.q_zonal_stats(spark, sf_dir).collect())),
-        "lsh": e.q_similarity_lsh(spark, sf_dir).count(),
+        "lsh": e.q_similarity_ann(spark, sf_dir).count(),
     }
     out = subprocess.run(
         [sys.executable, "-c", CHILD % {"repo": REPO, "sf": sf_dir}],

@@ -491,3 +491,86 @@ def test_warp_tiles_cubic_matches_numpy(spark):
         blk = np.frombuffer(row["block"], dtype=np.float32).reshape(row["h"], row["w"])
         want = warp_tile_numpy(full, src_spec, dst_spec, ty, tx, method="cubic")
         assert np.array_equal(blk, want, equal_nan=True), (ty, tx)
+
+
+def test_warp_lanczos_kernel_quality():
+    """Lanczos-3: constants exact (normalized weights), linear surfaces
+    near-exact in the interior, and a smooth field beats bilinear."""
+    from trefoil_spark.raster.warp import warp_tile_numpy
+
+    spec = GridSpec.from_bbox(BBox((0.0, 0.0, 64.0, 64.0), "EPSG:4326"), 64, 64, tile=64)
+    dst = GridSpec(x0=spec.x0 + spec.dx / 4, y0=spec.y0 - spec.dy / 4,
+                   dx=spec.dx, dy=spec.dy, width=63, height=63,
+                   crs=spec.crs, tile=64)
+    y, x = np.mgrid[0:64, 0:64]
+    const = np.full((64, 64), 7.25, dtype=np.float32)
+    out = warp_tile_numpy(const, spec, dst, 0, 0, method="lanczos")
+    assert np.nanmax(np.abs(out - 7.25)) < 1e-6
+
+    # mid-band field (1.0 rad/sample ≈ Nyquist/3): the windowed sinc
+    # shines here; at very LOW frequencies its truncation ripple makes
+    # it comparable to bilinear, so a low-freq field can't discriminate
+    smooth = (np.sin(x * 1.0) * np.cos(y * 0.9)).astype(np.float32)
+    lcz = warp_tile_numpy(smooth, spec, dst, 0, 0, method="lanczos")
+    bil = warp_tile_numpy(smooth, spec, dst, 0, 0, method="bilinear")
+    truth = np.sin((x[:63, :63] + 0.25) * 1.0) * np.cos((y[:63, :63] + 0.25) * 0.9)
+    l_err = np.abs(lcz - truth)[6:-6, 6:-6].max()
+    b_err = np.abs(bil - truth)[6:-6, 6:-6].max()
+    assert l_err < b_err / 10
+
+
+def test_warp_tiles_lanczos_matches_numpy(spark):
+    """Distributed lanczos warp (mosaic gather + 3px halo) equals the
+    full-array kernel on every tile of the 3857 warp — proves the halo
+    covers the 6x6 support across tile borders."""
+    from trefoil_spark.raster.synth import block_values, synthetic_tiles
+    from trefoil_spark.raster.warp import warp_tile_numpy, warp_tiles
+
+    src_spec = GridSpec.from_bbox(
+        BBox((-125.0, 32.0, -113.0, 38.0), "EPSG:4326"), 512, 256
+    )
+    dst_spec = GridSpec.from_bbox(src_spec.bbox.project("EPSG:3857"), 512, 256)
+    tiles = synthetic_tiles(spark, src_spec)
+    got = {(r["ty"], r["tx"]): r for r in
+           warp_tiles(spark, tiles, src_spec, dst_spec, method="lanczos").collect()}
+
+    full = np.full((src_spec.height, src_spec.width), np.nan, dtype=np.float32)
+    for ty in range(src_spec.ntiles_y):
+        for tx in range(src_spec.ntiles_x):
+            b = block_values(src_spec, 0, ty, tx)
+            full[ty * 256 : ty * 256 + b.shape[0], tx * 256 : tx * 256 + b.shape[1]] = b
+    assert got
+    for (ty, tx), row in got.items():
+        blk = np.frombuffer(row["block"], dtype=np.float32).reshape(row["h"], row["w"])
+        want = warp_tile_numpy(full, src_spec, dst_spec, ty, tx, method="lanczos")
+        assert np.array_equal(blk, want, equal_nan=True), (ty, tx)
+
+
+def test_mode_kernel_at_cap_memory():
+    """The run-length mode gather stays O(H*W*K): an 8x8 box (K=64, the
+    cap) over a 256-wide tile must not materialize a (H,W,K,K) tensor."""
+    import tracemalloc
+
+    from trefoil_spark.raster.warp import warp_tile_numpy
+
+    src = GridSpec.from_bbox(BBox((0.0, 0.0, 256.0, 256.0), "EPSG:4326"),
+                             256, 256, tile=256)
+    dst = GridSpec(x0=0.0, y0=256.0, dx=8.0, dy=8.0, width=32, height=32,
+                   crs="EPSG:4326", tile=256)
+    rng = np.random.default_rng(3)
+    arr = rng.integers(0, 5, size=(256, 256)).astype(np.float32)
+    tracemalloc.start()
+    out = warp_tile_numpy(arr, src, dst, 0, 0, method="mode")
+    _, peak = tracemalloc.get_traced_memory()
+    tracemalloc.stop()
+    # old pairwise tensor would be 32*32*64*64*(1+8) bytes ≈ 38MB here;
+    # run-length path peaks well under 8MB
+    assert peak < 8 * 1024 * 1024, f"peak {peak/1e6:.1f}MB"
+    # majority ground truth per dst pixel via bincount
+    want = np.empty((32, 32), dtype=np.float32)
+    for dy in range(32):
+        for dx in range(32):
+            box = arr[dy*8:(dy+1)*8, dx*8:(dx+1)*8].astype(np.int64).ravel()
+            counts = np.bincount(box)
+            want[dy, dx] = counts.argmax()  # first max = smallest class
+    assert np.array_equal(out, want)

@@ -56,6 +56,10 @@ def _sample_grid(
     - 'cubic': 4×4 Keys kernel with a=-0.5 (Catmull-Rom, GDAL's cubic),
       same clamping/NaN rules; fixed tap order + left-associated
       accumulation so the DuckDB oracle reproduces it bit-exactly.
+    - 'lanczos': 6×6 windowed-sinc (a=3, GDAL's lanczos; reference
+      resampling choice list trefoil/cli/warp.py:21-23), separable
+      per-axis weight normalization (fixed-order sums), same clamping
+      and tap-order/association discipline as cubic.
     """
     oy, ox = origin
     h, w = arr.shape
@@ -103,6 +107,30 @@ def _sample_grid(
                 acc = term if acc is None else acc + term
         out[ok] = acc[ok].astype(np.float32)
         return out
+    if method == "lanczos":
+        fx = gx - 0.5
+        fy = gy - 0.5
+        x0i = np.floor(fx).astype(np.int64)
+        y0i = np.floor(fy).astype(np.int64)
+        tx = (fx - x0i).astype(np.float64)
+        ty = (fy - y0i).astype(np.float64)
+        wxs = _lanczos_weights(tx)
+        wys = _lanczos_weights(ty)
+        xs = [
+            np.clip(np.clip(x0i + k, 0, src_spec.width - 1) - ox, 0, w - 1)
+            for k in (-2, -1, 0, 1, 2, 3)
+        ]
+        ys = [
+            np.clip(np.clip(y0i + k, 0, src_spec.height - 1) - oy, 0, h - 1)
+            for k in (-2, -1, 0, 1, 2, 3)
+        ]
+        acc = None
+        for ky in range(6):
+            for kx in range(6):
+                term = (arr[ys[ky], xs[kx]].astype(np.float64) * wys[ky]) * wxs[kx]
+                acc = term if acc is None else acc + term
+        out[ok] = acc[ok].astype(np.float32)
+        return out
     if method != "bilinear":
         raise ValueError("method must be 'nearest', 'bilinear' or 'cubic'")
     fx = gx - 0.5
@@ -127,6 +155,27 @@ def _sample_grid(
     )
     out[ok] = v[ok].astype(np.float32)
     return out
+
+
+def _sinc(x: np.ndarray) -> np.ndarray:
+    """sin(πx)/(πx) with sinc(0)=1 — the exact expression the DuckDB
+    oracle evaluates (`CASE WHEN x=0 THEN 1 ELSE SIN(PI()*x)/(PI()*x)`),
+    so the two sides share one libm-level arithmetic tree."""
+    px = np.pi * x
+    with np.errstate(invalid="ignore", divide="ignore"):
+        return np.where(x == 0.0, 1.0, np.sin(px) / px)
+
+
+def _lanczos_weights(t: np.ndarray) -> list[np.ndarray]:
+    """Normalized Lanczos-3 tap weights at distances t-k, k=-2..3.
+
+    Fixed tap order and a left-associated normalization sum so the SQL
+    twin reproduces the float64 arithmetic bit-exactly."""
+    ws = [_sinc(t - k) * _sinc((t - k) / 3.0) for k in (-2, -1, 0, 1, 2, 3)]
+    s = ws[0]
+    for wk in ws[1:]:
+        s = s + wk
+    return [wk / s for wk in ws]
 
 
 MODE_MAX_KERNEL = 64  # candidate cap per dst pixel (box_h × box_w)
@@ -185,9 +234,20 @@ def _sample_grid_mode(
             valid = vy[:, None] & vx[None, :]
             stack[:, :, ky * max_kx + kx] = np.where(valid, vals, np.nan)
     s = np.sort(stack, axis=2)  # ascending, NaN last
-    counts = (s[:, :, :, None] == s[:, :, None, :]).sum(axis=3)
-    idx = counts.argmax(axis=2)  # first max = smallest value (sorted)
-    return np.take_along_axis(s, idx[:, :, None], axis=2)[:, :, 0]
+    # run-length majority over the sorted axis — O(H·W·K) memory instead
+    # of the (H,W,K,K) pairwise-equality tensor (~268MB/task at the
+    # K=64 cap on a 256² tile). cum[k] = #elements of k's run up to k;
+    # its max is reached at the END of the longest run, and argmax's
+    # first-occurrence rule lands in the EARLIEST such run = smallest
+    # value among tied majorities (NaN runs are length-1: NaN != NaN).
+    K = s.shape[2]
+    idx3 = np.broadcast_to(np.arange(K, dtype=np.int64), s.shape)
+    boundary = np.ones(s.shape, dtype=bool)
+    boundary[:, :, 1:] = s[:, :, 1:] != s[:, :, :-1]
+    start = np.maximum.accumulate(np.where(boundary, idx3, 0), axis=2)
+    cum = idx3 - start + 1
+    pick = cum.argmax(axis=2)  # first max = smallest majority value
+    return np.take_along_axis(s, pick[:, :, None], axis=2)[:, :, 0]
 
 
 def sample_tile(
@@ -201,12 +261,14 @@ def sample_tile(
 ) -> np.ndarray:
     """Gather one dst tile from a (partial) source mosaic — dispatches on
     kernel: center-based (nearest/bilinear) or box-based (mode)."""
-    if method in ("nearest", "bilinear", "cubic"):
+    if method in ("nearest", "bilinear", "cubic", "lanczos"):
         lat, lon = dst_spec.pixel_centers(ty, tx)
         sx, sy = proj.transform(dst_spec.crs, src_spec.crs, lon, lat)
         return _sample_grid(arr, origin, src_spec, sx, sy, method)
     if method != "mode":
-        raise ValueError("method must be 'nearest', 'bilinear', 'cubic' or 'mode'")
+        raise ValueError(
+            "method must be 'nearest', 'bilinear', 'cubic', 'lanczos' or 'mode'"
+        )
     h, w = dst_spec.tile_shape(ty, tx)
     ey = dst_spec.y0 - (ty * dst_spec.tile + np.arange(h + 1, dtype=np.float64)) * dst_spec.dy
     ex = dst_spec.x0 + (tx * dst_spec.tile + np.arange(w + 1, dtype=np.float64)) * dst_spec.dx
@@ -318,7 +380,7 @@ def warp_tiles(
         return lo, hi
 
     # neighborhood px the gather reads beyond the center's cell
-    halo = {"bilinear": 1, "mode": 1, "cubic": 2}.get(method, 0)
+    halo = {"bilinear": 1, "mode": 1, "cubic": 2, "lanczos": 3}.get(method, 0)
     px_x0 = F.floor((sxmin - F.lit(dd.x0)) / F.lit(dd.dx)) - F.lit(halo)
     px_x1 = F.floor((sxmax - F.lit(dd.x0)) / F.lit(dd.dx)) + F.lit(halo)
     px_y0 = F.floor((F.lit(dd.y0) - symax) / F.lit(dd.dy)) - F.lit(halo)
