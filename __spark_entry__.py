@@ -1480,8 +1480,12 @@ def oracle_sql() -> dict[str, str]:
               FROM a1, (SELECT UNNEST(range(1, 65)) AS i) GROUP BY k, i
             ),
             c1 AS (
-              SELECT ROW_NUMBER() OVER (ORDER BY k) - 1 AS k, e
-              FROM (SELECT k, list(cv ORDER BY pos) AS e FROM u1 GROUP BY k)
+              -- empty clusters keep their previous centroid: ids never
+              -- shift (mirrors kmeans_lloyd_quantized's range(K) update)
+              SELECT init.k, COALESCE(upd.e, init.e) AS e
+              FROM init LEFT JOIN (
+                SELECT k, list(cv ORDER BY pos) AS e FROM u1 GROUP BY k
+              ) AS upd USING (k)
             ),
             d2 AS (
               SELECT emb.vec_id, emb.e, c1.k,

@@ -85,9 +85,12 @@ def test_kmeans_lloyd_quantized_matches_numpy(spark, sf_dir):
             assign = d.argmin(axis=1)  # argmin ties -> smallest k, same rule
             dist = d[np.arange(len(X)), assign]
             new = []
-            for k in sorted(set(assign.tolist())):
+            for k in range(K):  # empty clusters keep the previous centroid
                 sel = X[assign == k]
-                new.append(np.floor(sel.sum(axis=0) / len(sel)).astype(np.int64))
+                if len(sel):
+                    new.append(np.floor(sel.sum(axis=0) / len(sel)).astype(np.int64))
+                else:
+                    new.append(cents[k])
             cents = np.stack(new)
         return assign, dist
 
@@ -103,3 +106,54 @@ def test_kmeans_lloyd_quantized_matches_numpy(spark, sf_dir):
     _, d1 = replay(1)
     _, d2 = replay(2)
     assert d2.sum() <= d1.sum()  # Lloyd monotonicity (quantization-tolerant)
+
+
+def test_kmeans_empty_cluster_keeps_centroid(spark):
+    """A cluster that attracts zero points must keep its previous
+    centroid — K stays fixed and cid labels keep their meaning
+    (r3 advice: sorted(by_cid.items()) silently dropped empty clusters
+    and shifted every higher id)."""
+    from trefoil_spark.operators.similarity import kmeans_lloyd_quantized
+
+    # ids 0,1 are the init centroids; id 1's vector is a far outlier that
+    # every point (including nothing else) avoids after iteration 1:
+    # all remaining points sit near vector 0, so cluster 1 goes empty
+    rows = [(0, [0.0, 0.0]), (1, [1000.0, 1000.0])] + [
+        (i, [0.001 * i, 0.0]) for i in range(2, 12)
+    ]
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+    out = {r["cid"]: r["n_points"] for r in
+           kmeans_lloyd_quantized(df, n_centroids=2, n_iters=2).collect()}
+    # cluster 1 still exists as a label and still owns its outlier point
+    assert out == {0: 11, 1: 1}
+
+
+def test_kmeans_plan_stays_literal_free_at_production_k(spark):
+    """K=256, dim=128: the centroid matrix (32k bigints) must ride as
+    broadcast DATA, not as SQL literal text — the analyzed plan of the
+    assignment stage stays small (the r2 IVF CASE-chain lesson: literal
+    megabytes poison codegen for the whole stage)."""
+    from pyspark.sql import functions as F
+
+    from trefoil_spark.operators.similarity import _KMEANS_BEST_EXPR
+
+    K, dim = 256, 128
+    cents = [[(k * dim + j) % 997 for j in range(dim)] for k in range(K)]
+    cent_df = spark.createDataFrame([(cents,)], "cents array<array<bigint>>")
+    pts = spark.range(2000).select(
+        F.col("id").alias("vec_id"),
+        F.expr("transform(sequence(1, 128), j -> CAST((id * 31 + j) % 997 AS BIGINT))").alias("e"),
+    )
+    assigned = (
+        pts.crossJoin(F.broadcast(cent_df))
+        .withColumn("best", F.expr(_KMEANS_BEST_EXPR))
+        .select("vec_id", F.col("best.k").alias("cid"), F.col("best.d").alias("dist"))
+    )
+    plan_text = assigned._jdf.queryExecution().analyzed().toString()
+    assert len(plan_text) < 20_000, f"plan text {len(plan_text)} bytes — literals leaked"
+    # and it actually computes: every row lands in a valid cluster
+    agg = assigned.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("cid").alias("cmin"), F.max("cid").alias("cmax"),
+    ).collect()[0]
+    assert agg["n"] == 2000 and 0 <= agg["cmin"] <= agg["cmax"] < K

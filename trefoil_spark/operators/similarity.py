@@ -315,17 +315,15 @@ def quantize_col(vec_col: str) -> str:
     )
 
 
-def _int_dist_structs(vec_col: str, centroids: list[list[int]]) -> str:
-    entries = []
-    for k, c in enumerate(centroids):
-        arr = ", ".join(f"{int(v)}L" for v in c)
-        d = (
-            f"aggregate(zip_with({vec_col}, array({arr}), "
-            f"(x, y) -> (x - y) * (x - y)), CAST(0 AS BIGINT), "
-            f"(acc, v) -> acc + v)"
-        )
-        entries.append(f"named_struct('d', {d}, 'k', {k})")
-    return f"array({', '.join(entries)})"
+# argmin over the broadcast centroid list: one struct-sort per row, the
+# centroid DATA never enters the expression text (a K=4096×dim=768
+# quantizer would otherwise embed megabytes of literals per stage and
+# fall out of codegen — the same cliff as the r2 IVF CASE chain)
+_KMEANS_BEST_EXPR = (
+    "element_at(array_sort(transform(cents, (c, k) -> named_struct("
+    "'d', aggregate(zip_with(e, c, (x, y) -> (x - y) * (x - y)), "
+    "CAST(0 AS BIGINT), (acc, v) -> acc + v), 'k', k))), 1)"
+)
 
 
 def kmeans_lloyd_quantized(
@@ -337,15 +335,20 @@ def kmeans_lloyd_quantized(
 ) -> DataFrame:
     """Distributed quantized Lloyd's. Init = the vectors of the
     ``n_centroids`` smallest ids (deterministic, engine-portable). Each
-    iteration: linear-size struct-sort argmin assignment (all rows,
-    JVM-side), then a (cid, dim) grouped exact integer sum → floor-mean
+    iteration: the K×dim centroid matrix rides as a single-row BROADCAST
+    DataFrame (data, not SQL literal text — scale-safe at production
+    K·dim), assignment is one hoisted struct-sort argmin per row
+    (JVM-side), then a (cid, dim) grouped exact integer sum → floor-mean
     centroids (K×dim rows collected — the k-means state, not the data).
-    Returns the final assignment summary (cid, n_points, sum_dist) —
-    integer-exact, so hash-comparable with the SQL recompute."""
+    A cluster that receives zero points keeps its previous centroid, so
+    K and cid meanings are stable across iterations. Returns the final
+    assignment summary (cid, n_points, sum_dist) — integer-exact, so
+    hash-comparable with the SQL recompute."""
     import math
 
     from pyspark.sql import functions as F
 
+    spark = points.sparkSession
     q = points.select(
         F.col(id_col).alias("vec_id"), F.expr(quantize_col(vec_col)).alias("e")
     )
@@ -354,11 +357,17 @@ def kmeans_lloyd_quantized(
 
     assigned = None
     for _ in range(n_iters):
-        structs = _int_dist_structs("e", centroids)
-        assigned = q.select(
-            "vec_id", "e",
-            F.expr(f"element_at(array_sort({structs}), 1).k").alias("cid"),
-            F.expr(f"element_at(array_sort({structs}), 1).d").alias("dist"),
+        cent_df = spark.createDataFrame(
+            [(centroids,)], "cents array<array<bigint>>"
+        )
+        assigned = (
+            q.crossJoin(F.broadcast(cent_df))
+            .withColumn("best", F.expr(_KMEANS_BEST_EXPR))
+            .select(
+                "vec_id", "e",
+                F.col("best.k").alias("cid"),
+                F.col("best.d").alias("dist"),
+            )
         )
         sums = (
             assigned.select("cid", F.posexplode("e").alias("pos", "val"))
@@ -370,10 +379,16 @@ def kmeans_lloyd_quantized(
         for r in sums:
             by_cid.setdefault(r["cid"], {})[r["pos"]] = (r["s"], r["n"])
         # floor(sum/count) via IEEE double division — identical to the
-        # oracle's FLOOR(CAST(SUM AS DOUBLE)/COUNT) (sums < 2^53: exact)
+        # oracle's FLOOR(CAST(SUM AS DOUBLE)/COUNT) (sums < 2^53: exact);
+        # empty clusters keep their previous centroid (no id shift)
         centroids = [
-            [int(math.floor(s / n)) for _p, (s, n) in sorted(dims.items())]
-            for _cid, dims in sorted(by_cid.items())
+            [
+                int(math.floor(s / n))
+                for _p, (s, n) in sorted(by_cid[k].items())
+            ]
+            if k in by_cid
+            else centroids[k]
+            for k in range(len(centroids))
         ]
     return (
         assigned.groupBy("cid")
