@@ -242,8 +242,10 @@ def connected_components(
     covering every node that appears in an edge; global_id is the
     component's lexicographic-min node.
 
-    Two physical strategies, chosen by the measured edge count (one
-    cheap count job):
+    Two physical strategies, chosen by probing the edge count (ONE
+    capped collect job — `limit(cap+1)` both measures and, when small,
+    already delivers the edge list, so the edge-building DAG is never
+    executed twice):
 
     - edge list ≤ ``driver_max_edges``: union-find over the collected
       EDGES (never the node set — interior components don't appear
@@ -264,8 +266,9 @@ def connected_components(
         .distinct()
     )
 
-    if e.count() <= driver_max_edges:
-        pairs = [(r["u"], r["v"]) for r in e.collect()]
+    probe = e.limit(driver_max_edges + 1).collect()
+    if len(probe) <= driver_max_edges:
+        pairs = [(r["u"], r["v"]) for r in probe]
         parent: dict[str, str] = {}
 
         def find(x: str) -> str:
@@ -284,7 +287,11 @@ def connected_components(
                 parent[rb] = ra
         nodes = {n for ab in pairs for n in ab}
         mapping = [(n, find(n)) for n in sorted(nodes)]
-        return spark.createDataFrame(mapping, "node string, global_id string")
+        # bounded by the collect cap → always broadcastable: consumers'
+        # joins stay shuffle-free on their big side
+        return F.broadcast(
+            spark.createDataFrame(mapping, "node string, global_id string")
+        )
 
     def _large_star(ed: DataFrame) -> DataFrame:
         bidir = ed.unionByName(ed.select(F.col("v").alias("u"), F.col("u").alias("v")))
@@ -316,7 +323,11 @@ def connected_components(
     # plan several times) — persist alone does not cap plan size.
     cur = e.localCheckpoint(eager=True)
     for _ in range(max_rounds):
-        nxt = _small_star(_large_star(cur)).localCheckpoint(eager=True)
+        # LAZY checkpoint: the signature agg below is the materializing
+        # action, so checkpoint + convergence check share ONE job per
+        # round (the r3 eager+agg pair cost a second scheduling pass and
+        # showed up as +24% on the vectorize bench row)
+        nxt = _small_star(_large_star(cur)).localCheckpoint(eager=False)
         # fixpoint signature: edge count + TWO independent order-
         # insensitive checksums (u,v and v,u hash differently), so a
         # same-count collision between different edge sets needs a
@@ -357,16 +368,23 @@ def merge_components(vec: DataFrame) -> DataFrame:
     holds border-touching components only.
     """
     # the per-tile vectorize stage is the expensive producer and feeds
-    # three consumers (edge build, CC sizing, final join) — materialize it
-    # once instead of recomputing the mapInPandas pass per action.
+    # two consumers (edge probe, final join) — materialize it once
+    # instead of recomputing the mapInPandas pass per action.
     # localCheckpoint (not persist): truncates lineage AND releases its
     # blocks when this DataFrame is GC'd, so a long-lived session doesn't
     # accumulate pinned caches merge_components has no hook to unpersist.
-    vec = vec.localCheckpoint(eager=True)
+    # LAZY: the connected-components edge probe is the first action and
+    # doubles as the materializing job — an eager checkpoint here costs
+    # one extra full pass (measured ~0.3s on the sf0.1 bench row).
+    vec = vec.localCheckpoint(eager=False)
+    # rings/pixel_count ride along so the mapping join below is the LAST
+    # touch — the former design re-joined vec on (class,ty,tx,local_id)
+    # afterwards, a second shuffle join that cost more than carrying the
+    # ring payload through the single (often broadcast) mapping join
     keyed = vec.select(
         "class", "ty", "tx", "local_id",
         F.concat_ws("_", "class", "ty", "tx", "local_id").alias("node"),
-        "border",
+        "border", "rings", "pixel_count",
     )
     b = keyed.select(
         "class", "ty", "tx", "node", F.explode("border").alias("e")
@@ -402,6 +420,5 @@ def merge_components(vec: DataFrame) -> DataFrame:
     return (
         keyed.join(map_df, "node", "left")
         .withColumn("global_id", F.coalesce("global_id", "node"))
-        .join(vec, ["class", "ty", "tx", "local_id"])
         .select("class", "global_id", "ty", "tx", "rings", "pixel_count")
     )
