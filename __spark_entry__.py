@@ -499,7 +499,10 @@ def q_interval_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SURVEY §2 A11: closed-form OLS per group (events value vs time)."""
+    """SURVEY §2 A11 with the reference's `full=True` tail: closed-form
+    OLS per group (events value vs time) + r² and the two-sided p-value
+    (exact integer-df Student-t, A&S 26.7.3/4 — scipy-free), all four
+    outputs bit-identical to the DuckDB twin (shared fold arithmetic)."""
     from trefoil_spark.raster.timeseries import linear_regression_rows
 
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
@@ -508,9 +511,9 @@ def q_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.unix_timestamp("ts").alias("t_sec"),
         F.round(F.col("value") * 100).cast("bigint").alias("cents"),
     ).withColumn("t_rel", F.col("t_sec") - 1704067200)
-    return linear_regression_rows(df, "event_type", "t_rel", "cents", exact_ints=True).orderBy(
-        "event_type"
-    )
+    return linear_regression_rows(
+        df, "event_type", "t_rel", "cents", exact_ints=True, full=True
+    ).orderBy("event_type")
 
 
 def q_lag_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2435,7 +2438,7 @@ def _regression_oracle() -> str:
     from trefoil_spark.raster.timeseries import regression_sql
 
     inner = regression_sql(
-        "event_type", "t_rel", "cents", "ev", exact_ints=True
+        "event_type", "t_rel", "cents", "ev", exact_ints=True, full=True
     )
     return f"""
         WITH ev AS (

@@ -81,7 +81,11 @@ def statistic_by_interval(
     )
 
 
-def linear_regression_tiles(tiles: DataFrame, timesteps: list[float] | None = None) -> DataFrame:
+def linear_regression_tiles(
+    tiles: DataFrame,
+    timesteps: list[float] | None = None,
+    full: bool = False,
+) -> DataFrame:
     """Per-pixel OLS over the time axis (SURVEY.md A11).
 
     Returns tile rows with slope + intercept blocks. Closed form:
@@ -89,6 +93,11 @@ def linear_regression_tiles(tiles: DataFrame, timesteps: list[float] | None = No
     identical to lstsq for one regressor. Reference masks from the t=0
     slice (timeseries.py:105-108): pixels masked at ANY t contribute
     nothing; here a pixel uses exactly the timesteps where it's unmasked.
+
+    ``full=True`` adds r² and two-sided p blocks — the reference's
+    ``linear_regression(..., full=True)`` tail (timeseries.py:115-127),
+    scipy replaced by the own exact integer-df Student-t survival
+    function (functions/stats.py).
     """
 
     def reg(key, pdf: pd.DataFrame) -> pd.DataFrame:
@@ -98,6 +107,7 @@ def linear_regression_tiles(tiles: DataFrame, timesteps: list[float] | None = No
         st = np.zeros((h, w))
         stt = np.zeros((h, w))
         sv = np.zeros((h, w))
+        svv = np.zeros((h, w))
         stv = np.zeros((h, w))
         for t, blk in zip(pdf["t"], pdf["block"]):
             tv = float(t) if timesteps is None else float(timesteps[int(t)])
@@ -108,32 +118,145 @@ def linear_regression_tiles(tiles: DataFrame, timesteps: list[float] | None = No
             st += ok * tv
             stt += ok * tv * tv
             sv += vv
+            svv += vv * vv
             stv += vv * tv
         denom = n * stt - st * st
         good = (n >= 2) & (denom != 0)
         slope = np.where(good, (n * stv - st * sv) / np.where(good, denom, 1), np.nan)
         intercept = np.where(good, (sv - slope * st) / np.where(good, n, 1), np.nan)
-        return pd.DataFrame(
-            [
-                (
-                    int(first["ty"]), int(first["tx"]), int(first["cell"]),
-                    slope.astype(np.float32).tobytes(),
-                    intercept.astype(np.float32).tobytes(),
-                    h, w,
-                )
-            ],
-            columns=["ty", "tx", "cell", "slope_block", "intercept_block", "h", "w"],
-        )
+        row = [
+            int(first["ty"]), int(first["tx"]), int(first["cell"]),
+            slope.astype(np.float32).tobytes(),
+            intercept.astype(np.float32).tobytes(),
+        ]
+        if full:
+            from ..functions.stats import regression_full_from_sums
 
-    return tiles.groupBy("ty", "tx").applyInPandas(
-        reg,
-        schema="ty int, tx int, cell bigint, slope_block binary, "
-        "intercept_block binary, h int, w int",
+            r2, p = regression_full_from_sums(n, st, stt, sv, svv, stv)
+            row += [r2.astype(np.float32).tobytes(), p.astype(np.float32).tobytes()]
+        cols = ["ty", "tx", "cell", "slope_block", "intercept_block"]
+        extra = ["r2_block", "p_block"] if full else []
+        return pd.DataFrame([tuple(row + [h, w])], columns=cols + extra + ["h", "w"])
+
+    schema = (
+        "ty int, tx int, cell bigint, slope_block binary, intercept_block binary, "
+        + ("r2_block binary, p_block binary, " if full else "")
+        + "h int, w int"
     )
+    return tiles.groupBy("ty", "tx").applyInPandas(reg, schema=schema)
+
+
+def _t_p_stage_exprs(dialect: str) -> list[tuple[str, str]]:
+    """Staged (name, expression) list computing r², t-statistic and the
+    EXACT two-sided Student-t p-value from the OLS sufficient statistics
+    (_n.._stv + _svv), as twin Spark-SQL / DuckDB text.
+
+    The reference chain (trefoil/analysis/timeseries.py:115-127):
+    r = √r², tiny = 1e-20, t = r·√(df/((1−r+tiny)(1+r+tiny))),
+    p = 2·t_sf(|t|, df). The tail probability uses the A&S 26.7.3/26.7.4
+    finite sums for integer df (see functions/stats.py), emitted as a
+    FOLD — Spark `aggregate(sequence(...))` ≡ DuckDB
+    `list_reduce(list_prepend(...))` — with identical IEEE arithmetic per
+    step, so both engines produce the p-value bit-for-bit."""
+    one = "CAST(1 AS DOUBLE)"
+    zero = "CAST(0 AS DOUBLE)"
+    # per-step ratios ride inside the list ELEMENTS (same struct type as
+    # the fold state — DuckDB's list_reduce requires it); integers < 2^52
+    # are exact in double, so both engines' ratios are bit-identical.
+    #
+    # LAGGED recurrence, 's' field FIRST: DuckDB 1.0's list_reduce
+    # evaluates the result-struct fields in place, so a later field
+    # reading acc.term would see the ALREADY-UPDATED term. With
+    #   s' = acc.s + acc.term   (old term, evaluated first)
+    #   term' = (acc.term * cos2) * x.term
+    # both engines agree (probed), and the series total is s + term of
+    # the final state.
+    ratio_e = "CAST(2 * j - 1 AS DOUBLE) / CAST(2 * j AS DOUBLE)"
+    ratio_o = "CAST(2 * j - 2 AS DOUBLE) / CAST(2 * j - 1 AS DOUBLE)"
+    if dialect == "spark":
+        idiv = "idf DIV 2"
+        modd = "(idf - 1) DIV 2"
+
+        def st(s_, t_):
+            return f"named_struct('s', {s_}, 'term', {t_})"
+
+        def fold(seq, elem_ratio, init):
+            return (
+                f"aggregate(transform({seq}, j -> {st(zero, elem_ratio)}), "
+                f"{init}, "
+                f"(acc, x) -> {st('acc.s + acc.term', '((acc.term * cos2) * x.term)')})"
+            )
+
+        fold_e = (
+            f"CASE WHEN m_e >= 2 THEN {fold('sequence(1, m_e - 1)', ratio_e, st(zero, one))} "
+            f"ELSE {st(zero, one)} END"
+        )
+        fold_o = (
+            f"CASE WHEN m_o >= 2 THEN {fold('sequence(2, m_o)', ratio_o, st(zero, 'cos_t'))} "
+            f"ELSE {st(zero, 'cos_t')} END"
+        )
+    elif dialect == "duckdb":
+        idiv = "idf // 2"
+        modd = "(idf - 1) // 2"
+
+        def st(s_, t_):
+            return f"{{'s': {s_}, 'term': {t_}}}"
+
+        def fold(seq, elem_ratio, init):
+            return (
+                f"list_reduce(list_prepend({init}, "
+                f"list_transform({seq}, j -> {st(zero, elem_ratio)})), "
+                f"(acc, x) -> {st('acc.s + acc.term', '((acc.term * cos2) * x.term)')})"
+            )
+
+        fold_e = (
+            f"CASE WHEN m_e >= 2 THEN {fold('range(1, m_e)', ratio_e, st(zero, one))} "
+            f"ELSE {st(zero, one)} END"
+        )
+        fold_o = (
+            f"CASE WHEN m_o >= 2 THEN {fold('range(2, m_o + 1)', ratio_o, st(zero, 'cos_t'))} "
+            f"ELSE {st(zero, 'cos_t')} END"
+        )
+    else:
+        raise ValueError(dialect)
+    return [
+        ("sxx", "(_n * _stt - _st * _st)"),
+        ("syy", "(_n * _svv - _sv * _sv)"),
+        ("sxy", "(_n * _stv - _st * _sv)"),
+        ("good", "(_n >= 3 AND sxx > 0 AND syy > 0)"),
+        ("r2", f"CASE WHEN good THEN LEAST((sxy * sxy) / (sxx * syy), {one}) END"),
+        ("r", "SQRT(r2)"),
+        ("dfree", "(_n - CAST(2 AS DOUBLE))"),
+        ("idf", "(CAST(_n AS BIGINT) - 2)"),
+        ("tstat",
+         f"r * SQRT(dfree / (({one} - r + CAST(1.0E-20 AS DOUBLE)) "
+         f"* ({one} + r + CAST(1.0E-20 AS DOUBLE))))"),
+        ("theta", "ATAN(tstat / SQRT(dfree))"),
+        ("sin_t", "SIN(theta)"),
+        ("cos_t", "COS(theta)"),
+        ("cos2", "(COS(theta) * COS(theta))"),
+        ("m_e", idiv),
+        ("m_o", modd),
+        ("f_e", fold_e),
+        ("f_o", fold_o),
+        ("s_e", "(f_e.s + f_e.term)"),
+        ("s_o", f"CASE WHEN m_o >= 1 THEN (f_o.s + f_o.term) ELSE {zero} END"),
+        ("a_t",
+         "CASE WHEN idf % 2 = 0 THEN sin_t * s_e "
+         "ELSE (CAST(2 AS DOUBLE) / PI()) * (theta + sin_t * s_o) END"),
+        ("p",
+         f"CASE WHEN good THEN "
+         f"LEAST(GREATEST({one} - a_t, CAST(0 AS DOUBLE)), {one}) END"),
+    ]
 
 
 def linear_regression_rows(
-    df: DataFrame, group_cols, t_col: str, v_col: str, exact_ints: bool = False
+    df: DataFrame,
+    group_cols,
+    t_col: str,
+    v_col: str,
+    exact_ints: bool = False,
+    full: bool = False,
 ) -> DataFrame:
     """Row-grain closed-form OLS (for oracle-checkable queries): one hash
     aggregate, engine-portable expression tree.
@@ -141,50 +264,81 @@ def linear_regression_rows(
     ``exact_ints=True``: inputs are integers — accumulate Σt, Σt², Σv, Σtv
     as BIGINT (exact, order-independent), cast to double only for the
     final slope/intercept arithmetic. This is what makes the result
-    bit-identical across engines (double sums are order-dependent)."""
+    bit-identical across engines (double sums are order-dependent).
+
+    ``full=True`` adds the reference's `full` outputs (r², p) — see
+    :func:`_t_p_stage_exprs`; p is the exact integer-df Student-t tail,
+    still bit-identical to the DuckDB twin."""
     if isinstance(group_cols, str):
         group_cols = [group_cols]
     typ = "bigint" if exact_ints else "double"
     t = F.col(t_col).cast(typ)
     v = F.col(v_col).cast(typ)
-    g = df.filter(v.isNotNull()).groupBy(*group_cols).agg(
+    aggs = [
         F.count(F.lit(1)).cast("double").alias("_n"),
         F.sum(t).cast("double").alias("_st"),
         F.sum(t * t).cast("double").alias("_stt"),
         F.sum(v).cast("double").alias("_sv"),
         F.sum(t * v).cast("double").alias("_stv"),
-    )
+    ]
+    if full:
+        aggs.append(F.sum(v * v).cast("double").alias("_svv"))
+    g = df.filter(v.isNotNull()).groupBy(*group_cols).agg(*aggs)
     denom = F.col("_n") * F.col("_stt") - F.col("_st") * F.col("_st")
     slope = (F.col("_n") * F.col("_stv") - F.col("_st") * F.col("_sv")) / denom
-    return g.select(
-        *group_cols,
-        slope.alias("slope"),
-        ((F.col("_sv") - slope * F.col("_st")) / F.col("_n")).alias("intercept"),
+    base = g.withColumn("slope", slope).withColumn(
+        "intercept", (F.col("_sv") - F.col("slope") * F.col("_st")) / F.col("_n")
     )
+    if not full:
+        return base.select(*group_cols, "slope", "intercept")
+    for name, expr in _t_p_stage_exprs("spark"):
+        base = base.withColumn(name, F.expr(expr))
+    return base.select(*group_cols, "slope", "intercept", "r2", "p")
 
 
 def regression_sql(
-    group_cols: str, t_col: str, v_col: str, table: str, exact_ints: bool = False
+    group_cols: str,
+    t_col: str,
+    v_col: str,
+    table: str,
+    exact_ints: bool = False,
+    full: bool = False,
 ) -> str:
     """DuckDB twin of linear_regression_rows (same expression tree)."""
     typ = "BIGINT" if exact_ints else "DOUBLE"
     t, v = f"CAST({t_col} AS {typ})", f"CAST({v_col} AS {typ})"
-    return f"""
-        WITH g AS (
+    svv = f",\n                   CAST(SUM({v} * {v}) AS DOUBLE) AS _svv" if full else ""
+    g = f"""
+        g AS (
             SELECT {group_cols},
                    CAST(COUNT(*) AS DOUBLE) AS _n,
                    CAST(SUM({t}) AS DOUBLE) AS _st,
                    CAST(SUM({t} * {t}) AS DOUBLE) AS _stt,
                    CAST(SUM({v}) AS DOUBLE) AS _sv,
-                   CAST(SUM({t} * {v}) AS DOUBLE) AS _stv
+                   CAST(SUM({t} * {v}) AS DOUBLE) AS _stv{svv}
             FROM {table} WHERE {v_col} IS NOT NULL GROUP BY {group_cols}
-        )
-        SELECT {group_cols},
-               (_n * _stv - _st * _sv) / (_n * _stt - _st * _st) AS slope,
-               (_sv - ((_n * _stv - _st * _sv) / (_n * _stt - _st * _st)) * _st) / _n
-                   AS intercept
-        FROM g
-    """
+        ),
+        b AS (
+            SELECT *,
+               (_n * _stv - _st * _sv) / (_n * _stt - _st * _st) AS slope
+            FROM g
+        ),
+        c AS (
+            SELECT *, (_sv - slope * _st) / _n AS intercept FROM b
+        )"""
+    if not full:
+        return f"WITH {g} SELECT {group_cols}, slope, intercept FROM c"
+    stages = _t_p_stage_exprs("duckdb")
+    ctes = [g]
+    prev = "c"
+    for i, (name, expr) in enumerate(stages):
+        cur = f"s{i}"
+        ctes.append(f"{cur} AS (SELECT *, {expr} AS {name} FROM {prev})")
+        prev = cur
+    return (
+        "WITH " + ",\n        ".join(ctes)
+        + f" SELECT {group_cols}, slope, intercept, r2, p FROM {prev}"
+    )
 
 
 def calculate_delta(
