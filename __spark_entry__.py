@@ -498,6 +498,52 @@ def q_interval_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# per-tile (floor_sum, count) of the reference's NetCDF-4 fixture, frozen
+# from the DRIVER-side whole-array decode (NC4File.read + numpy slice) —
+# the checked query runs the DISTRIBUTED chunk→fragment→tile path, so the
+# gate certifies the distribution logic against an independent assembly.
+# Regenerate with tools/freeze_nc4.py if the fixture ever changes.
+_NC4_FIXTURE_PATH = "/root/reference/trefoil/test_data/tmin.nc"
+_NC4_TILE_FIXTURE = [
+    (0, 0, 604819, 65536),
+    (0, 1, 795469, 65536),
+    (0, 2, 208986, 15360),
+    (1, 0, 734273, 59950),
+    (1, 1, 1047876, 65536),
+    (1, 2, 265821, 15360),
+    (2, 0, 116037, 8728),
+    (2, 1, 356327, 21686),
+    (2, 2, 99884, 5340),
+]
+
+
+def q_nc4_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SURVEY §2 S1 at the NetCDF-4/HDF5 container level: the reference's
+    own HDF5 fixture (tmin.nc — superblock v2, OHDR headers, dense
+    attributes, shuffle+deflate chunked data, DIMENSION_LIST dims) is
+    ingested via the from-scratch HDF5 subset reader
+    (sources/hdf5.py): metadata + chunk B-tree on the driver, per-CHUNK
+    byte-range decode in tasks, one shuffle to assemble north-first
+    tiles. Reduced to exact per-tile (Σ floor, count)."""
+    from trefoil_spark.sources.netcdf3 import ingest_netcdf3
+
+    tiles, _spec = ingest_netcdf3(spark, _NC4_FIXTURE_PATH, "tmin")
+    return _floor_count_reduce(tiles.drop("t"))
+
+
+def _nc4_ingest_oracle() -> str:
+    rows = ", ".join(
+        f"({ty}, {tx}, {fs}, {cnt})" for ty, tx, fs, cnt in _NC4_TILE_FIXTURE
+    )
+    return f"""
+        SELECT CAST(ty AS INT) AS ty, CAST(tx AS INT) AS tx,
+               CAST(floor_sum AS BIGINT) AS floor_sum,
+               CAST(count AS BIGINT) AS count
+        FROM (VALUES {rows}) AS t(ty, tx, floor_sum, count)
+        ORDER BY ty, tx
+    """
+
+
 def q_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SURVEY §2 A11 with the reference's `full=True` tail: closed-form
     OLS per group (events value vs time) + r² and the two-sided p-value
@@ -1315,6 +1361,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lag_intervals": q_lag_intervals,
         "png_stability": q_png_stability,
         "nc_ingest": q_nc_ingest,
+        "nc4_ingest": q_nc4_ingest,
         "vectorize": q_vectorize,
         "salted_agg": q_salted_agg,
         "pages_text_invariant": q_pages_text_invariant,
@@ -1551,6 +1598,7 @@ def oracle_sql() -> dict[str, str]:
         "warp_kernels": _warp_kernels_oracle(),
         "png_stability": _png_stability_oracle(),
         "nc_ingest": _nc_ingest_oracle(),
+        "nc4_ingest": _nc4_ingest_oracle(),
         "area_timeseries": """
             SELECT event_type,
                    CAST(FLOOR(epoch(ts) / 86400) AS BIGINT) AS day,

@@ -1,0 +1,216 @@
+"""From-scratch HDF5/NetCDF-4 reader (S1 container-gap closure).
+
+Three evidence layers, none depending on libhdf5/h5py (absent here):
+1. the reference repo's REAL NetCDF-4 fixtures (tmin.nc, ca_ru_1km.nc —
+   written by netCDF4/HDF5 in the wild): structure, CF metadata, chunk
+   decode (zlib adler32 checks integrity), physical plausibility;
+2. a HAND-BUILT superblock-v0 file assembled byte-by-byte from the HDF5
+   File Format Specification — exercises the old-style path (v1 object
+   headers, symbol-table groups, local heap, v1 dataspace/attribute/
+   layout) that the v2-format reference fixtures don't touch;
+3. distributed chunk→tile ingest ≡ driver-side whole-array decode.
+"""
+
+import os
+import struct
+
+import numpy as np
+import pytest
+
+from trefoil_spark.sources.hdf5 import H5File, NC4File, is_hdf5
+
+TMIN = "/root/reference/trefoil/test_data/tmin.nc"
+CA_RU = "/root/reference/trefoil/test_data/ca_ru_1km.nc"
+
+needs_fixtures = pytest.mark.skipif(
+    not os.path.exists(TMIN), reason="reference fixtures unavailable"
+)
+
+
+@needs_fixtures
+def test_tmin_structure_and_metadata():
+    nc = NC4File(TMIN)
+    assert nc.dimensions == {"lat": 601, "lon": 572}
+    v = nc.variables["tmin"]
+    assert v.dims == ("lat", "lon") and v.shape == (601, 572)
+    # dense attributes (fractal heap + v2 b-tree) on lat
+    assert nc.variables["lat"].attrs["units"] == "degrees_north"
+    assert nc.variables["lat"].attrs["standard_name"] == "latitude"
+    assert nc.variables["lon"].attrs["units"] == "degrees_east"
+    assert abs(v.attrs["_FillValue"] - 1e20) < 1e14
+
+
+@needs_fixtures
+def test_tmin_decode_plausible():
+    """shuffle+deflate chunk decode: zlib's adler32 guards byte-level
+    integrity; value ranges guard offset/shuffle mistakes (a wrong
+    element-size or transpose scrambles values wildly)."""
+    nc = NC4File(TMIN)
+    arr = nc.read("tmin")
+    ok = ~np.isnan(arr)
+    assert ok.sum() == 323032 and arr.size == 343772
+    assert -60 < np.nanmin(arr) < np.nanmax(arr) < 60  # °C plausible
+    lat, lon = nc.read("lat"), nc.read("lon")
+    for c in (lat, lon):
+        d = np.diff(c)
+        assert np.allclose(d, d[0])  # uniform spacing
+    assert 32 < lat.min() < lat.max() < 38
+    assert -119 < lon.min() < lon.max() < -114
+
+
+@needs_fixtures
+def test_ca_ru_uint32_and_scalar_string():
+    nc = NC4File(CA_RU)
+    assert nc.dimensions == {"x": 914, "y": 1055}
+    data = nc.h5.datasets["data"].read()
+    assert data.dtype == np.dtype("<u4") and data.shape == (1055, 914)
+    # CF grid-mapping variable: scalar string dataset with projection attrs
+    crs = nc.variables["crs_Albers_Equal_Area"]
+    assert crs.attrs["grid_mapping_name"] == "albers_conical_equal_area"
+    sp = crs.attrs["standard_parallel"]
+    assert len(np.atleast_1d(sp)) == 2  # two standard parallels
+
+
+@needs_fixtures
+def test_distributed_ingest_equals_driver_read(spark):
+    """Chunk→fragment→tile distributed path ≡ independent driver-side
+    whole-array assembly, on both real fixtures (incl. the ascending-lat
+    north-first flip)."""
+    from trefoil_spark.sources.netcdf3 import ingest_netcdf3
+
+    for path, var in ((TMIN, "tmin"), (CA_RU, "data")):
+        nc = NC4File(path)
+        want = nc.read(var)
+        ydim = nc.variables[var].dims[0]
+        ys = nc.read(ydim)
+        if ys[0] < ys[-1]:
+            want = want[::-1]
+        tiles, spec = ingest_netcdf3(spark, path, var)  # magic dispatch
+        h, w = want.shape
+        assert (spec.height, spec.width) == (h, w)
+        got = np.full((h, w), np.inf, dtype=np.float32)
+        for r in tiles.collect():
+            blk = np.frombuffer(r["block"], dtype=np.float32).reshape(r["h"], r["w"])
+            got[r["ty"] * 256 : r["ty"] * 256 + r["h"],
+                r["tx"] * 256 : r["tx"] * 256 + r["w"]] = blk
+        assert np.array_equal(got, want.astype(np.float32), equal_nan=True), path
+
+
+@needs_fixtures
+def test_read_header_dispatch():
+    from trefoil_spark.sources.netcdf3 import read_header
+
+    nc = read_header(TMIN)  # HDF5 magic → NC4File
+    assert nc.version == 4 and "tmin" in nc.variables
+    assert is_hdf5(TMIN) and not is_hdf5(__file__)
+
+
+# ---------------------------------------------------------------------------
+# hand-built superblock-v0 fixture (old-style path)
+# ---------------------------------------------------------------------------
+
+UNDEF8 = b"\xff" * 8
+
+
+def _build_v0_file(tmp_path):
+    """Minimal spec-conformant HDF5: superblock v0 → root group (v1
+    object header, symbol-table message) → TREE/SNOD/HEAP → dataset 'v'
+    (v1 header: v1 dataspace, int32 LE datatype, contiguous v1 layout,
+    one v1 string attribute), data [10, 20, 30]."""
+    chunks = {}
+
+    def lay(name, b):
+        chunks[name] = bytearray(b)
+        return chunks[name]
+
+    # fixed offsets (hand-placed, generous gaps)
+    OFF = {
+        "sb": 0, "root_oh": 96, "btree": 160, "heap": 260,
+        "heap_data": 300, "snod": 340, "ds_oh": 420, "data": 600,
+    }
+
+    # dataset object header (v1)
+    msgs = []
+    # dataspace v1: ver, rank, flags, reserved(5), dim=3
+    msgs.append((0x0001, struct.pack("<BBB5x", 1, 1, 0) + struct.pack("<Q", 3)))
+    # datatype: class 0 v1, little-endian signed int32
+    dt = struct.pack("<BBBBI", 0x10, 0x08, 0, 0, 4) + struct.pack("<HH", 0, 32)
+    msgs.append((0x0003, dt))
+    # layout v1 contiguous: ver, ndims, class, reserved(5), addr, dim sizes
+    msgs.append((
+        0x0008,
+        struct.pack("<BBB5x", 1, 1, 1)
+        + struct.pack("<Q", OFF["data"])
+        + struct.pack("<I", 3),
+    ))
+    # attribute v1: name 'units', string dtype size 2, scalar dataspace
+    name = b"units\x00"
+    adt = struct.pack("<BBBBI", 0x13, 0, 0, 0, 2)  # v1 class 3 string, size 2
+    ads = struct.pack("<BBB5x", 1, 0, 0)  # rank 0
+    abody = struct.pack("<BxHHH", 1, len(name), len(adt), len(ads))
+    abody += name + b"\x00" * (-len(name) % 8)
+    abody += adt + b"\x00" * (-len(adt) % 8)
+    abody += ads + b"\x00" * (-len(ads) % 8)
+    abody += b"m\x00"
+    msgs.append((0x000C, abody))
+
+    body = b""
+    for mtype, mb in msgs:
+        mb = mb + b"\x00" * (-len(mb) % 8)
+        body += struct.pack("<HHB3x", mtype, len(mb), 0) + mb
+    ds_oh = struct.pack("<BxHIII", 1, len(msgs), 1, len(body), 0)[:12] + b"\x00" * 4 + body
+    lay("ds_oh", ds_oh)
+
+    # local heap: data segment holds "\x00" at 0, "v" at 8
+    heap_data = b"\x00" * 8 + b"v\x00" + b"\x00" * 22
+    lay("heap_data", heap_data)
+    lay(
+        "heap",
+        b"HEAP" + struct.pack("<B3x", 0)
+        + struct.pack("<QQQ", len(heap_data), len(heap_data), OFF["heap_data"]),
+    )
+
+    # SNOD with one entry: name offset 8 → 'v', ohdr → dataset
+    snod = b"SNOD" + struct.pack("<BBH", 1, 0, 1)
+    snod += struct.pack("<QQI4x16x", 8, OFF["ds_oh"], 0)
+    lay("snod", snod)
+
+    # group b-tree: node type 0, level 0, 1 entry; key0, child, key1
+    bt = b"TREE" + struct.pack("<BBH", 0, 0, 1) + UNDEF8 + UNDEF8
+    bt += struct.pack("<Q", 0) + struct.pack("<Q", OFF["snod"]) + struct.pack("<Q", 8)
+    lay("btree", bt)
+
+    # root object header v1 with symbol-table message
+    stmsg = struct.pack("<QQ", OFF["btree"], OFF["heap"])
+    rbody = struct.pack("<HHB3x", 0x0011, len(stmsg), 0) + stmsg
+    root_oh = struct.pack("<BxHI", 1, 1, 1) + struct.pack("<I", len(rbody)) + b"\x00" * 4 + rbody
+    lay("root_oh", root_oh)
+
+    # superblock v0
+    sb = b"\x89HDF\r\n\x1a\n"
+    sb += struct.pack("<BBBBBBBB", 0, 0, 0, 0, 0, 8, 8, 0)
+    sb += struct.pack("<HHI", 4, 16, 0)
+    sb += struct.pack("<Q", 0) + UNDEF8 + struct.pack("<Q", 1024) + UNDEF8
+    # root symbol table entry
+    sb += struct.pack("<QQI4x16x", 0, OFF["root_oh"], 0)
+    lay("sb", sb)
+
+    data = np.array([10, 20, 30], dtype="<i4").tobytes()
+    lay("data", data)
+
+    buf = bytearray(1024)
+    for nm, b in chunks.items():
+        buf[OFF[nm] : OFF[nm] + len(b)] = b
+    p = tmp_path / "hand_v0.h5"
+    p.write_bytes(bytes(buf))
+    return str(p)
+
+
+def test_handbuilt_v0_symbol_table(tmp_path):
+    path = _build_v0_file(tmp_path)
+    f = H5File(path)
+    assert list(f.datasets) == ["v"]
+    ds = f.datasets["v"]
+    assert ds.shape == (3,) and ds.dtype.numpy == np.dtype("<i4")
+    assert ds.attrs == {"units": "m"}
+    assert np.array_equal(ds.read(), [10, 20, 30])

@@ -65,7 +65,7 @@ def _header_dict(path: str) -> dict:
     nc = read_header(path)
     return {
         "path": path,
-        "format": f"CDF-{nc.version}",
+        "format": "NetCDF-4/HDF5" if nc.version == 4 else f"CDF-{nc.version}",
         "dimensions": dict(nc.dimensions),
         "attributes": dict(nc.attrs),
         "variables": {
@@ -346,8 +346,9 @@ def cmd_set_crs(args) -> int:
     }
     attrs = dict(nc.attrs)
     attrs["crs"] = args.proj4
+    # HDF5-container input (read-only support) rewrites as classic CDF-2
     write_netcdf3(args.file, dims, variables, global_attrs=attrs,
-                  version=nc.version)
+                  version=2 if nc.version == 4 else nc.version)
     print(f"set crs on {args.file}: {args.proj4}")
     return 0
 

@@ -183,6 +183,12 @@ def read_header(path: str) -> NCFile:
     """Parse the classic header (driver-side; a few KB)."""
     with open(path, "rb") as f:
         head = f.read(65536)
+        if head[:8] == b"\x89HDF\r\n\x1a\n":
+            # NetCDF-4/HDF5 container → the own HDF5 subset reader,
+            # exposed through the NCFile-shaped adapter
+            from .hdf5 import NC4File
+
+            return NC4File(path)
         if head[:3] != b"CDF" or (len(head) > 3 and head[3] not in (1, 2)):
             # fail fast on wrong magic — no point growing the buffer
             raise ValueError(f"{path}: not a classic NetCDF (CDF-1/CDF-2) file")
@@ -414,6 +420,13 @@ def ingest_netcdf3(spark, path: str, variable: str, var_label: str | None = None
     from ..raster.gridspec import GridSpec
     from ..raster.synth import CELL_RES, TILE_SCHEMA
     from .ingest import detect_geo_dims
+
+    with open(path, "rb") as _f:
+        if _f.read(8) == b"\x89HDF\r\n\x1a\n":
+            # NetCDF-4/HDF5 container → chunk-grain distributed ingest
+            from .hdf5 import ingest_netcdf4
+
+            return ingest_netcdf4(spark, path, variable, var_label)
 
     nc = read_header(path)
     v = nc.variables[variable]
