@@ -92,3 +92,45 @@ class TestRenderWebp:
 
         png = decode_rgb_png(render_image_bytes(r, data, scale=1.5, format="png"))
         assert np.array_equal(img, png)
+
+
+def test_vp8l_compression_ratio():
+    """r4 entropy+LZ77 coding: classified-raster renders compress by
+    orders of magnitude vs the old ~4 B/px literal-only stream, while
+    staying byte-exact lossless; incompressible content stays bounded."""
+    rng = np.random.default_rng(0)
+    h, w = 256, 256
+    cls = np.repeat(np.repeat(rng.integers(0, 5, (16, 16)), 16, axis=0), 16, axis=1)
+    palette = np.array(
+        [[255, 0, 0], [0, 255, 0], [0, 0, 255], [255, 255, 0], [128, 128, 128]],
+        np.uint8,
+    )
+    img = palette[cls]
+    e = encode_webp(img)
+    assert np.array_equal(decode_webp(e)[..., :3], img)
+    assert len(e) < h * w * 0.02, len(e)  # ≥ 200x below literal-only
+
+    noise = rng.integers(0, 256, (h, w, 3)).astype(np.uint8)
+    en = encode_webp(noise)
+    assert np.array_equal(decode_webp(en)[..., :3], noise)
+    assert len(en) < h * w * 3.1  # ~3 B/px: entropy floor of random RGB
+
+    stripes = np.tile(rng.integers(0, 256, (1, w, 3)).astype(np.uint8), (h, 1, 1))
+    es = encode_webp(stripes)
+    assert np.array_equal(decode_webp(es)[..., :3], stripes)
+    assert len(es) < h * w * 0.05  # vertical copy via dist=w references
+
+
+def test_vp8l_lz77_edge_shapes():
+    """Overlapping run copies, single-column images, 2-live-symbol
+    channels with a length code (normal-code fallback), determinism."""
+    rng = np.random.default_rng(3)
+    for shape in [(1, 1, 4), (1, 1, 3), (2, 3, 4), (7, 1, 3), (1, 9, 3), (64, 64, 3)]:
+        x = rng.integers(0, 256, shape).astype(np.uint8)
+        got = decode_webp(encode_webp(x))
+        assert np.array_equal(got[..., : shape[2]], x), shape
+    const = np.full((64, 64, 3), 42, np.uint8)  # one literal + one 4095-run
+    e = encode_webp(const)
+    assert np.array_equal(decode_webp(e)[..., :3], const)
+    assert len(e) < 64
+    assert encode_webp(const) == e
