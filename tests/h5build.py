@@ -1,0 +1,313 @@
+"""Test-local minimal HDF5 writer — builds spec-conformant fixtures for
+structures the reference repo's real NetCDF-4 files don't exercise:
+multi-chunk v1 chunk B-trees (3-D, edge chunks, deflate), and dense
+(fractal-heap) group links. Assembled byte-by-byte from the public HDF5
+File Format Specification; NOT a product feature (the engine is
+read-only for HDF5) — purely a fixture generator so the reader's
+many-chunk and dense-link paths are testable without libhdf5.
+
+Checksums (v2 structures) are written as zeros — the reader never
+verifies them (documented in sources/hdf5.py).
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+import numpy as np
+
+UNDEF8 = b"\xff" * 8
+
+
+class _Builder:
+    def __init__(self, size: int = 1 << 16):
+        self.buf = bytearray(size)
+        self.cursor = 4096  # superblock + root live below
+
+    def alloc(self, data: bytes, align: int = 8) -> int:
+        addr = (self.cursor + align - 1) // align * align
+        self.buf[addr : addr + len(data)] = data
+        self.cursor = addr + len(data)
+        return addr
+
+    def place(self, addr: int, data: bytes):
+        self.buf[addr : addr + len(data)] = data
+
+    def bytes(self) -> bytes:
+        return bytes(self.buf[: max(self.cursor, 4096)])
+
+
+def _v1_msg(mtype: int, body: bytes) -> bytes:
+    body = body + b"\x00" * (-len(body) % 8)
+    return struct.pack("<HHB3x", mtype, len(body), 0) + body
+
+
+def _v1_header(msgs: list[tuple[int, bytes]]) -> bytes:
+    body = b"".join(_v1_msg(t, b) for t, b in msgs)
+    return (
+        struct.pack("<BxHI", 1, len(msgs), 1)
+        + struct.pack("<I", len(body))
+        + b"\x00" * 4
+        + body
+    )
+
+
+def _dataspace_v1(dims: list[int]) -> bytes:
+    return struct.pack("<BBB5x", 1, len(dims), 0) + b"".join(
+        struct.pack("<Q", d) for d in dims
+    )
+
+
+def _datatype(kind: str) -> bytes:
+    if kind == "i4":
+        return struct.pack("<BBBBI", 0x10, 0x08, 0, 0, 4) + struct.pack("<HH", 0, 32)
+    if kind == "f8":
+        # IEEE little-endian float64 (class 1 v1): sign 63, exp 52/11
+        # bias 1023, mantissa 0/52
+        return struct.pack("<BBBBI", 0x11, 0x20, 0x3F, 0, 8) + struct.pack(
+            "<HHBBBBI", 0, 64, 52, 11, 0, 52, 1023
+        )
+    raise ValueError(kind)
+
+
+def _attr_v1(name: str, kind: str, payload: bytes, dims: list[int]) -> bytes:
+    nm = name.encode() + b"\x00"
+    if kind == "str":
+        dt = struct.pack("<BBBBI", 0x13, 0, 0, 0, len(payload))
+    else:
+        dt = _datatype(kind)
+    ds = _dataspace_v1(dims) if dims else struct.pack("<BBB5x", 1, 0, 0)
+    out = struct.pack("<BxHHH", 1, len(nm), len(dt), len(ds))
+    out += nm + b"\x00" * (-len(nm) % 8)
+    out += dt + b"\x00" * (-len(dt) % 8)
+    out += ds + b"\x00" * (-len(ds) % 8)
+    return out + payload
+
+
+def _contiguous_dataset(
+    bld: _Builder, arr: np.ndarray, kind: str, attrs: list[tuple[str, str, bytes, list]]
+) -> int:
+    data_addr = bld.alloc(arr.tobytes())
+    msgs = [
+        (0x0001, _dataspace_v1(list(arr.shape))),
+        (0x0003, _datatype(kind)),
+        (
+            0x0008,
+            struct.pack("<BBB5x", 1, max(len(arr.shape), 1), 1)
+            + struct.pack("<Q", data_addr)
+            + b"".join(struct.pack("<I", s) for s in arr.shape),
+        ),
+    ]
+    for nm, k, payload, dims in attrs:
+        msgs.append((0x000C, _attr_v1(nm, k, payload, dims)))
+    return bld.alloc(_v1_header(msgs))
+
+
+def _chunked_dataset(
+    bld: _Builder,
+    arr: np.ndarray,
+    chunk: tuple[int, ...],
+    kind: str,
+    deflate: bool,
+    attrs: list[tuple[str, str, bytes, list]],
+) -> int:
+    nd = len(arr.shape)
+    # write chunks (edge chunks stored FULL-SIZE, zero-padded, per spec)
+    entries = []
+    ranges = [range(0, s, c) for s, c in zip(arr.shape, chunk)]
+    offs_list = [()]
+    for r in ranges:
+        offs_list = [o + (v,) for o in offs_list for v in r]
+    for offs in offs_list:
+        full = np.zeros(chunk, dtype=arr.dtype)
+        sl = tuple(
+            slice(o, min(o + c, s)) for o, c, s in zip(offs, chunk, arr.shape)
+        )
+        sub = arr[sl]
+        full[tuple(slice(0, x) for x in sub.shape)] = sub
+        raw = full.tobytes()
+        if deflate:
+            raw = zlib.compress(raw, 6)
+        addr = bld.alloc(raw)
+        entries.append((offs, addr, len(raw)))
+    # v1 chunk b-tree: single leaf
+    bt = bytearray()
+    bt += b"TREE" + struct.pack("<BBH", 1, 0, len(entries)) + UNDEF8 + UNDEF8
+    for offs, addr, size in entries:
+        bt += struct.pack("<II", size, 0)
+        bt += b"".join(struct.pack("<Q", o) for o in offs) + struct.pack("<Q", 0)
+        bt += struct.pack("<Q", addr)
+    # trailing key (right-edge sentinel)
+    bt += struct.pack("<II", 0, 0) + b"\x00" * (8 * (nd + 1))
+    bt_addr = bld.alloc(bytes(bt))
+    msgs = [
+        (0x0001, _dataspace_v1(list(arr.shape))),
+        (0x0003, _datatype(kind)),
+        (
+            0x0008,
+            struct.pack("<BBB", 3, 2, nd + 1)
+            + struct.pack("<Q", bt_addr)
+            + b"".join(struct.pack("<I", c) for c in chunk)
+            + struct.pack("<I", arr.dtype.itemsize),
+        ),
+    ]
+    if deflate:
+        # filter pipeline v1: deflate (id 1), 1 client value (level)
+        msgs.append(
+            (
+                0x000B,
+                struct.pack("<BB6x", 1, 1)
+                + struct.pack("<HHHH", 1, 0, 1, 1)
+                + struct.pack("<I", 6)
+                + b"\x00" * 4,
+            )
+        )
+    for nm, k, payload, dims in attrs:
+        msgs.append((0x000C, _attr_v1(nm, k, payload, dims)))
+    return bld.alloc(_v1_header(msgs))
+
+
+def _symbol_table_root(bld: _Builder, links: list[tuple[str, int]]) -> int:
+    heap_data = bytearray(b"\x00" * 8)
+    name_offs = []
+    for nm, _ in links:
+        name_offs.append(len(heap_data))
+        heap_data += nm.encode() + b"\x00"
+    heap_data += b"\x00" * (-len(heap_data) % 8)
+    hd_addr = bld.alloc(bytes(heap_data))
+    heap = b"HEAP" + struct.pack("<B3x", 0) + struct.pack(
+        "<QQQ", len(heap_data), len(heap_data), hd_addr
+    )
+    heap_addr = bld.alloc(heap)
+    snod = b"SNOD" + struct.pack("<BBH", 1, 0, len(links))
+    for (nm, ohdr), noff in sorted(zip(links, name_offs)):
+        snod += struct.pack("<QQI4x16x", noff, ohdr, 0)
+    snod_addr = bld.alloc(snod)
+    bt = b"TREE" + struct.pack("<BBH", 0, 0, 1) + UNDEF8 + UNDEF8
+    bt += struct.pack("<Q", 0) + struct.pack("<Q", snod_addr) + struct.pack("<Q", 8)
+    bt_addr = bld.alloc(bt)
+    root = _v1_header(
+        [(0x0011, struct.pack("<QQ", bt_addr, heap_addr))]
+    )
+    return bld.alloc(root)
+
+
+def _link_msg(name: str, ohdr: int) -> bytes:
+    nm = name.encode()
+    return struct.pack("<BBB", 1, 0, len(nm)) + nm + struct.pack("<Q", ohdr)
+
+
+def _dense_link_root(bld: _Builder, links: list[tuple[str, int]]) -> int:
+    """Root group whose links live in a fractal heap + v2 name B-tree —
+    the dense storage netCDF-4 uses past the compact threshold."""
+    # fractal heap direct block: header (no checksum) + link messages
+    OFFB = 2  # max_heap_bits 16 → 2-byte heap offsets
+    LENB = 2  # max_direct 1024 → 2-byte lengths
+    hid_len = 1 + OFFB + LENB
+    objects = []
+    db = bytearray(b"FHDB" + struct.pack("<B", 0) + b"\x00" * 8 + b"\x00" * OFFB)
+    for nm, ohdr in links:
+        msg = _link_msg(nm, ohdr)
+        objects.append((len(db), len(msg)))
+        db += msg
+    start_bs = 1024
+    db += b"\x00" * (start_bs - len(db))
+    db_addr = bld.alloc(bytes(db))
+    # FRHP header (only reader-consumed fields populated)
+    frhp = bytearray(142)
+    frhp[0:4] = b"FRHP"
+    frhp[4] = 0
+    frhp[5:7] = struct.pack("<H", hid_len)
+    frhp[7:9] = struct.pack("<H", 0)
+    frhp[9] = 0  # no checksum in direct blocks
+    frhp[110:112] = struct.pack("<H", 4)            # table width
+    frhp[112:120] = struct.pack("<Q", start_bs)     # starting block size
+    frhp[120:128] = struct.pack("<Q", 1024)         # max direct size
+    frhp[128:130] = struct.pack("<H", 16)           # max heap size bits
+    frhp[130:132] = struct.pack("<H", 1)            # starting rows
+    frhp[132:140] = struct.pack("<Q", db_addr)      # root block
+    frhp[140:142] = struct.pack("<H", 0)
+    frhp_addr = bld.alloc(bytes(frhp))
+    # v2 b-tree (type 5: link name index), single leaf
+    rec_size = 4 + hid_len
+    leaf = bytearray(b"BTLF" + struct.pack("<BB", 0, 5))
+    for off, ln in objects:
+        leaf += struct.pack("<I", 0)  # name hash (reader ignores)
+        leaf += struct.pack("<B", 0) + struct.pack("<H", off) + struct.pack("<H", ln)
+    leaf += b"\x00" * 4  # checksum (unverified)
+    leaf_addr = bld.alloc(bytes(leaf))
+    bthd = bytearray(34 + 2 + 4)
+    bthd[0:4] = b"BTHD"
+    bthd[4] = 0
+    bthd[5] = 5
+    bthd[6:10] = struct.pack("<I", 512)
+    bthd[10:12] = struct.pack("<H", rec_size)
+    bthd[12:14] = struct.pack("<H", 0)  # depth
+    bthd[16:24] = struct.pack("<Q", leaf_addr)
+    bthd[24:26] = struct.pack("<H", len(objects))
+    bthd_addr = bld.alloc(bytes(bthd))
+    # root group header: link info message with fheap + name index
+    li = struct.pack("<BB", 0, 0) + struct.pack("<QQ", frhp_addr, bthd_addr)
+    return bld.alloc(_v1_header([(0x0002, li)]))
+
+
+def _superblock_v0(root_ohdr: int, eof: int) -> bytes:
+    sb = b"\x89HDF\r\n\x1a\n"
+    sb += struct.pack("<BBBBBBBB", 0, 0, 0, 0, 0, 8, 8, 0)
+    sb += struct.pack("<HHI", 4, 16, 0)
+    sb += struct.pack("<Q", 0) + UNDEF8 + struct.pack("<Q", eof) + UNDEF8
+    sb += struct.pack("<QQI4x16x", 0, root_ohdr, 0)
+    return sb
+
+
+def build_multichunk_nc4(path: str, deflate: bool = True) -> np.ndarray:
+    """3-D (time=2, y=5, x=7) int32 variable in (1,3,4) chunks (8 chunks,
+    partial at both edges) + f8 coordinate DIMENSION_SCALE datasets; dim
+    mapping exercises the size-match fallback (no DIMENSION_LIST)."""
+    bld = _Builder()
+    t, h, w = 2, 5, 7
+    rng = np.arange(t * h * w, dtype="<i4").reshape(t, h, w)
+    arr = (rng * 7 + 3) % 1000
+    ys = (50.0 - np.arange(h) * 1.0).astype("<f8")
+    xs = (10.0 + np.arange(w) * 1.0).astype("<f8")
+    ts = np.arange(t).astype("<f8")
+    scale = [("CLASS", "str", b"DIMENSION_SCALE\x00", [])]
+    y_oh = _contiguous_dataset(
+        bld, ys, "f8", scale + [("standard_name", "str", b"latitude\x00", [])]
+    )
+    x_oh = _contiguous_dataset(
+        bld, xs, "f8", scale + [("standard_name", "str", b"longitude\x00", [])]
+    )
+    t_oh = _contiguous_dataset(bld, ts, "f8", scale)
+    v_oh = _chunked_dataset(
+        bld, arr, (1, 3, 4), "i4", deflate,
+        [("units", "str", b"K\x00", [])],
+    )
+    root = _symbol_table_root(
+        bld, [("time", t_oh), ("y", y_oh), ("x", x_oh), ("v", v_oh)]
+    )
+    data = bld.bytes()
+    bld.place(0, _superblock_v0(root, len(data)))
+    with open(path, "wb") as f:
+        f.write(bld.bytes())
+    return arr
+
+
+def build_dense_links_file(path: str, n_vars: int = 12) -> dict[str, np.ndarray]:
+    """Root group with ``n_vars`` datasets linked DENSELY (fractal heap +
+    v2 name B-tree) — past netCDF-4's compact-link threshold."""
+    bld = _Builder()
+    out = {}
+    links = []
+    for i in range(n_vars):
+        arr = (np.arange(4, dtype="<i4") * (i + 1)).reshape(2, 2)
+        name = f"var{i:02d}"
+        out[name] = arr
+        links.append((name, _contiguous_dataset(bld, arr, "i4", [])))
+    root = _dense_link_root(bld, links)
+    data = bld.bytes()
+    bld.place(0, _superblock_v0(root, len(data)))
+    with open(path, "wb") as f:
+        f.write(bld.bytes())
+    return out

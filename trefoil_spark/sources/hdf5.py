@@ -16,9 +16,11 @@ subset, chosen to cover what netCDF-4 writers emit:
   contiguous / chunked), filter pipeline v1/v2 (deflate, shuffle,
   fletcher32), attributes v1/v2/v3, links (hard), link info, group info,
   symbol table, continuation
-- groups: old-style (v1 B-tree over SNOD symbol nodes + local heap) and
-  new-style compact (inline link messages); DENSE new-style groups
-  (fractal heap) are out of scope and raise with a clear message
+- groups: old-style (v1 B-tree over SNOD symbol nodes + local heap),
+  new-style compact (inline link messages), and new-style DENSE (link
+  messages in a fractal heap indexed by a v2 name B-tree — what netCDF-4
+  uses past the 8-link compact threshold)
+- dense attributes (same fractal heap + v2 B-tree machinery)
 - chunk index: v1 B-tree (layout v3); v4 chunk indexes (HDF5 1.10
   latest-format) raise with a clear message
 - global heap ("GCOL") for vlen attribute data (DIMENSION_LIST)
@@ -372,6 +374,23 @@ def _dense_attributes(d: bytes, b: bytes) -> dict:
     return out
 
 
+def _dense_links(d: bytes, fheap: int, name_bt: int) -> list[tuple[str, int]]:
+    """Dense (fractal-heap) group links — what netCDF-4 groups with more
+    than the compact threshold (default 8) of variables use. The name
+    index's v2 B-tree records (type 5) are: name hash (4 bytes) + heap
+    ID; each heap object is a Link message body."""
+    fetch, heap_id_len = _fractal_heap_fetch(d, fheap)
+    out: list[tuple[str, int]] = []
+    for rec in _btree_v2_records(d, name_bt):
+        heap_id = rec[4 : 4 + heap_id_len]
+        lk = _parse_link(fetch(heap_id))
+        if lk:
+            out.append(lk)
+    # creation order is lost on the hash-ordered index; sort by name for
+    # a deterministic traversal (dataset identity is by name anyway)
+    return sorted(out)
+
+
 # ---------------------------------------------------------------------------
 # layouts / filters / chunk b-tree
 # ---------------------------------------------------------------------------
@@ -682,15 +701,14 @@ class H5File:
                 links.extend(_walk_group_btree(d, bt, heap_data))
             elif mtype == 0x15:  # attribute info → dense attributes
                 attrs.update(_dense_attributes(d, b))
-            elif mtype == 0x02:  # link info: detect dense storage
+            elif mtype == 0x02:  # link info: dense link storage
                 # version(1) flags(1) [max corder(8)] fheap(8) btree(8)
                 fl = b[1]
                 p = 2 + (8 if fl & 0x01 else 0)
                 fheap = int.from_bytes(b[p : p + 8], "little")
+                name_bt = int.from_bytes(b[p + 8 : p + 16], "little")
                 if fheap != UNDEF:
-                    raise NotImplementedError(
-                        "dense (fractal-heap) group links unsupported"
-                    )
+                    links.extend(_dense_links(d, fheap, name_bt))
         if is_dataset and dtype is not None and layout is not None:
             self.datasets[prefix.lstrip("/")] = H5Dataset(
                 prefix.lstrip("/"), shape, dtype, layout, filters, attrs, addr, d
