@@ -386,34 +386,60 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash+LSH near-dup pairs, exact-Jaccard verified (>= 0.5)."""
-    from trefoil_spark.operators.dedup import minhash_near_duplicates
+    """MinHash+LSH near-dup pairs (exact-Jaccard verified >= 0.5) UNITED
+    with the bigram-set Jaccard verify over planted candidate pairs —
+    the two stages of one near-dup pipeline in a single driver row
+    (method = 'minhash' | 'ngram'), freeing a registry slot for
+    dedup_embedding."""
+    from trefoil_spark.operators.dedup import jaccard_pairs, minhash_near_duplicates
 
-    pairs = minhash_near_duplicates(
-        _docs_with_dups(spark, sf_dir), threshold=0.5
-    )
-    return pairs.select(
+    docs = _docs_with_dups(spark, sf_dir)
+    mh = minhash_near_duplicates(docs, threshold=0.5).select(
+        F.lit("minhash").alias("method"),
         "id_a", "id_b",
         F.col("inter").cast("bigint").alias("inter"),
         F.col("union_size").cast("bigint").alias("union_size"),
-    ).orderBy("id_a", "id_b")
-
-
-def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Bigram-set Jaccard over candidate pairs (id_b = id_a + 2e6 variants)."""
-    from trefoil_spark.operators.dedup import jaccard_pairs
-
-    docs = _docs_with_dups(spark, sf_dir)
+    )
     pairs = (
         docs.filter(F.col("doc_id") >= 2000000)
         .select((F.col("doc_id") - 2000000).alias("id_a"), F.col("doc_id").alias("id_b"))
     )
-    out = jaccard_pairs(docs, pairs, ngram=2)
-    return out.select(
+    ng = jaccard_pairs(docs, pairs, ngram=2).select(
+        F.lit("ngram").alias("method"),
         "id_a", "id_b",
         F.col("inter").cast("bigint").alias("inter"),
         F.col("union_size").cast("bigint").alias("union_size"),
-    ).orderBy("id_a")
+    )
+    return mh.unionByName(ng).orderBy("method", "id_a", "id_b")
+
+
+_EMB_DUP_SHIFT = "CAST(0.01 AS DOUBLE)"
+_EMB_DUP_TAU = "CAST(0.99 AS DOUBLE)"
+
+
+def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup (the fifth dedup modality): every 10th
+    vector gets a planted +0.01-shifted variant (cos ≈ 0.997 vs a 0.51
+    background max — like the documents table's planted text dups);
+    LSH-bucketed candidates → exact cosine >= 0.99 verify. The oracle
+    replays the identical planes, fold arithmetic and threshold."""
+    from trefoil_spark.operators.dedup import embedding_near_duplicates
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    base = emb.select(
+        "vec_id",
+        F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("embedding"),
+    )
+    planted = base.filter(F.col("vec_id") % 10 == 0).select(
+        (F.col("vec_id") + 1000000).alias("vec_id"),
+        F.expr(
+            f"transform(embedding, x -> x + {_EMB_DUP_SHIFT})"
+        ).alias("embedding"),
+    )
+    out = embedding_near_duplicates(
+        base.unionByName(planted), threshold=0.99, n_planes=8
+    )
+    return out.orderBy("id_a", "id_b")
 
 
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1352,7 +1378,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_stats": q_text_stats,
         "dedup_exact": q_dedup_exact,
         "dedup_minhash": q_dedup_minhash,
-        "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+        "dedup_embedding": q_dedup_embedding,
         "dedup_simhash": q_dedup_simhash,
         "weighted_stats": q_weighted_stats,
         "mean_of_file_means": q_mean_of_file_means,
@@ -1554,7 +1580,7 @@ def oracle_sql() -> dict[str, str]:
             FROM a2 GROUP BY k ORDER BY cid
         """,
         "dedup_simhash": _dedup_simhash_oracle(),
-        "dedup_ngram_jaccard": _dedup_ngram_oracle(),
+        "dedup_embedding": _dedup_embedding_oracle(),
         "knn_join": _knn_strategies_oracle(),
         "similarity_ann": _similarity_ann_oracle(),
         "weighted_stats": """
@@ -1850,10 +1876,53 @@ def _minhash_pairs_ctes() -> str:
 
 
 def _dedup_minhash_oracle() -> str:
+    """minhash + ngram stages united under method labels (r4 merged row)."""
     return f"""
-        WITH {_minhash_pairs_ctes()}
-        SELECT id_a, id_b, inter, union_size FROM verified
-        WHERE 2 * inter >= union_size
+        SELECT 'minhash' AS method, * FROM (
+            WITH {_minhash_pairs_ctes()}
+            SELECT id_a, id_b, inter, union_size FROM verified
+            WHERE 2 * inter >= union_size
+        ) AS mh
+        UNION ALL
+        SELECT 'ngram' AS method, * FROM ({_dedup_ngram_oracle()}) AS ng
+        ORDER BY method, id_a, id_b
+    """
+
+
+def _dedup_embedding_oracle() -> str:
+    """Embedding-cosine near-dup twin: identical planted variants,
+    identical LSH planes/bucket expression, identical left-fold cosine
+    and threshold literal."""
+    from trefoil_spark.operators.similarity import bucket_expr, hyperplanes
+
+    planes = hyperplanes(64, n_planes=8)
+    be = bucket_expr("embedding", planes, "duckdb")
+    dot = (
+        "list_reduce(list_prepend(CAST(0 AS DOUBLE), "
+        "list_transform(list_zip({a}, {b}), "
+        "p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))), (x, y) -> x + y)"
+    )
+    cos = (
+        dot.format(a="l.embedding", b="r.embedding")
+        + " / (SQRT(" + dot.format(a="l.embedding", b="l.embedding") + ")"
+        + " * SQRT(" + dot.format(a="r.embedding", b="r.embedding") + "))"
+    )
+    return f"""
+        WITH base AS (
+            SELECT vec_id,
+                   list_transform(embedding, x -> CAST(x AS DOUBLE)) AS embedding
+            FROM embeddings
+        ),
+        planted AS (
+            SELECT vec_id + 1000000 AS vec_id,
+                   list_transform(embedding, x -> x + {_EMB_DUP_SHIFT}) AS embedding
+            FROM base WHERE vec_id % 10 = 0
+        ),
+        allv AS (SELECT * FROM base UNION ALL SELECT * FROM planted),
+        b AS (SELECT vec_id AS id, embedding, {be} AS bucket FROM allv)
+        SELECT DISTINCT l.id AS id_a, r.id AS id_b
+        FROM b l JOIN b r ON l.bucket = r.bucket AND l.id < r.id
+        WHERE {cos} >= {_EMB_DUP_TAU}
         ORDER BY id_a, id_b
     """
 

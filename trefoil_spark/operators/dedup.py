@@ -264,3 +264,52 @@ def simhash_near_duplicates(
         .distinct()
     )
     return pairs.filter(F.col("hamming") <= max_hamming)
+
+
+def embedding_near_duplicates(
+    emb: DataFrame,
+    threshold: float = 0.95,
+    n_planes: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (the training-data suite's
+    fifth dedup modality): LSH-bucket candidate generation (seeded
+    random-hyperplane signatures, shared bit-for-bit with the DuckDB
+    oracle) → exact cosine verify ``>= threshold``.
+
+    Scale shape: one bucket equi-join (same as similarity LSH — never
+    all-pairs); candidate pairs per bucket only. Recall < 1 by LSH
+    construction, deterministic: the oracle replays the identical planes
+    and the identical left-fold dot arithmetic, so the threshold
+    decision is bit-identical (pairs within 1 ulp of the threshold are
+    measure-zero for real embeddings). Returns (id_a, id_b) only —
+    raw cosines never leave the engine (float-parity rule).
+    """
+    from .similarity import _dot, _norm, bucket_expr, hyperplanes
+
+    dim = len(emb.select(vec_col).first()[0])
+    planes = hyperplanes(dim, n_planes=n_planes)
+    b = emb.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("v"),
+        F.expr(bucket_expr(vec_col, planes, "spark")).alias("bucket"),
+    )
+    l, r = b.alias("l"), b.alias("r")
+    cand = l.join(
+        r,
+        (F.col("l.bucket") == F.col("r.bucket"))
+        & (F.col("l.id") < F.col("r.id")),
+    ).select(
+        F.col("l.id").alias("id_a"),
+        F.col("r.id").alias("id_b"),
+        F.col("l.v").alias("va"),
+        F.col("r.v").alias("vb"),
+    )
+    cos = F.expr(_dot("va", "vb")) / (F.expr(_norm("va")) * F.expr(_norm("vb")))
+    return (
+        cand.withColumn("_c", cos)
+        .filter(F.col("_c") >= F.lit(float(threshold)).cast("double"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
