@@ -271,3 +271,30 @@ def test_writer_deflate_roundtrip(tmp_path):
     write_geotiff(pu, flat, 0, 0, 1, 1)
     assert os.path.getsize(pc) < os.path.getsize(pu) / 4
     assert np.array_equal(read_geotiff(pc)[0], flat)
+
+
+def test_bigtiff_roundtrip(tmp_path):
+    """BigTIFF (magic 43, 64-bit offsets, 20-byte IFD entries, LONG8
+    strip offsets): write→read identity incl. geo metadata and deflate;
+    required beyond the classic format's 4 GB ceiling."""
+    import numpy as np
+
+    from trefoil_spark.sources.geotiff import read_geotiff, write_geotiff
+
+    arr = (np.arange(12 * 7, dtype=np.float32).reshape(12, 7) * 0.5) - 3.0
+    p = str(tmp_path / "big.tif")
+    for compress in (None, "deflate"):
+        write_geotiff(p, arr, -120.0, 40.0, 0.25, 0.25, crs="EPSG:4326",
+                      nodata=-9999.0, compress=compress, bigtiff=True)
+        with open(p, "rb") as f:
+            head = f.read(4)
+        assert head[:2] == b"II" and head[2] == 43
+        got, meta = read_geotiff(p)
+        assert np.array_equal(got, arr)
+        assert meta["crs"] == "EPSG:4326" and meta["nodata"] == -9999.0
+        assert (meta["x0"], meta["y0"], meta["dx"]) == (-120.0, 40.0, 0.25)
+    # single-row image exercises the inline offset-table path
+    one = np.ones((1, 3), dtype=np.float32)
+    write_geotiff(p, one, 0.0, 1.0, 1.0, 1.0, bigtiff=True)
+    got, _ = read_geotiff(p)
+    assert np.array_equal(got, one)

@@ -244,3 +244,57 @@ class TestJpegProgressive:
         jpg = render_image_bytes(r, data, format="jpg")
         assert b"\xff\xc2" in jpg
         assert decode_jpeg(jpg).shape == (20, 20, 3)
+
+
+def test_jpeg_vectorized_entropy_identical_to_scalar():
+    """r4 vectorized baseline entropy coder (flat token lexsort +
+    MSB-first 4-plane packing + vectorized stuffing) is BIT-identical
+    to the per-block scalar loop on both subsampling modes."""
+    import numpy as np
+
+    import trefoil_spark.functions.jpeg as J
+
+    rng = np.random.default_rng(17)
+    imgs = [
+        rng.integers(0, 256, (48, 40, 3)).astype(np.uint8),
+        np.full((17, 23, 3), 200, np.uint8),
+        rng.integers(0, 256, (16, 16, 3)).astype(np.uint8),
+    ]
+    for img in imgs:
+        for sub in ("444", "420"):
+            h, w = img.shape[:2]
+            qt_l, qt_c = J.quality_tables(85)
+            ycc = J.rgb_to_ycbcr(img)
+            if sub == "444":
+                comps = []
+                for ci in range(3):
+                    qt = qt_l if ci == 0 else qt_c
+                    comps.append(
+                        J._fdct_quant(J._to_blocks(ycc[..., ci]), qt)[:, J._Z // 8, J._Z % 8]
+                    )
+                n_mcus = comps[0].shape[0]
+                layout = [(0, 1), (1, 1), (2, 1)]
+            else:
+                mh, mw = -(-h // 16), -(-w // 16)
+                ypl = J._pad_to(ycc[..., 0], mh * 16, mw * 16)
+                yb = (ypl.reshape(mh, 16, mw, 16).transpose(0, 2, 1, 3)
+                      .reshape(mh, mw, 2, 8, 2, 8).transpose(0, 1, 2, 4, 3, 5)
+                      .reshape(-1, 8, 8))
+
+                def half(chan):
+                    p = J._pad_to(chan, -(-h // 2) * 2, -(-w // 2) * 2)
+                    q = (p[0::2, 0::2] + p[0::2, 1::2]
+                         + p[1::2, 0::2] + p[1::2, 1::2]) / 4.0
+                    return J._pad_to(q, mh * 8, mw * 8)
+
+                cb = half(ycc[..., 1]).reshape(mh, 8, mw, 8).transpose(0, 2, 1, 3).reshape(-1, 8, 8)
+                cr = half(ycc[..., 2]).reshape(mh, 8, mw, 8).transpose(0, 2, 1, 3).reshape(-1, 8, 8)
+                comps = [J._fdct_quant(yb, qt_l)[:, J._Z // 8, J._Z % 8],
+                         J._fdct_quant(cb, qt_c)[:, J._Z // 8, J._Z % 8],
+                         J._fdct_quant(cr, qt_c)[:, J._Z // 8, J._Z % 8]]
+                n_mcus = mh * mw
+                layout = [(0, 4), (1, 1), (2, 1)]
+            tabs = [(J._DC_L, J._AC_L), (J._DC_C, J._AC_C), (J._DC_C, J._AC_C)]
+            vec = J._entropy_encode_baseline(comps, layout, n_mcus, tabs)
+            sca = J._entropy_encode_baseline_scalar(comps, layout, n_mcus, tabs)
+            assert vec == sca, (img.shape, sub)

@@ -477,7 +477,7 @@ def build_parser() -> argparse.ArgumentParser:
     w.add_argument("out")
     w.add_argument("--dst-crs", dest="dst_crs", required=True)
     w.add_argument("--resampling", default="nearest",
-                   choices=["nearest", "bilinear", "cubic", "mode"])
+                   choices=["nearest", "bilinear", "cubic", "lanczos", "mode"])
     w.set_defaults(fn=cmd_warp)
 
     c = sub.add_parser("delta", help="comp − base (or proportion) per file")

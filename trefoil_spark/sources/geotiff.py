@@ -37,7 +37,9 @@ T_GDAL_NODATA = 42113
 
 # TIFF field types
 TY_SHORT, TY_LONG, TY_RATIONAL, TY_ASCII, TY_DOUBLE = 3, 4, 5, 2, 12
-_TYPE_SIZE = {TY_SHORT: 2, TY_LONG: 4, TY_ASCII: 1, TY_DOUBLE: 8}
+TY_LONG8, TY_SLONG8, TY_IFD8 = 16, 17, 18  # BigTIFF 64-bit types
+_TYPE_SIZE = {TY_SHORT: 2, TY_LONG: 4, TY_ASCII: 1, TY_DOUBLE: 8,
+              TY_LONG8: 8, TY_SLONG8: 8, TY_IFD8: 8}
 
 _EPSG_GEOKEYS = {
     "EPSG:4326": [
@@ -63,9 +65,13 @@ def write_geotiff(
     crs: str = "EPSG:4326",
     nodata: float | None = None,
     compress: str | None = None,
+    bigtiff: bool = False,
 ) -> None:
     """(H, W) float32|uint8 array → striped GeoTIFF, optionally
     per-strip DEFLATE (``compress='deflate'``, TIFF compression 8).
+    ``bigtiff=True`` writes the BigTIFF (magic 43, 64-bit offset)
+    layout — required beyond 4 GB, the normal case for 100 TB-scale
+    raster exports.
 
     (x0, y0) is the OUTER corner of the top-left pixel (GDAL geotransform
     convention); dy positive (north-up, rows go south)."""
@@ -99,7 +105,8 @@ def write_geotiff(
         else:
             values = list(values)
             count = len(values)
-            pack = {TY_SHORT: "<H", TY_LONG: "<I", TY_DOUBLE: "<d"}[ty]
+            pack = {TY_SHORT: "<H", TY_LONG: "<I", TY_DOUBLE: "<d",
+                    TY_LONG8: "<Q"}[ty]
             raw = b"".join(struct.pack(pack, v) for v in values)
         entries.append([tag, ty, count, raw])
 
@@ -127,18 +134,22 @@ def write_geotiff(
     if nodata is not None:
         entry(T_GDAL_NODATA, TY_ASCII, repr(float(nodata)))
     # strip tables appended after we know the layout
-    entry(T_STRIP_OFFSETS, TY_LONG, [0] * h)      # patched below
+    off_ty = TY_LONG8 if bigtiff else TY_LONG
+    off_pack = "<Q" if bigtiff else "<I"
+    entry(T_STRIP_OFFSETS, off_ty, [0] * h)       # patched below
     entry(T_STRIP_COUNTS, TY_LONG, [len(s) for s in strips])
     entries.sort(key=lambda e: e[0])
 
     n = len(entries)
-    ifd_offset = 8
-    ifd_size = 2 + n * 12 + 4
+    inline = 8 if bigtiff else 4
+    entry_sz = 20 if bigtiff else 12
+    ifd_offset = 16 if bigtiff else 8
+    ifd_size = (8 + n * entry_sz + 8) if bigtiff else (2 + n * entry_sz + 4)
     ext_offset = ifd_offset + ifd_size  # out-of-line values land here
     ext = bytearray()
     for e in entries:
         tag, ty, count, raw = e
-        if len(raw) <= 4:
+        if len(raw) <= inline:
             e.append(None)
         else:
             e.append(ext_offset + len(ext))
@@ -155,19 +166,27 @@ def write_geotiff(
         pos += len(s)
     for e in entries:
         if e[0] == T_STRIP_OFFSETS:
-            raw = b"".join(struct.pack("<I", o) for o in strip_offsets)
+            raw = b"".join(struct.pack(off_pack, o) for o in strip_offsets)
             if e[4] is None:  # h == 1: inline
                 e[3] = raw
             else:
                 ext[e[4] - ext_offset : e[4] - ext_offset + len(raw)] = raw
 
     out = bytearray()
-    out += struct.pack("<2sHI", b"II", 42, ifd_offset)
-    out += struct.pack("<H", n)
-    for tag, ty, count, raw, off in entries:
-        out += struct.pack("<HHI", tag, ty, count)
-        out += struct.pack("<I", off) if off is not None else raw.ljust(4, b"\x00")
-    out += struct.pack("<I", 0)  # no next IFD
+    if bigtiff:
+        out += struct.pack("<2sHHHQ", b"II", 43, 8, 0, ifd_offset)
+        out += struct.pack("<Q", n)
+        for tag, ty, count, raw, off in entries:
+            out += struct.pack("<HHQ", tag, ty, count)
+            out += struct.pack("<Q", off) if off is not None else raw.ljust(8, b"\x00")
+        out += struct.pack("<Q", 0)  # no next IFD
+    else:
+        out += struct.pack("<2sHI", b"II", 42, ifd_offset)
+        out += struct.pack("<H", n)
+        for tag, ty, count, raw, off in entries:
+            out += struct.pack("<HHI", tag, ty, count)
+            out += struct.pack("<I", off) if off is not None else raw.ljust(4, b"\x00")
+        out += struct.pack("<I", 0)  # no next IFD
     out += ext
     for s in strips:
         out += s
@@ -278,20 +297,37 @@ def read_geotiff(path: str):
     meta: {x0, y0, dx, dy, crs, nodata} (GDAL geotransform convention)."""
     with open(path, "rb") as f:
         buf = f.read()
-    order, magic, ifd_off = struct.unpack("<2sHI", buf[:8])
-    if order != b"II" or magic != 42:
-        raise ValueError("expected little-endian classic TIFF")
-    (n,) = struct.unpack_from("<H", buf, ifd_off)
+    order, magic = struct.unpack("<2sH", buf[:4])
+    if order != b"II" or magic not in (42, 43):
+        raise ValueError("expected little-endian TIFF (classic 42 or BigTIFF 43)")
+    if magic == 43:  # BigTIFF: 8-byte offsets, 20-byte IFD entries
+        offsize, zero = struct.unpack_from("<HH", buf, 4)
+        if offsize != 8 or zero != 0:
+            raise ValueError("malformed BigTIFF header")
+        (ifd_off,) = struct.unpack_from("<Q", buf, 8)
+        (n,) = struct.unpack_from("<Q", buf, ifd_off)
+        entry0, entry_sz, cnt_fmt, inline = ifd_off + 8, 20, "<HHQ", 8
+    else:
+        (ifd_off,) = struct.unpack_from("<I", buf, 4)
+        (n,) = struct.unpack_from("<H", buf, ifd_off)
+        entry0, entry_sz, cnt_fmt, inline = ifd_off + 2, 12, "<HHI", 4
     tags = {}
-    for i in range(n):
-        tag, ty, count, val = struct.unpack_from("<HHII", buf, ifd_off + 2 + i * 12)
+    for i in range(int(n)):
+        base = entry0 + i * entry_sz
+        tag, ty, count = struct.unpack_from(cnt_fmt, buf, base)
         size = _TYPE_SIZE.get(ty, 4) * count
-        off = val if size > 4 else ifd_off + 2 + i * 12 + 8
+        vpos = base + entry_sz - inline
+        if size > inline:
+            (off,) = struct.unpack_from("<Q" if inline == 8 else "<I", buf, vpos)
+        else:
+            off = vpos
         raw = buf[off : off + size]
         if ty == TY_SHORT:
             vals = list(struct.unpack(f"<{count}H", raw))
         elif ty == TY_LONG:
             vals = list(struct.unpack(f"<{count}I", raw))
+        elif ty in (TY_LONG8, TY_IFD8):
+            vals = list(struct.unpack(f"<{count}Q", raw))
         elif ty == TY_DOUBLE:
             vals = list(struct.unpack(f"<{count}d", raw))
         elif ty == TY_ASCII:
