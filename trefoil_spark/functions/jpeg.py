@@ -245,134 +245,141 @@ def _sizes_vec(v: np.ndarray) -> np.ndarray:
     return np.digitize(np.abs(v), _POW2[:16]).astype(np.int64)
 
 
-def _entropy_encode_baseline(comps, mcu_layout, n_mcus, tabs) -> bytes:
-    """Vectorized baseline-sequential entropy coding — bit-identical to
-    the scalar `_encode_block` loop (differential-tested), ~100× faster
-    on coefficient-dense tiles: all DC/ZRL/AC/EOB tokens are built as
-    flat numpy arrays with (scan-block, intra-block-slot) sort keys,
-    lexsorted into scan order, then MSB-first bit-packed with a 4-plane
-    bitwise_or scatter; 0xFF byte stuffing and the 1-padding flush are
-    vectorized too. No per-coefficient Python."""
-    # scan-order map: global index of component ci's b-th block
-    n_per = [c.shape[0] for c in comps]
+class _TokenAcc:
+    """(scan-order, intra-block slot, value, nbits) token accumulator for
+    the vectorized entropy coders; `pack()` lexsorts into stream order
+    and bit-packs MSB-first with vectorized 0xFF stuffing + 1-padding."""
+
+    def __init__(self):
+        self.parts = ([], [], [], [])
+
+    def emit(self, g_order, slot, vals, lens):
+        for lst, a in zip(self.parts, (g_order, slot, vals, lens)):
+            lst.append(np.asarray(a, dtype=np.int64))
+
+    def pack(self) -> bytes:
+        g_all, slot_all, vals, lens = (np.concatenate(p) for p in self.parts)
+        sel = np.lexsort((slot_all, g_all))
+        vals, lens = vals[sel], lens[sel]
+        keep = lens > 0
+        vals, lens = vals[keep], lens[keep]
+        end = np.cumsum(lens)
+        total = int(end[-1]) if len(end) else 0
+        pad = (-total) % 8
+        nbytes = (total + pad) // 8
+        # 3 lead slack bytes absorb the (always-zero) high planes of
+        # early tokens whose last_byte - plane would go negative
+        out = np.zeros(nbytes + 3, dtype=np.uint8)
+        sh = (-end) % 8
+        v = (vals & ((np.int64(1) << lens) - 1)).astype(np.int64) << sh
+        last_byte = (end + sh) // 8 - 1 + 3
+        for plane in range(4):  # lens<=16 + sh<=7 → ≤23 bits ≤ 3 bytes (+1 slack)
+            np.bitwise_or.at(
+                out, last_byte - plane, ((v >> (8 * plane)) & 0xFF).astype(np.uint8)
+            )
+        out = out[3:]
+        if pad:
+            out[-1] |= (1 << pad) - 1  # flush-pad with 1s (T.81)
+        ff = np.flatnonzero(out == 0xFF)  # byte stuffing
+        if len(ff):
+            out = np.insert(out, ff + 1, 0)
+        return out.tobytes()
+
+
+def _huff_arrays(tab, n):
+    code = np.zeros(n, dtype=np.int64)
+    ln = np.zeros(n, dtype=np.int64)
+    for sym, (cd, l_) in tab.items():
+        code[sym], ln[sym] = cd, l_
+    return code, ln
+
+
+def _emit_dc_tokens(acc: _TokenAcc, zz, g, dc_tab, slot0: int = 0):
+    """DPCM DC tokens (code + value bits) for all blocks of a component;
+    the DPCM predecessor follows the component's own scan order."""
+    dc_code, dc_len = _huff_arrays(dc_tab, 12)
+    d = np.diff(zz[:, 0], prepend=0)
+    s = _sizes_vec(d)
+    bits = np.where(d > 0, d, d + _POW2[s] - 1)
+    nb = zz.shape[0]
+    acc.emit(g, np.full(nb, slot0), dc_code[s], dc_len[s])
+    acc.emit(g, np.full(nb, slot0 + 1), bits, s)  # nbits==0 drop in pack
+
+
+def _emit_ac_tokens(acc: _TokenAcc, zz, g, ac_tab, slot0: int = 2):
+    """ZRL/AC/EOB tokens for coefficients 1..63 of all blocks."""
+    ac_code, ac_len = _huff_arrays(ac_tab, 256)
+    nb = zz.shape[0]
+    nzb, nzk0 = np.nonzero(zz[:, 1:])
+    k = nzk0 + 1
+    first = np.ones(len(nzb), dtype=bool)
+    first[1:] = nzb[1:] != nzb[:-1]
+    prev_k = np.empty_like(k)
+    prev_k[first] = 0
+    prev_k[~first] = k[:-1][~first[1:]]
+    run = k - prev_k - 1
+    nzrl = run >> 4
+    rem = run & 15
+    v = zz[nzb, k]
+    s = _sizes_vec(v)
+    bits = np.where(v > 0, v, v + _POW2[s] - 1)
+    tc = nzrl + 2  # tokens this nonzero contributes (ZRLs + code + bits)
+    cum = np.concatenate([[0], np.cumsum(tc)[:-1]])
+    if len(nzb):
+        block_base = cum[first][np.cumsum(first) - 1]
+    else:
+        block_base = cum
+    start = slot0 + cum - block_base
+    tot = int(nzrl.sum())
+    if tot:  # ZRL tokens, ragged expansion
+        rep = np.repeat(np.arange(len(nzrl)), nzrl)
+        intra = np.arange(tot) - np.repeat(np.cumsum(nzrl) - nzrl, nzrl)
+        acc.emit(
+            g[nzb[rep]], start[rep] + intra,
+            np.full(tot, int(ac_code[0xF0])), np.full(tot, int(ac_len[0xF0])),
+        )
+    sym = (rem << 4) | s
+    acc.emit(g[nzb], start + nzrl, ac_code[sym], ac_len[sym])
+    acc.emit(g[nzb], start + nzrl + 1, bits, s)
+    last_k = np.zeros(nb, dtype=np.int64)
+    if len(nzb):
+        lastmask = np.ones(len(nzb), dtype=bool)
+        lastmask[:-1] = nzb[:-1] != nzb[1:]
+        last_k[nzb[lastmask]] = k[lastmask]
+    need_eob = last_k < 63
+    tok_per_block = np.zeros(nb, dtype=np.int64)
+    if len(nzb):
+        tok_per_block = np.bincount(nzb, weights=tc, minlength=nb).astype(np.int64)
+    acc.emit(
+        g[need_eob], slot0 + tok_per_block[need_eob],
+        np.full(int(need_eob.sum()), int(ac_code[0x00])),
+        np.full(int(need_eob.sum()), int(ac_len[0x00])),
+    )
+
+
+def _scan_order_map(comps, mcu_layout):
+    """Global scan index of component ci's b-th block (interleaved MCUs)."""
     blocks_per_mcu = sum(nb for _ci, nb in mcu_layout)
-    g_of = []
+    g_of = {}
     off = 0
     for ci, nblk in mcu_layout:
-        b = np.arange(n_per[ci], dtype=np.int64)
-        g_of_ci = (b // nblk) * blocks_per_mcu + off + (b % nblk)
-        g_of.append(g_of_ci)
+        b = np.arange(comps[ci].shape[0], dtype=np.int64)
+        g_of[ci] = (b // nblk) * blocks_per_mcu + off + (b % nblk)
         off += nblk
-    order_parts, slot_parts, val_parts, len_parts = [], [], [], []
+    return g_of
 
-    def emit(g_order, slot, vals, lens):
-        order_parts.append(np.asarray(g_order, dtype=np.int64))
-        slot_parts.append(np.asarray(slot, dtype=np.int64))
-        val_parts.append(np.asarray(vals, dtype=np.int64))
-        len_parts.append(np.asarray(lens, dtype=np.int64))
 
+def _entropy_encode_baseline(comps, mcu_layout, n_mcus, tabs) -> bytes:
+    """Vectorized baseline-sequential entropy coding — bit-identical to
+    the scalar `_encode_block` loop (differential-tested), ~50× faster
+    on coefficient-dense tiles. No per-coefficient Python."""
+    g_of = _scan_order_map(comps, mcu_layout)
+    acc = _TokenAcc()
     for ci in range(3):
         zz = np.asarray(comps[ci], dtype=np.int64)
-        dc_tab, ac_tab = tabs[ci]
-        dc_code = np.array([dc_tab[s][0] for s in range(12)], dtype=np.int64)
-        dc_len = np.array([dc_tab[s][1] for s in range(12)], dtype=np.int64)
-        ac_code = np.zeros(256, dtype=np.int64)
-        ac_len = np.zeros(256, dtype=np.int64)
-        for sym, (cd, ln) in ac_tab.items():
-            ac_code[sym], ac_len[sym] = cd, ln
-        g = g_of[ci]
-        nb = zz.shape[0]
-        # --- DC: DPCM over the component's scan order
-        d = np.diff(zz[:, 0], prepend=0)
-        s = _sizes_vec(d)
-        bits = np.where(d > 0, d, d + _POW2[s] - 1)
-        emit(g, np.zeros(nb), dc_code[s], dc_len[s])
-        emit(g, np.ones(nb), bits, s)  # nbits==0 rows drop in the packer
-        # --- AC: flat nonzero events
-        nzb, nzk0 = np.nonzero(zz[:, 1:])
-        k = nzk0 + 1
-        first = np.ones(len(nzb), dtype=bool)
-        first[1:] = nzb[1:] != nzb[:-1]
-        prev_k = np.empty_like(k)
-        prev_k[first] = 0
-        prev_k[~first] = k[:-1][~first[1:]]
-        run = k - prev_k - 1
-        nzrl = run >> 4
-        rem = run & 15
-        v = zz[nzb, k]
-        s = _sizes_vec(v)
-        bits = np.where(v > 0, v, v + _POW2[s] - 1)
-        # intra-block slots: DC used 0..1; each nonzero takes nzrl+2
-        tc = nzrl + 2
-        acc = np.concatenate([[0], np.cumsum(tc)[:-1]])
-        if len(nzb):
-            block_base = acc[first][np.cumsum(first) - 1]
-        else:
-            block_base = acc
-        start = 2 + acc - block_base
-        # ZRL tokens (ragged expansion)
-        tot = int(nzrl.sum())
-        if tot:
-            rep = np.repeat(np.arange(len(nzrl)), nzrl)
-            intra = np.arange(tot) - np.repeat(np.cumsum(nzrl) - nzrl, nzrl)
-            emit(
-                g[nzb[rep]], start[rep] + intra,
-                np.full(tot, int(ac_code[0xF0])),
-                np.full(tot, int(ac_len[0xF0])),
-            )
-        sym = (rem << 4) | s
-        emit(g[nzb], start + nzrl, ac_code[sym], ac_len[sym])
-        emit(g[nzb], start + nzrl + 1, bits, s)
-        # --- EOB where the block's last nonzero sits before k=63
-        last_k = np.zeros(nb, dtype=np.int64)
-        if len(nzb):
-            lastmask = np.ones(len(nzb), dtype=bool)
-            lastmask[:-1] = nzb[:-1] != nzb[1:]
-            last_k[nzb[lastmask]] = k[lastmask]
-        need_eob = last_k < 63
-        tok_per_block = np.zeros(nb, dtype=np.int64)
-        if len(nzb):
-            tok_per_block = np.bincount(nzb, weights=tc, minlength=nb).astype(np.int64)
-        eob_slot = 2 + tok_per_block
-        emit(
-            g[need_eob], eob_slot[need_eob],
-            np.full(int(need_eob.sum()), int(ac_code[0x00])),
-            np.full(int(need_eob.sum()), int(ac_len[0x00])),
-        )
-
-    g_all = np.concatenate(order_parts)
-    slot_all = np.concatenate(slot_parts)
-    vals = np.concatenate(val_parts)
-    lens = np.concatenate(len_parts)
-    sel = np.lexsort((slot_all, g_all))
-    vals, lens = vals[sel], lens[sel]
-    keep = lens > 0
-    vals, lens = vals[keep], lens[keep]
-    # MSB-first packing
-    end = np.cumsum(lens)
-    p = end - lens
-    total = int(end[-1]) if len(end) else 0
-    pad = (-total) % 8
-    nbytes = (total + pad) // 8
-    out = np.zeros(nbytes, dtype=np.uint8)
-    sh = (-end) % 8
-    v = (vals & (_POW2_63(lens))).astype(np.int64) << sh
-    last_byte = (end + sh) // 8 - 1
-    for plane in range(4):  # lens<=16 + sh<=7 → ≤23 bits ≤ 3 bytes (+1 slack)
-        np.bitwise_or.at(
-            out, last_byte - plane, ((v >> (8 * plane)) & 0xFF).astype(np.uint8)
-        )
-    if pad:
-        out[-1] |= (1 << pad) - 1  # flush-pad with 1s (T.81)
-    # byte stuffing: every 0xFF gets a 0x00 after it
-    ff = np.flatnonzero(out == 0xFF)
-    if len(ff):
-        out = np.insert(out, ff + 1, 0)
-    return out.tobytes()
-
-
-def _POW2_63(lens: np.ndarray) -> np.ndarray:
-    return (np.int64(1) << lens) - 1
+        _emit_dc_tokens(acc, zz, g_of[ci], tabs[ci][0], slot0=0)
+        _emit_ac_tokens(acc, zz, g_of[ci], tabs[ci][1], slot0=2)
+    return acc.pack()
 
 
 def _seg(marker: int, payload: bytes) -> bytes:
@@ -382,42 +389,6 @@ def _seg(marker: int, payload: bytes) -> bytes:
 def _pad_to(chan: np.ndarray, mh: int, mw: int) -> np.ndarray:
     h, w = chan.shape
     return np.pad(chan, ((0, mh - h), (0, mw - w)), mode="edge")
-
-
-def _encode_dc_only(bw: _BitWriter, dc: int, pred: int, dc_tab) -> int:
-    size, bits = _magnitude(dc - pred)
-    code, ln = dc_tab[size]
-    bw.write(code, ln)
-    if size:
-        bw.write(bits, size)
-    return dc
-
-
-def _encode_ac_band(bw: _BitWriter, zz: np.ndarray, ac_tab):
-    """Progressive AC scan (Ss=1, Se=63, no successive approximation) for
-    one block. EOB runs are flushed at length 1 (symbol 0x00 — the only
-    EOBn the Annex-K tables can express), which is spec-legal and makes
-    the per-block coding identical to baseline's AC part."""
-    run = 0
-    nz = np.nonzero(zz[1:])[0]
-    last = nz[-1] + 1 if len(nz) else 0
-    for k in range(1, last + 1):
-        v = int(zz[k])
-        if v == 0:
-            run += 1
-            continue
-        while run > 15:
-            code, ln = ac_tab[0xF0]
-            bw.write(code, ln)
-            run -= 16
-        size, bits = _magnitude(v)
-        code, ln = ac_tab[(run << 4) | size]
-        bw.write(code, ln)
-        bw.write(bits, size)
-        run = 0
-    if last < 63:
-        code, ln = ac_tab[0x00]  # EOB run of exactly 1
-        bw.write(code, ln)
 
 
 def encode_jpeg(
@@ -511,25 +482,25 @@ def encode_jpeg(
             sos += struct.pack(">BB", cid, td)
         sos += b"\x00\x00\x00"
         out += _seg(0xFFDA, sos)
-        bw = _BitWriter()
-        preds = [0, 0, 0]
-        for bi in range(n_mcus):
-            for ci in range(3):
-                preds[ci] = _encode_dc_only(
-                    bw, int(comps[ci][bi][0]), preds[ci], tabs[ci][0]
-                )
-        bw.flush()
-        out += bw.buf
+        # interleaved DC scan, vectorized (444: global index 3*bi + ci)
+        acc = _TokenAcc()
+        for ci in range(3):
+            zz = np.asarray(comps[ci], dtype=np.int64)
+            g = np.arange(zz.shape[0], dtype=np.int64) * 3 + ci
+            _emit_dc_tokens(acc, zz, g, tabs[ci][0], slot0=0)
+        out += acc.pack()
         # scans 2-4: per-component AC band 1..63 (non-interleaved)
         for ci, (cid, ta) in enumerate(((1, 0x00), (2, 0x01), (3, 0x01))):
             out += _seg(
                 0xFFDA, struct.pack(">BBB", 1, cid, ta) + b"\x01\x3f\x00"
             )
-            bw = _BitWriter()
-            for bi in range(comps[ci].shape[0]):
-                _encode_ac_band(bw, comps[ci][bi], tabs[ci][1])
-            bw.flush()
-            out += bw.buf
+            acc = _TokenAcc()
+            zz = np.asarray(comps[ci], dtype=np.int64)
+            _emit_ac_tokens(
+                acc, zz, np.arange(zz.shape[0], dtype=np.int64),
+                tabs[ci][1], slot0=0,
+            )
+            out += acc.pack()
         out += b"\xff\xd9"  # EOI
         return bytes(out)
 
