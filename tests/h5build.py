@@ -311,3 +311,133 @@ def build_dense_links_file(path: str, n_vars: int = 12) -> dict[str, np.ndarray]
     with open(path, "wb") as f:
         f.write(bld.bytes())
     return out
+
+
+def _fletcher_chunked_dataset(bld: _Builder, arr: np.ndarray, chunk, kind: str) -> int:
+    """Chunked dataset with the FLETCHER32 filter (id 3): 4-byte checksum
+    appended per chunk (reader strips, never verifies)."""
+    nd = len(arr.shape)
+    entries = []
+    ranges = [range(0, s, c) for s, c in zip(arr.shape, chunk)]
+    offs_list = [()]
+    for r in ranges:
+        offs_list = [o + (v,) for o in offs_list for v in r]
+    for offs in offs_list:
+        full = np.zeros(chunk, dtype=arr.dtype)
+        sl = tuple(slice(o, min(o + c, s)) for o, c, s in zip(offs, chunk, arr.shape))
+        sub = arr[sl]
+        full[tuple(slice(0, x) for x in sub.shape)] = sub
+        raw = full.tobytes() + b"\xde\xad\xbe\xef"  # unverified checksum
+        entries.append((offs, bld.alloc(raw), len(raw)))
+    bt = bytearray(b"TREE" + struct.pack("<BBH", 1, 0, len(entries)) + UNDEF8 + UNDEF8)
+    for offs, addr, size in entries:
+        bt += struct.pack("<II", size, 0)
+        bt += b"".join(struct.pack("<Q", o) for o in offs) + struct.pack("<Q", 0)
+        bt += struct.pack("<Q", addr)
+    bt += struct.pack("<II", 0, 0) + b"\x00" * (8 * (nd + 1))
+    bt_addr = bld.alloc(bytes(bt))
+    msgs = [
+        (0x0001, _dataspace_v1(list(arr.shape))),
+        (0x0003, _datatype(kind)),
+        (0x0008,
+         struct.pack("<BBB", 3, 2, nd + 1) + struct.pack("<Q", bt_addr)
+         + b"".join(struct.pack("<I", c) for c in chunk)
+         + struct.pack("<I", arr.dtype.itemsize)),
+        # filter pipeline v1: fletcher32 (id 3), zero client values
+        (0x000B,
+         struct.pack("<BB6x", 1, 1) + struct.pack("<HHHH", 3, 0, 1, 0)),
+    ]
+    return bld.alloc(_v1_header(msgs))
+
+
+def _dense_link_root_indirect(bld: _Builder, links: list[tuple[str, int]]) -> int:
+    """Dense link root whose fractal heap uses an INDIRECT root block
+    (FHIB) with multiple small direct blocks — exercises the doubling-
+    table walk the single-FHDB fixtures never touch."""
+    OFFB = 2
+    LENB = 2
+    hid_len = 1 + OFFB + LENB
+    start_bs = 64  # tiny: forces several direct blocks
+    width = 4
+    db_hdr = 4 + 1 + 8 + OFFB
+    # pack link messages into as many direct blocks as needed
+    blocks = []  # (heap_offset, bytes)
+    objects = []  # (heap_offset_of_object, length)
+    cur = bytearray(b"FHDB" + struct.pack("<B", 0) + b"\x00" * 8 + b"\x00" * OFFB)
+    cur_base = 0
+    for nm, ohdr in links:
+        msg = _link_msg(nm, ohdr)
+        if len(cur) + len(msg) > start_bs:
+            blocks.append((cur_base, bytes(cur) + b"\x00" * (start_bs - len(cur))))
+            cur_base += start_bs
+            cur = bytearray(b"FHDB" + struct.pack("<B", 0) + b"\x00" * 8)
+            cur += struct.pack("<H", cur_base)  # block offset field (OFFB=2)
+        objects.append((cur_base + len(cur), len(msg)))
+        cur += msg
+    blocks.append((cur_base, bytes(cur) + b"\x00" * (start_bs - len(cur))))
+    db_addrs = [bld.alloc(b) for _off, b in blocks]
+    # FHIB root: sig, ver, heap hdr addr, block offset, then child addrs
+    # row0 + row1 at start_bs (2*width direct slots before doubling)
+    fhib = bytearray(b"FHIB" + struct.pack("<B", 0) + b"\x00" * 8 + b"\x00" * OFFB)
+    nslots = 2 * width  # enough for our few blocks
+    for i in range(nslots):
+        fhib += struct.pack("<Q", db_addrs[i] if i < len(db_addrs) else 0xFFFFFFFFFFFFFFFF)
+    fhib_addr = bld.alloc(bytes(fhib))
+    frhp = bytearray(142)
+    frhp[0:4] = b"FRHP"
+    frhp[5:7] = struct.pack("<H", hid_len)
+    frhp[9] = 0
+    frhp[110:112] = struct.pack("<H", width)
+    frhp[112:120] = struct.pack("<Q", start_bs)
+    frhp[120:128] = struct.pack("<Q", 1024)
+    frhp[128:130] = struct.pack("<H", 16)
+    frhp[130:132] = struct.pack("<H", 1)
+    frhp[132:140] = struct.pack("<Q", fhib_addr)
+    frhp_addr = bld.alloc(bytes(frhp))
+    rec_size = 4 + hid_len
+    leaf = bytearray(b"BTLF" + struct.pack("<BB", 0, 5))
+    for off, ln in objects:
+        leaf += struct.pack("<I", 0) + struct.pack("<B", 0)
+        leaf += struct.pack("<H", off) + struct.pack("<H", ln)
+    leaf += b"\x00" * 4
+    leaf_addr = bld.alloc(bytes(leaf))
+    bthd = bytearray(40)
+    bthd[0:4] = b"BTHD"
+    bthd[5] = 5
+    bthd[6:10] = struct.pack("<I", 512)
+    bthd[10:12] = struct.pack("<H", rec_size)
+    bthd[12:14] = struct.pack("<H", 0)
+    bthd[16:24] = struct.pack("<Q", leaf_addr)
+    bthd[24:26] = struct.pack("<H", len(objects))
+    bthd_addr = bld.alloc(bytes(bthd))
+    li = struct.pack("<BB", 0, 0) + struct.pack("<QQ", frhp_addr, bthd_addr)
+    return bld.alloc(_v1_header([(0x0002, li)]))
+
+
+def build_fletcher_file(path: str) -> np.ndarray:
+    bld = _Builder()
+    arr = (np.arange(6 * 10, dtype="<i4").reshape(6, 10) * 3 + 1) % 500
+    v_oh = _fletcher_chunked_dataset(bld, arr, (4, 4), "i4")
+    root = _symbol_table_root(bld, [("v", v_oh)])
+    data = bld.bytes()
+    bld.place(0, _superblock_v0(root, len(data)))
+    with open(path, "wb") as f:
+        f.write(bld.bytes())
+    return arr
+
+
+def build_indirect_heap_links_file(path: str, n_vars: int = 9) -> dict:
+    bld = _Builder()
+    out = {}
+    links = []
+    for i in range(n_vars):
+        arr = (np.arange(4, dtype="<i4") + 10 * i).reshape(2, 2)
+        name = f"w{i:02d}"
+        out[name] = arr
+        links.append((name, _contiguous_dataset(bld, arr, "i4", [])))
+    root = _dense_link_root_indirect(bld, links)
+    data = bld.bytes()
+    bld.place(0, _superblock_v0(root, len(data)))
+    with open(path, "wb") as f:
+        f.write(bld.bytes())
+    return out

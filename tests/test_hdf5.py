@@ -263,3 +263,27 @@ def test_dense_group_links(tmp_path):
     assert sorted(f.datasets) == sorted(want)
     for name, arr in want.items():
         assert np.array_equal(f.datasets[name].read(), arr), name
+
+
+def test_fletcher32_filter(tmp_path):
+    """Fletcher32-filtered chunks: the reader strips the 4-byte trailing
+    checksum (unverified) and reassembles exactly."""
+    from tests.h5build import build_fletcher_file
+
+    p = str(tmp_path / "fletch.h5")
+    want = build_fletcher_file(p)
+    got = H5File(p).datasets["v"].read()
+    assert np.array_equal(got, want)
+
+
+def test_indirect_fractal_heap_links(tmp_path):
+    """Dense links across MULTIPLE 64-byte direct blocks under an FHIB
+    indirect root — the doubling-table walk the FHDB fixtures skip."""
+    from tests.h5build import build_indirect_heap_links_file
+
+    p = str(tmp_path / "fhib.h5")
+    want = build_indirect_heap_links_file(p, n_vars=9)
+    f = H5File(p)
+    assert sorted(f.datasets) == sorted(want)
+    for name, arr in want.items():
+        assert np.array_equal(f.datasets[name].read(), arr), name
