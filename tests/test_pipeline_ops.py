@@ -234,3 +234,28 @@ def test_audio_wav_roundtrip():
     stereo = rng.integers(-32768, 32768, (100, 2), dtype=np.int16)
     arr2, rate2 = decode_wav(encode_wav(stereo, 44100))
     assert rate2 == 44100 and np.array_equal(arr2, stereo)
+
+
+def test_embedding_neardup_hot_bucket_cap(spark):
+    """The hot-bucket guard drops over-populated LSH keys instead of
+    going quadratic: 200 identical vectors (one degenerate bucket) plus
+    two planted near-dups elsewhere."""
+    import numpy as np
+
+    from trefoil_spark.operators.dedup import embedding_near_duplicates
+
+    rng = np.random.default_rng(4)
+    base = rng.standard_normal(16)
+    rows = [(i, (base * 0.0 + 1.0).tolist()) for i in range(200)]  # one bucket
+    va = rng.standard_normal(16)
+    rows += [(1000, va.tolist()), (1001, (va + 0.001).tolist())]
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+    # uncapped: the degenerate bucket alone yields 19900 pairs
+    full = embedding_near_duplicates(df, threshold=0.99, n_planes=6,
+                                     max_bucket=None)
+    assert full.count() >= 19900
+    capped = embedding_near_duplicates(df, threshold=0.99, n_planes=6,
+                                       max_bucket=50)
+    got = {(r["id_a"], r["id_b"]) for r in capped.collect()}
+    assert (1000, 1001) in got          # planted pair survives
+    assert all(a >= 1000 for a, _ in got)  # degenerate bucket fully dropped

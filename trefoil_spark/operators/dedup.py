@@ -272,6 +272,7 @@ def embedding_near_duplicates(
     n_planes: int = 8,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    max_bucket: int | None = 100_000,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (the training-data suite's
     fifth dedup modality): LSH-bucket candidate generation (seeded
@@ -279,13 +280,21 @@ def embedding_near_duplicates(
     oracle) → exact cosine verify ``>= threshold``.
 
     Scale shape: one bucket equi-join (same as similarity LSH — never
-    all-pairs); candidate pairs per bucket only. Recall < 1 by LSH
-    construction, deterministic: the oracle replays the identical planes
-    and the identical left-fold dot arithmetic, so the threshold
-    decision is bit-identical (pairs within 1 ulp of the threshold are
-    measure-zero for real embeddings). Returns (id_a, id_b) only —
-    raw cosines never leave the engine (float-parity rule).
+    all-pairs); candidate pairs per bucket only. ``max_bucket`` is the
+    hot-bucket guard: a degenerate bucket (hash-collapsed content, e.g.
+    zero vectors) would otherwise go quadratic in the self-join — keys
+    whose population exceeds the cap are dropped entirely (the standard
+    LSH-at-scale tradeoff: bounded work, recall loss confined to
+    pathological keys; deterministic, and mirrored in the oracle when a
+    capped query is hash-checked). Recall < 1 by LSH construction,
+    deterministic: the oracle replays the identical planes and the
+    identical left-fold dot arithmetic, so the threshold decision is
+    bit-identical (pairs within 1 ulp of the threshold are measure-zero
+    for real embeddings). Returns (id_a, id_b) only — raw cosines never
+    leave the engine (float-parity rule).
     """
+    from pyspark.sql.window import Window as W
+
     from .similarity import _dot, _norm, bucket_expr, hyperplanes
 
     dim = len(emb.select(vec_col).first()[0])
@@ -295,6 +304,11 @@ def embedding_near_duplicates(
         F.col(vec_col).alias("v"),
         F.expr(bucket_expr(vec_col, planes, "spark")).alias("bucket"),
     )
+    if max_bucket is not None:
+        counts = F.count(F.lit(1)).over(W.partitionBy("bucket"))
+        b = b.withColumn("_bn", counts).filter(
+            F.col("_bn") <= max_bucket
+        ).drop("_bn")
     l, r = b.alias("l"), b.alias("r")
     cand = l.join(
         r,
