@@ -93,13 +93,29 @@ def minhash_sql_duckdb(text_col: str = "text", num_hashes: int = 16, seed: int =
     return _minhash_sql("duckdb", text_col, minhash_params(num_hashes, seed))
 
 
+def _cap_hot_keys(df: DataFrame, key_cols: list[str], cap: int | None) -> DataFrame:
+    """Hot-key guard for LSH-style self-joins: drop join keys whose
+    population exceeds ``cap`` (a degenerate key — boilerplate text, a
+    constant signature chunk — would otherwise make the self-join
+    quadratic in its population). Deterministic; the standard
+    bounded-work / pathological-recall tradeoff for LSH at scale."""
+    if cap is None:
+        return df
+    from pyspark.sql.window import Window as W
+
+    n = F.count(F.lit(1)).over(W.partitionBy(*key_cols))
+    return df.withColumn("_kn", n).filter(F.col("_kn") <= cap).drop("_kn")
+
+
 def lsh_candidate_pairs(
     sigs: DataFrame,
     id_col: str = "doc_id",
     bands: int = 4,
     rows_per_band: int = 4,
+    max_bucket: int | None = 100_000,
 ) -> DataFrame:
-    """Docs sharing any band of the signature → candidate pairs (a < b)."""
+    """Docs sharing any band of the signature → candidate pairs (a < b).
+    ``max_bucket`` caps per-(band, key) population — see _cap_hot_keys."""
     slices = [
         F.struct(
             F.lit(b).alias("band"),
@@ -110,6 +126,7 @@ def lsh_candidate_pairs(
     banded = sigs.select(
         F.col(id_col), F.explode(F.array(*slices)).alias("bk")
     ).select(id_col, "bk.band", F.col("bk.key").cast("string").alias("key"))
+    banded = _cap_hot_keys(banded, ["band", "key"], max_bucket)
     left = banded.alias("l")
     right = banded.alias("r")
     pairs = left.join(
@@ -228,10 +245,15 @@ def simhash_signatures(
 
 
 def simhash_near_duplicates(
-    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", max_hamming: int = 3
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+    max_bucket: int | None = 100_000,
 ) -> DataFrame:
     """Hamming-ball pairing: 4x15-bit chunk band join (any identical chunk
-    guarantees recall for distance <= 3 by pigeonhole) + exact popcount."""
+    guarantees recall for distance <= 3 by pigeonhole) + exact popcount.
+    ``max_bucket`` caps per-(chunk, key) population — see _cap_hot_keys."""
     sigs = simhash_signatures(df, text_col, id_col)
     chunks = sigs.select(
         id_col,
@@ -246,6 +268,7 @@ def simhash_near_duplicates(
             ])
         ).alias("ck"),
     ).select(id_col, "simhash", "ck.chunk", "ck.key")
+    chunks = _cap_hot_keys(chunks, ["chunk", "key"], max_bucket)
     l, r = chunks.alias("l"), chunks.alias("r")
     pairs = (
         l.join(
@@ -293,8 +316,6 @@ def embedding_near_duplicates(
     for real embeddings). Returns (id_a, id_b) only — raw cosines never
     leave the engine (float-parity rule).
     """
-    from pyspark.sql.window import Window as W
-
     from .similarity import _dot, _norm, bucket_expr, hyperplanes
 
     dim = len(emb.select(vec_col).first()[0])
@@ -304,11 +325,7 @@ def embedding_near_duplicates(
         F.col(vec_col).alias("v"),
         F.expr(bucket_expr(vec_col, planes, "spark")).alias("bucket"),
     )
-    if max_bucket is not None:
-        counts = F.count(F.lit(1)).over(W.partitionBy("bucket"))
-        b = b.withColumn("_bn", counts).filter(
-            F.col("_bn") <= max_bucket
-        ).drop("_bn")
+    b = _cap_hot_keys(b, ["bucket"], max_bucket)
     l, r = b.alias("l"), b.alias("r")
     cand = l.join(
         r,
