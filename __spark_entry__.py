@@ -26,6 +26,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from trefoil_spark.geometry import pip_sql_expr
+from trefoil_spark.operators.dedup import DEFAULT_MAX_BUCKET as _MAX_BUCKET
 from trefoil_spark.grid.bbox import BBox
 from trefoil_spark.operators.pip_join import pip_join
 from trefoil_spark.operators.zonal import zonal_statistics
@@ -437,7 +438,7 @@ def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("embedding"),
     )
     out = embedding_near_duplicates(
-        base.unionByName(planted), threshold=0.99, n_planes=8
+        base.unionByName(planted), threshold=0.99, n_planes=8, dim=64
     )
     return out.orderBy("id_a", "id_b")
 
@@ -1819,10 +1820,16 @@ def _dedup_simhash_oracle() -> str:
             SELECT doc_id, {sig} AS simhash
             FROM (SELECT doc_id, {toks} AS _th FROM documents)
         ),
-        c AS (
+        c0 AS (
             SELECT doc_id, simhash, ck AS chunk,
                    (simhash >> CAST(15 * ck AS INT)) & 32767 AS key
             FROM s, (SELECT UNNEST(range(4)) AS ck)
+        ),
+        c AS (
+            -- hot-key guard mirror (dedup.DEFAULT_MAX_BUCKET)
+            SELECT doc_id, simhash, chunk, key FROM (
+                SELECT *, COUNT(*) OVER (PARTITION BY chunk, key) AS _kn FROM c0
+            ) WHERE _kn <= {_MAX_BUCKET}
         ),
         p AS (
             SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b,
@@ -1856,7 +1863,14 @@ def _minhash_pairs_ctes() -> str:
                 )
             )
         ),
-        banded AS ({band_union}),
+        banded0 AS ({band_union}),
+        banded AS (
+            -- hot-key guard mirror (dedup.DEFAULT_MAX_BUCKET)
+            SELECT doc_id, band, key FROM (
+                SELECT *, COUNT(*) OVER (PARTITION BY band, key) AS _kn
+                FROM banded0
+            ) WHERE _kn <= {_MAX_BUCKET}
+        ),
         pairs AS (
             SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
             FROM banded l JOIN banded r
@@ -1919,7 +1933,13 @@ def _dedup_embedding_oracle() -> str:
             FROM base WHERE vec_id % 10 = 0
         ),
         allv AS (SELECT * FROM base UNION ALL SELECT * FROM planted),
-        b AS (SELECT vec_id AS id, embedding, {be} AS bucket FROM allv)
+        b0 AS (SELECT vec_id AS id, embedding, {be} AS bucket FROM allv),
+        b AS (
+            -- hot-key guard mirror (dedup.DEFAULT_MAX_BUCKET)
+            SELECT id, embedding, bucket FROM (
+                SELECT *, COUNT(*) OVER (PARTITION BY bucket) AS _kn FROM b0
+            ) WHERE _kn <= {_MAX_BUCKET}
+        )
         SELECT DISTINCT l.id AS id_a, r.id AS id_b
         FROM b l JOIN b r ON l.bucket = r.bucket AND l.id < r.id
         WHERE {cos} >= {_EMB_DUP_TAU}

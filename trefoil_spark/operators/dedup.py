@@ -33,6 +33,11 @@ from .textstats import token_hash_expr, token_hash_expr_duckdb
 P31 = (1 << 31) - 1  # Mersenne prime for the affine minhash family
 
 
+# hot-key guard default for LSH-style self-joins (see _cap_hot_keys);
+# oracle twins in __spark_entry__.py mirror this exact value
+DEFAULT_MAX_BUCKET = 100_000
+
+
 def minhash_params(num_hashes: int = 16, seed: int = 42) -> list[tuple[int, int]]:
     """Deterministic (a, b) pairs for h_i(x) = (a*x + b) mod P31."""
     rng = np.random.default_rng(seed)
@@ -112,7 +117,7 @@ def lsh_candidate_pairs(
     id_col: str = "doc_id",
     bands: int = 4,
     rows_per_band: int = 4,
-    max_bucket: int | None = 100_000,
+    max_bucket: int | None = DEFAULT_MAX_BUCKET,
 ) -> DataFrame:
     """Docs sharing any band of the signature → candidate pairs (a < b).
     ``max_bucket`` caps per-(band, key) population — see _cap_hot_keys."""
@@ -249,7 +254,7 @@ def simhash_near_duplicates(
     text_col: str = "text",
     id_col: str = "doc_id",
     max_hamming: int = 3,
-    max_bucket: int | None = 100_000,
+    max_bucket: int | None = DEFAULT_MAX_BUCKET,
 ) -> DataFrame:
     """Hamming-ball pairing: 4x15-bit chunk band join (any identical chunk
     guarantees recall for distance <= 3 by pigeonhole) + exact popcount.
@@ -295,7 +300,8 @@ def embedding_near_duplicates(
     n_planes: int = 8,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    max_bucket: int | None = 100_000,
+    max_bucket: int | None = DEFAULT_MAX_BUCKET,
+    dim: int | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (the training-data suite's
     fifth dedup modality): LSH-bucket candidate generation (seeded
@@ -318,7 +324,13 @@ def embedding_near_duplicates(
     """
     from .similarity import _dot, _norm, bucket_expr, hyperplanes
 
-    dim = len(emb.select(vec_col).first()[0])
+    if dim is None:
+        # fallback probe — costs one Spark job at graph-construction
+        # time; callers that know the dimension should pass it
+        row = emb.select(vec_col).first()
+        if row is None:
+            raise ValueError("empty embedding table and no dim= given")
+        dim = len(row[0])
     planes = hyperplanes(dim, n_planes=n_planes)
     b = emb.select(
         F.col(id_col).alias("id"),

@@ -27,6 +27,8 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..functions.stats import DF_EXACT_MAX
+
 
 def statistic_by_interval(
     tiles: DataFrame, interval: int, statistic: str = "mean", n_timesteps: int | None = None
@@ -188,11 +190,13 @@ def _t_p_stage_exprs(dialect: str) -> list[tuple[str, str]]:
             )
 
         fold_e = (
-            f"CASE WHEN m_e >= 2 THEN {fold('sequence(1, m_e - 1)', ratio_e, st(zero, one))} "
+            f"CASE WHEN is_exact AND m_e >= 2 THEN "
+            f"{fold('sequence(1, m_e - 1)', ratio_e, st(zero, one))} "
             f"ELSE {st(zero, one)} END"
         )
         fold_o = (
-            f"CASE WHEN m_o >= 2 THEN {fold('sequence(2, m_o)', ratio_o, st(zero, 'cos_t'))} "
+            f"CASE WHEN is_exact AND m_o >= 2 THEN "
+            f"{fold('sequence(2, m_o)', ratio_o, st(zero, 'cos_t'))} "
             f"ELSE {st(zero, 'cos_t')} END"
         )
     elif dialect == "duckdb":
@@ -210,11 +214,13 @@ def _t_p_stage_exprs(dialect: str) -> list[tuple[str, str]]:
             )
 
         fold_e = (
-            f"CASE WHEN m_e >= 2 THEN {fold('range(1, m_e)', ratio_e, st(zero, one))} "
+            f"CASE WHEN is_exact AND m_e >= 2 THEN "
+            f"{fold('range(1, m_e)', ratio_e, st(zero, one))} "
             f"ELSE {st(zero, one)} END"
         )
         fold_o = (
-            f"CASE WHEN m_o >= 2 THEN {fold('range(2, m_o + 1)', ratio_o, st(zero, 'cos_t'))} "
+            f"CASE WHEN is_exact AND m_o >= 2 THEN "
+            f"{fold('range(2, m_o + 1)', ratio_o, st(zero, 'cos_t'))} "
             f"ELSE {st(zero, 'cos_t')} END"
         )
     else:
@@ -231,6 +237,9 @@ def _t_p_stage_exprs(dialect: str) -> list[tuple[str, str]]:
         ("tstat",
          f"r * SQRT(dfree / (({one} - r + CAST(1.0E-20 AS DOUBLE)) "
          f"* ({one} + r + CAST(1.0E-20 AS DOUBLE))))"),
+        # exact finite sums below the cut; O(1) asymptotic above — the
+        # fold length is m = df/2, an O(group-size) wall at scale
+        ("is_exact", f"(idf <= {DF_EXACT_MAX})"),
         ("theta", "ATAN(tstat / SQRT(dfree))"),
         ("sin_t", "SIN(theta)"),
         ("cos_t", "COS(theta)"),
@@ -244,9 +253,22 @@ def _t_p_stage_exprs(dialect: str) -> list[tuple[str, str]]:
         ("a_t",
          "CASE WHEN idf % 2 = 0 THEN sin_t * s_e "
          "ELSE (CAST(2 AS DOUBLE) / PI()) * (theta + sin_t * s_o) END"),
+        # moment-matching normal asymptotic (stats.DF_EXACT_MAX notes):
+        # z = t(1-1/(4df))/sqrt(1+t^2/(2df)); p = erfc(z/sqrt(2)) via the
+        # A&S 7.1.26 polynomial — identical scalar text in both dialects
+        ("z_n",
+         f"tstat * ({one} - {one} / (CAST(4 AS DOUBLE) * dfree)) "
+         f"/ SQRT({one} + (tstat * tstat) / (CAST(2 AS DOUBLE) * dfree))"),
+        ("x_n", "z_n / SQRT(CAST(2 AS DOUBLE))"),
+        ("u_n", f"{one} / ({one} + CAST(0.3275911 AS DOUBLE) * x_n)"),
+        ("p_n",
+         "(u_n * (CAST(0.254829592 AS DOUBLE) + u_n * (CAST(-0.284496736 AS DOUBLE) "
+         "+ u_n * (CAST(1.421413741 AS DOUBLE) + u_n * (CAST(-1.453152027 AS DOUBLE) "
+         "+ u_n * CAST(1.061405429 AS DOUBLE)))))) * EXP(-(x_n * x_n))"),
         ("p",
-         f"CASE WHEN good THEN "
-         f"LEAST(GREATEST({one} - a_t, CAST(0 AS DOUBLE)), {one}) END"),
+         f"CASE WHEN good THEN LEAST(GREATEST("
+         f"CASE WHEN is_exact THEN {one} - a_t ELSE p_n END, "
+         f"CAST(0 AS DOUBLE)), {one}) END"),
     ]
 
 

@@ -132,7 +132,9 @@ def _sample_grid(
         out[ok] = acc[ok].astype(np.float32)
         return out
     if method != "bilinear":
-        raise ValueError("method must be 'nearest', 'bilinear' or 'cubic'")
+        raise ValueError(
+            "method must be 'nearest', 'bilinear', 'cubic' or 'lanczos'"
+        )
     fx = gx - 0.5
     fy = gy - 0.5
     x0i = np.floor(fx).astype(np.int64)

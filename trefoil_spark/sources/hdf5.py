@@ -651,10 +651,13 @@ class H5File:
         self._d = d
         ver = d[8]
         if ver in (0, 1):
-            # root symbol-table entry: after sb header (24B v0 +?); v0:
-            # sig(8) vers(4x1) reserved.. sizes at 13/14, entry at 56? —
-            # parse: offsets sz at 13, lengths at 14
-            root_ohdr = int.from_bytes(d[64:72], "little")
+            # root symbol-table entry follows the superblock body; its
+            # object-header address is the entry's second field. v1
+            # inserts 4 extra bytes (indexed-storage internal-node K +
+            # reserved) before the base-address block, shifting the
+            # entry from 56 (v0) to 60 (v1).
+            entry = 56 if ver == 0 else 60
+            root_ohdr = int.from_bytes(d[entry + 8 : entry + 16], "little")
         elif ver in (2, 3):
             root_ohdr = int.from_bytes(d[36:44], "little")
         else:
@@ -876,21 +879,38 @@ def ingest_netcdf4(spark, path: str, variable: str, var_label: str | None = None
 
     if ds.layout.kind == "chunked":
         cshape = ds.layout.chunk_shape
+        # unallocated chunks never appear in the b-tree; an UNDEF b-tree
+        # root (never-written variable) yields an empty map → all-fill
         chunk_rows = [
             (int(addr), int(size), int(fmask), *[int(o) for o in offs])
             for offs, addr, size, fmask in ds.chunk_map()
+            if addr != UNDEF
         ]
     else:
-        # contiguous/compact: model as one pseudo-chunk (whole array)
+        # contiguous/compact: model as one pseudo-chunk (whole array);
+        # addr sentinel -1 = compact inline payload. An UNDEF contiguous
+        # address (variable created but never written) contributes no
+        # chunk at all — the skeleton materializes the all-fill tiles.
         cshape = tuple(v.shape)
         n_elem = int(np.prod(v.shape)) if v.shape else 0
-        addr = ds.layout.addr if ds.layout.kind == "contiguous" else -1
-        chunk_rows = [(int(addr), n_elem * dt_np.itemsize, 0, *([0] * rank))]
+        if ds.layout.kind == "compact":
+            chunk_rows = [(-1, len(ds.layout.compact_data), 0, *([0] * rank))]
+        elif ds.layout.addr == UNDEF:
+            chunk_rows = []
+        else:
+            chunk_rows = [
+                (int(ds.layout.addr), n_elem * dt_np.itemsize, 0, *([0] * rank))
+            ]
     off_cols = [f"o{i}" for i in range(rank)]
-    cdf = spark.createDataFrame(
-        chunk_rows, "addr bigint, size bigint, fmask bigint, "
-        + ", ".join(f"{c} bigint" for c in off_cols),
-    ).repartition(min(len(chunk_rows), spark.sparkContext.defaultParallelism * 2))
+    schema_str = (
+        "addr bigint, size bigint, fmask bigint, "
+        + ", ".join(f"{c} bigint" for c in off_cols)
+    )
+    cdf = None
+    if chunk_rows:
+        cdf = spark.createDataFrame(chunk_rows, schema_str).repartition(
+            min(len(chunk_rows), spark.sparkContext.defaultParallelism * 2)
+        )
     compact_payload = ds.layout.compact_data if ds.layout.kind == "compact" else None
 
     from .netcdf3 import _unpack
@@ -906,8 +926,6 @@ def ingest_netcdf4(spark, path: str, variable: str, var_label: str | None = None
             for r in pdf.itertuples(index=False):
                 if r.addr == -1:
                     raw = compact_payload
-                elif int(r.addr) == UNDEF:
-                    continue  # unallocated → fill (skeleton covers it)
                 else:
                     f.seek(int(r.addr))
                     raw = decode_chunk(f.read(int(r.size)), filters, int(r.fmask))
@@ -956,7 +974,7 @@ def ingest_netcdf4(spark, path: str, variable: str, var_label: str | None = None
                 columns=["t", "ty", "tx", "ry", "rx", "fh", "fw", "frag"],
             )
 
-    frags = cdf.mapInPandas(cut, schema=frag_schema)
+    frags = cdf.mapInPandas(cut, schema=frag_schema) if cdf is not None else None
     # skeleton: every (t, ty, tx) exists even when no chunk is stored
     n = nt * nty * ntx
     skel = spark.range(0, n).select(
@@ -988,7 +1006,8 @@ def ingest_netcdf4(spark, path: str, variable: str, var_label: str | None = None
             columns=["var", "t", "ty", "tx", "cell", "block", "h", "w"],
         )
 
-    tiles = frags.unionByName(skel).groupBy("t", "ty", "tx").applyInPandas(
+    src = skel if frags is None else frags.unionByName(skel)
+    tiles = src.groupBy("t", "ty", "tx").applyInPandas(
         assemble, schema=TILE_SCHEMA
     )
     return tiles, spec
