@@ -441,3 +441,28 @@ def build_indirect_heap_links_file(path: str, n_vars: int = 9) -> dict:
     with open(path, "wb") as f:
         f.write(bld.bytes())
     return out
+
+
+def _superblock_v1(root_ohdr: int, eof: int) -> bytes:
+    """v1 superblock: v0 + 4 extra bytes (indexed-storage internal-node
+    K + reserved) before the base-address block — shifts the root entry
+    from 56 to 60."""
+    sb = b"\x89HDF\r\n\x1a\n"
+    sb += struct.pack("<BBBBBBBB", 1, 0, 0, 0, 0, 8, 8, 0)
+    sb += struct.pack("<HHI", 4, 16, 0)
+    sb += struct.pack("<HH", 32, 0)  # indexed-storage K + reserved (v1 only)
+    sb += struct.pack("<Q", 0) + UNDEF8 + struct.pack("<Q", eof) + UNDEF8
+    sb += struct.pack("<QQI4x16x", 0, root_ohdr, 0)
+    return sb
+
+
+def build_v1_superblock_file(path: str) -> np.ndarray:
+    bld = _Builder()
+    arr = (np.arange(12, dtype="<i4") * 5 + 2).reshape(3, 4)
+    v_oh = _contiguous_dataset(bld, arr, "i4", [])
+    root = _symbol_table_root(bld, [("v", v_oh)])
+    data = bld.bytes()
+    bld.place(0, _superblock_v1(root, len(data)))
+    with open(path, "wb") as f:
+        f.write(bld.bytes())
+    return arr

@@ -343,3 +343,15 @@ def test_unallocated_dataset_ingest(spark, tmp_path):
     assert len(rows) == 1
     blk = np.frombuffer(rows[0]["block"], dtype=np.float32)
     assert np.all(np.isnan(blk)) and blk.size == 20
+
+
+def test_superblock_v1_root_offset(tmp_path):
+    """v1 superblocks place the root symbol-table entry at 60, not 56
+    (r4 review finding) — a v1 fixture must parse and read exactly."""
+    from tests.h5build import build_v1_superblock_file
+
+    p = str(tmp_path / "v1.h5")
+    want = build_v1_superblock_file(p)
+    f = H5File(p)
+    assert list(f.datasets) == ["v"]
+    assert np.array_equal(f.datasets["v"].read(), want)
