@@ -355,3 +355,77 @@ def test_superblock_v1_root_offset(tmp_path):
     f = H5File(p)
     assert list(f.datasets) == ["v"]
     assert np.array_equal(f.datasets["v"].read(), want)
+
+
+# ---------------------------------------------------------------------------
+# property fuzzing: randomized shapes/chunks through build → read
+# ---------------------------------------------------------------------------
+
+from hypothesis import HealthCheck, given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+
+@settings(max_examples=30, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(
+    h=st.integers(1, 40),
+    w=st.integers(1, 40),
+    ch=st.integers(1, 17),
+    cw=st.integers(1, 17),
+    deflate=st.booleans(),
+    seed=st.integers(0, 2**31 - 1),
+)
+def test_chunked_2d_roundtrip_property(tmp_path_factory, h, w, ch, cw, deflate, seed):
+    """Arbitrary 2-D shapes × chunk shapes (including chunks larger than
+    the array, 1-pixel arrays, ragged edges): build → driver read is an
+    exact identity. Exercises the v1 chunk B-tree walk, edge-chunk
+    clipping and the filter pipeline under randomized geometry."""
+    import struct
+
+    from tests.h5build import (
+        _Builder, _chunked_dataset, _superblock_v0, _symbol_table_root,
+    )
+
+    rng = np.random.default_rng(seed)
+    arr = rng.integers(-(2**31), 2**31 - 1, size=(h, w)).astype("<i4")
+    bld = _Builder()
+    v_oh = _chunked_dataset(bld, arr, (ch, cw), "i4", deflate, [])
+    root = _symbol_table_root(bld, [("v", v_oh)])
+    data = bld.bytes()
+    bld.place(0, _superblock_v0(root, len(data)))
+    p = str(tmp_path_factory.mktemp("h5prop") / "prop.h5")
+    with open(p, "wb") as f:
+        f.write(bld.bytes())
+    got = H5File(p).datasets["v"].read()
+    assert np.array_equal(got, arr)
+
+
+@settings(max_examples=15, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(
+    nt=st.integers(1, 4),
+    h=st.integers(1, 20),
+    w=st.integers(1, 20),
+    ct=st.integers(1, 5),
+    ch=st.integers(1, 9),
+    cw=st.integers(1, 9),
+    seed=st.integers(0, 2**31 - 1),
+)
+def test_chunked_3d_roundtrip_property(tmp_path_factory, nt, h, w, ct, ch, cw, seed):
+    """3-D randomized geometry through the same identity."""
+    from tests.h5build import (
+        _Builder, _chunked_dataset, _superblock_v0, _symbol_table_root,
+    )
+
+    rng = np.random.default_rng(seed)
+    arr = rng.integers(0, 10**6, size=(nt, h, w)).astype("<i4")
+    bld = _Builder()
+    v_oh = _chunked_dataset(bld, arr, (ct, ch, cw), "i4", True, [])
+    root = _symbol_table_root(bld, [("v", v_oh)])
+    data = bld.bytes()
+    bld.place(0, _superblock_v0(root, len(data)))
+    p = str(tmp_path_factory.mktemp("h5prop3") / "prop3.h5")
+    with open(p, "wb") as f:
+        f.write(bld.bytes())
+    got = H5File(p).datasets["v"].read()
+    assert np.array_equal(got, arr)

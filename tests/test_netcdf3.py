@@ -268,3 +268,50 @@ def test_ingest_length1_axis(spark, tmp_path):
     assert spec.dx == 1.0 and spec.width == 1
     blk = np.frombuffer(tiles.collect()[0]["block"], dtype=np.float32).reshape(2, 1)
     assert np.array_equal(blk, data)
+
+
+from hypothesis import HealthCheck, given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+
+@settings(max_examples=6, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow,
+                                 HealthCheck.function_scoped_fixture])
+@given(
+    h=st.integers(2, 30),
+    w=st.integers(2, 30),
+    nt=st.integers(1, 3),
+    y_asc=st.booleans(),
+    x_desc=st.booleans(),
+    record=st.booleans(),
+    seed=st.integers(0, 2**31 - 1),
+)
+def test_ingest_geometry_property(spark, tmp_path_factory, h, w, nt, y_asc,
+                                  x_desc, record, seed):
+    """Randomized grid geometry through write→distributed ingest:
+    ascending/descending axes, record vs fixed time, odd shapes — the
+    reassembled north-first/west-first mosaic equals the source."""
+    rng = np.random.default_rng(seed)
+    data = rng.integers(0, 997, size=(nt, h, w)).astype(np.float32)
+    ys = (np.arange(h) if y_asc else -np.arange(h)).astype(np.float64)
+    xs = (-np.arange(w) if x_desc else np.arange(w)).astype(np.float64)
+    d = tmp_path_factory.mktemp("ncprop")
+    p = str(d / "g.nc")
+    write_netcdf3(
+        p, dims={"time": (None if record else nt), "lat": h, "lon": w},
+        variables={
+            "lat": (("lat",), {"standard_name": "latitude"}, ys),
+            "lon": (("lon",), {"standard_name": "longitude"}, xs),
+            "v": (("time", "lat", "lon"), {}, data),
+        },
+    )
+    tiles, spec = ingest_netcdf3(spark, p, "v")
+    got = {r["t"]: np.frombuffer(r["block"], dtype=np.float32).reshape(r["h"], r["w"])
+           for r in tiles.collect()}
+    want = data
+    if y_asc:
+        want = want[:, ::-1, :]
+    if x_desc:
+        want = want[:, :, ::-1]
+    for t in range(nt):
+        assert np.array_equal(got[t], want[t]), (t, y_asc, x_desc, record)
