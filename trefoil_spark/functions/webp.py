@@ -175,8 +175,11 @@ def encode_webp(img: np.ndarray) -> bytes:
     has_alpha = arr.shape[2] == 4
 
     g = arr[..., 1].ravel()
-    r = arr[..., 0].ravel()
-    b = arr[..., 2].ravel()
+    # SUBTRACT_GREEN transform (spec type 2): decorrelates R/B from G —
+    # gray-ish and gradient content collapses to near-single-symbol R'/B'
+    # channels; exactly invertible per pixel, applied before LZ77
+    r = (arr[..., 0].ravel().astype(np.int16) - g).astype(np.uint8)
+    b = (arr[..., 2].ravel().astype(np.int16) - g).astype(np.uint8)
     a = arr[..., 3].ravel() if has_alpha else np.full(g.shape, 255, np.uint8)
     n = g.size
     px = (
@@ -236,7 +239,9 @@ def encode_webp(img: np.ndarray) -> bytes:
     ts.put(h - 1, 14)
     ts.put(1 if has_alpha else 0, 1)
     ts.put(0, 3)  # version
-    ts.put(0, 1)  # no transforms
+    ts.put(1, 1)  # transform present...
+    ts.put(2, 2)  # ...SUBTRACT_GREEN (no payload)
+    ts.put(0, 1)  # no more transforms
     ts.put(0, 1)  # no color cache
     ts.put(0, 1)  # no meta prefix image
     grev, glen = _emit_prefix_code(ts, ghist)
@@ -409,8 +414,13 @@ def decode_webp(data: bytes) -> np.ndarray:
     br.read(1)  # alpha hint
     if br.read(3) != 0:
         raise ValueError("unknown VP8L version")
-    if br.read(1):
-        raise NotImplementedError("VP8L transforms")
+    subtract_green = False
+    while br.read(1):  # transform loop
+        ttype = br.read(2)
+        if ttype == 2:
+            subtract_green = True
+        else:
+            raise NotImplementedError(f"VP8L transform type {ttype}")
     if br.read(1):
         raise NotImplementedError("color cache")
     if br.read(1):
@@ -449,4 +459,7 @@ def decode_webp(data: bytes) -> np.ndarray:
         out[i, 2] = blue.decode(br)
         out[i, 3] = alpha.decode(br)
         i += 1
+    if subtract_green:  # inverse: add green back to R and B
+        out[:, 0] = (out[:, 0].astype(np.int16) + out[:, 1]).astype(np.uint8)
+        out[:, 2] = (out[:, 2].astype(np.int16) + out[:, 1]).astype(np.uint8)
     return out.reshape(h, w, 4)
