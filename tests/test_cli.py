@@ -275,3 +275,21 @@ def test_warp_lanczos_cli(spark, workspace):
     assert ok.sum() > 0.5 * arr.size
     lo, hi = np.nanmin(arr), np.nanmax(arr)
     assert -30 < lo <= hi < 130  # windowed sinc may ring slightly past 96
+
+
+def test_set_crs_keeps_char_variables(tmp_path):
+    """set_crs must NOT drop NC_CHAR (S1) variables from classic files —
+    the codec round-trips them (r4 second-review regression)."""
+    f = str(tmp_path / "chars.nc")
+    names = np.array([[b"a", b"b", b"c"], [b"x", b"y", b"z"]], dtype="S1")
+    write_netcdf3(
+        f, {"station": 2, "len": 3},
+        {
+            "station_name": (("station", "len"), {}, names),
+            "v": (("station",), {}, np.array([1.0, 2.0], dtype=np.float32)),
+        },
+    )
+    assert main(["set_crs", f, "--proj4", "+proj=longlat"]) == 0
+    nc = read_header(f)
+    assert set(nc.variables) == {"station_name", "v"}
+    assert np.array_equal(nc.read("station_name", mask_and_scale=False), names)

@@ -292,8 +292,9 @@ def test_indirect_fractal_heap_links(tmp_path):
 @needs_fixtures
 def test_set_crs_on_hdf5_rewrites_classic(tmp_path):
     """set_crs on an HDF5 input rewrites as classic CDF-2: unsigned data
-    widens exactly (u4 → f8), the scalar-string grid-mapping variable is
-    dropped with a notice (not representable), coords survive."""
+    widens exactly (u4 → f8), and even the SCALAR NC_CHAR grid-mapping
+    variable survives with its CF projection attributes (classic scalars
+    are legal — the 0-d writer path was fixed for this)."""
     import shutil
 
     from trefoil_spark.cli import main
@@ -307,7 +308,8 @@ def test_set_crs_on_hdf5_rewrites_classic(tmp_path):
     assert nc.version == 2 and nc.attrs["crs"].startswith("+proj=aea")
     assert np.array_equal(nc.read("data", mask_and_scale=False),
                           want.astype("f8"))
-    assert "crs_Albers_Equal_Area" not in nc.variables  # dropped, noted
+    crs = nc.variables["crs_Albers_Equal_Area"]
+    assert crs.dims == () and crs.attrs["grid_mapping_name"]
 
 
 def test_unallocated_dataset_ingest(spark, tmp_path):

@@ -340,19 +340,22 @@ def cmd_set_crs(args) -> int:
     dims = {
         d: (None if d == nc.record_dim else s) for d, s in nc.dimensions.items()
     }
+    from .sources.netcdf3 import _NC_OF_KIND
+
     variables = {}
     # unsigned ints widen EXACTLY into the smallest classic type
     widen = {"u1": "i2", "u2": "i4", "u4": "f8"}
     for n, v in nc.variables.items():
-        # HDF5 input rewrites as classic CDF: unsigned dtypes widen,
-        # anything else the classic format can't hold (strings, phony
-        # dims) is dropped with a notice rather than crashing
+        # HDF5 input rewrites as classic CDF: unsigned dtypes widen;
+        # anything the classic codec itself can't hold (per its OWN type
+        # table — the single source of truth) or with unresolvable dims
+        # is dropped with a notice rather than crashing
         kind = np.dtype(v.dtype).str.lstrip("><=|")
         dims_ok = all(d in dims for d in v.dims)
         if kind in widen and dims_ok:
             arr = nc.read(n, mask_and_scale=False).astype(widen[kind])
             variables[n] = (v.dims, dict(v.attrs), arr)
-        elif kind in ("f4", "f8", "i1", "i2", "i4") and dims_ok:
+        elif kind in _NC_OF_KIND and dims_ok:
             variables[n] = (v.dims, dict(v.attrs), nc.read(n, mask_and_scale=False))
         else:
             print(f"note: dropping {n} (dtype {kind} / dims {v.dims} "

@@ -300,6 +300,10 @@ def _emit_dc_tokens(acc: _TokenAcc, zz, g, dc_tab, slot0: int = 0):
     dc_code, dc_len = _huff_arrays(dc_tab, 12)
     d = np.diff(zz[:, 0], prepend=0)
     s = _sizes_vec(d)
+    # a missing table entry would silently vanish in the packer's
+    # zero-length drop — fail loudly like the old dict lookup did
+    if np.any(dc_len[s] == 0):
+        raise ValueError("DC Huffman table missing a used size category")
     bits = np.where(d > 0, d, d + _POW2[s] - 1)
     nb = zz.shape[0]
     acc.emit(g, np.full(nb, slot0), dc_code[s], dc_len[s])
@@ -339,6 +343,8 @@ def _emit_ac_tokens(acc: _TokenAcc, zz, g, ac_tab, slot0: int = 2):
             np.full(tot, int(ac_code[0xF0])), np.full(tot, int(ac_len[0xF0])),
         )
     sym = (rem << 4) | s
+    if np.any(ac_len[sym] == 0):
+        raise ValueError("AC Huffman table missing a used run/size symbol")
     acc.emit(g[nzb], start + nzrl, ac_code[sym], ac_len[sym])
     acc.emit(g[nzb], start + nzrl + 1, bits, s)
     last_k = np.zeros(nb, dtype=np.int64)

@@ -60,14 +60,15 @@ def t_sf_twosided(t: np.ndarray, df: np.ndarray) -> np.ndarray:
     ok = np.isfinite(t) & (df >= 1)
     tt = np.where(ok, np.abs(t), 0.0)
     big = ok & (df > DF_EXACT_MAX)
-    dfl = np.where(big, df.astype(np.float64), 8.0)
-    z = tt * (1.0 - 1.0 / (4.0 * dfl)) / np.sqrt(1.0 + tt * tt / (2.0 * dfl))
-    p_big = np.clip(_erfc_as(z / np.sqrt(2.0)), 0.0, 1.0)
-    # exact branch: clamp df so the loop length stays bounded
-    nu_cap = np.where(df > DF_EXACT_MAX, 1, df)
+    p_big = np.zeros_like(tt)
+    if big.any():  # common case (all df small) skips the whole branch
+        dfl = np.where(big, df.astype(np.float64), 8.0)
+        z = tt * (1.0 - 1.0 / (4.0 * dfl)) / np.sqrt(1.0 + tt * tt / (2.0 * dfl))
+        p_big = np.clip(_erfc_as(z / np.sqrt(2.0)), 0.0, 1.0)
+    # exact branch (ok_e excludes big, so df here is already ≤ the cap)
     ok_e = ok & ~big
     tt = np.where(ok_e, tt, 0.0)
-    nu = np.where(ok_e, nu_cap, 1).astype(np.int64)
+    nu = np.where(ok_e, df, 1).astype(np.int64)
 
     theta = np.arctan2(tt, np.sqrt(nu.astype(np.float64)))
     c2 = np.cos(theta) ** 2

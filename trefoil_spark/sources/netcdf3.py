@@ -329,7 +329,12 @@ def write_netcdf3(
         vdims, vattrs, arr = variables[nm]
         arr = np.asarray(arr)
         be = arr.dtype.newbyteorder(">") if arr.dtype.byteorder != ">" else arr.dtype
+        nd = arr.ndim
         arr = np.ascontiguousarray(arr, dtype=be)
+        if nd == 0:
+            # ascontiguousarray promotes 0-d to 1-d; classic scalars
+            # (zero dims) are legal — restore the shape
+            arr = arr.reshape(())
         nct = _NC_OF_KIND[f"{arr.dtype.kind}{arr.dtype.itemsize}"]
         is_rec = bool(vdims) and vdims[0] == record_dim
         per_shape = arr.shape[1:] if is_rec else arr.shape
