@@ -298,3 +298,87 @@ def test_bigtiff_roundtrip(tmp_path):
     write_geotiff(p, one, 0.0, 1.0, 1.0, 1.0, bigtiff=True)
     got, _ = read_geotiff(p)
     assert np.array_equal(got, one)
+
+
+def test_multiband_roundtrip(tmp_path):
+    """Chunky multi-band write→read identity: RGB uint8 (plain, deflate,
+    BigTIFF) and 4-band float32; single band keeps its 2-D shape."""
+    import numpy as np
+
+    from trefoil_spark.sources.geotiff import read_geotiff, write_geotiff
+
+    rng = np.random.default_rng(0)
+    rgb = rng.integers(0, 256, (13, 9, 3)).astype(np.uint8)
+    p = str(tmp_path / "rgb.tif")
+    for kw in ({}, {"compress": "deflate"}, {"bigtiff": True}):
+        write_geotiff(p, rgb, -120.0, 40.0, 0.1, 0.1, **kw)
+        got, meta = read_geotiff(p)
+        assert got.shape == (13, 9, 3) and np.array_equal(got, rgb), kw
+        assert meta["bands"] == 3
+    f4 = rng.random((6, 7, 4)).astype(np.float32)
+    write_geotiff(p, f4, 0.0, 1.0, 1.0, 1.0)
+    got, meta = read_geotiff(p)
+    assert np.array_equal(got, f4) and meta["bands"] == 4
+    one = rng.random((4, 5)).astype(np.float32)
+    write_geotiff(p, one, 0.0, 1.0, 1.0, 1.0)
+    got, meta = read_geotiff(p)
+    assert got.ndim == 2 and np.array_equal(got, one) and meta["bands"] == 1
+
+
+def test_multiband_predictor2_stride(tmp_path):
+    """Predictor-2 horizontal differencing strides by samples-per-pixel
+    (TIFF 6.0): a hand-built RGB strip with per-CHANNEL deltas must
+    reconstruct — a channel-agnostic cumsum would scramble it."""
+    import struct as st
+
+    import numpy as np
+
+    from trefoil_spark.sources.geotiff import read_geotiff, write_geotiff
+
+    rng = np.random.default_rng(1)
+    rgb = rng.integers(0, 256, (3, 5, 3)).astype(np.uint8)
+    # write a normal file, then rewrite its strips with predictor-2
+    # deltas and set the predictor tag
+    p = str(tmp_path / "p2.tif")
+    write_geotiff(p, rgb, 0.0, 3.0, 1.0, 1.0)
+    buf = bytearray(open(p, "rb").read())
+    (ifd,) = st.unpack_from("<I", buf, 4)
+    (n,) = st.unpack_from("<H", buf, ifd)
+    offsets = counts = None
+    entries = {}
+    for i in range(n):
+        tag, ty, cnt, val = st.unpack_from("<HHII", buf, ifd + 2 + i * 12)
+        entries[tag] = (ifd + 2 + i * 12, ty, cnt, val)
+    # strip offsets (273) and counts (279)
+    def tag_vals(tag, fmt, size):
+        base, ty, cnt, val = entries[tag]
+        if cnt * size <= 4:
+            return [val], base
+        return list(st.unpack_from(f"<{cnt}{fmt}", buf, val)), base
+    offs, _ = tag_vals(273, "I", 4)
+    cnts, _ = tag_vals(279, "I", 4)
+    for r, (o, c) in enumerate(zip(offs, cnts)):
+        row = rgb[r].astype(np.int16)
+        diff = row.copy()
+        diff[1:] = (row[1:] - row[:-1]) % 256  # per-channel delta
+        buf[o : o + c] = diff.astype(np.uint8).tobytes()
+    # append a predictor tag by rewriting the IFD is fiddly; instead
+    # patch an existing SHORT tag slot: add predictor via the spare
+    # bytes after the IFD? Simpler: rebuild entry table with +1 entry.
+    # The writer sorts tags; predictor (317) must be inserted in order.
+    old_n = n
+    ifd_bytes = bytes(buf[ifd + 2 : ifd + 2 + old_n * 12])
+    new_entry = st.pack("<HHII", 317, 3, 1, 2)
+    recs = [ifd_bytes[i * 12 : (i + 1) * 12] for i in range(old_n)]
+    tags_order = [st.unpack_from("<H", r)[0] for r in recs]
+    import bisect
+    pos = bisect.bisect_left(tags_order, 317)
+    recs.insert(pos, new_entry)
+    # write the new IFD at the END of the file (no overlap)
+    new_ifd = len(buf)
+    out = st.pack("<H", old_n + 1) + b"".join(recs) + st.pack("<I", 0)
+    buf += out
+    st.pack_into("<I", buf, 4, new_ifd)
+    open(p, "wb").write(bytes(buf))
+    got, _meta = read_geotiff(p)
+    assert np.array_equal(got, rgb)

@@ -77,8 +77,12 @@ def write_geotiff(
     convention); dy positive (north-up, rows go south)."""
     if compress not in (None, "deflate"):
         raise ValueError("compress must be None or 'deflate'")
-    if data.ndim != 2:
-        raise ValueError("data must be 2-D (single band)")
+    if data.ndim == 2:
+        spp = 1
+    elif data.ndim == 3:
+        spp = data.shape[2]  # chunky multi-band (RGB etc.)
+    else:
+        raise ValueError("data must be (H,W) or (H,W,bands)")
     if data.dtype == np.float32:
         bps, fmt = 32, 3  # IEEE float
     elif data.dtype == np.uint8:
@@ -87,7 +91,7 @@ def write_geotiff(
         raise ValueError("supported dtypes: float32, uint8")
     if crs not in _EPSG_GEOKEYS:
         raise ValueError(f"supported CRS: {sorted(_EPSG_GEOKEYS)}")
-    h, w = data.shape
+    h, w = data.shape[:2]
 
     geokeys = _EPSG_GEOKEYS[crs]
     key_shorts = [1, 1, 0, len(geokeys)]
@@ -120,12 +124,12 @@ def write_geotiff(
 
     entry(T_WIDTH, TY_LONG, [w])
     entry(T_HEIGHT, TY_LONG, [h])
-    entry(T_BPS, TY_SHORT, [bps])
+    entry(T_BPS, TY_SHORT, [bps] * spp)
     entry(T_COMPRESSION, TY_SHORT, [8 if compress == "deflate" else 1])
-    entry(T_PHOTOMETRIC, TY_SHORT, [1])
-    entry(T_SPP, TY_SHORT, [1])
+    entry(T_PHOTOMETRIC, TY_SHORT, [2 if spp >= 3 else 1])
+    entry(T_SPP, TY_SHORT, [spp])
     entry(T_ROWS_PER_STRIP, TY_LONG, [1])
-    entry(T_SAMPLE_FORMAT, TY_SHORT, [fmt])
+    entry(T_SAMPLE_FORMAT, TY_SHORT, [fmt] * spp)
     entry(T_MODEL_PIXEL_SCALE, TY_DOUBLE, [dx, dy, 0.0])
     # tiepoint: raster (0,0,0) ↔ model (x0, y0, 0)
     entry(T_MODEL_TIEPOINT, TY_DOUBLE, [0.0, 0.0, 0.0, x0, y0, 0.0])
@@ -195,6 +199,7 @@ def write_geotiff(
 
 
 T_PREDICTOR = 317
+T_PLANAR_CONFIG = 284
 T_TILE_WIDTH, T_TILE_LENGTH, T_TILE_OFFSETS, T_TILE_COUNTS = 322, 323, 324, 325
 
 _DTYPES = {
@@ -261,40 +266,51 @@ def _decompress(raw: bytes, compression: int) -> bytes:
     raise ValueError(f"unsupported TIFF compression {compression}")
 
 
-def _unpredict(seg: bytes, rows: int, cols: int, dtype, predictor: int) -> np.ndarray:
-    """One decompressed segment → (rows, cols) array, predictor undone.
+def _unpredict(
+    seg: bytes, rows: int, cols: int, dtype, predictor: int, spp: int = 1
+) -> np.ndarray:
+    """One decompressed segment → (rows, cols*spp) sample array
+    (chunky interleave), predictor undone.
 
-    predictor 2 = horizontal differencing (integer samples, TIFF 6.0);
-    predictor 3 = floating-point byte-plane differencing (TechNote 3)."""
+    predictor 2 = horizontal differencing per sample CHANNEL (TIFF 6.0
+    stride = samples-per-pixel); predictor 3 = floating-point byte-plane
+    differencing (TechNote 3 — byte-wise, channel-agnostic)."""
     itemsize = np.dtype(dtype).itemsize
-    need = rows * cols * itemsize
+    nsamp = cols * spp
+    need = rows * nsamp * itemsize
     seg = seg[:need].ljust(need, b"\x00")
     if predictor == 3:
-        b = np.frombuffer(seg, dtype=np.uint8).reshape(rows, cols * itemsize)
+        b = np.frombuffer(seg, dtype=np.uint8).reshape(rows, nsamp * itemsize)
         b = np.cumsum(b.astype(np.int64), axis=1).astype(np.uint8)
-        # byte planes, MSB first → per-pixel big-endian bytes
-        planes = b.reshape(rows, itemsize, cols).transpose(0, 2, 1)
+        # byte planes, MSB first → per-sample big-endian bytes
+        planes = b.reshape(rows, itemsize, nsamp).transpose(0, 2, 1)
         be = np.dtype(dtype).newbyteorder(">")
-        return np.frombuffer(planes.tobytes(), dtype=be).reshape(rows, cols).astype(dtype)
-    arr = np.frombuffer(seg, dtype=f"<{np.dtype(dtype).str[1:]}").reshape(rows, cols)
+        return np.frombuffer(planes.tobytes(), dtype=be).reshape(rows, nsamp).astype(dtype)
+    arr = np.frombuffer(seg, dtype=f"<{np.dtype(dtype).str[1:]}").reshape(rows, nsamp)
     if predictor == 2:
         if np.dtype(dtype).kind not in "ui":
             raise ValueError("predictor 2 requires integer samples")
-        u = arr.view(f"<u{itemsize}").astype(np.int64)
+        u = arr.view(f"<u{itemsize}").astype(np.int64).reshape(rows, cols, spp)
         u = np.cumsum(u, axis=1) % (1 << (8 * itemsize))
-        return u.astype(f"<u{itemsize}").view(f"<{np.dtype(dtype).str[1:]}").copy()
+        return (
+            u.reshape(rows, nsamp).astype(f"<u{itemsize}")
+            .view(f"<{np.dtype(dtype).str[1:]}").copy()
+        )
     if predictor != 1:
         raise ValueError(f"unsupported predictor {predictor}")
     return arr.copy()
 
 
 def read_geotiff(path: str):
-    """Single-band GeoTIFF → (array, meta dict).
+    """GeoTIFF → (array, meta dict); (H, W) single-band or (H, W, bands)
+    chunky multi-band (RGB aerial imagery etc.).
 
-    Real-world coverage: striped OR tiled layout; uncompressed, DEFLATE
-    (8/32946) or LZW (5) compression; predictor 1/2/3 (horizontal and
-    floating-point differencing); u8/u16/u32/i8/i16/i32/f32/f64 samples.
-    meta: {x0, y0, dx, dy, crs, nodata} (GDAL geotransform convention)."""
+    Real-world coverage: classic AND BigTIFF; striped OR tiled layout;
+    uncompressed, DEFLATE (8/32946) or LZW (5) compression; predictor
+    1/2/3 (per-channel horizontal and floating-point differencing);
+    u8/u16/u32/i8/i16/i32/f32/f64 samples; planar configuration 1.
+    meta: {x0, y0, dx, dy, crs, nodata, bands} (GDAL geotransform
+    convention)."""
     with open(path, "rb") as f:
         buf = f.read()
     order, magic = struct.unpack("<2sH", buf[:4])
@@ -339,10 +355,13 @@ def read_geotiff(path: str):
     w, h = tags[T_WIDTH][0], tags[T_HEIGHT][0]
     compression = tags.get(T_COMPRESSION, [1])[0]
     predictor = tags.get(T_PREDICTOR, [1])[0]
+    spp = tags.get(T_SPP, [1])[0]
+    if tags.get(T_PLANAR_CONFIG, [1])[0] != 1 and spp > 1:
+        raise ValueError("planar (PlanarConfiguration=2) TIFF unsupported")
+    if len(set(tags[T_BPS])) != 1 or len(set(tags.get(T_SAMPLE_FORMAT, [1]))) != 1:
+        raise ValueError("mixed per-band sample layouts unsupported")
     bps = tags[T_BPS][0]
     fmt = tags.get(T_SAMPLE_FORMAT, [1])[0]
-    if tags.get(T_SPP, [1])[0] != 1:
-        raise ValueError("single-band TIFF only")
     dtype = _DTYPES.get((bps, fmt))
     if dtype is None:
         raise ValueError(f"unsupported sample layout bps={bps} fmt={fmt}")
@@ -352,10 +371,10 @@ def read_geotiff(path: str):
         offsets, counts = tags[T_TILE_OFFSETS], tags[T_TILE_COUNTS]
         ntx = (w + tw - 1) // tw
         nty = (h + tl - 1) // tl
-        arr = np.zeros((nty * tl, ntx * tw), dtype=dtype)
+        arr = np.zeros((nty * tl, ntx * tw, spp), dtype=dtype)
         for i, (o, c) in enumerate(zip(offsets, counts)):
             seg = _decompress(buf[o : o + c], compression)
-            blk = _unpredict(seg, tl, tw, dtype, predictor)
+            blk = _unpredict(seg, tl, tw, dtype, predictor, spp).reshape(tl, tw, spp)
             ty, tx = divmod(i, ntx)
             arr[ty * tl : (ty + 1) * tl, tx * tw : (tx + 1) * tw] = blk
         arr = arr[:h, :w]
@@ -366,7 +385,9 @@ def read_geotiff(path: str):
         for i, (o, c) in enumerate(zip(offsets, counts)):
             rows = min(rps, h - i * rps)
             seg = _decompress(buf[o : o + c], compression)
-            parts.append(_unpredict(seg, rows, w, dtype, predictor))
+            parts.append(
+                _unpredict(seg, rows, w, dtype, predictor, spp).reshape(rows, w, spp)
+            )
         arr = np.vstack(parts)
 
     scale = tags.get(T_MODEL_PIXEL_SCALE, [1.0, 1.0, 0.0])
@@ -385,8 +406,10 @@ def read_geotiff(path: str):
             pass
     meta = {
         "x0": tie[3], "y0": tie[4], "dx": scale[0], "dy": scale[1],
-        "crs": crs, "nodata": nodata, "width": w, "height": h,
+        "crs": crs, "nodata": nodata, "width": w, "height": h, "bands": spp,
     }
+    if spp == 1:
+        arr = arr[:, :, 0]  # single band keeps the historical 2-D shape
     return arr.copy(), meta
 
 
