@@ -293,3 +293,24 @@ def test_set_crs_keeps_char_variables(tmp_path):
     nc = read_header(f)
     assert set(nc.variables) == {"station_name", "v"}
     assert np.array_equal(nc.read("station_name", mask_and_scale=False), names)
+
+
+def test_render_tif_to_rgb_geotiff(spark, tmp_path):
+    """render_tif --format tif writes a GEOREFERENCED RGB GeoTIFF: the
+    rendered colors keep their world placement (r4 multi-band writer)."""
+    from trefoil_spark.sources.geotiff import read_geotiff, write_geotiff
+
+    src = str(tmp_path / "vals.tif")
+    arr = (np.arange(20 * 30, dtype=np.float32) % 97).reshape(20, 30)
+    write_geotiff(src, arr, x0=-120.0, y0=40.0, dx=0.1, dy=0.1)
+    out = str(tmp_path / "colored.tif")
+    assert main([
+        "render_tif", src, out,
+        "--colormap", "0:#0000ff,96:#ff0000", "--format", "tif", "--scale", "2",
+    ]) == 0
+    rgb, meta = read_geotiff(out)
+    assert rgb.shape == (40, 60, 3) and rgb.dtype == np.uint8
+    assert meta["crs"] == "EPSG:4326"
+    assert abs(meta["dx"] - 0.05) < 1e-12  # geotransform scaled with the raster
+    assert (meta["x0"], meta["y0"]) == (-120.0, 40.0)
+    assert rgb.reshape(-1, 3).std(axis=0).max() > 10  # actually colorized

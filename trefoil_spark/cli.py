@@ -382,7 +382,7 @@ def cmd_to_netcdf(args) -> int:
 
 
 def cmd_render_tif(args) -> int:
-    from .raster.render import StretchedRenderer, render_image_bytes
+    from .raster.render import StretchedRenderer, render_image_bytes, render_rgba
     from .raster.window_ops import stitch_window
     from .sources.geotiff import geotiff_to_tiles
 
@@ -392,6 +392,22 @@ def cmd_render_tif(args) -> int:
         _parse_colormap(args.colormap), colorspace=args.colorspace
     )
     arr = stitch_window(tiles, spec, spec.bbox)
+    if args.format == "tif":
+        # georeferenced RGB GeoTIFF: rendered pixels keep their world
+        # placement (geotransform scaled with the raster)
+        from .sources.geotiff import write_geotiff
+
+        rgba = render_rgba(
+            renderer, arr.astype(np.float64), scale=args.scale,
+            resampling=args.resampling,
+        )
+        s = rgba.shape[0] / arr.shape[0]
+        write_geotiff(
+            args.out, rgba[..., :3], spec.x0, spec.y0,
+            spec.dx / s, spec.dy / s, crs=spec.crs,
+        )
+        print(f"wrote {args.out} (RGB GeoTIFF)")
+        return 0
     img = render_image_bytes(
         renderer, arr.astype(np.float64), scale=args.scale,
         format=args.format, resampling=args.resampling,
@@ -532,7 +548,7 @@ def build_parser() -> argparse.ArgumentParser:
     rt.add_argument("out")
     rt.add_argument("--colormap", required=True)
     rt.add_argument("--colorspace", default="hsv", choices=["hsv", "rgb"])
-    rt.add_argument("--format", default="png", choices=["png", "jpg", "webp"])
+    rt.add_argument("--format", default="png", choices=["png", "jpg", "webp", "tif"])
     rt.add_argument("--scale", type=float, default=1.0)
     rt.add_argument("--resampling", default="lanczos",
                     choices=["nearest", "lanczos"])

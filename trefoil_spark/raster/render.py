@@ -292,14 +292,36 @@ def render_image_bytes(
         raise ValueError(f"Unsupported resampling: {resampling!r}")
     if scale <= 0:
         raise ValueError("scale must be positive")
+    if fmt == "png" and resampling == "nearest" and float(scale).is_integer():
+        if flip_y:
+            data = data[::-1]
+        return render_image_png(renderer, data, int(scale))
+    rgba = render_rgba(renderer, data, scale=scale, flip_y=flip_y,
+                       resampling=resampling)
+    if fmt == "jpg":
+        return encode_jpeg(rgba[..., :3], quality=quality, progressive=True)
+    if fmt == "webp":
+        return encode_webp(rgba)
+    return encode_rgb_png(rgba)
+
+
+def render_rgba(
+    renderer: RasterRenderer,
+    data: np.ndarray,
+    scale: float = 1,
+    flip_y: bool = False,
+    resampling: str = "lanczos",
+) -> np.ndarray:
+    """Rendered (H, W, 4) uint8 RGBA composite — the array behind
+    :func:`render_image_bytes`, exposed for sinks that need pixels with
+    their own container (e.g. the georeferenced RGB GeoTIFF export)."""
+    from ..functions.resample import resample_lanczos
+
     if flip_y:
         data = data[::-1]
     h, w = data.shape
     # reference target size: numpy.array(data.shape[::-1]) * scale, cast uint
     out_w, out_h = int(w * scale), int(h * scale)
-    if fmt == "png" and resampling == "nearest" and float(scale).is_integer():
-        return render_image_png(renderer, data, int(scale))
-
     idx = renderer._indices(data)
     bg_index = renderer.palette.shape[0]
     idx = np.where(renderer._mask(data), bg_index, idx).astype(np.int64)
@@ -320,8 +342,4 @@ def render_image_bytes(
             sy = np.clip(((np.arange(out_h) + 0.5) * h / out_h).astype(np.int64), 0, h - 1)
             sx = np.clip(((np.arange(out_w) + 0.5) * w / out_w).astype(np.int64), 0, w - 1)
             rgba = rgba[sy][:, sx]
-    if fmt == "jpg":
-        return encode_jpeg(rgba[..., :3], quality=quality, progressive=True)
-    if fmt == "webp":
-        return encode_webp(rgba)
-    return encode_rgb_png(rgba)
+    return rgba
