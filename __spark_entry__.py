@@ -418,12 +418,34 @@ _EMB_DUP_SHIFT = "CAST(0.01 AS DOUBLE)"
 _EMB_DUP_TAU = "CAST(0.99 AS DOUBLE)"
 
 
+# dedup_embedding recall fixture constants (shared with the oracle):
+# 250 identical vectors form one degenerate bucket > the 200 cap, with
+# 125 planted pairs inside it — the guard drops them all (bounded-work /
+# recall tradeoff made measurable, VERDICT r4 item 5)
+_EMB_HOT_N = 250
+_EMB_HOT_PAIRS = _EMB_HOT_N // 2
+_EMB_RECALL_CAP = 200
+
+
 def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-dup (the fifth dedup modality): every 10th
-    vector gets a planted +0.01-shifted variant (cos ≈ 0.997 vs a 0.51
-    background max — like the documents table's planted text dups);
-    LSH-bucketed candidates → exact cosine >= 0.99 verify. The oracle
-    replays the identical planes, fold arithmetic and threshold."""
+    """Embedding-cosine near-dup (the fifth dedup modality) WITH the
+    hot-key guard's recall contract made measurable (r5).
+
+    Fixture: every 10th vector gets a planted +0.01-shifted variant
+    (cos ≈ 0.997 vs a 0.51 background max) — the 'normal' planted set —
+    plus 250 identical constant vectors holding 125 planted pairs inside
+    ONE degenerate LSH bucket that exceeds the 200-row cap, so the guard
+    drops them (and any base pair sharing that bucket — collateral loss
+    included in the normal count). Output sections:
+
+    - 'pair': the found near-dup pairs (LSH buckets → exact cosine
+      >= 0.99), as before
+    - 'recall_normal': id_a = planted normal pairs, id_b = found
+    - 'recall_hot': id_a = planted hot-bucket pairs, id_b = found (0 —
+      the cap's documented recall loss, now driver-checked)
+
+    The oracle replays the identical planes, fold arithmetic, cap and
+    planted sets, so the recall numbers are hash-gated, not asserted."""
     from trefoil_spark.operators.dedup import embedding_near_duplicates
 
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
@@ -437,10 +459,40 @@ def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"transform(embedding, x -> x + {_EMB_DUP_SHIFT})"
         ).alias("embedding"),
     )
-    out = embedding_near_duplicates(
-        base.unionByName(planted), threshold=0.99, n_planes=8, dim=64
+    hot = spark.range(_EMB_HOT_N).select(
+        (F.col("id") + 3000000).alias("vec_id"),
+        F.expr("array_repeat(CAST(0.5 AS DOUBLE), 64)").alias("embedding"),
     )
-    return out.orderBy("id_a", "id_b")
+    pairs = embedding_near_duplicates(
+        base.unionByName(planted).unionByName(hot),
+        threshold=0.99,
+        n_planes=8,
+        dim=64,
+        max_bucket=_EMB_RECALL_CAP,
+    )
+    planted_normal = base.filter(F.col("vec_id") % 10 == 0).select(
+        F.col("vec_id").alias("id_a"),
+        (F.col("vec_id") + 1000000).alias("id_b"),
+    )
+    planted_hot = spark.range(_EMB_HOT_PAIRS).select(
+        (F.lit(3000000) + 2 * F.col("id")).alias("id_a"),
+        (F.lit(3000000) + 2 * F.col("id") + 1).alias("id_b"),
+    )
+
+    def recall_row(name: str, planted_df: DataFrame) -> DataFrame:
+        found = planted_df.join(pairs, ["id_a", "id_b"], "left_semi")
+        return (
+            planted_df.agg(F.count("*").alias("id_a"))
+            .crossJoin(found.agg(F.count("*").alias("id_b")))
+            .select(F.lit(name).alias("section"), "id_a", "id_b")
+        )
+
+    return (
+        pairs.select(F.lit("pair").alias("section"), "id_a", "id_b")
+        .unionByName(recall_row("recall_normal", planted_normal))
+        .unionByName(recall_row("recall_hot", planted_hot))
+        .orderBy("section", "id_a", "id_b")
+    )
 
 
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -530,7 +582,11 @@ def q_interval_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 # the checked query runs the DISTRIBUTED chunk→fragment→tile path, so the
 # gate certifies the distribution logic against an independent assembly.
 # Regenerate with tools/freeze_nc4.py if the fixture ever changes.
-_NC4_FIXTURE_PATH = "/root/reference/trefoil/test_data/tmin.nc"
+# repo-local copy of the reference's tmin.nc (data fixture, not code) so
+# the correctness gate has no runtime dependency on the reference checkout
+_NC4_FIXTURE_PATH = os.path.join(
+    os.path.dirname(os.path.abspath(__file__)), "tests", "data", "tmin.nc"
+)
 _NC4_TILE_FIXTURE = [
     (0, 0, 604819, 65536),
     (0, 1, 795469, 65536),
@@ -1932,18 +1988,49 @@ def _dedup_embedding_oracle() -> str:
                    list_transform(embedding, x -> x + {_EMB_DUP_SHIFT}) AS embedding
             FROM base WHERE vec_id % 10 = 0
         ),
-        allv AS (SELECT * FROM base UNION ALL SELECT * FROM planted),
+        hot AS (
+            SELECT 3000000 + i AS vec_id,
+                   list_transform(generate_series(1, 64),
+                                  x -> CAST(0.5 AS DOUBLE)) AS embedding
+            FROM generate_series(0, {_EMB_HOT_N - 1}) t(i)
+        ),
+        allv AS (
+            SELECT * FROM base
+            UNION ALL SELECT * FROM planted
+            UNION ALL SELECT * FROM hot
+        ),
         b0 AS (SELECT vec_id AS id, embedding, {be} AS bucket FROM allv),
         b AS (
-            -- hot-key guard mirror (dedup.DEFAULT_MAX_BUCKET)
+            -- hot-key guard mirror (recall-fixture cap)
             SELECT id, embedding, bucket FROM (
                 SELECT *, COUNT(*) OVER (PARTITION BY bucket) AS _kn FROM b0
-            ) WHERE _kn <= {_MAX_BUCKET}
+            ) WHERE _kn <= {_EMB_RECALL_CAP}
+        ),
+        found_pairs AS (
+            SELECT DISTINCT l.id AS id_a, r.id AS id_b
+            FROM b l JOIN b r ON l.bucket = r.bucket AND l.id < r.id
+            WHERE {cos} >= {_EMB_DUP_TAU}
+        ),
+        pn AS (
+            SELECT vec_id AS id_a, vec_id + 1000000 AS id_b
+            FROM base WHERE vec_id % 10 = 0
+        ),
+        ph AS (
+            SELECT 3000000 + 2 * i AS id_a, 3000000 + 2 * i + 1 AS id_b
+            FROM generate_series(0, {_EMB_HOT_PAIRS - 1}) t(i)
         )
-        SELECT DISTINCT l.id AS id_a, r.id AS id_b
-        FROM b l JOIN b r ON l.bucket = r.bucket AND l.id < r.id
-        WHERE {cos} >= {_EMB_DUP_TAU}
-        ORDER BY id_a, id_b
+        SELECT 'pair' AS section, id_a, id_b FROM found_pairs
+        UNION ALL
+        SELECT 'recall_normal',
+               (SELECT COUNT(*) FROM pn),
+               (SELECT COUNT(*) FROM pn p
+                JOIN found_pairs f ON p.id_a = f.id_a AND p.id_b = f.id_b)
+        UNION ALL
+        SELECT 'recall_hot',
+               (SELECT COUNT(*) FROM ph),
+               (SELECT COUNT(*) FROM ph p
+                JOIN found_pairs f ON p.id_a = f.id_a AND p.id_b = f.id_b)
+        ORDER BY section, id_a, id_b
     """
 
 

@@ -241,7 +241,7 @@ def test_render_classified_json(spark, workspace):
 def test_describe_netcdf4_hdf5_input(capsys):
     """CLI `describe` on a REAL NetCDF-4/HDF5 file (the reference's own
     fixture) — header-only, dispatched on magic, no JVM."""
-    path = "/root/reference/trefoil/test_data/tmin.nc"
+    path = "/root/repo/tests/data/tmin.nc"
     if not os.path.exists(path):
         pytest.skip("reference fixture unavailable")
     assert main(["describe", path]) == 0
@@ -253,7 +253,7 @@ def test_describe_netcdf4_hdf5_input(capsys):
 
 def test_stats_netcdf4_hdf5_input(spark, capsys):
     """CLI `stats` runs the distributed chunk ingest on an HDF5 file."""
-    path = "/root/reference/trefoil/test_data/ca_ru_1km.nc"
+    path = "/root/repo/tests/data/ca_ru_1km.nc"
     if not os.path.exists(path):
         pytest.skip("reference fixture unavailable")
     assert main(["stats", path, "--variables", "data"]) == 0

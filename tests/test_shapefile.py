@@ -1,6 +1,6 @@
 """Shapefile source: pure-numpy .shp/.dbf parse, bbox pushdown, writer
 roundtrip, and the reference repo's own fixture
-(/root/reference/trefoil/test_data/tmin_zones/ — the layer its CLI reads
+(/root/repo/tests/data/tmin_zones/ — the layer its CLI reads
 at trefoil/cli/zones.py:85-119)."""
 
 import os
@@ -16,7 +16,7 @@ from trefoil_spark.sources.shapefile import (
 )
 from trefoil_spark.sources.zones import ZONE_LAYER
 
-REF_SHP = "/root/reference/trefoil/test_data/tmin_zones/tmin_zones.shp"
+REF_SHP = "/root/repo/tests/data/tmin_zones/tmin_zones.shp"
 
 
 def test_writer_reader_roundtrip_bit_exact(tmp_path):

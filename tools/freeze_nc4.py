@@ -2,7 +2,7 @@ import sys, numpy as np
 sys.path.insert(0, "/root/repo")
 from trefoil_spark.sources.hdf5 import NC4File
 # driver-side whole-array read (INDEPENDENT of the distributed chunk->tile path)
-nc = NC4File("/root/reference/trefoil/test_data/tmin.nc")
+nc = NC4File("/root/repo/tests/data/tmin.nc")
 arr = nc.read("tmin")          # south-first (ascending lat)
 lat = nc.read("lat")
 nf = arr[::-1] if lat[0] < lat[-1] else arr   # north-first grid space
