@@ -325,6 +325,14 @@ def embedding_near_duplicates(
     from .similarity import _dot, _norm, bucket_expr, hyperplanes
 
     if dim is None:
+        # prefer schema-carried dimension (StructField metadata "dim",
+        # the convention tile/embedding writers in this repo use) —
+        # zero-cost, no job
+        for f in emb.schema.fields:
+            if f.name == vec_col and f.metadata and "dim" in f.metadata:
+                dim = int(f.metadata["dim"])
+                break
+    if dim is None:
         # fallback probe — costs one Spark job at graph-construction
         # time; callers that know the dimension should pass it
         row = emb.select(vec_col).first()
