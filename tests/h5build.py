@@ -393,6 +393,9 @@ def _dense_link_root_indirect(bld: _Builder, links: list[tuple[str, int]]) -> in
     frhp[128:130] = struct.pack("<H", 16)
     frhp[130:132] = struct.pack("<H", 1)
     frhp[132:140] = struct.pack("<Q", fhib_addr)
+    # current # rows in root indirect block: the reader bounds its
+    # doubling-table walk by this (r5 ADVICE fix) — 2 start_bs rows
+    frhp[140:142] = struct.pack("<H", 2)
     frhp_addr = bld.alloc(bytes(frhp))
     rec_size = 4 + hid_len
     leaf = bytearray(b"BTLF" + struct.pack("<BB", 0, 5))
@@ -466,3 +469,231 @@ def build_v1_superblock_file(path: str) -> np.ndarray:
     with open(path, "wb") as f:
         f.write(bld.bytes())
     return arr
+
+
+# ---------------------------------------------------------------------------
+# layout v4 chunk indexes (HDF5 1.10 "latest format"): single chunk,
+# implicit, fixed array (unpaged + paged) — the r5 tail closure fixtures
+# ---------------------------------------------------------------------------
+
+
+def _layout_v4_msg(
+    chunk, itemsize: int, itype: int, extra: bytes, addr: int,
+    flags: int = 0, elem_dim: bool = True,
+) -> bytes:
+    """Data Layout message v4, class 2 (chunked). elem_dim toggles the
+    trailing element-size pseudo-dimension (libhdf5's shared-struct
+    convention) vs bare-rank dims — the reader accepts both, and the
+    fixtures exercise both encodings."""
+    dims = list(chunk) + ([itemsize] if elem_dim else [])
+    body = struct.pack("<BBBBB", 4, 2, flags, len(dims), 4)
+    body += b"".join(struct.pack("<I", x) for x in dims)
+    body += struct.pack("<B", itype) + extra + struct.pack("<Q", addr)
+    return body
+
+
+def _chunk_blobs(arr: np.ndarray, chunk, deflate: bool) -> list[bytes]:
+    """Row-major (last dim fastest) chunk payloads, edge chunks padded."""
+    ranges = [range(0, s, c) for s, c in zip(arr.shape, chunk)]
+    offs_list = [()]
+    for r in ranges:
+        offs_list = [o + (v,) for o in offs_list for v in r]
+    blobs = []
+    for offs in offs_list:
+        full = np.zeros(chunk, dtype=arr.dtype)
+        sl = tuple(
+            slice(o, min(o + c, s)) for o, c, s in zip(offs, chunk, arr.shape)
+        )
+        sub = arr[sl]
+        full[tuple(slice(0, x) for x in sub.shape)] = sub
+        raw = full.tobytes()
+        if deflate:
+            raw = zlib.compress(raw, 6)
+        blobs.append(raw)
+    return blobs
+
+
+_DEFLATE_MSG = (
+    0x000B,
+    struct.pack("<BB6x", 1, 1)
+    + struct.pack("<HHHH", 1, 0, 1, 1)
+    + struct.pack("<I", 6)
+    + b"\x00" * 4,
+)
+
+
+def _fixed_array(bld: _Builder, elems: list[bytes], entry_size: int,
+                 client: int, page_bits: int) -> int:
+    """FAHD header + FADB data block; pages (bitmap all-set + per-page
+    checksums) when len(elems) exceeds one page."""
+    max_n = len(elems)
+    page_elems = 1 << page_bits
+    body = bytearray(b"FADB" + struct.pack("<BB", 0, client))
+    body += struct.pack("<Q", 0)  # header address (backpointer, unread)
+    if max_n > page_elems:
+        npages = (max_n + page_elems - 1) // page_elems
+        bitmap = bytearray((npages + 7) // 8)
+        for pg in range(npages):
+            bitmap[pg // 8] |= 1 << (pg % 8)
+        body += bitmap + b"\x00" * 4  # bitmap + data-block checksum
+        for pg in range(npages):
+            for e in elems[pg * page_elems : (pg + 1) * page_elems]:
+                body += e
+            body += b"\x00" * 4  # page checksum (unverified)
+    else:
+        for e in elems:
+            body += e
+        body += b"\x00" * 4  # checksum
+    dblk_addr = bld.alloc(bytes(body))
+    hdr = b"FAHD" + struct.pack("<BBBB", 0, client, entry_size, page_bits)
+    hdr += struct.pack("<QQ", max_n, dblk_addr) + b"\x00" * 4
+    return bld.alloc(hdr)
+
+
+def _dataset_v4_chunked(
+    bld: _Builder, arr: np.ndarray, chunk, kind: str, itype: int,
+    deflate: bool = False, elem_dim: bool = True, page_bits: int = 5,
+) -> int:
+    blobs = _chunk_blobs(arr, chunk, deflate)
+    extra = b""
+    flags = 0
+    if itype == 1:  # single chunk
+        assert len(blobs) == 1
+        addr = bld.alloc(blobs[0])
+        if deflate:
+            flags = 0x02  # single chunk with filter: size + mask inline
+            extra = struct.pack("<QI", len(blobs[0]), 0)
+    elif itype == 2:  # implicit: equal-size raw chunks, contiguous
+        assert not deflate
+        addr = bld.alloc(b"".join(blobs))
+    else:  # fixed array
+        addrs = [bld.alloc(b) for b in blobs]
+        client = 1 if deflate else 0
+        entry_size = 20 if deflate else 8  # addr + size(8) + mask(4)
+        elems = []
+        for a, raw in zip(addrs, blobs):
+            e = struct.pack("<Q", a)
+            if deflate:
+                e += struct.pack("<QI", len(raw), 0)
+            elems.append(e)
+        addr = _fixed_array(bld, elems, entry_size, client, page_bits)
+        extra = struct.pack("<B", page_bits)
+    msgs = [
+        (0x0001, _dataspace_v1(list(arr.shape))),
+        (0x0003, _datatype(kind)),
+        (0x0008, _layout_v4_msg(chunk, arr.dtype.itemsize, itype, extra,
+                                addr, flags, elem_dim)),
+    ]
+    if deflate:
+        msgs.append(_DEFLATE_MSG)
+    return bld.alloc(_v1_header(msgs))
+
+
+def build_v4_index_file(path: str) -> dict[str, np.ndarray]:
+    """One file, every supported v4 index shape + a v1-B-tree twin of the
+    fixed-array variable for tile-identity assertions."""
+    bld = _Builder(1 << 17)
+    small = (np.arange(5 * 7, dtype="<i4").reshape(5, 7) * 3 - 11)
+    big = ((np.arange(12 * 10, dtype="<i4").reshape(12, 10) * 7 + 5) % 1000)
+    out: dict[str, np.ndarray] = {}
+    links = []
+
+    def add(name, oh, arr):
+        out[name] = arr
+        links.append((name, oh))
+
+    add("single", _dataset_v4_chunked(bld, small, (5, 7), "i4", 1,
+                                      deflate=True), small)
+    add("single_raw", _dataset_v4_chunked(bld, small, (5, 7), "i4", 1,
+                                          deflate=False, elem_dim=False), small)
+    add("implicit", _dataset_v4_chunked(bld, big, (4, 4), "i4", 2), big)
+    add("fixedarr", _dataset_v4_chunked(bld, big, (4, 4), "i4", 3,
+                                        deflate=True), big)
+    add("fixedarr_paged", _dataset_v4_chunked(bld, big, (4, 4), "i4", 3,
+                                              deflate=False, elem_dim=False,
+                                              page_bits=2), big)
+    add("twin", _chunked_dataset(bld, big, (4, 4), "i4", True, []), big)
+    root = _symbol_table_root(bld, links)
+    data = bld.bytes()
+    bld.place(0, _superblock_v0(root, len(data)))
+    with open(path, "wb") as f:
+        f.write(bld.bytes())
+    return out
+
+
+def _shuffle_bytes(raw: bytes, esize: int) -> bytes:
+    """HDF5 shuffle filter forward direction (byte-plane transpose)."""
+    n = len(raw) // esize
+    return (
+        np.frombuffer(raw, dtype=np.uint8).reshape(n, esize).T.tobytes()
+    )
+
+
+def build_big_nc4(
+    path: str, side: int = 8192, chunk: int = 256, shuffle: bool = True
+) -> int:
+    """Many-chunk deflate(+shuffle) HDF5 file for ingest-at-scale
+    benches (VERDICT r4 item 7): one (side, side) int32 'data' variable,
+    (chunk, chunk) chunks, v1 B-tree index. Streams chunk-by-chunk (the
+    full array is never materialized) and returns the chunk count."""
+    import os as _os
+
+    nchunks_side = (side + chunk - 1) // chunk
+    entries = []
+    with open(path, "wb") as f:
+        # reserve the metadata region; chunks append after it
+        meta_reserve = 4096 + 64 * nchunks_side * nchunks_side + 65536
+        f.write(b"\x00" * meta_reserve)
+        for cy in range(nchunks_side):
+            base = (
+                np.arange(chunk * chunk, dtype="<i4").reshape(chunk, chunk)
+                + cy * 7
+            )
+            for cx in range(nchunks_side):
+                raw = ((base + cx * 13) % 100000).tobytes()
+                if shuffle:
+                    raw = _shuffle_bytes(raw, 4)
+                raw = zlib.compress(raw, 1)
+                addr = f.tell()
+                f.write(raw)
+                entries.append(((cy * chunk, cx * chunk), addr, len(raw)))
+        eof = f.tell()
+    # metadata (B-tree leaves chained flat into one leaf is fine for the
+    # reader: it walks entries of a single node) — build in a small
+    # builder buffer and splice into the reserved region
+    bld = _Builder(meta_reserve)
+    bld.cursor = 4096
+    bt = bytearray(
+        b"TREE" + struct.pack("<BBH", 1, 0, len(entries)) + UNDEF8 + UNDEF8
+    )
+    for offs, addr, size in entries:
+        bt += struct.pack("<II", size, 0)
+        bt += b"".join(struct.pack("<Q", o) for o in offs) + struct.pack("<Q", 0)
+        bt += struct.pack("<Q", addr)
+    bt += struct.pack("<II", 0, 0) + b"\x00" * 24
+    bt_addr = bld.alloc(bytes(bt))
+    filters = struct.pack("<BB6x", 1, 2 if shuffle else 1)
+    if shuffle:
+        # shuffle (id 2, client value = element size), then deflate
+        filters += struct.pack("<HHHH", 2, 0, 1, 1) + struct.pack("<I", 4) + b"\x00" * 4
+    filters += struct.pack("<HHHH", 1, 0, 1, 1) + struct.pack("<I", 1) + b"\x00" * 4
+    msgs = [
+        (0x0001, _dataspace_v1([side, side])),
+        (0x0003, _datatype("i4")),
+        (
+            0x0008,
+            struct.pack("<BBB", 3, 2, 3)
+            + struct.pack("<Q", bt_addr)
+            + struct.pack("<II", chunk, chunk)
+            + struct.pack("<I", 4),
+        ),
+        (0x000B, filters),
+    ]
+    v_oh = bld.alloc(_v1_header(msgs))
+    root = _symbol_table_root(bld, [("data", v_oh)])
+    meta = bld.bytes()[:meta_reserve]
+    meta = _superblock_v0(root, eof) + meta[len(_superblock_v0(root, eof)) :]
+    with open(path, "r+b") as f:
+        f.write(meta)
+    _os.truncate(path, eof)
+    return len(entries)

@@ -21,8 +21,10 @@ subset, chosen to cover what netCDF-4 writers emit:
   messages in a fractal heap indexed by a v2 name B-tree — what netCDF-4
   uses past the 8-link compact threshold)
 - dense attributes (same fractal heap + v2 B-tree machinery)
-- chunk index: v1 B-tree (layout v3); v4 chunk indexes (HDF5 1.10
-  latest-format) raise with a clear message
+- chunk index: v1 B-tree (layout v3); layout v4 (HDF5 1.10
+  latest-format) single-chunk / implicit / fixed-array indexes incl.
+  data-block paging (r5); extensible array & v2 B-tree (unlimited
+  dims) raise with a clear message
 - global heap ("GCOL") for vlen attribute data (DIMENSION_LIST)
 
 The netCDF-4 semantic layer (dimension scales via CLASS=DIMENSION_SCALE
@@ -33,6 +35,7 @@ references) is exposed through :class:`NC4File`, shaped like
 
 from __future__ import annotations
 
+import mmap
 import struct
 import zlib
 from dataclasses import dataclass, field
@@ -49,7 +52,7 @@ def is_hdf5(path: str) -> bool:
     return head == HDF5_MAGIC
 
 
-def _find_superblock(d: bytes) -> int:
+def _find_superblock(d) -> int:
     off = 0
     while off <= min(len(d) - 8, 65536):
         if d[off : off + 8] == HDF5_MAGIC:
@@ -244,6 +247,13 @@ def _parse_attribute(d: bytes, b: bytes):
         dims = _parse_dataspace(b[p : p + ds_size])
         p += ds_size + (-ds_size % 8)
     elif ver in (2, 3):
+        # flags byte: bit 0 = shared datatype, bit 1 = shared dataspace.
+        # A shared message stores a heap-ID payload where we'd parse the
+        # datatype — silently wrong values, so raise loudly instead.
+        if b[1] & 0x03:
+            raise NotImplementedError(
+                "shared datatype/dataspace in attribute message"
+            )
         name_size, dt_size, ds_size = struct.unpack_from("<HHH", b, 2)
         p = 8
         if ver == 3:
@@ -299,22 +309,30 @@ def _fractal_heap_fetch(d: bytes, fheap: int):
         if d[root_addr : root_addr + 4] != b"FHIB":
             raise ValueError("bad fractal heap root block signature")
         # indirect block: sig(4) ver(1) heap hdr(8) block offset(off) then
-        # child direct-block addresses row by row (doubling table)
+        # child direct-block addresses row by row (doubling table).  Row
+        # count comes from the heap header's "current # rows in root
+        # indirect block" (offset p+30) — NOT from the doubling table's
+        # capacity, which may exceed the rows actually stored in the
+        # block (walking past it reads garbage addresses).
+        nrows = struct.unpack_from("<H", d, p + 30)[0]
         out = []
         q = root_addr + 13 + off_bytes
         # rows 0 and 1 use start_bs; each later row doubles
         heap_off = 0
-        row = 0
         bs = start_bs
-        while bs <= max_direct:
+        for row in range(nrows):
+            if bs > max_direct:
+                raise NotImplementedError(
+                    "nested indirect blocks in fractal heap (root rows "
+                    "past the max-direct-size tier)"
+                )
             for _ in range(width):
                 child = int.from_bytes(d[q : q + 8], "little")
                 q += 8
                 if child != UNDEF:
                     out.append((heap_off, child, bs))
                 heap_off += bs
-            row += 1
-            if row >= 2:
+            if row >= 1:
                 bs *= 2
         return out
 
@@ -403,10 +421,71 @@ class Layout:
     size: int = 0
     chunk_shape: tuple[int, ...] = ()
     compact_data: bytes = b""
+    version: int = 3
+    index_type: int = 0             # v4: 1 single, 2 implicit, 3 fixed array
+    flags: int = 0                  # v4 chunked feature flags
+    single_size: int = 0            # v4 single-chunk-with-filter size
+    single_mask: int = 0            # v4 single-chunk-with-filter mask
+    page_bits: int = 0              # v4 fixed-array page bits (informational)
 
 
 def _parse_layout(b: bytes) -> Layout:
     ver = b[0]
+    if ver == 4:
+        # HDF5 1.10 "latest-format" layout (closes the r4 declared tail):
+        # compact/contiguous share v3's field layout; chunked carries a
+        # chunk-index descriptor instead of a v1 B-tree address.
+        cls = b[1]
+        if cls == 0:
+            size = struct.unpack_from("<H", b, 2)[0]
+            return Layout("compact", compact_data=b[4 : 4 + size], version=4)
+        if cls == 1:
+            addr = int.from_bytes(b[2:10], "little")
+            size = int.from_bytes(b[10:18], "little")
+            return Layout("contiguous", addr=addr, size=size, version=4)
+        if cls == 2:
+            flags = b[2]
+            nd = b[3]
+            enc = b[4]
+            p = 5
+            dims = [
+                int.from_bytes(b[p + i * enc : p + (i + 1) * enc], "little")
+                for i in range(nd)
+            ]
+            p += nd * enc
+            itype = b[p]
+            p += 1
+            single_size = single_mask = 0
+            page_bits = 0
+            if itype == 1:  # single chunk
+                if flags & 0x02:  # with filter: stored size + mask
+                    single_size = int.from_bytes(b[p : p + 8], "little")
+                    p += 8
+                    single_mask = struct.unpack_from("<I", b, p)[0]
+                    p += 4
+            elif itype == 2:  # implicit: no index-specific fields
+                pass
+            elif itype == 3:  # fixed array
+                page_bits = b[p]
+                p += 1
+            else:
+                raise NotImplementedError(
+                    f"HDF5 v4 chunk index type {itype} "
+                    "(extensible array / v2 B-tree) unsupported"
+                )
+            addr = int.from_bytes(b[p : p + 8], "little")
+            return Layout(
+                "chunked",
+                addr=addr,
+                chunk_shape=tuple(dims),
+                version=4,
+                index_type=itype,
+                flags=flags,
+                single_size=single_size,
+                single_mask=single_mask,
+                page_bits=page_bits,
+            )
+        raise NotImplementedError(f"layout v4 class {cls} (virtual storage)")
     if ver == 3:
         cls = b[1]
         if cls == 0:  # compact
@@ -439,7 +518,7 @@ def _parse_layout(b: bytes) -> Layout:
             return Layout("chunked", addr=addr, chunk_shape=tuple(dims[:-1]))
         size = struct.unpack_from("<I", b, p)[0]
         return Layout("compact", compact_data=b[p + 4 : p + 4 + size])
-    raise NotImplementedError(f"layout version {ver} (v4 chunk indexes unsupported)")
+    raise NotImplementedError(f"layout message version {ver}")
 
 
 def _parse_filters(b: bytes) -> list[tuple[int, list[int]]]:
@@ -494,6 +573,102 @@ def _walk_chunk_btree(
     return out
 
 
+def _grid_offsets(i: int, grid: list[int], cshape: tuple[int, ...]) -> tuple[int, ...]:
+    """Row-major linear chunk index → per-dimension element offsets."""
+    out: list[int] = []
+    for g, c in zip(reversed(grid), reversed(cshape)):
+        out.append((i % g) * c)
+        i //= g
+    return tuple(reversed(out))
+
+
+def _fixed_array_chunks(
+    d, fahd: int, chunk_bytes: int, grid: list[int], cshape: tuple[int, ...]
+) -> list[tuple[tuple[int, ...], int, int, int]]:
+    """Fixed Array chunk index (FAHD/FADB) → chunk records. Handles both
+    the unpaged data block and data-block paging (bitmap + per-page
+    checksums); client 1 elements carry (addr, size, filter mask)."""
+    if d[fahd : fahd + 4] != b"FAHD":
+        raise ValueError(f"bad fixed array header signature at {fahd}")
+    client = d[fahd + 5]
+    entry_size = d[fahd + 6]
+    page_bits = d[fahd + 7]
+    max_n = int.from_bytes(d[fahd + 8 : fahd + 16], "little")
+    dblk = int.from_bytes(d[fahd + 16 : fahd + 24], "little")
+    if client not in (0, 1):
+        raise NotImplementedError(f"fixed array client id {client}")
+    if dblk == UNDEF:
+        return []
+    if d[dblk : dblk + 4] != b"FADB":
+        raise ValueError(f"bad fixed array data block signature at {dblk}")
+    p = dblk + 14  # sig(4) version(1) client(1) header addr(8)
+    out: list[tuple[tuple[int, ...], int, int, int]] = []
+
+    def parse_elem(q: int, idx: int) -> None:
+        addr = int.from_bytes(d[q : q + 8], "little")
+        if addr == UNDEF:
+            return
+        if client == 1:  # filtered: addr(8) size(entry-12) mask(4)
+            szb = entry_size - 12
+            size = int.from_bytes(d[q + 8 : q + 8 + szb], "little")
+            mask = struct.unpack_from("<I", d, q + 8 + szb)[0]
+        else:
+            size, mask = chunk_bytes, 0
+        out.append((_grid_offsets(idx, grid, cshape), addr, size, mask))
+
+    page_elems = 1 << page_bits
+    if max_n > page_elems:  # paged: bitmap + checksum, then pages
+        npages = (max_n + page_elems - 1) // page_elems
+        bitmap = bytes(d[p : p + (npages + 7) // 8])
+        p += (npages + 7) // 8 + 4
+        idx = 0
+        for pg in range(npages):
+            n_in_page = min(page_elems, max_n - pg * page_elems)
+            if (bitmap[pg // 8] >> (pg % 8)) & 1:
+                for j in range(n_in_page):
+                    parse_elem(p + j * entry_size, idx + j)
+            p += n_in_page * entry_size + 4  # elements + page checksum
+            idx += n_in_page
+    else:
+        for i in range(max_n):
+            parse_elem(p + i * entry_size, i)
+    return out
+
+
+def _walk_v4_chunk_index(
+    d, layout: Layout, shape: tuple[int, ...], itemsize: int
+) -> list[tuple[tuple[int, ...], int, int, int]]:
+    """Layout-v4 chunk indexes (HDF5 1.10 latest-format): single chunk,
+    implicit, and fixed array — the three netCDF-4 emits for
+    fixed-dimension variables; extensible array / v2 B-tree (unlimited
+    dims) raise in _parse_layout with a clear message."""
+    cshape = layout.chunk_shape
+    if layout.addr == UNDEF:
+        return []  # never-written dataset: all-fill
+    grid = [(s + c - 1) // c for s, c in zip(shape, cshape)]
+    nchunks = 1
+    for g in grid:
+        nchunks *= g
+    chunk_bytes = itemsize
+    for c in cshape:
+        chunk_bytes *= c
+    it = layout.index_type
+    if it == 1:  # single chunk: address IS the chunk
+        if layout.flags & 0x02:
+            return [(tuple(0 for _ in cshape), layout.addr, layout.single_size,
+                     layout.single_mask)]
+        return [(tuple(0 for _ in cshape), layout.addr, chunk_bytes, 0)]
+    if it == 2:  # implicit: unfiltered chunks contiguous in index order
+        return [
+            (_grid_offsets(i, grid, cshape), layout.addr + i * chunk_bytes,
+             chunk_bytes, 0)
+            for i in range(nchunks)
+        ]
+    if it == 3:
+        return _fixed_array_chunks(d, layout.addr, chunk_bytes, grid, cshape)
+    raise NotImplementedError(f"HDF5 v4 chunk index type {it}")
+
+
 def decode_chunk(
     raw: bytes, filters: list[tuple[int, list[int]]], fmask: int
 ) -> bytes:
@@ -539,7 +714,7 @@ def _walk_group_btree(d: bytes, addr: int, heap_data: int) -> list[tuple[str, in
         for _ in range(nsyms):
             name_off = int.from_bytes(d[p : p + 8], "little")
             ohdr = int.from_bytes(d[p + 8 : p + 16], "little")
-            end = d.index(b"\x00", heap_data + name_off)
+            end = d.find(b"\x00", heap_data + name_off)
             name = d[heap_data + name_off : end].decode()
             out.append((name, ohdr))
             p += 40  # entry: link offset, ohdr, cache type, reserved, scratch
@@ -595,6 +770,10 @@ class H5Dataset:
     def chunk_map(self) -> list[tuple[tuple[int, ...], int, int, int]]:
         if self.layout.kind != "chunked":
             raise ValueError("chunk_map on non-chunked dataset")
+        if self.layout.version == 4:
+            return _walk_v4_chunk_index(
+                self._d, self.layout, self.shape, self.dtype.numpy.itemsize
+            )
         return _walk_chunk_btree(
             self._d, self.layout.addr, len(self.layout.chunk_shape) + 1
         )
@@ -637,17 +816,28 @@ class H5Dataset:
 
 class H5File:
     """Parsed HDF5 file: flat dataset map (group paths joined with '/'),
-    root attributes. The whole file rides in memory — headers are tiny;
-    `read()` is the driver-side convenience path, distributed ingest uses
-    `chunk_map()` byte ranges instead."""
+    root attributes. The file is mmap-backed, NOT slurped: driver-side
+    parsing only pages in object headers, B-tree nodes and heaps (a
+    parquet-footer-sized footprint even on multi-GB inputs); `read()` is
+    the driver-side convenience path, distributed ingest uses
+    `chunk_map()` byte ranges and re-opens the file per task instead."""
 
     def __init__(self, path: str):
-        with open(path, "rb") as f:
-            d = f.read()
         self.path = path
-        base = _find_superblock(d)
-        if base != 0:
-            d = d[base:]  # addresses are relative to the superblock
+        self._f = open(path, "rb")
+        mm = mmap.mmap(self._f.fileno(), 0, access=mmap.ACCESS_READ)
+        base = _find_superblock(mm)
+        if base == 0:
+            d = mm  # lazy: slices page in only the touched regions
+        else:
+            # userblock files (base 512/1024/…): HDF5 addresses are
+            # relative to the superblock, and mmap offsets must be
+            # page-aligned, so fall back to an eager in-memory view of
+            # the post-userblock bytes (userblock files are rare and the
+            # netCDF-4 path never emits them)
+            mm.seek(0)
+            d = mm[base:]
+            mm.close()
         self._d = d
         ver = d[8]
         if ver in (0, 1):
@@ -713,6 +903,18 @@ class H5File:
                 if fheap != UNDEF:
                     links.extend(_dense_links(d, fheap, name_bt))
         if is_dataset and dtype is not None and layout is not None:
+            if layout.kind == "chunked" and layout.version == 4:
+                # v4 chunk dims may carry the trailing element-size
+                # "dimension" (v3's on-disk convention, kept by libhdf5's
+                # shared layout struct) or be exactly the dataspace rank;
+                # disambiguate against the rank we just parsed.
+                nd, rank = len(layout.chunk_shape), len(shape)
+                if nd == rank + 1:
+                    layout.chunk_shape = layout.chunk_shape[:-1]
+                elif nd != rank:
+                    raise ValueError(
+                        f"layout v4 chunk rank {nd} vs dataspace rank {rank}"
+                    )
             self.datasets[prefix.lstrip("/")] = H5Dataset(
                 prefix.lstrip("/"), shape, dtype, layout, filters, attrs, addr, d
             )
@@ -814,13 +1016,17 @@ def ingest_netcdf4(spark, path: str, variable: str, var_label: str | None = None
 
     Distribution shape: the driver parses ONLY metadata (object headers +
     the chunk B-tree — the same driver-side footprint Spark's parquet
-    footer reads take); each TASK seeks to its chunk's byte range,
-    inflates (deflate/shuffle/fletcher pipeline), unpacks
-    (fill→NaN, scale/offset), flips into north-first/west-first grid
-    space and emits per-tile fragments; one groupBy assembles tiles.
-    Parallelism = chunk count; no pixel byte ever routes through the
-    driver. Tiles with no stored chunk materialize as all-fill (NaN)
-    via skeleton fragments, matching classic-NetCDF semantics.
+    footer reads take, via mmap so chunk payloads are never paged in);
+    each TASK seeks to its chunk's byte range, inflates (deflate/
+    shuffle/fletcher pipeline), unpacks (fill→NaN, scale/offset), flips
+    into north-first/west-first grid space and emits tiles. Chunks whose
+    grid footprint is tile-ALIGNED (the bulk, for any tile-multiple
+    chunking) emit whole tile rows directly — zero shuffle; only
+    unaligned/boundary fragments take the groupBy assembly, whose input
+    is O(perimeter), not O(volume). Parallelism = chunk count; no pixel
+    byte ever routes through the driver. Tiles with no stored chunk
+    materialize as all-fill (NaN) via anti-joined skeleton keys,
+    matching classic-NetCDF semantics.
     """
     import pandas as pd
     from pyspark.sql import functions as F
@@ -876,6 +1082,9 @@ def ingest_netcdf4(spark, path: str, variable: str, var_label: str | None = None
     filters = ds.filters
     label = var_label or variable
     rank = len(v.shape)
+    # plain tuple so the task closure never captures the _NC4Var →
+    # H5Dataset → mmap chain (unpicklable, and would ship file bytes)
+    vshape = tuple(int(s) for s in v.shape)
 
     if ds.layout.kind == "chunked":
         cshape = ds.layout.chunk_shape
@@ -906,54 +1115,135 @@ def ingest_netcdf4(spark, path: str, variable: str, var_label: str | None = None
         "addr bigint, size bigint, fmask bigint, "
         + ", ".join(f"{c} bigint" for c in off_cols)
     )
-    cdf = None
-    if chunk_rows:
-        cdf = spark.createDataFrame(chunk_rows, schema_str).repartition(
-            min(len(chunk_rows), spark.sparkContext.defaultParallelism * 2)
-        )
     compact_payload = ds.layout.compact_data if ds.layout.kind == "compact" else None
+    spec_y0, spec_x0, spec_dy, spec_dx = spec.y0, spec.x0, spec.dy, spec.dx
+
+    # ---- driver-side alignment split (r5 scale fix) ----------------------
+    # A chunk whose grid-space footprint lands exactly on tile boundaries
+    # produces only WHOLE tiles, each from exactly one chunk (chunks
+    # partition index space) — those map straight to tile rows with NO
+    # fragment shuffle. Only boundary/unaligned chunks (O(perimeter) for
+    # typical writers, zero for tile-multiple chunk shapes) go through
+    # the groupBy assembly. Measured on a 1 GiB 4096-chunk deflate+
+    # shuffle file: 117 s (all fragments shuffled) → map-side-bound
+    # (tools/bench_nc4_ingest.py); at 100 TB this is the difference
+    # between shuffling the whole dataset and shuffling its tile edges.
+    def _cover(offs: list[int]):
+        oy, ox = offs[-2], offs[-1]
+        cy, cx = cshape[-2], cshape[-1]
+        th_ = min(cy, h - oy)
+        tw2 = min(cx, w - ox)
+        gy0 = h - (oy + th_) if y_flip else oy
+        gx0 = w - (ox + tw2) if x_flip else ox
+        gy1, gx1 = gy0 + th_, gx0 + tw2
+        ok = (
+            gy0 % tile == 0
+            and (gy1 % tile == 0 or gy1 == h)
+            and gx0 % tile == 0
+            and (gx1 % tile == 0 or gx1 == w)
+        )
+        if rank == 3:
+            t0_, t1_ = offs[0], offs[0] + min(cshape[0], nt - offs[0]) - 1
+        else:
+            t0_ = t1_ = 0
+        return ok, (t0_, t1_, gy0 // tile, (gy1 - 1) // tile,
+                    gx0 // tile, (gx1 - 1) // tile)
+
+    full_rows: list[tuple] = []
+    part_rows: list[tuple] = []
+    for row in chunk_rows:
+        ok, cover = _cover(list(row[3:]))
+        if ok:
+            full_rows.append(row + cover)
+        else:
+            part_rows.append(row)
+
+    par2 = spark.sparkContext.defaultParallelism * 2
+    cdf_full = cdf_part = None
+    if full_rows:
+        cdf_full = spark.createDataFrame(
+            full_rows,
+            schema_str + ", t0 int, t1 int, ty0 int, ty1 int, tx0 int, tx1 int",
+        ).repartition(min(len(full_rows), par2))
+    if part_rows:
+        cdf_part = spark.createDataFrame(part_rows, schema_str).repartition(
+            min(len(part_rows), par2)
+        )
 
     from .netcdf3 import _unpack
+
+    def _decode_slabs(r, f):
+        """One chunk row → (t, north/west-oriented float32 slab, grid
+        y0, grid x0) per time slice."""
+        if r.addr == -1:
+            raw = compact_payload
+        else:
+            f.seek(int(r.addr))
+            raw = decode_chunk(f.read(int(r.size)), filters, int(r.fmask))
+        blk = np.frombuffer(raw, dtype=dt_np).reshape(cshape)
+        offs = [int(getattr(r, c)) for c in off_cols]
+        # clip edge chunks to the array extent
+        takes = [min(c, s - o) for c, s, o in zip(cshape, vshape, offs)]
+        blk = blk[tuple(slice(0, tk) for tk in takes)]
+        if rank == 2:
+            slabs = [(0, blk, offs[0], offs[1])]
+        else:
+            slabs = [
+                (offs[0] + i, blk[i], offs[1], offs[2])
+                for i in range(takes[0])
+            ]
+        for t, slab, oy, ox in slabs:
+            vals = _unpack(slab, attrs).astype(np.float32)
+            th, tw_ = vals.shape
+            if y_flip:
+                vals = vals[::-1]
+                gy0 = h - (oy + th)
+            else:
+                gy0 = oy
+            if x_flip:
+                vals = vals[:, ::-1]
+                gx0 = w - (ox + tw_)
+            else:
+                gx0 = ox
+            yield t, vals, gy0, gx0
+
+    def cut_full(batches):
+        f = open(path, "rb")
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                for t, vals, gy0, gx0 in _decode_slabs(r, f):
+                    th, tw_ = vals.shape
+                    for ty in range(gy0 // tile, (gy0 + th - 1) // tile + 1):
+                        for tx in range(gx0 // tile, (gx0 + tw_ - 1) // tile + 1):
+                            eh = min(tile, h - ty * tile)
+                            ew = min(tile, w - tx * tile)
+                            ay0 = ty * tile - gy0
+                            ax0 = tx * tile - gx0
+                            sub = vals[ay0 : ay0 + eh, ax0 : ax0 + ew]
+                            lat_c = spec_y0 - (ty * tile + eh / 2.0) * spec_dy
+                            lon_c = spec_x0 + (tx * tile + ew / 2.0) * spec_dx
+                            cell = int(cells.latlon_to_cell(lat_c, lon_c, CELL_RES))
+                            rows.append(
+                                (label, int(t), int(ty), int(tx), cell,
+                                 np.ascontiguousarray(sub).tobytes(), eh, ew)
+                            )
+            yield pd.DataFrame(
+                rows,
+                columns=["var", "t", "ty", "tx", "cell", "block", "h", "w"],
+            )
 
     frag_schema = (
         "t int, ty int, tx int, ry int, rx int, fh int, fw int, frag binary"
     )
 
-    def cut(batches):
+    def cut_frag(batches):
         f = open(path, "rb")
         for pdf in batches:
             rows = []
             for r in pdf.itertuples(index=False):
-                if r.addr == -1:
-                    raw = compact_payload
-                else:
-                    f.seek(int(r.addr))
-                    raw = decode_chunk(f.read(int(r.size)), filters, int(r.fmask))
-                blk = np.frombuffer(raw, dtype=dt_np).reshape(cshape)
-                offs = [int(getattr(r, c)) for c in off_cols]
-                # clip edge chunks to the array extent
-                takes = [min(c, s - o) for c, s, o in zip(cshape, v.shape, offs)]
-                blk = blk[tuple(slice(0, tk) for tk in takes)]
-                if rank == 2:
-                    slabs = [(0, blk, offs[0], offs[1])]
-                else:
-                    slabs = [
-                        (offs[0] + i, blk[i], offs[1], offs[2])
-                        for i in range(takes[0])
-                    ]
-                for t, slab, oy, ox in slabs:
-                    vals = _unpack(slab, attrs).astype(np.float32)
+                for t, vals, gy0, gx0 in _decode_slabs(r, f):
                     th, tw_ = vals.shape
-                    if y_flip:
-                        vals = vals[::-1]
-                        gy0 = h - (oy + th)
-                    else:
-                        gy0 = oy
-                    if x_flip:
-                        vals = vals[:, ::-1]
-                        gx0 = w - (ox + tw_)
-                    else:
-                        gx0 = ox
                     ty0, ty1 = gy0 // tile, (gy0 + th - 1) // tile
                     tx0, tx1 = gx0 // tile, (gx0 + tw_ - 1) // tile
                     for ty in range(ty0, ty1 + 1):
@@ -974,8 +1264,22 @@ def ingest_netcdf4(spark, path: str, variable: str, var_label: str | None = None
                 columns=["t", "ty", "tx", "ry", "rx", "fh", "fw", "frag"],
             )
 
-    frags = cdf.mapInPandas(cut, schema=frag_schema) if cdf is not None else None
-    # skeleton: every (t, ty, tx) exists even when no chunk is stored
+    tiles_fast = (
+        cdf_full.mapInPandas(cut_full, schema=TILE_SCHEMA)
+        if cdf_full is not None
+        else None
+    )
+    frags = (
+        cdf_part.mapInPandas(cut_frag, schema=frag_schema)
+        if cdf_part is not None
+        else None
+    )
+
+    # skeleton: every (t, ty, tx) not already produced whole by the fast
+    # path gets a row (all-fill when no fragment lands on it). The
+    # exclusion join moves 12-byte tile KEYS only — the covered-key set
+    # is derived from the chunk table by Catalyst arithmetic, never by
+    # re-decoding chunks.
     n = nt * nty * ntx
     skel = spark.range(0, n).select(
         (F.col("id") / (nty * ntx)).cast("int").alias("t"),
@@ -985,8 +1289,19 @@ def ingest_netcdf4(spark, path: str, variable: str, var_label: str | None = None
         F.lit(0).alias("fh"), F.lit(0).alias("fw"),
         F.lit(b"").alias("frag"),
     )
-
-    spec_y0, spec_x0, spec_dy, spec_dx = spec.y0, spec.x0, spec.dy, spec.dx
+    if cdf_full is not None:
+        covered = (
+            cdf_full.select(
+                F.explode(F.sequence("t0", "t1")).alias("t"),
+                "ty0", "ty1", "tx0", "tx1",
+            )
+            .select(
+                "t", F.explode(F.sequence("ty0", "ty1")).alias("ty"),
+                "tx0", "tx1",
+            )
+            .select("t", "ty", F.explode(F.sequence("tx0", "tx1")).alias("tx"))
+        )
+        skel = skel.join(covered, ["t", "ty", "tx"], "left_anti")
 
     def assemble(key, pdf):
         t, ty, tx = int(key[0]), int(key[1]), int(key[2])
@@ -1007,7 +1322,7 @@ def ingest_netcdf4(spark, path: str, variable: str, var_label: str | None = None
         )
 
     src = skel if frags is None else frags.unionByName(skel)
-    tiles = src.groupBy("t", "ty", "tx").applyInPandas(
-        assemble, schema=TILE_SCHEMA
-    )
+    tiles = src.groupBy("t", "ty", "tx").applyInPandas(assemble, schema=TILE_SCHEMA)
+    if tiles_fast is not None:
+        tiles = tiles.unionByName(tiles_fast)
     return tiles, spec
