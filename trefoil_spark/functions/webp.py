@@ -14,10 +14,14 @@ the public "WebP Lossless Bitstream Specification" (VP8L) subset:
   coding of lengths/distances (distances always emitted as raw
   ``dist+120``, never 2D plane codes). Deterministic: Huffman ties
   break by symbol id. Still byte-exact lossless.
-- decoder: simple AND normal prefix codes with full code-length-code
-  decoding, max-symbol handling, LZ77 references with raw distances —
-  round-trips the tests without PIL and rejects features outside the
-  subset loudly (transforms, color cache, 2D distance plane codes).
+- decoder (r5: foreign-stream capable): simple AND normal prefix codes
+  with full code-length-code decoding, max-symbol handling, LZ77 with
+  raw distances AND 2D distance plane codes, color cache, meta prefix
+  image, and all four transforms (predictor, cross-color,
+  subtract-green, color-indexing with pixel bundling) — decodes
+  libwebp-emitted files, not just this module's own encoder output.
+  Malformed streams (overrunning back-references, code-length repeats
+  past the alphabet) raise clean ValueErrors.
 """
 
 from __future__ import annotations
@@ -380,6 +384,8 @@ def _read_prefix_code(br: _LsbReader, alphabet: int) -> _PrefixCode:
                 prev = cl
         elif cl == 16:
             rep = 3 + br.read(2)
+            if sym + rep > alphabet:
+                raise ValueError("VP8L: code-length repeat past alphabet")
             lengths[sym:sym + rep] = [prev] * rep
             sym += rep
         elif cl == 17:
@@ -389,8 +395,264 @@ def _read_prefix_code(br: _LsbReader, alphabet: int) -> _PrefixCode:
     return _PrefixCode(lengths)
 
 
+# libwebp's plane_to_code_lut (backward_references_enc.c; the table is
+# normative — RFC 9649 publishes the equivalent 120 (dx, dy) pairs):
+# lut[dy*16 + 8 - dx] = plane_code - 1 for the close-neighborhood 2D
+# distance codes; 255 marks unused slots. Inverted below into
+# _CODE_TO_PLANE: code-1 → (dx, dy), distance = dy*width + dx (min 1).
+_PLANE_TO_CODE_LUT = [
+    96, 73, 55, 39, 23, 13, 5, 1, 255, 255, 255, 255, 255, 255, 255, 255,
+    101, 78, 58, 42, 26, 16, 8, 2, 0, 3, 9, 17, 27, 43, 59, 79,
+    102, 86, 62, 46, 32, 20, 10, 6, 4, 7, 11, 21, 33, 47, 63, 87,
+    105, 90, 70, 52, 37, 28, 18, 14, 12, 15, 19, 29, 38, 53, 71, 91,
+    110, 99, 82, 66, 48, 35, 30, 24, 22, 25, 31, 36, 49, 67, 83, 100,
+    115, 108, 94, 76, 64, 50, 44, 40, 34, 41, 45, 51, 65, 77, 95, 109,
+    118, 113, 103, 92, 80, 68, 60, 56, 54, 57, 61, 69, 81, 93, 104, 114,
+    119, 116, 111, 106, 97, 88, 84, 74, 72, 75, 85, 89, 98, 107, 112, 117,
+]
+_CODE_TO_PLANE: list[tuple[int, int]] = [(0, 0)] * 120
+for _i, _c in enumerate(_PLANE_TO_CODE_LUT):
+    if _c != 255:
+        _CODE_TO_PLANE[_c] = (8 - (_i % 16), _i // 16)
+
+
+def _prefix_value(br: _LsbReader, code: int) -> int:
+    # inverse of webp_huffman.prefix_encode_value (spec 4.2.1)
+    if code < 4:
+        return code + 1
+    extra = (code >> 1) - 1
+    base = (2 + (code & 1)) << extra
+    return base + br.read(extra) + 1
+
+
+def _read_code_groups(br: _LsbReader, n_groups: int, cache_bits: int):
+    cache_size = (1 << cache_bits) if cache_bits else 0
+    out = []
+    for _ in range(n_groups):
+        green = _read_prefix_code(br, 256 + 24 + cache_size)
+        red = _read_prefix_code(br, 256)
+        blue = _read_prefix_code(br, 256)
+        alpha = _read_prefix_code(br, 256)
+        dist = _read_prefix_code(br, 40)
+        out.append((green, red, blue, alpha, dist))
+    return out
+
+
+def _decode_pixels(
+    br: _LsbReader,
+    w: int,
+    h: int,
+    groups,
+    meta: np.ndarray | None,
+    meta_bits: int,
+    cache_bits: int,
+) -> np.ndarray:
+    """LZ77-coded VP8L pixel stream → (w*h, 4) uint8 [R,G,B,A].
+
+    Handles color-cache symbols (green alphabet ≥ 280), 2D distance
+    plane codes (dv ≤ 120) and per-tile meta prefix groups."""
+    n = w * h
+    out = np.empty((n, 4), dtype=np.uint8)
+    cache = None
+    if cache_bits:
+        cache = np.zeros((1 << cache_bits, 4), dtype=np.uint8)
+        cache_shift = 32 - cache_bits
+    mw = ((w + (1 << meta_bits) - 1) >> meta_bits) if meta is not None else 0
+
+    def cache_insert(px) -> None:
+        argb = (int(px[3]) << 24) | (int(px[0]) << 16) | (int(px[1]) << 8) | int(px[2])
+        key = ((0x1E35A7BD * argb) & 0xFFFFFFFF) >> cache_shift
+        cache[key] = px
+
+    gidx = -1
+    green = red = blue = alpha = dist_code = None
+    i = 0
+    while i < n:
+        if meta is not None:
+            y, x = divmod(i, w)
+            gi = int(meta[(y >> meta_bits) * mw + (x >> meta_bits)])
+        else:
+            gi = 0
+        if gi != gidx:
+            if gi >= len(groups):
+                raise ValueError("VP8L: meta prefix group out of range")
+            green, red, blue, alpha, dist_code = groups[gi]
+            gidx = gi
+        gsym = green.decode(br)
+        if gsym < 256:  # literal
+            out[i, 1] = gsym
+            out[i, 0] = red.decode(br)
+            out[i, 2] = blue.decode(br)
+            out[i, 3] = alpha.decode(br)
+            if cache is not None:
+                cache_insert(out[i])
+            i += 1
+        elif gsym < 280:  # backward reference
+            length = _prefix_value(br, gsym - 256)
+            dv = _prefix_value(br, dist_code.decode(br))
+            if dv > 120:
+                dist = dv - 120
+            else:
+                dx, dy = _CODE_TO_PLANE[dv - 1]
+                dist = max(1, dy * w + dx)
+            if dist > i:
+                raise ValueError("VP8L: backward reference before image start")
+            if i + length > n:
+                raise ValueError("VP8L: backward reference past image end")
+            if cache is None and dist >= length:
+                # non-overlapping, no cache bookkeeping: block copy
+                out[i : i + length] = out[i - dist : i - dist + length]
+            else:
+                for k in range(length):  # sequential: overlapping runs valid
+                    out[i + k] = out[i + k - dist]
+                    if cache is not None:
+                        cache_insert(out[i + k])
+            i += length
+        else:  # color-cache hit
+            idx = gsym - 280
+            if cache is None:
+                raise ValueError("VP8L: color-cache symbol without a cache")
+            out[i] = cache[idx]
+            i += 1
+    return out
+
+
+def _decode_sub_image(br: _LsbReader, w: int, h: int) -> np.ndarray:
+    """entropy-coded-image (transform data / entropy image / palette):
+    color-cache-info + one prefix-code group + LZ77 stream, no meta."""
+    cache_bits = br.read(4) if br.read(1) else 0
+    groups = _read_code_groups(br, 1, cache_bits)
+    return _decode_pixels(br, w, h, groups, None, 0, cache_bits)
+
+
+def _avg2(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    return (a + b) >> 1
+
+
+def _inv_predictor(img: np.ndarray, w: int, h: int, bits: int, tdata: np.ndarray) -> np.ndarray:
+    """Inverse predictor transform (type 0). Residuals + predicted value
+    mod 256 per channel; per-tile mode lives in the transform image's
+    green channel. Border rules per spec: (0,0) predicts ARGB black, top
+    row L, left column T; TR for the rightmost column wraps to the
+    leftmost pixel of the SAME row (the contiguous-buffer rule)."""
+    tw = (w + (1 << bits) - 1) >> bits
+    modes = tdata[:, 1]
+    res = img.astype(np.int16)
+    out = np.zeros_like(res)
+    n = w * h
+    black = np.array([0, 0, 0, 255], dtype=np.int16)
+    for i in range(n):
+        if i == 0:
+            pred = black
+        elif i < w:
+            pred = out[i - 1]  # top row: L
+        elif i % w == 0:
+            pred = out[i - w]  # left column: T
+        else:
+            mode = int(modes[((i // w) >> bits) * tw + ((i % w) >> bits)])
+            L = out[i - 1]
+            T = out[i - w]
+            if mode == 1:
+                pred = L
+            elif mode == 2:
+                pred = T
+            elif mode == 0:
+                pred = black
+            elif mode == 3:
+                pred = out[i - w + 1]
+            elif mode == 4:
+                pred = out[i - w - 1]
+            elif mode == 5:
+                pred = _avg2(_avg2(L, out[i - w + 1]), T)
+            elif mode == 6:
+                pred = _avg2(L, out[i - w - 1])
+            elif mode == 7:
+                pred = _avg2(L, T)
+            elif mode == 8:
+                pred = _avg2(out[i - w - 1], T)
+            elif mode == 9:
+                pred = _avg2(T, out[i - w + 1])
+            elif mode == 10:
+                pred = _avg2(_avg2(L, out[i - w - 1]), _avg2(T, out[i - w + 1]))
+            elif mode == 11:
+                # Select: p = T + L - TL; pick whichever of T/L is
+                # Manhattan-closer to p (ties → T), per libwebp Sub3
+                TL = out[i - w - 1]
+                pT = int(np.abs(L - TL).sum())
+                pL = int(np.abs(T - TL).sum())
+                pred = T if pT <= pL else L
+            elif mode == 12:
+                TL = out[i - w - 1]
+                pred = np.clip(L + T - TL, 0, 255)
+            elif mode == 13:
+                TL = out[i - w - 1]
+                ave = _avg2(L, T)
+                d = ave - TL
+                # C truncation toward zero for (a - b) / 2
+                half = np.where(d >= 0, d >> 1, -((-d) >> 1))
+                pred = np.clip(ave + half, 0, 255)
+            else:
+                raise ValueError(f"VP8L: predictor mode {mode}")
+        out[i] = (res[i] + pred) & 0xFF
+    return out.astype(np.uint8)
+
+
+def _color_transform_delta(t: np.ndarray, c: np.ndarray) -> np.ndarray:
+    # both operands are signed int8 per spec; >>5 arithmetic
+    return (t.astype(np.int8).astype(np.int32) * c.astype(np.int8).astype(np.int32)) >> 5
+
+
+def _inv_cross_color(img: np.ndarray, w: int, h: int, bits: int, tdata: np.ndarray) -> np.ndarray:
+    """Inverse color (cross-color) transform (type 1), fully vectorized.
+    Transform pixel channels: blue=green_to_red, green=green_to_blue,
+    red=red_to_blue (spec ColorTransformElement packing)."""
+    tw = (w + (1 << bits) - 1) >> bits
+    n = w * h
+    ys, xs = np.divmod(np.arange(n), w)
+    ti = (ys >> bits) * tw + (xs >> bits)
+    g2r = tdata[ti, 2]
+    g2b = tdata[ti, 1]
+    r2b = tdata[ti, 0]
+    g = img[:, 1]
+    red = (img[:, 0].astype(np.int32) + _color_transform_delta(g2r, g)) & 0xFF
+    blue = (img[:, 2].astype(np.int32) + _color_transform_delta(g2b, g)) & 0xFF
+    blue = (blue + _color_transform_delta(r2b, red.astype(np.uint8))) & 0xFF
+    img[:, 0] = red.astype(np.uint8)
+    img[:, 2] = blue.astype(np.uint8)
+    return img
+
+
+def _inv_palette(
+    img: np.ndarray, packed_w: int, h: int, wbits: int, pal: np.ndarray, full_w: int
+) -> np.ndarray:
+    """Inverse color-indexing transform (type 3): unpack bundled indices
+    from the green channel and look up the (delta-decoded) palette.
+    Out-of-range indices map to 0x00000000 per spec."""
+    if wbits == 0:
+        idx = img[:, 1].astype(np.int64)
+    else:
+        ibits = 8 >> wbits
+        ppb = 1 << wbits  # pixels per packed green byte
+        packed = img[:, 1].reshape(h, packed_w).astype(np.int64)
+        shifts = np.arange(ppb, dtype=np.int64) * ibits  # LSB = leftmost
+        expanded = (packed[:, :, None] >> shifts) & ((1 << ibits) - 1)
+        idx = expanded.reshape(h, packed_w * ppb)[:, :full_w].reshape(-1)
+    out = np.zeros((idx.size, 4), dtype=np.uint8)
+    valid = idx < len(pal)
+    out[valid] = pal[idx[valid]]
+    return out
+
+
 def decode_webp(data: bytes) -> np.ndarray:
-    """Lossless WebP (literal VP8L subset) → (H,W,4) uint8 RGBA."""
+    """Lossless WebP (VP8L) → (H,W,4) uint8 RGBA.
+
+    Decodes foreign (libwebp-emitted) streams, not just this module's
+    own encoder subset: all four transforms (predictor, cross-color,
+    subtract-green, color-indexing incl. pixel bundling), color cache,
+    meta prefix image, and 2D distance plane codes. The predictor
+    inverse is pixel-sequential Python (throughput caution at ingest
+    scale, same class as the PNG filter loops); everything else is
+    vectorized or table-driven."""
     if data[:4] != b"RIFF" or data[8:12] != b"WEBP":
         raise ValueError("not a WebP file")
     pos = 12
@@ -414,52 +676,69 @@ def decode_webp(data: bytes) -> np.ndarray:
     br.read(1)  # alpha hint
     if br.read(3) != 0:
         raise ValueError("unknown VP8L version")
-    subtract_green = False
-    while br.read(1):  # transform loop
+
+    cur_w = w  # shrinks when color-indexing bundles pixels
+    transforms: list[tuple[int, object]] = []
+    seen: set[int] = set()
+    while br.read(1):  # transform list (each type at most once)
         ttype = br.read(2)
-        if ttype == 2:
-            subtract_green = True
+        if ttype in seen:
+            raise ValueError(f"VP8L: duplicate transform type {ttype}")
+        seen.add(ttype)
+        if ttype == 2:  # subtract green: no payload
+            transforms.append((2, None))
+        elif ttype in (0, 1):  # predictor / cross-color: tile image
+            bits = br.read(3) + 2
+            tw = (cur_w + (1 << bits) - 1) >> bits
+            th = (h + (1 << bits) - 1) >> bits
+            tdata = _decode_sub_image(br, tw, th)
+            transforms.append((ttype, (bits, tdata)))
+        else:  # color indexing: delta-coded palette, possible bundling
+            psize = br.read(8) + 1
+            pal_raw = _decode_sub_image(br, psize, 1)
+            pal = (np.cumsum(pal_raw.astype(np.int64), axis=0) & 0xFF).astype(np.uint8)
+            if psize <= 2:
+                wbits = 3
+            elif psize <= 4:
+                wbits = 2
+            elif psize <= 16:
+                wbits = 1
+            else:
+                wbits = 0
+            transforms.append((3, (wbits, pal)))
+            if wbits:
+                cur_w = (cur_w + (1 << wbits) - 1) >> wbits
+
+    # spatially-coded image: color-cache-info, meta-prefix, data
+    cache_bits = br.read(4) if br.read(1) else 0
+    meta_idx = None
+    meta_bits = 0
+    n_groups = 1
+    if br.read(1):  # meta prefix image
+        meta_bits = br.read(3) + 2
+        mw = (cur_w + (1 << meta_bits) - 1) >> meta_bits
+        mh = (h + (1 << meta_bits) - 1) >> meta_bits
+        meta_img = _decode_sub_image(br, mw, mh)
+        # group index = (red << 8) | green of the entropy-image pixel
+        meta_idx = (meta_img[:, 0].astype(np.int64) << 8) | meta_img[:, 1]
+        n_groups = int(meta_idx.max()) + 1
+    groups = _read_code_groups(br, n_groups, cache_bits)
+    img = _decode_pixels(br, cur_w, h, groups, meta_idx, meta_bits, cache_bits)
+
+    # inverse transforms in reverse read order; track the running width
+    width = cur_w
+    for ttype, payload_t in reversed(transforms):
+        if ttype == 3:
+            wbits, pal = payload_t
+            img = _inv_palette(img, width, h, wbits, pal, w)
+            width = w
+        elif ttype == 2:
+            img[:, 0] = (img[:, 0].astype(np.int16) + img[:, 1]).astype(np.uint8)
+            img[:, 2] = (img[:, 2].astype(np.int16) + img[:, 1]).astype(np.uint8)
+        elif ttype == 1:
+            bits, tdata = payload_t
+            img = _inv_cross_color(img, width, h, bits, tdata)
         else:
-            raise NotImplementedError(f"VP8L transform type {ttype}")
-    if br.read(1):
-        raise NotImplementedError("color cache")
-    if br.read(1):
-        raise NotImplementedError("meta prefix image")
-    green = _read_prefix_code(br, 280)
-    red = _read_prefix_code(br, 256)
-    blue = _read_prefix_code(br, 256)
-    alpha = _read_prefix_code(br, 256)
-    dist_code = _read_prefix_code(br, 40)
-
-    def prefix_value(code: int) -> int:
-        # inverse of webp_huffman.prefix_encode_value (spec 4.2.1)
-        if code < 4:
-            return code + 1
-        extra = (code >> 1) - 1
-        base = (2 + (code & 1)) << extra
-        return base + br.read(extra) + 1
-
-    n = w * h
-    out = np.empty((n, 4), dtype=np.uint8)
-    i = 0
-    while i < n:
-        gsym = green.decode(br)
-        if gsym >= 256:
-            length = prefix_value(gsym - 256)
-            dv = prefix_value(dist_code.decode(br))
-            if dv <= 120:
-                raise NotImplementedError("2D distance plane codes")
-            dist = dv - 120
-            for k in range(length):  # sequential: overlapping runs valid
-                out[i + k] = out[i + k - dist]
-            i += length
-            continue
-        out[i, 1] = gsym
-        out[i, 0] = red.decode(br)
-        out[i, 2] = blue.decode(br)
-        out[i, 3] = alpha.decode(br)
-        i += 1
-    if subtract_green:  # inverse: add green back to R and B
-        out[:, 0] = (out[:, 0].astype(np.int16) + out[:, 1]).astype(np.uint8)
-        out[:, 2] = (out[:, 2].astype(np.int16) + out[:, 1]).astype(np.uint8)
-    return out.reshape(h, w, 4)
+            bits, tdata = payload_t
+            img = _inv_predictor(img, width, h, bits, tdata)
+    return img.reshape(h, w, 4)
