@@ -1,4 +1,10 @@
-"""Pure-python paletted PNG encoder (SURVEY.md F10/S8 — PIL absent).
+"""Pure-python PNG codec (SURVEY.md F10/S8 — PIL absent).
+
+Encode: paletted + truecolor, deterministic (filter 0, fixed zlib level,
+numpy + C-zlib — no per-pixel Python; byte-stable across runs).
+Decode (r5, foreign-capable): all five scanline filters, color types
+0/2/3/4/6, bit depths 1/2/4/8, tRNS — real-world PNGs ingest, not just
+this module's own output. 16-bit and Adam7 raise loudly.
 
 Produces P-mode (color type 3) PNGs equivalent to the reference's
 PIL-based image creation (/root/reference/trefoil/render/renderers/
@@ -109,22 +115,151 @@ def encode_rgb_png(img: np.ndarray, compress_level: int = 6) -> bytes:
 
 
 def decode_rgb_png(data: bytes) -> np.ndarray:
-    """Round-trip decoder for encode_rgb_png output only."""
-    assert data[:8] == _SIGNATURE
+    """Truecolor decode: (H, W, 3|4). Accepts foreign files — grayscale
+    and palette inputs are expanded to RGB(A)."""
+    out = decode_png(data)
+    if out.ndim == 2:  # gray → RGB
+        return np.stack([out] * 3, axis=-1)
+    if out.shape[2] == 2:  # gray+alpha → RGBA
+        g = out[..., 0]
+        return np.stack([g, g, g, out[..., 1]], axis=-1)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# general decoder (r5): foreign PNGs — all five scanline filters, color
+# types 0/2/3/4/6, bit depths 1/2/4/8. The Up/Sub filters and all bit
+# unpacking are vectorized; Average/Paeth are per-pixel-lane sequential
+# by construction (left dependency) — the same throughput caution class
+# as the VP8L predictor inverse, documented for the multimodal ingest
+# path. 16-bit and Adam7 interlace raise loudly.
+# ---------------------------------------------------------------------------
+
+
+def _paeth(a: np.ndarray, b: np.ndarray, c: np.ndarray) -> np.ndarray:
+    p = a + b - c
+    pa, pb, pc = np.abs(p - a), np.abs(p - b), np.abs(p - c)
+    return np.where((pa <= pb) & (pa <= pc), a, np.where(pb <= pc, b, c))
+
+
+def _unfilter(raw: np.ndarray, h: int, stride: int, bpp: int) -> np.ndarray:
+    """(h, 1+stride) filtered scanlines → (h, stride) reconstructed."""
+    recon = np.zeros((h, stride), dtype=np.uint8)
+    zero_prev = np.zeros(stride, dtype=np.int16)
+    npix = stride // bpp
+    for y in range(h):
+        ftype = int(raw[y, 0])
+        cur = raw[y, 1:].astype(np.int16)
+        prev = recon[y - 1].astype(np.int16) if y else zero_prev
+        if ftype == 0:
+            recon[y] = cur
+        elif ftype == 1:  # Sub: per-lane prefix sum (mod-256 associative)
+            lanes = cur.reshape(npix, bpp).astype(np.int64)
+            recon[y] = (np.cumsum(lanes, axis=0) & 0xFF).astype(np.uint8).reshape(-1)
+        elif ftype == 2:  # Up
+            recon[y] = ((cur + prev) & 0xFF).astype(np.uint8)
+        elif ftype == 3:  # Average: sequential in the pixel lane
+            cp = cur.reshape(npix, bpp)
+            pp = prev.reshape(npix, bpp)
+            rp = np.zeros((npix, bpp), dtype=np.int16)
+            left = np.zeros(bpp, dtype=np.int16)
+            for i in range(npix):
+                left = (cp[i] + ((left + pp[i]) >> 1)) & 0xFF
+                rp[i] = left
+            recon[y] = rp.astype(np.uint8).reshape(-1)
+        elif ftype == 4:  # Paeth: sequential in the pixel lane
+            cp = cur.reshape(npix, bpp)
+            pp = prev.reshape(npix, bpp)
+            rp = np.zeros((npix, bpp), dtype=np.int16)
+            left = np.zeros(bpp, dtype=np.int16)
+            upleft = np.zeros(bpp, dtype=np.int16)
+            for i in range(npix):
+                left = (cp[i] + _paeth(left, pp[i], upleft)) & 0xFF
+                rp[i] = left
+                upleft = pp[i]
+            recon[y] = rp.astype(np.uint8).reshape(-1)
+        else:
+            raise ValueError(f"PNG: unknown filter type {ftype} on row {y}")
+    return recon
+
+
+def _unpack_bits(rows: np.ndarray, w: int, depth: int) -> np.ndarray:
+    """(h, stride) sub-byte samples → (h, w) values, MSB-first per spec."""
+    h = rows.shape[0]
+    per_byte = 8 // depth
+    shifts = np.arange(per_byte - 1, -1, -1, dtype=np.uint8) * depth
+    mask = (1 << depth) - 1
+    expanded = (rows[:, :, None] >> shifts) & mask  # (h, stride, per_byte)
+    return expanded.reshape(h, -1)[:, :w]
+
+
+def decode_png(data: bytes) -> np.ndarray:
+    """PNG → uint8 array: (H, W) grayscale, (H, W, 2) gray+alpha,
+    (H, W, 3) RGB / palette without tRNS, (H, W, 4) RGBA / palette with
+    tRNS. Sub-byte grayscale is rescaled to full 8-bit range."""
+    if data[:8] != _SIGNATURE:
+        raise ValueError("not a PNG file")
     pos = 8
     idat = b""
-    w = h = c = None
-    while pos < len(data):
+    pal = None
+    trns = None
+    w = h = depth = ctype = interlace = None
+    while pos + 8 <= len(data):
         (length,) = struct.unpack(">I", data[pos : pos + 4])
         tag = data[pos + 4 : pos + 8]
         payload = data[pos + 8 : pos + 8 + length]
         pos += 12 + length
         if tag == b"IHDR":
-            w, h, depth, ctype = struct.unpack(">IIBB", payload[:10])
-            assert depth == 8 and ctype in (2, 6)
-            c = 3 if ctype == 2 else 4
+            w, h, depth, ctype, comp, filt, interlace = struct.unpack(
+                ">IIBBBBB", payload[:13]
+            )
+            if comp != 0 or filt != 0:
+                raise ValueError("PNG: unknown compression/filter method")
+        elif tag == b"PLTE":
+            pal = np.frombuffer(payload, dtype=np.uint8).reshape(-1, 3)
+        elif tag == b"tRNS":
+            trns = np.frombuffer(payload, dtype=np.uint8)
         elif tag == b"IDAT":
             idat += payload
-    raw = np.frombuffer(zlib.decompress(idat), dtype=np.uint8).reshape(h, w * c + 1)
-    assert (raw[:, 0] == 0).all(), "only filter 0 supported"
-    return raw[:, 1:].reshape(h, w, c).copy()
+        elif tag == b"IEND":
+            break
+    if w is None:
+        raise ValueError("PNG: missing IHDR")
+    if interlace:
+        raise NotImplementedError("PNG Adam7 interlace")
+    if depth == 16:
+        raise NotImplementedError("16-bit PNG")
+    channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(ctype)
+    if channels is None:
+        raise ValueError(f"PNG: color type {ctype}")
+    if ctype in (2, 4, 6) and depth != 8:
+        raise ValueError(f"PNG: depth {depth} invalid for color type {ctype}")
+    stride = (w * depth * channels + 7) // 8
+    bpp = max(1, (depth * channels) // 8)
+    raw = np.frombuffer(zlib.decompress(idat), dtype=np.uint8)
+    if raw.size != h * (stride + 1):
+        raise ValueError("PNG: IDAT size mismatch")
+    recon = _unfilter(raw.reshape(h, stride + 1), h, stride, bpp)
+    if depth < 8:
+        samples = _unpack_bits(recon, w, depth)
+        if ctype == 0:  # scale sub-byte gray to 8-bit (255/(2^d-1))
+            samples = (samples.astype(np.uint16) * 255 // ((1 << depth) - 1)).astype(
+                np.uint8
+            )
+    else:
+        samples = recon.reshape(h, w * channels) if channels > 1 else recon[:, :w]
+    if ctype == 3:
+        if pal is None:
+            raise ValueError("PNG: palette image without PLTE")
+        idx = samples.astype(np.int64)
+        if (idx >= len(pal)).any():
+            raise ValueError("PNG: palette index out of range")
+        rgb = pal[idx]
+        if trns is not None:
+            alphas = np.full(len(pal), 255, dtype=np.uint8)
+            alphas[: len(trns)] = trns
+            return np.dstack([rgb, alphas[idx]])
+        return rgb
+    if channels == 1:
+        return samples
+    return samples.reshape(h, w, channels)
