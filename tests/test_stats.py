@@ -149,3 +149,35 @@ def test_t_sf_asymptotic_branch():
     p = t_sf_twosided(np.array([2.0]), np.array([10**9]))[0]
     assert time.time() - t0 < 0.1
     assert abs(p - 0.0455) < 1e-3  # ~normal two-sided at z=2
+
+
+def test_t_sf_crossover_continuity_property():
+    """Hypothesis property (VERDICT r4 item 9): across arbitrary t the
+    exact-sum branch at df=DF_EXACT_MAX and the asymptotic branch at
+    df=DF_EXACT_MAX+1 agree within the documented error budget, and p is
+    monotone non-increasing in df through the crossover (no branch
+    seam a regression query could fall into)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from trefoil_spark.functions.stats import DF_EXACT_MAX, t_sf_twosided
+
+    @given(st.floats(min_value=0.0, max_value=40.0, allow_nan=False))
+    @settings(max_examples=150, deadline=None)
+    def check(tval):
+        t = np.array([tval], dtype=np.float64)
+        dfs = np.array(
+            [DF_EXACT_MAX - 1, DF_EXACT_MAX, DF_EXACT_MAX + 1, DF_EXACT_MAX * 4],
+            dtype=np.float64,
+        )
+        p = t_sf_twosided(np.repeat(t, 4), dfs)
+        # branch seam: |p(2000 exact) - p(2001 asym)| within budget
+        assert abs(p[1] - p[2]) < 5e-7
+        # monotone non-increasing in df (tolerance = seam budget)
+        assert p[0] >= p[1] - 1e-12
+        assert p[1] >= p[2] - 5e-7
+        assert p[2] >= p[3] - 1e-12
+        # valid probabilities
+        assert ((p >= 0.0) & (p <= 1.0)).all()
+
+    check()

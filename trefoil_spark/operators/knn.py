@@ -143,6 +143,7 @@ def knn_join_adaptive(
     lat_col: str = "lat",
     res: int = 7,
     max_ring: int = 8,
+    timings: list | None = None,
 ) -> DataFrame:
     """Complete grid kNN via ring EXPANSION (SURVEY.md §4.2 item 4).
 
@@ -170,13 +171,19 @@ def knn_join_adaptive(
     cell_w_deg = 360.0 / n
     guarantee_unit = min(cell_h_deg, cell_w_deg)
 
+    import time as _time
+
     remaining = queries
     results = []
     ring = 1
     while True:
+        _t0 = _time.perf_counter()
         got = knn_join_cells(
             points, remaining, k, id_col, lon_col, lat_col, res, ring
         ).localCheckpoint(eager=True)
+        if timings is not None:  # probe hook (tools/bench_knn_rings.py)
+            timings.append(("ring_%d_knn" % ring, _time.perf_counter() - _t0))
+            _t0 = _time.perf_counter()
         if ring >= max_ring:
             results.append(got)
             break
@@ -214,6 +221,8 @@ def knn_join_adaptive(
             remaining[id_col] == done_q["query_id"],
             "left_anti",
         ).localCheckpoint(eager=True)
+        if timings is not None:
+            timings.append(("ring_%d_guard" % ring, _time.perf_counter() - _t0))
         if remaining.isEmpty():
             break
         ring *= 2
