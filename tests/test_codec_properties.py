@@ -182,3 +182,148 @@ def test_webmerc_roundtrip_random(lon, lat):
     x, y = transform("EPSG:4326", "EPSG:3857", np.float64(lon), np.float64(lat))
     lo, la = transform("EPSG:3857", "EPSG:4326", x, y)
     assert abs(float(lo) - lon) < 1e-9 and abs(float(la) - lat) < 1e-9
+
+
+# ---------------------------------------------------------------------------
+# r5 WAV foreign-format decode (PCM widths, float, G.711)
+# ---------------------------------------------------------------------------
+
+
+def _wav_bytes(fmt_code, ch, rate, bits, payload, extensible=False):
+    import struct
+
+    if extensible:
+        sub = struct.pack("<H", fmt_code) + b"\x00\x00" + b"\x00" * 14
+        fmt = struct.pack(
+            "<HHIIHH", 0xFFFE, ch, rate, rate * ch * bits // 8, ch * bits // 8, bits
+        ) + struct.pack("<HH", 22, bits) + b"\x00\x00\x00\x00" + sub
+    else:
+        fmt = struct.pack(
+            "<HHIIHH", fmt_code, ch, rate, rate * ch * bits // 8,
+            ch * bits // 8, bits,
+        )
+    chunks = (
+        b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(payload)) + payload
+    )
+    if len(payload) & 1:
+        chunks += b"\x00"
+    return b"RIFF" + struct.pack("<I", len(chunks)) + chunks
+
+
+def test_wav_24bit_and_32bit_pcm():
+    from trefoil_spark.functions.wav import decode_wav
+
+    vals = np.array([0, 1, -1, 8_388_607, -8_388_608, 123_456], dtype=np.int32)
+    raw = b"".join(
+        int(v & 0xFFFFFF).to_bytes(3, "little") for v in vals
+    )
+    arr, rate = decode_wav(_wav_bytes(1, 2, 8000, 24, raw))
+    assert rate == 8000 and arr.shape == (3, 2)
+    np.testing.assert_array_equal(arr.reshape(-1), vals)
+
+    v32 = np.array([0, -2**31, 2**31 - 1, 42], dtype="<i4")
+    arr, _ = decode_wav(_wav_bytes(1, 1, 44100, 32, v32.tobytes()))
+    np.testing.assert_array_equal(arr.reshape(-1), v32)
+
+
+def test_wav_8bit_unsigned_recentred():
+    from trefoil_spark.functions.wav import decode_wav
+
+    raw = bytes([0, 128, 255])
+    arr, _ = decode_wav(_wav_bytes(1, 1, 8000, 8, raw))
+    np.testing.assert_array_equal(arr.reshape(-1), [-32768, 0, 127 << 8])
+
+
+def test_wav_ieee_float():
+    from trefoil_spark.functions.wav import decode_wav
+
+    v = np.array([0.0, -1.0, 0.5, 3.25], dtype="<f4")
+    arr, _ = decode_wav(_wav_bytes(3, 2, 48000, 32, v.tobytes()))
+    assert arr.dtype == np.float32
+    np.testing.assert_array_equal(arr.reshape(-1), v)
+    v8 = np.array([1e-12, -2.5], dtype="<f8")
+    arr, _ = decode_wav(_wav_bytes(3, 1, 48000, 64, v8.tobytes()))
+    assert arr.dtype == np.float64
+    np.testing.assert_array_equal(arr.reshape(-1), v8)
+
+
+def test_wav_g711_spot_values_and_extensible():
+    """Known G.711 table anchors: mu-law 0x00=-32124, 0xFF=0;
+    A-law 0x55=-8, 0xD5=+8, 0x2A=-32256, 0xAA=+32256."""
+    from trefoil_spark.functions.wav import decode_wav
+
+    arr, _ = decode_wav(_wav_bytes(7, 1, 8000, 8, bytes([0x00, 0xFF, 0x7F])))
+    np.testing.assert_array_equal(arr.reshape(-1), [-32124, 0, 0])
+    arr, _ = decode_wav(_wav_bytes(6, 1, 8000, 8, bytes([0x55, 0xD5, 0x2A, 0xAA])))
+    np.testing.assert_array_equal(arr.reshape(-1), [-8, 8, -32256, 32256])
+    # EXTENSIBLE wrapper dispatches on the SubFormat GUID's format code
+    v = np.array([7, -9], dtype="<i2")
+    arr, _ = decode_wav(_wav_bytes(1, 1, 16000, 16, v.tobytes(), extensible=True))
+    np.testing.assert_array_equal(arr.reshape(-1), v)
+
+
+def test_wav_compressed_still_raises():
+    import pytest
+
+    from trefoil_spark.functions.wav import decode_wav
+
+    with pytest.raises(NotImplementedError, match="format 2"):
+        decode_wav(_wav_bytes(2, 1, 8000, 4, b"\x00\x00"))
+
+
+def test_jpeg_16bit_and_packed_dqt():
+    """Foreign DQT shapes (r5): Pq=1 (16-bit big-endian entries) and
+    several tables packed into ONE DQT segment decode identically to the
+    8-bit two-segment form the own encoder writes."""
+    import struct
+
+    from trefoil_spark.functions.jpeg import decode_jpeg, encode_jpeg
+
+    rng = np.random.default_rng(5)
+    img = rng.integers(0, 256, size=(24, 16, 3), dtype=np.uint8)
+    data = encode_jpeg(img)
+    want = decode_jpeg(data)
+
+    # collect the encoder's DQT segments and strip them from the stream
+    pos = 2
+    segs = []
+    spans = []
+    while pos + 4 <= len(data):
+        marker = data[pos + 1]
+        ln = struct.unpack(">H", data[pos + 2:pos + 4])[0]
+        if marker == 0xDB:
+            segs.append(data[pos + 4:pos + 2 + ln])
+            spans.append((pos, pos + 2 + ln))
+        if marker == 0xDA:
+            break
+        pos += 2 + ln
+    assert segs, "encoder emits DQT"
+
+    def rebuild(new_payloads):
+        out = bytearray(data)
+        for (a, b) in reversed(spans):
+            del out[a:b]
+        insert_at = spans[0][0]
+        blob = b"".join(
+            b"\xff\xdb" + struct.pack(">H", len(p) + 2) + p
+            for p in new_payloads
+        )
+        out[insert_at:insert_at] = blob
+        return bytes(out)
+
+    # (a) widen every table to 16-bit precision
+    wide = []
+    for p in segs:
+        tq = p[0] & 0x0F
+        vals = p[1:65]
+        wide.append(bytes([0x10 | tq]) + b"".join(
+            struct.pack(">H", v) for v in vals
+        ))
+    got = decode_jpeg(rebuild(wide))
+    np.testing.assert_array_equal(got, want)
+
+    # (b) all tables packed into one segment
+    got = decode_jpeg(rebuild([b"".join(segs)]))
+    np.testing.assert_array_equal(got, want)

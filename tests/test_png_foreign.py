@@ -165,14 +165,34 @@ def test_subbyte_gray_rescales():
     np.testing.assert_array_equal(decode_png(data)[0], [0, 85, 170, 255])
 
 
-def test_interlace_and_16bit_raise():
+def test_interlace_raises():
     img = np.zeros((2, 2, 3), dtype=np.uint8)
     data = _build_png(2, 2, 8, 2, img.reshape(2, 6), 3, [0], interlace=1)
     with pytest.raises(NotImplementedError, match="Adam7"):
         decode_png(data)
-    data16 = _build_png(2, 2, 16, 0, np.zeros((2, 4), np.uint8), 2, [0])
-    with pytest.raises(NotImplementedError, match="16-bit"):
-        decode_png(data16)
+
+
+@pytest.mark.parametrize("ftypes", [[0], [1, 4]])
+def test_16bit_grayscale_and_rgb(ftypes):
+    rng = np.random.default_rng(16)
+    h, w = 4, 5
+    gray16 = rng.integers(0, 1 << 16, size=(h, w), dtype=np.uint16)
+    rows = gray16.astype(">u2").view(np.uint8).reshape(h, w * 2)
+    data = _build_png(w, h, 16, 0, rows, 2, ftypes)
+    out = decode_png(data)
+    assert out.dtype == np.uint16
+    np.testing.assert_array_equal(out, gray16)
+    # decode_rgb_png downscales to 8-bit
+    rgb = decode_rgb_png(data)
+    assert rgb.dtype == np.uint8
+    np.testing.assert_array_equal(rgb[..., 0], (gray16 >> 8).astype(np.uint8))
+
+    rgb16 = rng.integers(0, 1 << 16, size=(h, w, 3), dtype=np.uint16)
+    rows = rgb16.astype(">u2").view(np.uint8).reshape(h, w * 6)
+    data = _build_png(w, h, 16, 2, rows, 6, ftypes)
+    out = decode_png(data)
+    assert out.dtype == np.uint16 and out.shape == (h, w, 3)
+    np.testing.assert_array_equal(out, rgb16)
 
 
 def test_bad_filter_type_raises():

@@ -644,13 +644,27 @@ def decode_jpeg(data: bytes) -> np.ndarray:
         ln = struct.unpack(">H", data[pos:pos + 2])[0]
         payload = data[pos + 2:pos + ln]
         if marker == 0xDB:
-            tq = payload[0] & 0x0F
-            if payload[0] >> 4:
-                raise NotImplementedError("16-bit quant tables")
-            t = np.zeros((8, 8), dtype=np.int64)
-            for k, z in enumerate(_Z):
-                t[z // 8, z % 8] = payload[1 + k]
-            qts[tq] = t
+            # a DQT segment may pack several tables; Pq=1 → 16-bit
+            # big-endian entries (r5: foreign-file tail closed)
+            q = 0
+            while q < len(payload):
+                pq = payload[q] >> 4
+                tq = payload[q] & 0x0F
+                q += 1
+                t = np.zeros((8, 8), dtype=np.int64)
+                if pq == 0:
+                    for k, z in enumerate(_Z):
+                        t[z // 8, z % 8] = payload[q + k]
+                    q += 64
+                elif pq == 1:
+                    for k, z in enumerate(_Z):
+                        t[z // 8, z % 8] = (
+                            (payload[q + 2 * k] << 8) | payload[q + 2 * k + 1]
+                        )
+                    q += 128
+                else:
+                    raise ValueError(f"JPEG: DQT precision {pq}")
+                qts[tq] = t
         elif marker in (0xC0, 0xC2):
             progressive = marker == 0xC2
             _, h, w, nc = struct.unpack(">BHHB", payload[:6])

@@ -3,8 +3,9 @@
 Encode: paletted + truecolor, deterministic (filter 0, fixed zlib level,
 numpy + C-zlib — no per-pixel Python; byte-stable across runs).
 Decode (r5, foreign-capable): all five scanline filters, color types
-0/2/3/4/6, bit depths 1/2/4/8, tRNS — real-world PNGs ingest, not just
-this module's own output. 16-bit and Adam7 raise loudly.
+0/2/3/4/6, bit depths 1/2/4/8/16 (16-bit returns uint16), tRNS —
+real-world PNGs ingest, not just this module's own output. Adam7
+interlace raises loudly.
 
 Produces P-mode (color type 3) PNGs equivalent to the reference's
 PIL-based image creation (/root/reference/trefoil/render/renderers/
@@ -115,9 +116,12 @@ def encode_rgb_png(img: np.ndarray, compress_level: int = 6) -> bytes:
 
 
 def decode_rgb_png(data: bytes) -> np.ndarray:
-    """Truecolor decode: (H, W, 3|4). Accepts foreign files — grayscale
-    and palette inputs are expanded to RGB(A)."""
+    """Truecolor decode: (H, W, 3|4) uint8. Accepts foreign files —
+    grayscale and palette inputs are expanded to RGB(A); 16-bit samples
+    are scaled down to 8 bits for the ingest path."""
     out = decode_png(data)
+    if out.dtype == np.uint16:
+        out = (out >> 8).astype(np.uint8)
     if out.ndim == 2:  # gray → RGB
         return np.stack([out] * 3, axis=-1)
     if out.shape[2] == 2:  # gray+alpha → RGBA
@@ -194,9 +198,10 @@ def _unpack_bits(rows: np.ndarray, w: int, depth: int) -> np.ndarray:
 
 
 def decode_png(data: bytes) -> np.ndarray:
-    """PNG → uint8 array: (H, W) grayscale, (H, W, 2) gray+alpha,
-    (H, W, 3) RGB / palette without tRNS, (H, W, 4) RGBA / palette with
-    tRNS. Sub-byte grayscale is rescaled to full 8-bit range."""
+    """PNG → array: (H, W) grayscale, (H, W, 2) gray+alpha, (H, W, 3)
+    RGB / palette without tRNS, (H, W, 4) RGBA / palette with tRNS.
+    uint8, except 16-bit inputs which return uint16. Sub-byte grayscale
+    is rescaled to the full 8-bit range."""
     if data[:8] != _SIGNATURE:
         raise ValueError("not a PNG file")
     pos = 8
@@ -227,19 +232,27 @@ def decode_png(data: bytes) -> np.ndarray:
         raise ValueError("PNG: missing IHDR")
     if interlace:
         raise NotImplementedError("PNG Adam7 interlace")
-    if depth == 16:
-        raise NotImplementedError("16-bit PNG")
     channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(ctype)
     if channels is None:
         raise ValueError(f"PNG: color type {ctype}")
-    if ctype in (2, 4, 6) and depth != 8:
+    if ctype in (2, 4, 6) and depth not in (8, 16):
         raise ValueError(f"PNG: depth {depth} invalid for color type {ctype}")
+    if ctype == 3 and depth == 16:
+        raise ValueError("PNG: 16-bit palette is not legal")
     stride = (w * depth * channels + 7) // 8
     bpp = max(1, (depth * channels) // 8)
     raw = np.frombuffer(zlib.decompress(idat), dtype=np.uint8)
     if raw.size != h * (stride + 1):
         raise ValueError("PNG: IDAT size mismatch")
     recon = _unfilter(raw.reshape(h, stride + 1), h, stride, bpp)
+    if depth == 16:  # network byte order; filters were byte-wise already
+        u16 = (
+            recon.reshape(h, w * channels, 2).astype(np.uint16)
+        )
+        samples16 = (u16[..., 0] << 8) | u16[..., 1]
+        if channels == 1:
+            return samples16
+        return samples16.reshape(h, w, channels)
     if depth < 8:
         samples = _unpack_bits(recon, w, depth)
         if ctype == 0:  # scale sub-byte gray to 8-bit (255/(2^d-1))
