@@ -319,30 +319,60 @@ class _LsbReader:
 
 
 class _PrefixCode:
+    """Canonical (DEFLATE-style) prefix code with a single-level LUT
+    decoder: peek max_len LSB-first bits, index (symbol, length) lists.
+    r5: replaces the bit-by-bit dict walk (the multimodal decode hot
+    loop) — identical symbols/consumption, ~10× fewer Python ops/sym."""
+
     def __init__(self, lengths: list[int]):
-        # canonical (DEFLATE-style) code; lookup by (length, code) walk
-        self.table: dict[tuple[int, int], int] = {}
         pairs = sorted(
             (ln, sym) for sym, ln in enumerate(lengths) if ln > 0
         )
+        self.single = pairs[0][1] if len(pairs) == 1 else None
+        if self.single is not None:
+            return
+        max_len = pairs[-1][0]
+        if max_len > 15:
+            raise ValueError("VP8L: prefix code length > 15")
+        size = 1 << max_len
+        self.max_len = max_len
+        self.mask = size - 1
+        # index 0 in lut_len marks an invalid (unassigned) codeword
+        self.lut_sym = [0] * size
+        self.lut_len = [0] * size
         code = 0
         prev_len = 0
         for ln, sym in pairs:
             code <<= ln - prev_len
-            self.table[(ln, code)] = sym
-            code += 1
             prev_len = ln
-        self.single = pairs[0][1] if len(pairs) == 1 else None
+            if code >= (1 << ln):
+                raise ValueError("VP8L: over-subscribed prefix code")
+            # stream stores the code MSB-first, reader is LSB-first:
+            # the reversed codeword is the low-ln-bits of the peek
+            rev = int(f"{code:0{ln}b}"[::-1], 2)
+            step = 1 << ln
+            count = size >> ln
+            self.lut_sym[rev::step] = [sym] * count
+            self.lut_len[rev::step] = [ln] * count
+            code += 1
 
     def decode(self, br: _LsbReader) -> int:
-        if self.single is not None:
-            return self.single  # 1-symbol codes consume no bits
-        code = 0
-        for length in range(1, 16):
-            code = (code << 1) | br.read(1)
-            if (length, code) in self.table:
-                return self.table[(length, code)]
-        raise ValueError("invalid prefix code")
+        s = self.single
+        if s is not None:
+            return s  # 1-symbol codes consume no bits
+        data, dn = br.data, len(br.data)
+        while br.nbits < self.max_len:
+            byte = data[br.pos] if br.pos < dn else 0
+            br.pos += 1
+            br.acc |= byte << br.nbits
+            br.nbits += 8
+        idx = br.acc & self.mask
+        ln = self.lut_len[idx]
+        if ln == 0:
+            raise ValueError("invalid prefix code")
+        br.acc >>= ln
+        br.nbits -= ln
+        return self.lut_sym[idx]
 
 
 def _read_prefix_code(br: _LsbReader, alphabet: int) -> _PrefixCode:
@@ -452,25 +482,24 @@ def _decode_pixels(
     Handles color-cache symbols (green alphabet ≥ 280), 2D distance
     plane codes (dv ≤ 120) and per-tile meta prefix groups."""
     n = w * h
-    out = np.empty((n, 4), dtype=np.uint8)
+    # r5: interleaved [R,G,B,A] bytearray instead of an (n, 4) ndarray —
+    # numpy scalar row writes dominated the profile; bytearray item and
+    # slice ops are the fast pure-Python path
+    buf = bytearray(n * 4)
     cache = None
     if cache_bits:
-        cache = np.zeros((1 << cache_bits, 4), dtype=np.uint8)
+        cache = bytearray(4 << cache_bits)
         cache_shift = 32 - cache_bits
     mw = ((w + (1 << meta_bits) - 1) >> meta_bits) if meta is not None else 0
-
-    def cache_insert(px) -> None:
-        argb = (int(px[3]) << 24) | (int(px[0]) << 16) | (int(px[1]) << 8) | int(px[2])
-        key = ((0x1E35A7BD * argb) & 0xFFFFFFFF) >> cache_shift
-        cache[key] = px
+    meta_l = meta.tolist() if meta is not None else None
 
     gidx = -1
     green = red = blue = alpha = dist_code = None
     i = 0
     while i < n:
-        if meta is not None:
+        if meta_l is not None:
             y, x = divmod(i, w)
-            gi = int(meta[(y >> meta_bits) * mw + (x >> meta_bits)])
+            gi = meta_l[(y >> meta_bits) * mw + (x >> meta_bits)]
         else:
             gi = 0
         if gi != gidx:
@@ -480,12 +509,21 @@ def _decode_pixels(
             gidx = gi
         gsym = green.decode(br)
         if gsym < 256:  # literal
-            out[i, 1] = gsym
-            out[i, 0] = red.decode(br)
-            out[i, 2] = blue.decode(br)
-            out[i, 3] = alpha.decode(br)
+            r = red.decode(br)
+            b = blue.decode(br)
+            a = alpha.decode(br)
+            o = i * 4
+            buf[o] = r
+            buf[o + 1] = gsym
+            buf[o + 2] = b
+            buf[o + 3] = a
             if cache is not None:
-                cache_insert(out[i])
+                argb = (a << 24) | (r << 16) | (gsym << 8) | b
+                ck = (((0x1E35A7BD * argb) & 0xFFFFFFFF) >> cache_shift) * 4
+                cache[ck] = r
+                cache[ck + 1] = gsym
+                cache[ck + 2] = b
+                cache[ck + 3] = a
             i += 1
         elif gsym < 280:  # backward reference
             length = _prefix_value(br, gsym - 256)
@@ -501,20 +539,32 @@ def _decode_pixels(
                 raise ValueError("VP8L: backward reference past image end")
             if cache is None and dist >= length:
                 # non-overlapping, no cache bookkeeping: block copy
-                out[i : i + length] = out[i - dist : i - dist + length]
+                o = i * 4
+                s = (i - dist) * 4
+                buf[o : o + length * 4] = buf[s : s + length * 4]
             else:
-                for k in range(length):  # sequential: overlapping runs valid
-                    out[i + k] = out[i + k - dist]
+                d4 = dist * 4
+                for o in range(i * 4, (i + length) * 4, 4):
+                    # sequential: overlapping runs valid
+                    r = buf[o] = buf[o - d4]
+                    g = buf[o + 1] = buf[o - d4 + 1]
+                    b = buf[o + 2] = buf[o - d4 + 2]
+                    a = buf[o + 3] = buf[o - d4 + 3]
                     if cache is not None:
-                        cache_insert(out[i + k])
+                        argb = (a << 24) | (r << 16) | (g << 8) | b
+                        ck = (((0x1E35A7BD * argb) & 0xFFFFFFFF)
+                              >> cache_shift) * 4
+                        cache[ck : ck + 4] = buf[o : o + 4]
             i += length
         else:  # color-cache hit
-            idx = gsym - 280
             if cache is None:
                 raise ValueError("VP8L: color-cache symbol without a cache")
-            out[i] = cache[idx]
+            ck = (gsym - 280) * 4
+            o = i * 4
+            buf[o : o + 4] = cache[ck : ck + 4]
             i += 1
-    return out
+    # frombuffer over the (mutable) bytearray is writable and zero-copy
+    return np.frombuffer(buf, dtype=np.uint8).reshape(n, 4)
 
 
 def _decode_sub_image(br: _LsbReader, w: int, h: int) -> np.ndarray:
