@@ -165,11 +165,58 @@ def test_subbyte_gray_rescales():
     np.testing.assert_array_equal(decode_png(data)[0], [0, 85, 170, 255])
 
 
-def test_interlace_raises():
-    img = np.zeros((2, 2, 3), dtype=np.uint8)
-    data = _build_png(2, 2, 8, 2, img.reshape(2, 6), 3, [0], interlace=1)
-    with pytest.raises(NotImplementedError, match="Adam7"):
-        decode_png(data)
+# Adam7 pass grid, written out independently from the spec (8.2) rather
+# than imported from the decoder — the twin discipline again.
+_ADAM7_REF = [
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+]
+
+
+def _build_adam7_png(
+    img: np.ndarray, ctype: int, channels: int, ftypes: list[int]
+) -> bytes:
+    """(H, W[, C]) uint8 → interlaced PNG: extract each pass with strided
+    slicing, forward-filter it as its own sub-image, concatenate."""
+    h, w = img.shape[:2]
+    bpp = channels
+    stream = bytearray()
+    for x0, y0, dx, dy in _ADAM7_REF:
+        sub = img[y0::dy, x0::dx]
+        if sub.shape[0] == 0 or sub.shape[1] == 0:
+            continue
+        ph, pw = sub.shape[:2]
+        rows = np.ascontiguousarray(sub).reshape(ph, pw * channels)
+        stream += _forward_filter(rows, bpp, ftypes)
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, ctype, 0, 0, 1)
+    return b"".join([
+        _SIGNATURE, _chunk(b"IHDR", ihdr),
+        _chunk(b"IDAT", zlib.compress(bytes(stream))),
+        _chunk(b"IEND", b""),
+    ])
+
+
+@pytest.mark.parametrize("ftypes", [[0], [1, 4, 2, 3]])
+@pytest.mark.parametrize("hw", [(16, 16), (9, 7), (1, 1), (3, 10), (8, 2)])
+def test_adam7_rgb_roundtrip(hw, ftypes):
+    h, w = hw
+    rng = np.random.default_rng(h * 31 + w)
+    img = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+    np.testing.assert_array_equal(
+        decode_png(_build_adam7_png(img, 2, 3, ftypes)), img
+    )
+
+
+def test_adam7_grayscale_and_rgba():
+    rng = np.random.default_rng(77)
+    gray = rng.integers(0, 256, size=(13, 5), dtype=np.uint8)
+    np.testing.assert_array_equal(
+        decode_png(_build_adam7_png(gray[..., None], 0, 1, [2])), gray
+    )
+    rgba = rng.integers(0, 256, size=(6, 21, 4), dtype=np.uint8)
+    np.testing.assert_array_equal(
+        decode_png(_build_adam7_png(rgba, 6, 4, [4])), rgba
+    )
 
 
 @pytest.mark.parametrize("ftypes", [[0], [1, 4]])

@@ -3,9 +3,9 @@
 Encode: paletted + truecolor, deterministic (filter 0, fixed zlib level,
 numpy + C-zlib — no per-pixel Python; byte-stable across runs).
 Decode (r5, foreign-capable): all five scanline filters, color types
-0/2/3/4/6, bit depths 1/2/4/8/16 (16-bit returns uint16), tRNS —
-real-world PNGs ingest, not just this module's own output. Adam7
-interlace raises loudly.
+0/2/3/4/6, bit depths 1/2/4/8/16 (16-bit returns uint16), tRNS, Adam7
+deinterlace — real-world PNGs ingest, not just this module's own
+output.
 
 Produces P-mode (color type 3) PNGs equivalent to the reference's
 PIL-based image creation (/root/reference/trefoil/render/renderers/
@@ -136,52 +136,65 @@ def decode_rgb_png(data: bytes) -> np.ndarray:
 # unpacking are vectorized; Average/Paeth are per-pixel-lane sequential
 # by construction (left dependency) — the same throughput caution class
 # as the VP8L predictor inverse, documented for the multimodal ingest
-# path. 16-bit and Adam7 interlace raise loudly.
+# path. 16-bit and Adam7 interlace are handled (r5).
 # ---------------------------------------------------------------------------
 
 
-def _paeth(a: np.ndarray, b: np.ndarray, c: np.ndarray) -> np.ndarray:
-    p = a + b - c
-    pa, pb, pc = np.abs(p - a), np.abs(p - b), np.abs(p - c)
-    return np.where((pa <= pb) & (pa <= pc), a, np.where(pb <= pc, b, c))
-
-
 def _unfilter(raw: np.ndarray, h: int, stride: int, bpp: int) -> np.ndarray:
-    """(h, 1+stride) filtered scanlines → (h, stride) reconstructed."""
-    recon = np.zeros((h, stride), dtype=np.uint8)
-    zero_prev = np.zeros(stride, dtype=np.int16)
+    """(h, 1+stride) filtered scanlines → (h, stride) reconstructed.
+
+    Filters 0/1/2 run vectorized; Average/Paeth carry a true 2-D data
+    dependency, so they run as pure-int loops over a shared bytearray
+    (r5 — the numpy-scalar per-pixel version cost ~1s per 256² Paeth
+    tile; bytes/bytearray item access is ~20× cheaper)."""
+    buf = bytearray(h * stride)
+    recon = np.frombuffer(buf, dtype=np.uint8).reshape(h, stride)
     npix = stride // bpp
     for y in range(h):
         ftype = int(raw[y, 0])
-        cur = raw[y, 1:].astype(np.int16)
-        prev = recon[y - 1].astype(np.int16) if y else zero_prev
         if ftype == 0:
-            recon[y] = cur
+            recon[y] = raw[y, 1:]
         elif ftype == 1:  # Sub: per-lane prefix sum (mod-256 associative)
-            lanes = cur.reshape(npix, bpp).astype(np.int64)
+            lanes = raw[y, 1:].reshape(npix, bpp).astype(np.int64)
             recon[y] = (np.cumsum(lanes, axis=0) & 0xFF).astype(np.uint8).reshape(-1)
         elif ftype == 2:  # Up
-            recon[y] = ((cur + prev) & 0xFF).astype(np.uint8)
-        elif ftype == 3:  # Average: sequential in the pixel lane
-            cp = cur.reshape(npix, bpp)
-            pp = prev.reshape(npix, bpp)
-            rp = np.zeros((npix, bpp), dtype=np.int16)
-            left = np.zeros(bpp, dtype=np.int16)
-            for i in range(npix):
-                left = (cp[i] + ((left + pp[i]) >> 1)) & 0xFF
-                rp[i] = left
-            recon[y] = rp.astype(np.uint8).reshape(-1)
-        elif ftype == 4:  # Paeth: sequential in the pixel lane
-            cp = cur.reshape(npix, bpp)
-            pp = prev.reshape(npix, bpp)
-            rp = np.zeros((npix, bpp), dtype=np.int16)
-            left = np.zeros(bpp, dtype=np.int16)
-            upleft = np.zeros(bpp, dtype=np.int16)
-            for i in range(npix):
-                left = (cp[i] + _paeth(left, pp[i], upleft)) & 0xFF
-                rp[i] = left
-                upleft = pp[i]
-            recon[y] = rp.astype(np.uint8).reshape(-1)
+            if y:
+                recon[y] = raw[y, 1:] + recon[y - 1]  # uint8 wraps mod 256
+            else:
+                recon[y] = raw[y, 1:]
+        elif ftype == 3:  # Average
+            cur = raw[y, 1:].tobytes()
+            base = y * stride
+            pbase = base - stride
+            for x in range(stride):
+                a = buf[base + x - bpp] if x >= bpp else 0
+                b = buf[pbase + x] if y else 0
+                buf[base + x] = (cur[x] + ((a + b) >> 1)) & 0xFF
+        elif ftype == 4:  # Paeth
+            cur = raw[y, 1:].tobytes()
+            base = y * stride
+            pbase = base - stride
+            for x in range(stride):
+                a = buf[base + x - bpp] if x >= bpp else 0
+                b = buf[pbase + x] if y else 0
+                c = buf[pbase + x - bpp] if (y and x >= bpp) else 0
+                p = a + b - c
+                pa = p - a
+                if pa < 0:
+                    pa = -pa
+                pb = p - b
+                if pb < 0:
+                    pb = -pb
+                pc = p - c
+                if pc < 0:
+                    pc = -pc
+                if pa <= pb and pa <= pc:
+                    pr = a
+                elif pb <= pc:
+                    pr = b
+                else:
+                    pr = c
+                buf[base + x] = (cur[x] + pr) & 0xFF
         else:
             raise ValueError(f"PNG: unknown filter type {ftype} on row {y}")
     return recon
@@ -197,11 +210,42 @@ def _unpack_bits(rows: np.ndarray, w: int, depth: int) -> np.ndarray:
     return expanded.reshape(h, -1)[:, :w]
 
 
+# Adam7 pass grid (PNG spec 8.2): (x0, y0, dx, dy) per pass
+_ADAM7 = [
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+]
+
+
+def _reconstruct(
+    raw: np.ndarray, w: int, h: int, depth: int, channels: int, off: int
+) -> tuple[np.ndarray, int]:
+    """One (sub-)image of filtered scanlines at raw[off:] → sample grid
+    (h, w) single-channel / (h, w, channels); returns (array, nbytes).
+    16-bit → uint16; sub-byte values are returned unscaled."""
+    stride = (w * depth * channels + 7) // 8
+    bpp = max(1, (depth * channels) // 8)
+    nbytes = h * (stride + 1)
+    if off + nbytes > raw.size:
+        raise ValueError("PNG: IDAT size mismatch")
+    recon = _unfilter(raw[off : off + nbytes].reshape(h, stride + 1), h, stride, bpp)
+    if depth == 16:  # network byte order; filters were byte-wise already
+        u16 = recon.reshape(h, w * channels, 2).astype(np.uint16)
+        s = (u16[..., 0] << 8) | u16[..., 1]
+        arr = s if channels == 1 else s.reshape(h, w, channels)
+    elif depth < 8:
+        arr = _unpack_bits(recon, w, depth)
+    else:
+        arr = recon[:, :w] if channels == 1 else recon.reshape(h, w, channels)
+    return arr, nbytes
+
+
 def decode_png(data: bytes) -> np.ndarray:
     """PNG → array: (H, W) grayscale, (H, W, 2) gray+alpha, (H, W, 3)
     RGB / palette without tRNS, (H, W, 4) RGBA / palette with tRNS.
     uint8, except 16-bit inputs which return uint16. Sub-byte grayscale
-    is rescaled to the full 8-bit range."""
+    is rescaled to the full 8-bit range. Adam7-interlaced files are
+    deinterlaced (7 passes, strided scatter)."""
     if data[:8] != _SIGNATURE:
         raise ValueError("not a PNG file")
     pos = 8
@@ -230,8 +274,8 @@ def decode_png(data: bytes) -> np.ndarray:
             break
     if w is None:
         raise ValueError("PNG: missing IHDR")
-    if interlace:
-        raise NotImplementedError("PNG Adam7 interlace")
+    if interlace not in (0, 1):
+        raise ValueError(f"PNG: interlace method {interlace}")
     channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(ctype)
     if channels is None:
         raise ValueError(f"PNG: color type {ctype}")
@@ -239,28 +283,29 @@ def decode_png(data: bytes) -> np.ndarray:
         raise ValueError(f"PNG: depth {depth} invalid for color type {ctype}")
     if ctype == 3 and depth == 16:
         raise ValueError("PNG: 16-bit palette is not legal")
-    stride = (w * depth * channels + 7) // 8
-    bpp = max(1, (depth * channels) // 8)
     raw = np.frombuffer(zlib.decompress(idat), dtype=np.uint8)
-    if raw.size != h * (stride + 1):
+    if not interlace:
+        samples, used = _reconstruct(raw, w, h, depth, channels, 0)
+    else:  # Adam7 (r5): each pass is its own filtered sub-image
+        shape = (h, w) if channels == 1 else (h, w, channels)
+        samples = np.zeros(shape, dtype=np.uint16 if depth == 16 else np.uint8)
+        used = 0
+        for x0, y0, dx, dy in _ADAM7:
+            pw = (w - x0 + dx - 1) // dx
+            ph = (h - y0 + dy - 1) // dy
+            if pw <= 0 or ph <= 0:
+                continue  # pass empty at this image size
+            sub, nb = _reconstruct(raw, pw, ph, depth, channels, used)
+            used += nb
+            samples[y0::dy, x0::dx] = sub
+    if used != raw.size:
         raise ValueError("PNG: IDAT size mismatch")
-    recon = _unfilter(raw.reshape(h, stride + 1), h, stride, bpp)
-    if depth == 16:  # network byte order; filters were byte-wise already
-        u16 = (
-            recon.reshape(h, w * channels, 2).astype(np.uint16)
+    if depth == 16:
+        return samples
+    if depth < 8 and ctype == 0:  # scale sub-byte gray to 8-bit (255/(2^d-1))
+        samples = (samples.astype(np.uint16) * 255 // ((1 << depth) - 1)).astype(
+            np.uint8
         )
-        samples16 = (u16[..., 0] << 8) | u16[..., 1]
-        if channels == 1:
-            return samples16
-        return samples16.reshape(h, w, channels)
-    if depth < 8:
-        samples = _unpack_bits(recon, w, depth)
-        if ctype == 0:  # scale sub-byte gray to 8-bit (255/(2^d-1))
-            samples = (samples.astype(np.uint16) * 255 // ((1 << depth) - 1)).astype(
-                np.uint8
-            )
-    else:
-        samples = recon.reshape(h, w * channels) if channels > 1 else recon[:, :w]
     if ctype == 3:
         if pal is None:
             raise ValueError("PNG: palette image without PLTE")
@@ -273,6 +318,4 @@ def decode_png(data: bytes) -> np.ndarray:
             alphas[: len(trns)] = trns
             return np.dstack([rgb, alphas[idx]])
         return rgb
-    if channels == 1:
-        return samples
-    return samples.reshape(h, w, channels)
+    return samples
