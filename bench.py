@@ -130,6 +130,32 @@ def _wait_for_idle(threshold: float, max_wait_sec: float) -> float:
     return load
 
 
+def _cpu_ticks() -> tuple[int, int]:
+    """(steal, total) jiffies from /proc/stat — co-tenant-VM theft is
+    invisible to loadavg but shows up as steal time.  Round-5 finding:
+    identical code oscillated 2.2 s ↔ 34 s on this box with constant
+    JVM/py RSS, constant shuffle-file counts and near-idle loadavg; the
+    only external signal was nonzero %steal, so the bench gates on it."""
+    try:
+        with open("/proc/stat") as f:
+            p = f.readline().split()
+        vals = [int(x) for x in p[1:9]]
+        return vals[7], sum(vals)
+    except (OSError, IndexError, ValueError):
+        return 0, 0
+
+
+def _timed_force(fn, spark, sf_dir) -> tuple[float, float]:
+    """Run one query; returns (wall_sec, steal_pct during the run)."""
+    s0, t0j = _cpu_ticks()
+    t0 = time.perf_counter()
+    force(fn(spark, sf_dir))
+    wall = time.perf_counter() - t0
+    s1, t1j = _cpu_ticks()
+    dt = t1j - t0j
+    return wall, (100.0 * (s1 - s0) / dt) if dt > 0 else 0.0
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
@@ -156,19 +182,35 @@ def main() -> None:
     for fn in qs.values():
         force(fn(spark, sf_dir))
 
-    timings: dict[str, float] = {}
+    # N interleaved round-robin passes (not N consecutive runs per query):
+    # co-tenant bursts last minutes, so consecutive runs of one query all
+    # land inside the same burst — interleaving spreads each query's runs
+    # across the suite's full wall span.  Per-query result is min-of-N
+    # (the suite has no warm/cold asymmetry after the discarded warmup
+    # loop, so min estimates the true cost).  Runs that saw >steal_max
+    # %steal are marked polluted and retried once at the end.
+    steal_max = float(os.environ.get("SPARK_GRAFT_BENCH_STEAL_MAX", "3.0"))
     per_run_loads: list[float] = []
-    for name, fn in qs.items():
-        best = []
-        for _ in range(runs):
-            t0 = time.perf_counter()
-            force(fn(spark, sf_dir))
-            best.append(time.perf_counter() - t0)
+    samples: dict[str, list[tuple[float, float]]] = {n: [] for n in qs}
+    for _ in range(runs):
+        for name, fn in qs.items():
+            samples[name].append(_timed_force(fn, spark, sf_dir))
             per_run_loads.append(os.getloadavg()[0])
-        # min-of-N: the run least perturbed by external box load (the
-        # suite has no warm/cold asymmetry after the discarded warmup
-        # loop, so min estimates the true cost, median the typical noise)
-        timings[name] = min(best)
+    def _kept(s: list[tuple[float, float]]) -> tuple[float, float]:
+        return min(s, key=lambda ws: ws[0])
+
+    # if the FASTEST run of a query still saw steal above threshold, its
+    # number is suspect — retry (bounded) and keep the new min
+    retried = 0
+    for name, fn in qs.items():
+        attempts = 0
+        while _kept(samples[name])[1] > steal_max and attempts < 2:
+            samples[name].append(_timed_force(fn, spark, sf_dir))
+            attempts += 1
+            retried += 1
+    timings = {n: _kept(s)[0] for n, s in samples.items()}
+    kept_steal = {n: _kept(s)[1] for n, s in samples.items()}
+    polluted = sorted(n for n, st in kept_steal.items() if st > steal_max)
 
     # throughput on the flagship join+agg pipeline at meaningful scale
     n_docs = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
@@ -187,6 +229,12 @@ def main() -> None:
             "during_max": round(max(per_run_loads), 2) if per_run_loads else None,
             "at_end": round(os.getloadavg()[0], 2),
             "threshold": load_threshold,
+        },
+        "steal": {
+            "kept_run_max_pct": round(max(kept_steal.values()), 2),
+            "polluted_queries": polluted,
+            "threshold_pct": steal_max,
+            "retries": retried,
         },
         "throughput": {
             "zonal_pipeline_rows_per_sec": (
