@@ -71,15 +71,34 @@ def flagship():
 def force(df):
     df.write.format("noop").mode("overwrite").save()
 
+def cpu_ticks():
+    # (steal, total) jiffies: co-tenant VM theft is invisible to loadavg
+    with open("/proc/stat") as f:
+        p = f.readline().split()
+    vals = [int(x) for x in p[1:9]]
+    return vals[7], sum(vals)
+
 n = spark.read.parquet(path).count()
 force(flagship())  # warmup, discarded
-ts = []
-for _ in range(runs):
+samples = []
+attempts = 0
+steal_max = float(os.environ.get("SPARK_GRAFT_BENCH_STEAL_MAX", "3.0"))
+while len([s for s in samples if s[1] <= steal_max]) < runs and attempts < 3 * runs:
+    s0, j0 = cpu_ticks()
     t0 = time.perf_counter()
     force(flagship())
-    ts.append(time.perf_counter() - t0)
-ts.sort()
-print(json.dumps({"cores": cores, "sec": ts[len(ts)//2], "rows": n}))
+    wall = time.perf_counter() - t0
+    s1, j1 = cpu_ticks()
+    steal = 100.0 * (s1 - s0) / max(1, j1 - j0)
+    samples.append((wall, steal))
+    attempts += 1
+clean = sorted(s for s in samples if s[1] <= steal_max) or sorted(samples)
+# min of clean runs: contamination is one-sided (bursts only ever slow a
+# run down), so the fastest clean run is the best estimate of true cost
+best = clean[0]
+print(json.dumps({"cores": cores, "sec": best[0], "rows": n,
+                  "steal_pct": round(best[1], 2), "attempts": attempts,
+                  "clean_runs": len(clean)}))
 """
 
 
@@ -131,6 +150,8 @@ def main():
             f"local{n4}_rows_per_sec": round(hi["rows"] / hi["sec"], 1),
             "scaling_efficiency": round(eff, 3),
             "accept_ge_0.8": eff >= 0.8,
+            "steal_pct": [lo.get("steal_pct"), hi.get("steal_pct")],
+            "clean_runs": [lo.get("clean_runs"), hi.get("clean_runs")],
         }
     result = {"sf_dir": sf_dir, **results}
     print(json.dumps(result))
