@@ -544,51 +544,83 @@ def _entropy_encode_baseline_scalar(comps, mcu_layout, n_mcus, tabs) -> bytes:
 # ---------------------------------------------------------------------------
 
 class _BitReader:
+    """MSB-first reader over an entropy-coded segment.
+
+    r5 rewrite: the 0xFF00 byte stuffing is stripped ONCE up front
+    (vectorized), so the hot loop has no per-byte marker check; the
+    accumulator is truncated to its live bits on every consume (the old
+    reader's `acc` grew by 8 bits per byte forever, making each read an
+    O(consumed-stream) big-int shift — the 13 s/tile decode profile)."""
+
     def __init__(self, data: bytes):
-        self.data = data
+        arr = np.frombuffer(data, dtype=np.uint8)
+        if arr.size > 1:
+            stuffed = np.flatnonzero((arr[:-1] == 0xFF) & (arr[1:] == 0x00)) + 1
+            if stuffed.size:
+                arr = np.delete(arr, stuffed)
+        # pad like the old reader's marker→0 fallback: overruns read 0s
+        self.data = arr.tobytes() + b"\x00" * 4
         self.pos = 0
         self.acc = 0
         self.nbits = 0
 
     def read(self, n: int) -> int:
         while self.nbits < n:
-            b = self.data[self.pos]
+            self.acc = (self.acc << 8) | self.data[self.pos]
             self.pos += 1
-            if b == 0xFF:
-                nxt = self.data[self.pos]
-                if nxt == 0x00:
-                    self.pos += 1
-                else:
-                    b = 0  # marker hit; shouldn't happen mid-scan here
-            self.acc = (self.acc << 8) | b
             self.nbits += 8
         self.nbits -= n
         v = (self.acc >> self.nbits) & ((1 << n) - 1)
+        self.acc &= (1 << self.nbits) - 1
         return v
 
 
-def _decode_tree(spec):
-    """{(length, code): symbol}"""
+class _HuffLUT:
+    """Canonical JPEG Huffman table as a single-level LUT sized by the
+    table's max code length: peek max_len bits → (symbol, length)."""
+
+    __slots__ = ("sym", "len", "max_len")
+
+    def __init__(self, bits: list, vals: list):
+        max_len = max((ln for ln in range(1, 17) if bits[ln - 1]), default=1)
+        size = 1 << max_len
+        sym = [0] * size
+        lens = [0] * size
+        code = 0
+        k = 0
+        for length in range(1, 17):
+            for _ in range(bits[length - 1]):
+                lo = code << (max_len - length)
+                hi = (code + 1) << (max_len - length)
+                sym[lo:hi] = [vals[k]] * (hi - lo)
+                lens[lo:hi] = [length] * (hi - lo)
+                code += 1
+                k += 1
+            code <<= 1
+        self.sym = sym
+        self.len = lens
+        self.max_len = max_len
+
+
+def _decode_tree(spec) -> _HuffLUT:
     bits, vals = spec
-    table = {}
-    code = 0
-    k = 0
-    for length in range(1, 17):
-        for _ in range(bits[length - 1]):
-            table[(length, code)] = vals[k]
-            code += 1
-            k += 1
-        code <<= 1
-    return table
+    return _HuffLUT(list(bits), list(vals))
 
 
-def _read_symbol(br: _BitReader, table) -> int:
-    code = 0
-    for length in range(1, 17):
-        code = (code << 1) | br.read(1)
-        if (length, code) in table:
-            return table[(length, code)]
-    raise ValueError("invalid Huffman code")
+def _read_symbol(br: _BitReader, table: _HuffLUT) -> int:
+    ml = table.max_len
+    data = br.data
+    while br.nbits < ml:
+        br.acc = (br.acc << 8) | data[br.pos]
+        br.pos += 1
+        br.nbits += 8
+    idx = (br.acc >> (br.nbits - ml)) & ((1 << ml) - 1)
+    ln = table.len[idx]
+    if ln == 0:
+        raise ValueError("invalid Huffman code")
+    br.nbits -= ln
+    br.acc &= (1 << br.nbits) - 1
+    return table.sym[idx]
 
 
 def _extend(bits: int, size: int) -> int:
@@ -601,13 +633,15 @@ def _extend(bits: int, size: int) -> int:
 
 def _scan_end(data: bytes, start: int) -> int:
     """Index of the marker terminating an entropy-coded segment."""
-    i = start
-    while i + 1 < len(data):
-        if data[i] == 0xFF and data[i + 1] != 0x00 and not (
-            0xD0 <= data[i + 1] <= 0xD7
-        ):
-            return i
-        i += 1
+    arr = np.frombuffer(data, dtype=np.uint8)[start:]
+    if arr.size < 2:
+        return len(data)
+    ff = np.flatnonzero(arr[:-1] == 0xFF)
+    if ff.size:
+        nxt = arr[ff + 1]
+        real = ff[(nxt != 0x00) & ((nxt < 0xD0) | (nxt > 0xD7))]
+        if real.size:
+            return start + int(real[0])
     return len(data)
 
 
@@ -695,7 +729,7 @@ def decode_jpeg(data: bytes) -> np.ndarray:
 
     if not comps or not h:
         raise ValueError("missing SOF")
-    br = _BitReader(data[pos:])
+    br = _BitReader(data[pos:_scan_end(data, pos)])
     hmax = max(c[2] for c in comps)
     vmax = max(c[3] for c in comps)
     mcux = -(-w // (8 * hmax))
@@ -706,39 +740,90 @@ def decode_jpeg(data: bytes) -> np.ndarray:
     preds = [0] * len(comps)
 
     def read_block(cid, tq):
+        # manually inlined reader/LUT state (r5): this loop decodes every
+        # entropy symbol of a baseline scan — attribute hops and function
+        # calls per symbol were ~60% of decode after the LUT rewrite
         dct, act = scan_tabs[cid]
-        zz = np.zeros(64, dtype=np.int64)
-        size = _read_symbol(br, dct)
-        diff = _extend(br.read(size), size) if size else 0
-        zz[0] = diff  # caller adds the DC prediction
+        data, pos, acc, nbits = br.data, br.pos, br.acc, br.nbits
+        dml, dlen, dsym = dct.max_len, dct.len, dct.sym
+        aml, alen, asym = act.max_len, act.len, act.sym
+        zz = [0] * 64
+
+        while nbits < dml:
+            acc = (acc << 8) | data[pos]
+            pos += 1
+            nbits += 8
+        idx = (acc >> (nbits - dml)) & ((1 << dml) - 1)
+        size = dlen[idx]
+        if size == 0:
+            raise ValueError("invalid Huffman code")
+        nbits -= size
+        size = dsym[idx]
+        acc &= (1 << nbits) - 1
+        if size:
+            while nbits < size:
+                acc = (acc << 8) | data[pos]
+                pos += 1
+                nbits += 8
+            nbits -= size
+            v = (acc >> nbits) & ((1 << size) - 1)
+            acc &= (1 << nbits) - 1
+            zz[0] = v if v >= (1 << (size - 1)) else v - (1 << size) + 1
         k = 1
         while k < 64:
-            rs = _read_symbol(br, act)
-            r, s = rs >> 4, rs & 0x0F
+            while nbits < aml:
+                acc = (acc << 8) | data[pos]
+                pos += 1
+                nbits += 8
+            idx = (acc >> (nbits - aml)) & ((1 << aml) - 1)
+            ln = alen[idx]
+            if ln == 0:
+                raise ValueError("invalid Huffman code")
+            nbits -= ln
+            acc &= (1 << nbits) - 1
+            rs = asym[idx]
+            s = rs & 0x0F
             if s == 0:
-                if r == 15:
+                if rs == 0xF0:  # ZRL
                     k += 16
                     continue
                 break  # EOB
-            k += r
-            zz[k] = _extend(br.read(s), s)
+            k += rs >> 4
+            while nbits < s:
+                acc = (acc << 8) | data[pos]
+                pos += 1
+                nbits += 8
+            nbits -= s
+            v = (acc >> nbits) & ((1 << s) - 1)
+            acc &= (1 << nbits) - 1
+            zz[k] = v if v >= (1 << (s - 1)) else v - (1 << s) + 1
             k += 1
+        br.pos, br.acc, br.nbits = pos, acc, nbits
         return zz
 
+    # entropy-decode every block first (sequential), then one vectorized
+    # dequant + IDCT + scatter per component (r5 — was per-block einsum)
+    blocks: list[list] = [[] for _ in comps]
     for my in range(mcuy):
         for mx in range(mcux):
             for ci, (cid, tq, hi, vi) in enumerate(comps):
-                for by in range(vi):
-                    for bx in range(hi):
-                        zz = read_block(cid, tq)
-                        preds[ci] += int(zz[0])
-                        zz[0] = preds[ci]
-                        blk = np.zeros((8, 8))
-                        blk[_Z // 8, _Z % 8] = zz * qts[tq][_Z // 8, _Z % 8]
-                        px = np.einsum("ji,jk,kl->il", _C, blk, _C) + 128.0
-                        r0 = my * 8 * vi + by * 8
-                        c0 = mx * 8 * hi + bx * 8
-                        planes[ci][r0:r0 + 8, c0:c0 + 8] = px
+                for _ in range(vi * hi):
+                    zz = read_block(cid, tq)
+                    preds[ci] += zz[0]
+                    zz[0] = preds[ci]
+                    blocks[ci].append(zz)
+    for ci, (cid, tq, hi, vi) in enumerate(comps):
+        arr = np.array(blocks[ci], dtype=np.int64)  # (n, 64) zigzag order
+        n = arr.shape[0]
+        blk = np.zeros((n, 8, 8))
+        blk[:, _Z // 8, _Z % 8] = arr * qts[tq][_Z // 8, _Z % 8]
+        px = np.einsum("ji,njk,kl->nil", _C, blk, _C) + 128.0
+        # block order is (my, mx, by, bx) → assemble the full plane
+        planes[ci] = (
+            px.reshape(mcuy, mcux, vi, hi, 8, 8)
+            .transpose(0, 2, 4, 1, 3, 5)
+            .reshape(mcuy * vi * 8, mcux * hi * 8)
+        )
     chans = []
     for (cid, _tq, hi, vi), p in zip(comps, planes):
         if hi != hmax or vi != vmax:  # replicate-upsample subsampled chroma
