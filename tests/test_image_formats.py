@@ -1,6 +1,8 @@
 """F11 full surface: Lanczos resampling + baseline JPEG codec + truecolor
 PNG (reference render_image, cli/utilities.py:16-34 — PIL-free)."""
 
+import struct
+
 import numpy as np
 import pytest
 
@@ -298,3 +300,58 @@ def test_jpeg_vectorized_entropy_identical_to_scalar():
             vec = J._entropy_encode_baseline(comps, layout, n_mcus, tabs)
             sca = J._entropy_encode_baseline_scalar(comps, layout, n_mcus, tabs)
             assert vec == sca, (img.shape, sub)
+
+
+class TestJpegRestartMarkers:
+    """DRI/RSTm support (r5) — the error-resilience layout real
+    camera/libjpeg baseline files use (ITU T.81 F.2.1.3.1)."""
+
+    def _img(self, h, w, seed=5):
+        rng = np.random.default_rng(seed)
+        return rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+
+    @pytest.mark.parametrize("subsampling,interval", [
+        ("444", 1), ("444", 3), ("444", 7), ("420", 2),
+    ])
+    def test_roundtrip_matches_unrestarted(self, subsampling, interval):
+        img = self._img(40, 56)
+        plain = decode_jpeg(encode_jpeg(img, 90, subsampling=subsampling))
+        rst = decode_jpeg(encode_jpeg(
+            img, 90, subsampling=subsampling, restart_interval=interval))
+        np.testing.assert_array_equal(plain, rst)
+
+    def test_markers_present_and_cyclic(self):
+        # enough MCUs (25 @ 444) for the RSTm index to wrap past 7
+        data = encode_jpeg(self._img(40, 40), 85, restart_interval=1)
+        body = data[2:]
+        markers = []
+        i = 0
+        while i + 1 < len(body):
+            if body[i] == 0xFF and 0xD0 <= body[i + 1] <= 0xD7:
+                markers.append(body[i + 1] & 7)
+                i += 2
+            else:
+                i += 1
+        assert len(markers) == 24  # 25 MCUs, marker between each pair
+        assert markers == [m & 7 for m in range(24)]  # cyclic 0..7,0..
+
+    def test_dri_segment_value(self):
+        data = encode_jpeg(self._img(24, 24), 85, restart_interval=3)
+        k = data.find(b"\xff\xdd")
+        assert k > 0
+        ln, val = struct.unpack(">HH", data[k + 2:k + 6])
+        assert ln == 4 and val == 3
+
+    def test_out_of_sequence_marker_rejected(self):
+        data = bytearray(encode_jpeg(self._img(24, 24), 85, restart_interval=1))
+        # find the first RSTm and corrupt its index
+        for i in range(len(data) - 1):
+            if data[i] == 0xFF and 0xD0 <= data[i + 1] <= 0xD7:
+                data[i + 1] = 0xD5
+                break
+        with pytest.raises(ValueError, match="out of sequence"):
+            decode_jpeg(bytes(data))
+
+    def test_progressive_rejects_restart(self):
+        with pytest.raises(ValueError, match="baseline-only"):
+            encode_jpeg(self._img(8, 8), progressive=True, restart_interval=2)

@@ -1,0 +1,241 @@
+"""Progressive successive-approximation decode (r5).
+
+The module's own progressive encoder emits spectral selection only
+(Ah=Al=0), so SA coverage needs an independent twin: this file
+implements a from-the-spec SA *encoder* (ITU T.81 G.1.2.2 DC point
+transform / G.1.2.3 AC refinement with correction-bit buffering — the
+algorithm libjpeg's default progressive scan script uses) and asserts
+decode_jpeg recovers pixels bit-identical to the module's own non-SA
+progressive stream of the same image (both streams carry the exact same
+quantized coefficients, so the decoded pixels must match exactly).
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+import pytest
+
+from trefoil_spark.functions.jpeg import (
+    _Z,
+    AC_CHROMA_SPEC,
+    AC_LUMA_SPEC,
+    DC_CHROMA_SPEC,
+    DC_LUMA_SPEC,
+    _BitWriter,
+    _build_codes,
+    _fdct_quant,
+    _magnitude,
+    _seg,
+    _to_blocks,
+    decode_jpeg,
+    encode_jpeg,
+    quality_tables,
+    rgb_to_ycbcr,
+)
+
+_DCL, _DCC = _build_codes(DC_LUMA_SPEC), _build_codes(DC_CHROMA_SPEC)
+_ACL, _ACC = _build_codes(AC_LUMA_SPEC), _build_codes(AC_CHROMA_SPEC)
+
+
+def _quantized_components(img: np.ndarray, quality: int):
+    """(nb, 64) zigzag coefficient arrays for Y, Cb, Cr (444)."""
+    qt_l, qt_c = quality_tables(quality)
+    ycc = rgb_to_ycbcr(img)
+    comps = []
+    for ci in range(3):
+        qt = qt_l if ci == 0 else qt_c
+        blocks = _to_blocks(ycc[..., ci])
+        comps.append(_fdct_quant(blocks, qt)[:, _Z // 8, _Z % 8].astype(np.int64))
+    return comps, (qt_l, qt_c)
+
+
+class _SAWriter(_BitWriter):
+    """BitWriter plus the refinement-scan correction-bit buffer."""
+
+    def __init__(self):
+        super().__init__()
+        self.pending: list[int] = []
+
+    def emit_sym(self, tab, sym):
+        code, ln = tab[sym]
+        self.write(code, ln)
+
+    def flush_pending(self):
+        for b in self.pending:
+            self.write(b, 1)
+        self.pending = []
+
+
+def _encode_dc_first(bw, comps, dc_tabs, al):
+    preds = [0] * len(comps)
+    nb = comps[0].shape[0]
+    for bi in range(nb):
+        for ci, zz in enumerate(comps):
+            v = int(zz[bi, 0]) >> al  # arithmetic shift = DC point transform
+            diff = v - preds[ci]
+            preds[ci] = v
+            size, bits = _magnitude(diff)
+            bw.emit_sym(dc_tabs[ci], size)
+            if size:
+                bw.write(bits, size)
+
+
+def _encode_dc_refine(bw, comps, al):
+    nb = comps[0].shape[0]
+    for bi in range(nb):
+        for zz in comps:
+            bw.write((int(zz[bi, 0]) >> al) & 1, 1)
+
+
+def _encode_ac_first(bw, zz, ac_tab, ss, se, al):
+    """Band first pass at precision al; one EOB per block (run len 1)."""
+    nb = zz.shape[0]
+    for bi in range(nb):
+        r = 0
+        wrote = False
+        for k in range(ss, se + 1):
+            v = int(zz[bi, k])
+            t = (abs(v) >> al) * (1 if v >= 0 else -1)
+            if t == 0:
+                r += 1
+                continue
+            while r > 15:
+                bw.emit_sym(ac_tab, 0xF0)  # ZRL
+                r -= 16
+            size, bits = _magnitude(t)
+            bw.emit_sym(ac_tab, (r << 4) | size)
+            bw.write(bits, size)
+            r = 0
+            wrote = True
+        if r > 0 or not wrote:
+            bw.emit_sym(ac_tab, 0x00)  # EOB (run of 1)
+
+
+def _encode_ac_refine(bw, zz, ac_tab, ss, se, al):
+    """G.1.2.3 refinement: newly-significant (temp==1) coefficients get
+    (run, 1)+sign; already-nonzero get buffered correction bits flushed
+    after the next emitted code; per-block EOB when a tail remains."""
+    nb = zz.shape[0]
+    p_mask = 1
+    for bi in range(nb):
+        absv = [abs(int(zz[bi, k])) >> al for k in range(ss, se + 1)]
+        eob_idx = -1
+        for i, t in enumerate(absv):
+            if t == 1:
+                eob_idx = i
+        r = 0
+        bw.pending = []
+        for i, t in enumerate(absv):
+            if t == 0:
+                r += 1
+                continue
+            while r > 15 and i <= eob_idx:
+                bw.emit_sym(ac_tab, 0xF0)
+                r -= 16
+                bw.flush_pending()
+            if t > 1:  # history coefficient: buffer its correction bit
+                bw.pending.append(t & p_mask)
+                continue
+            # newly significant
+            bw.emit_sym(ac_tab, (r << 4) | 1)
+            bw.write(1 if int(zz[bi, ss + i]) >= 0 else 0, 1)
+            bw.flush_pending()
+            r = 0
+        if r > 0 or bw.pending:
+            bw.emit_sym(ac_tab, 0x00)  # EOB, run of 1
+            bw.flush_pending()
+
+
+def _scan(marker_payload: bytes, body: bytes) -> bytes:
+    return _seg(0xFFDA, marker_payload) + body
+
+
+def _sa_stream(img: np.ndarray, quality: int, band_split: int = 5) -> bytes:
+    """Full SOF2 JFIF stream using a 2-level SA ladder (Al=1 → Al=0)."""
+    comps, (qt_l, qt_c) = _quantized_components(img, quality)
+    h, w = img.shape[:2]
+    out = bytearray(b"\xff\xd8")
+    out += _seg(0xFFE0, b"JFIF\x00\x01\x01\x00" + struct.pack(">HHBB", 1, 1, 0, 0))
+    out += _seg(0xFFDB, b"\x00" + bytes(int(qt_l[z // 8, z % 8]) for z in _Z))
+    out += _seg(0xFFDB, b"\x01" + bytes(int(qt_c[z // 8, z % 8]) for z in _Z))
+    sof = struct.pack(">BHHB", 8, h, w, 3)
+    for cid, tq in ((1, 0), (2, 1), (3, 1)):
+        sof += struct.pack(">BBB", cid, 0x11, tq)
+    out += _seg(0xFFC2, sof)
+    for tcth, spec in ((0x00, DC_LUMA_SPEC), (0x01, DC_CHROMA_SPEC),
+                       (0x10, AC_LUMA_SPEC), (0x11, AC_CHROMA_SPEC)):
+        bits, vals = spec
+        out += _seg(0xFFC4, bytes([tcth]) + bytes(bits) + bytes(vals))
+
+    dc_tabs = [_DCL, _DCC, _DCC]
+    ac_tabs = [_ACL, _ACC, _ACC]
+
+    # scan 1: interleaved DC first, Al=1
+    bw = _SAWriter()
+    _encode_dc_first(bw, comps, dc_tabs, al=1)
+    bw.flush()
+    hdr = struct.pack(">B", 3)
+    for cid, t in ((1, 0x00), (2, 0x11), (3, 0x11)):
+        hdr += struct.pack(">BB", cid, t)
+    out += _scan(hdr + bytes([0, 0, 0x01]), bytes(bw.buf))
+
+    # AC first passes, two bands per component, Al=1
+    for ci, (cid, ta) in enumerate(((1, 0x00), (2, 0x01), (3, 0x01))):
+        for ss, se in ((1, band_split), (band_split + 1, 63)):
+            bw = _SAWriter()
+            _encode_ac_first(bw, comps[ci], ac_tabs[ci], ss, se, al=1)
+            bw.flush()
+            out += _scan(
+                struct.pack(">BBB", 1, cid, ta) + bytes([ss, se, 0x01]),
+                bytes(bw.buf),
+            )
+
+    # DC refinement, Ah=1 Al=0
+    bw = _SAWriter()
+    _encode_dc_refine(bw, comps, al=0)
+    bw.flush()
+    out += _scan(hdr + bytes([0, 0, 0x10]), bytes(bw.buf))
+
+    # AC refinement passes, Ah=1 Al=0
+    for ci, (cid, ta) in enumerate(((1, 0x00), (2, 0x01), (3, 0x01))):
+        for ss, se in ((1, band_split), (band_split + 1, 63)):
+            bw = _SAWriter()
+            _encode_ac_refine(bw, comps[ci], ac_tabs[ci], ss, se, al=0)
+            bw.flush()
+            out += _scan(
+                struct.pack(">BBB", 1, cid, ta) + bytes([ss, se, 0x10]),
+                bytes(bw.buf),
+            )
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+@pytest.mark.parametrize("hw,quality,seed", [
+    ((16, 16), 90, 1), ((24, 40), 75, 2), ((8, 8), 95, 3), ((17, 9), 85, 4),
+])
+def test_sa_stream_decodes_identical_to_spectral_only(hw, quality, seed):
+    rng = np.random.default_rng(seed)
+    img = rng.integers(0, 256, size=(*hw, 3), dtype=np.uint8)
+    expected = decode_jpeg(encode_jpeg(img, quality, progressive=True))
+    got = decode_jpeg(_sa_stream(img, quality))
+    np.testing.assert_array_equal(got, expected)
+
+
+def test_sa_smooth_gradient():
+    # smooth content → many zero/±1 AC coefficients → exercises the
+    # newly-significant path and EOB tails heavily
+    y, x = np.mgrid[0:32, 0:48]
+    img = np.stack([(x * 3) % 256, (y * 5) % 256, ((x + y) * 2) % 256],
+                   axis=-1).astype(np.uint8)
+    expected = decode_jpeg(encode_jpeg(img, 85, progressive=True))
+    got = decode_jpeg(_sa_stream(img, 85))
+    np.testing.assert_array_equal(got, expected)
+
+
+def test_sa_flat_image():
+    img = np.full((16, 24, 3), 130, dtype=np.uint8)
+    expected = decode_jpeg(encode_jpeg(img, 85, progressive=True))
+    got = decode_jpeg(_sa_stream(img, 85))
+    np.testing.assert_array_equal(got, expected)

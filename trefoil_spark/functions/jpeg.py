@@ -11,9 +11,11 @@ implements the public ITU-T T.81 baseline process directly):
   4:4:4 or 4:2:0 chroma subsampling; baseline (SOF0) or PROGRESSIVE
   (SOF2, spectral-selection scans — matching the reference's
   ``progressive=True`` save; decodes pixel-identical to baseline).
-- decoder: the matching subsets (baseline 444/420 + progressive
-  spectral-selection with general EOBn runs, 8-bit, restart-free) —
-  round-trips the tests without PIL.
+- decoder (r5: foreign-capable): baseline 444/420 WITH restart markers
+  (DRI/RSTm, cyclic-order checked) + progressive spectral-selection AND
+  successive approximation (DC/AC first + refinement scans, general
+  EOBn runs — the libjpeg default scan script), 8-bit and 16-bit quant
+  tables — real-world files ingest, not just this module's own output.
 """
 
 from __future__ import annotations
@@ -402,6 +404,7 @@ def encode_jpeg(
     quality: int = 85,
     subsampling: str = "444",
     progressive: bool = False,
+    restart_interval: int = 0,
 ) -> bytes:
     """(H,W,3) uint8 RGB (or (H,W) grayscale) -> JFIF bytes.
 
@@ -413,7 +416,11 @@ def encode_jpeg(
     reference's ``progressive=True`` save (cli/utilities.py:28): one
     interleaved DC scan then one full-band AC scan per component; no
     successive approximation. Same pixels as baseline — only the scan
-    order differs. 4:4:4 only."""
+    order differs. 4:4:4 only.
+
+    ``restart_interval``: emit a DRI segment and cyclic RSTm markers
+    every N MCUs (baseline only) — the error-resilience layout real
+    camera/libjpeg files use."""
     arr = np.asarray(rgb)
     if arr.ndim == 2:
         arr = np.stack([arr] * 3, axis=-1)
@@ -423,6 +430,8 @@ def encode_jpeg(
         raise ValueError("subsampling must be '444' or '420'")
     if progressive and subsampling != "444":
         raise ValueError("progressive supports 4:4:4 only")
+    if progressive and restart_interval:
+        raise ValueError("restart_interval is baseline-only")
     arr = arr[..., :3].astype(np.uint8)
     h, w = arr.shape[:2]
     qt_l, qt_c = quality_tables(quality)
@@ -510,24 +519,44 @@ def encode_jpeg(
         out += b"\xff\xd9"  # EOI
         return bytes(out)
 
+    if restart_interval:
+        out += _seg(0xFFDD, struct.pack(">H", restart_interval))
     sos = struct.pack(">B", 3)
     for cid, tabs_b in ((1, 0x00), (2, 0x11), (3, 0x11)):
         sos += struct.pack(">BB", cid, tabs_b)
     sos += b"\x00\x3f\x00"
     out += _seg(0xFFDA, sos)
 
-    out += _entropy_encode_baseline(comps, mcu_layout, n_mcus, tabs)
+    if restart_interval:
+        # restart emission lives on the scalar twin path (interchange
+        # robustness feature, not the hot encode path)
+        out += _entropy_encode_baseline_scalar(
+            comps, mcu_layout, n_mcus, tabs, restart_interval
+        )
+    else:
+        out += _entropy_encode_baseline(comps, mcu_layout, n_mcus, tabs)
     out += b"\xff\xd9"  # EOI
     return bytes(out)
 
 
-def _entropy_encode_baseline_scalar(comps, mcu_layout, n_mcus, tabs) -> bytes:
+def _entropy_encode_baseline_scalar(
+    comps, mcu_layout, n_mcus, tabs, restart_interval: int = 0
+) -> bytes:
     """Reference scalar path (per-block `_encode_block` loop) — kept as
-    the differential-test twin of the vectorized encoder."""
+    the differential-test twin of the vectorized encoder, and the path
+    that emits RSTm markers when a restart interval is set (r5): after
+    every `restart_interval` MCUs, 1-pad to the byte boundary, write the
+    cyclic 0xFFD0+m marker unstuffed, and reset the DC predictors."""
     bw = _BitWriter()
     preds = [0, 0, 0]
     counters = [0, 0, 0]
-    for _m in range(n_mcus):
+    rst = 0
+    for m in range(n_mcus):
+        if restart_interval and m and m % restart_interval == 0:
+            bw.flush()
+            bw.buf += bytes((0xFF, 0xD0 + rst))
+            rst = (rst + 1) & 0x07
+            preds = [0, 0, 0]
         for ci, nblk in mcu_layout:
             for _ in range(nblk):
                 preds[ci] = _encode_block(
@@ -540,7 +569,8 @@ def _entropy_encode_baseline_scalar(comps, mcu_layout, n_mcus, tabs) -> bytes:
 
 
 # ---------------------------------------------------------------------------
-# decoder (baseline 8-bit, interleaved, no restarts — the writer's subset)
+# decoder (baseline 8-bit interleaved incl. restart markers; progressive
+# spectral-selection + successive approximation)
 # ---------------------------------------------------------------------------
 
 class _BitReader:
@@ -573,6 +603,26 @@ class _BitReader:
         v = (self.acc >> self.nbits) & ((1 << n) - 1)
         self.acc &= (1 << self.nbits) - 1
         return v
+
+    def restart(self) -> int:
+        """Consume a restart marker (spec F.2.1.3.1): discard the bits
+        padding to the byte boundary, rewind any whole bytes buffered
+        ahead in the accumulator, then eat the 2-byte RSTm (which the
+        destuffer kept verbatim — only 0xFF00 stuffing is stripped).
+        Returns m (0-7) for cyclic-order validation."""
+        self.nbits -= self.nbits % 8
+        self.pos -= self.nbits // 8
+        self.acc = 0
+        self.nbits = 0
+        if not (
+            self.pos + 1 < len(self.data)
+            and self.data[self.pos] == 0xFF
+            and 0xD0 <= self.data[self.pos + 1] <= 0xD7
+        ):
+            raise ValueError("JPEG: expected restart marker")
+        m = self.data[self.pos + 1] & 0x07
+        self.pos += 2
+        return m
 
 
 class _HuffLUT:
@@ -657,6 +707,7 @@ def decode_jpeg(data: bytes) -> np.ndarray:
     comps = []  # (cid, tq)
     scan_tabs = {}
     progressive = False
+    restart_interval = 0
 
     def parse_dht(payload):
         off = 0
@@ -714,8 +765,12 @@ def decode_jpeg(data: bytes) -> np.ndarray:
             raise NotImplementedError("non-baseline SOF")
         elif marker == 0xC4:
             parse_dht(payload)
+        elif marker == 0xDD:  # DRI (r5: restart-interval support)
+            restart_interval = struct.unpack(">H", payload[:2])[0]
         elif marker == 0xDA:
             if progressive:
+                if restart_interval:
+                    raise NotImplementedError("progressive + restart markers")
                 return _decode_progressive(
                     data, pos, ln, payload, comps, qts, hts, parse_dht, h, w
                 )
@@ -804,8 +859,17 @@ def decode_jpeg(data: bytes) -> np.ndarray:
     # entropy-decode every block first (sequential), then one vectorized
     # dequant + IDCT + scatter per component (r5 — was per-block einsum)
     blocks: list[list] = [[] for _ in comps]
+    mcu_i = 0
+    next_rst = 0
     for my in range(mcuy):
         for mx in range(mcux):
+            if restart_interval and mcu_i and mcu_i % restart_interval == 0:
+                m = br.restart()
+                if m != next_rst:
+                    raise ValueError("JPEG: restart marker out of sequence")
+                next_rst = (next_rst + 1) & 0x07
+                preds = [0] * len(comps)  # DC predictors reset per spec
+            mcu_i += 1
             for ci, (cid, tq, hi, vi) in enumerate(comps):
                 for _ in range(vi * hi):
                     zz = read_block(cid, tq)
@@ -835,11 +899,66 @@ def decode_jpeg(data: bytes) -> np.ndarray:
     return ycbcr_to_rgb(np.stack(chans, axis=-1))
 
 
+def _ac_refine_block(br, act, row, ss, se, al, eobrun):
+    """AC successive-approximation refinement for one block (T.81
+    G.1.2.3, the libjpeg decode_mcu_AC_refine arithmetic: coefficients
+    held as signed two's-complement multiples of 1<<al, so the bit test
+    ``coef & p1`` matches the spec's magnitude-bit test). Mutates `row`
+    (one block's zigzag coefficients); returns the remaining EOB run."""
+    p1 = 1 << al
+    m1 = -p1
+    k = ss
+    if eobrun == 0:
+        while k <= se:
+            rs = _read_symbol(br, act)
+            r, s = rs >> 4, rs & 0x0F
+            if s == 0:
+                if r < 15:
+                    # the run INCLUDES this block — its tail correction
+                    # bits are read in the eobrun branch below, which
+                    # also performs the decrement
+                    eobrun = 1 << r
+                    if r:
+                        eobrun += br.read(r)
+                    break
+                val = 0  # ZRL: skip 16 zero-history positions
+            else:
+                if s != 1:
+                    raise ValueError("JPEG: AC refinement symbol with s != 1")
+                val = p1 if br.read(1) else m1
+            while k <= se:
+                c = row[k]
+                if c != 0:
+                    # correction bit for every already-nonzero coefficient
+                    if br.read(1) and (c & p1) == 0:
+                        row[k] = c + (p1 if c >= 0 else m1)
+                else:
+                    if r == 0:
+                        if val:
+                            row[k] = val
+                        k += 1
+                        break
+                    r -= 1
+                k += 1
+    if eobrun > 0:
+        # EOB run covers this block: only correction bits remain
+        while k <= se:
+            c = row[k]
+            if c != 0:
+                if br.read(1) and (c & p1) == 0:
+                    row[k] = c + (p1 if c >= 0 else m1)
+            k += 1
+        eobrun -= 1
+    return eobrun
+
+
 def _decode_progressive(data, pos, ln, payload, comps, qts, hts, parse_dht, h, w):
-    """Progressive (SOF2) scan loop: spectral selection without
-    successive approximation — an interleaved DC scan plus per-component
-    AC band scans (general EOBn runs accepted). Accumulates dequantized
-    coefficients per block, then one IDCT pass at the end."""
+    """Progressive (SOF2) scan loop: spectral selection AND successive
+    approximation (r5 — the libjpeg default scan script's Ah/Al
+    refinement passes): interleaved DC first/refine scans plus
+    per-component AC band first/refine scans (general EOBn runs).
+    Accumulates dequantized coefficients per block, then one IDCT pass
+    at the end."""
     bh, bw_ = (h + 7) // 8, (w + 7) // 8
     nb = bh * bw_
     coefs = {cid: np.zeros((nb, 64), dtype=np.int64) for cid, _t, _h, _v in comps}
@@ -848,22 +967,28 @@ def _decode_progressive(data, pos, ln, payload, comps, qts, hts, parse_dht, h, w
         ns = payload[0]
         scomps = [(payload[1 + 2 * i], payload[2 + 2 * i]) for i in range(ns)]
         ss, se, ahal = payload[1 + 2 * ns], payload[2 + 2 * ns], payload[3 + 2 * ns]
-        if ahal:
-            raise NotImplementedError("successive approximation")
+        ah, al = ahal >> 4, ahal & 0x0F
         end = _scan_end(data, pos + ln)
         br = _BitReader(data[pos + ln:end])
         if ss == 0:  # DC scan (interleaved; 1x1 → MCU order == block order)
             if se != 0:
                 raise NotImplementedError("mixed DC/AC spectral band")
-            preds = {cid: 0 for cid, _t in scomps}
-            for bi in range(nb):
-                for cid, tdta in scomps:
-                    dct = hts[tdta >> 4]
-                    size = _read_symbol(br, dct)
-                    diff = _extend(br.read(size), size) if size else 0
-                    preds[cid] += diff
-                    coefs[cid][bi, 0] = preds[cid]
-        else:  # AC scan: exactly one component
+            if ah == 0:  # first pass at point transform al
+                preds = {cid: 0 for cid, _t in scomps}
+                for bi in range(nb):
+                    for cid, tdta in scomps:
+                        dct = hts[tdta >> 4]
+                        size = _read_symbol(br, dct)
+                        diff = _extend(br.read(size), size) if size else 0
+                        preds[cid] += diff
+                        coefs[cid][bi, 0] = preds[cid] << al
+            else:  # refinement: one raw bit per block per component
+                p1 = 1 << al
+                for bi in range(nb):
+                    for cid, _tdta in scomps:
+                        if br.read(1):
+                            coefs[cid][bi, 0] |= p1
+        elif ah == 0:  # AC first pass: exactly one component
             cid, tdta = scomps[0]
             act = hts[0x10 | (tdta & 0x0F)]
             eobrun = 0
@@ -882,8 +1007,15 @@ def _decode_progressive(data, pos, ln, payload, comps, qts, hts, parse_dht, h, w
                         eobrun = (1 << r) + (br.read(r) if r else 0) - 1
                         break
                     k += r
-                    coefs[cid][bi, k] = _extend(br.read(s), s)
+                    coefs[cid][bi, k] = _extend(br.read(s), s) << al
                     k += 1
+        else:  # AC refinement pass
+            cid, tdta = scomps[0]
+            act = hts[0x10 | (tdta & 0x0F)]
+            eobrun = 0
+            cc = coefs[cid]
+            for bi in range(nb):
+                eobrun = _ac_refine_block(br, act, cc[bi], ss, se, al, eobrun)
         # next marker
         pos = end
         if pos + 1 >= len(data) or data[pos] != 0xFF:
