@@ -239,3 +239,150 @@ def test_sa_flat_image():
     expected = decode_jpeg(encode_jpeg(img, 85, progressive=True))
     got = decode_jpeg(_sa_stream(img, 85))
     np.testing.assert_array_equal(got, expected)
+
+
+# ---------------------------------------------------------------------------
+# progressive + 4:2:0 (r5): most real-world progressive JPEGs are
+# subsampled; the twin encoder below emits an interleaved DC scan (4 Y +
+# 1 Cb + 1 Cr blocks per MCU) and per-component AC scans over each
+# component's own ceil-dims raster (T.81 A.2.2), indexed into the
+# MCU-padded coefficient grid. Expected pixels come from the module's
+# own BASELINE 420 stream of the same image: the coefficient math below
+# replicates encode_jpeg's 420 branch exactly, so baseline and
+# progressive decodes must agree bit-for-bit.
+# ---------------------------------------------------------------------------
+
+from trefoil_spark.functions.jpeg import _pad_to  # noqa: E402
+
+
+def _coeffs_420(img, quality):
+    """(Y, Cb, Cr) zigzag coefficient arrays in RASTER block order on the
+    MCU-padded grids, matching encode_jpeg's 420 sampling math."""
+    qt_l, qt_c = quality_tables(quality)
+    ycc = rgb_to_ycbcr(img)
+    h, w = img.shape[:2]
+    mh, mw = -(-h // 16), -(-w // 16)
+    ypl = _pad_to(ycc[..., 0], mh * 16, mw * 16)
+    yb = (
+        ypl.reshape(mh * 2, 8, mw * 2, 8).transpose(0, 2, 1, 3).reshape(-1, 8, 8)
+    )
+
+    def half(chan):
+        p = _pad_to(chan, -(-h // 2) * 2, -(-w // 2) * 2)
+        q = (p[0::2, 0::2] + p[0::2, 1::2] + p[1::2, 0::2] + p[1::2, 1::2]) / 4.0
+        return _pad_to(q, mh * 8, mw * 8)
+
+    out = [_fdct_quant(yb, qt_l)[:, _Z // 8, _Z % 8].astype(np.int64)]
+    for ch in (1, 2):
+        cpl = half(ycc[..., ch])
+        cb = cpl.reshape(mh, 8, mw, 8).transpose(0, 2, 1, 3).reshape(-1, 8, 8)
+        out.append(_fdct_quant(cb, qt_c)[:, _Z // 8, _Z % 8].astype(np.int64))
+    return out, (qt_l, qt_c), (mh, mw)
+
+
+def _encode_dc_first_mcu(bw, comps, dc_tabs, samp, mh, mw, al):
+    """Interleaved DC first pass in MCU order with hi×vi blocks/comp."""
+    preds = [0] * len(comps)
+    for my in range(mh):
+        for mx in range(mw):
+            for ci, zz in enumerate(comps):
+                hi, vi = samp[ci]
+                bw_c = mw * hi
+                for by in range(vi):
+                    for bx in range(hi):
+                        bi = (my * vi + by) * bw_c + mx * hi + bx
+                        v = int(zz[bi, 0]) >> al
+                        diff = v - preds[ci]
+                        preds[ci] = v
+                        size, bits = _magnitude(diff)
+                        bw.emit_sym(dc_tabs[ci], size)
+                        if size:
+                            bw.write(bits, size)
+
+
+def _encode_dc_refine_mcu(bw, comps, samp, mh, mw, al):
+    for my in range(mh):
+        for mx in range(mw):
+            for ci, zz in enumerate(comps):
+                hi, vi = samp[ci]
+                bw_c = mw * hi
+                for by in range(vi):
+                    for bx in range(hi):
+                        bi = (my * vi + by) * bw_c + mx * hi + bx
+                        bw.write((int(zz[bi, 0]) >> al) & 1, 1)
+
+
+def _raster_indices(nh, nw, bw_c):
+    return [r * bw_c + c for r in range(nh) for c in range(nw)]
+
+
+def _sa_stream_420(img: np.ndarray, quality: int) -> bytes:
+    comps, (qt_l, qt_c), (mh, mw) = _coeffs_420(img, quality)
+    h, w = img.shape[:2]
+    samp = [(2, 2), (1, 1), (1, 1)]
+    out = bytearray(b"\xff\xd8")
+    out += _seg(0xFFE0, b"JFIF\x00\x01\x01\x00" + struct.pack(">HHBB", 1, 1, 0, 0))
+    out += _seg(0xFFDB, b"\x00" + bytes(int(qt_l[z // 8, z % 8]) for z in _Z))
+    out += _seg(0xFFDB, b"\x01" + bytes(int(qt_c[z // 8, z % 8]) for z in _Z))
+    sof = struct.pack(">BHHB", 8, h, w, 3)
+    for (cid, tq), (hi, vi) in zip(((1, 0), (2, 1), (3, 1)), samp):
+        sof += struct.pack(">BBB", cid, (hi << 4) | vi, tq)
+    out += _seg(0xFFC2, sof)
+    for tcth, spec in ((0x00, DC_LUMA_SPEC), (0x01, DC_CHROMA_SPEC),
+                      (0x10, AC_LUMA_SPEC), (0x11, AC_CHROMA_SPEC)):
+        bits, vals = spec
+        out += _seg(0xFFC4, bytes([tcth]) + bytes(bits) + bytes(vals))
+
+    dc_tabs = [_DCL, _DCC, _DCC]
+    ac_tabs = [_ACL, _ACC, _ACC]
+    hdr = struct.pack(">B", 3)
+    for cid, t in ((1, 0x00), (2, 0x11), (3, 0x11)):
+        hdr += struct.pack(">BB", cid, t)
+
+    # interleaved DC first (Al=1), then per-comp AC first (Al=1),
+    # then DC refine + AC refine down to Al=0
+    bwr = _SAWriter()
+    _encode_dc_first_mcu(bwr, comps, dc_tabs, samp, mh, mw, al=1)
+    bwr.flush()
+    out += _scan(hdr + bytes([0, 0, 0x01]), bytes(bwr.buf))
+
+    # per-component non-interleaved dims: Y real dims == padded MCU dims
+    # only when h,w are multiples of 16 — use ceil dims per T.81 A.2.2
+    dims = [((-(-h // 8)), (-(-w // 8)), mw * 2),
+            ((-(-h // 16)), (-(-w // 16)), mw),
+            ((-(-h // 16)), (-(-w // 16)), mw)]
+    for ci, (cid, ta) in enumerate(((1, 0x00), (2, 0x01), (3, 0x01))):
+        nh, nw, bw_c = dims[ci]
+        sub = comps[ci][_raster_indices(nh, nw, bw_c)]
+        bwr = _SAWriter()
+        _encode_ac_first(bwr, sub, ac_tabs[ci], 1, 63, al=1)
+        bwr.flush()
+        out += _scan(struct.pack(">BBB", 1, cid, ta) + bytes([1, 63, 0x01]),
+                     bytes(bwr.buf))
+
+    bwr = _SAWriter()
+    _encode_dc_refine_mcu(bwr, comps, samp, mh, mw, al=0)
+    bwr.flush()
+    out += _scan(hdr + bytes([0, 0, 0x10]), bytes(bwr.buf))
+
+    for ci, (cid, ta) in enumerate(((1, 0x00), (2, 0x01), (3, 0x01))):
+        nh, nw, bw_c = dims[ci]
+        sub = comps[ci][_raster_indices(nh, nw, bw_c)]
+        bwr = _SAWriter()
+        _encode_ac_refine(bwr, sub, ac_tabs[ci], 1, 63, al=0)
+        bwr.flush()
+        out += _scan(struct.pack(">BBB", 1, cid, ta) + bytes([1, 63, 0x10]),
+                     bytes(bwr.buf))
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+@pytest.mark.parametrize("hw,quality,seed", [
+    ((32, 32), 90, 11), ((24, 40), 80, 12), ((17, 23), 85, 13),
+])
+def test_progressive_420_sa_matches_baseline_420(hw, quality, seed):
+    rng = np.random.default_rng(seed)
+    img = rng.integers(0, 256, size=(*hw, 3), dtype=np.uint8)
+    expected = decode_jpeg(encode_jpeg(img, quality, subsampling="420"))
+    got = decode_jpeg(_sa_stream_420(img, quality))
+    np.testing.assert_array_equal(got, expected)

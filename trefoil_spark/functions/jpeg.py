@@ -758,8 +758,6 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                 hi, vi = samp >> 4, samp & 0x0F
                 if (hi, vi) not in ((1, 1), (2, 2)):
                     raise NotImplementedError(f"sampling {hi}x{vi}")
-                if progressive and (hi, vi) != (1, 1):
-                    raise NotImplementedError("progressive + subsampling")
                 comps.append((cid, tq, hi, vi))
         elif marker in (0xC1, 0xC3):
             raise NotImplementedError("non-baseline SOF")
@@ -958,10 +956,31 @@ def _decode_progressive(data, pos, ln, payload, comps, qts, hts, parse_dht, h, w
     refinement passes): interleaved DC first/refine scans plus
     per-component AC band first/refine scans (general EOBn runs).
     Accumulates dequantized coefficients per block, then one IDCT pass
-    at the end."""
-    bh, bw_ = (h + 7) // 8, (w + 7) // 8
-    nb = bh * bw_
-    coefs = {cid: np.zeros((nb, 64), dtype=np.int64) for cid, _t, _h, _v in comps}
+    at the end.
+
+    General sampling factors (r5): component block arrays are MCU-padded
+    (bw_c = mcux*hi); interleaved DC scans walk MCUs with hi×vi blocks
+    per component, non-interleaved scans walk the component's own
+    ceil-dims block raster (T.81 A.2.2) indexed into the padded array."""
+    hmax = max(c[2] for c in comps)
+    vmax = max(c[3] for c in comps)
+    mcux = -(-w // (8 * hmax))
+    mcuy = -(-h // (8 * vmax))
+    geo = {}  # cid -> (hi, vi, bw_c, bh_c, nw_c, nh_c)
+    coefs = {}
+    for cid, _tq, hi, vi in comps:
+        bw_c, bh_c = mcux * hi, mcuy * vi
+        nw_c = (-(-w * hi // hmax) + 7) // 8
+        nh_c = (-(-h * vi // vmax) + 7) // 8
+        geo[cid] = (hi, vi, bw_c, bh_c, nw_c, nh_c)
+        coefs[cid] = np.zeros((bh_c * bw_c, 64), dtype=np.int64)
+
+    def noninterleaved_indices(cid):
+        hi, vi, bw_c, _bh, nw_c, nh_c = geo[cid]
+        for r in range(nh_c):
+            base = r * bw_c
+            for c in range(nw_c):
+                yield base + c
 
     while True:
         ns = payload[0]
@@ -970,29 +989,45 @@ def _decode_progressive(data, pos, ln, payload, comps, qts, hts, parse_dht, h, w
         ah, al = ahal >> 4, ahal & 0x0F
         end = _scan_end(data, pos + ln)
         br = _BitReader(data[pos + ln:end])
-        if ss == 0:  # DC scan (interleaved; 1x1 → MCU order == block order)
+        if ss == 0:  # DC scan
             if se != 0:
                 raise NotImplementedError("mixed DC/AC spectral band")
+            # block visit order: interleaved = MCU walk with hi×vi
+            # blocks/comp; single-component = that comp's own raster
+            def dc_blocks():
+                if ns == 1:
+                    cid = scomps[0][0]
+                    for bi in noninterleaved_indices(cid):
+                        yield 0, cid, bi
+                else:
+                    for my in range(mcuy):
+                        for mx in range(mcux):
+                            for si, (cid, _t) in enumerate(scomps):
+                                hi, vi, bw_c = geo[cid][:3]
+                                for by in range(vi):
+                                    for bx in range(hi):
+                                        yield si, cid, (
+                                            (my * vi + by) * bw_c + mx * hi + bx
+                                        )
             if ah == 0:  # first pass at point transform al
                 preds = {cid: 0 for cid, _t in scomps}
-                for bi in range(nb):
-                    for cid, tdta in scomps:
-                        dct = hts[tdta >> 4]
-                        size = _read_symbol(br, dct)
-                        diff = _extend(br.read(size), size) if size else 0
-                        preds[cid] += diff
-                        coefs[cid][bi, 0] = preds[cid] << al
-            else:  # refinement: one raw bit per block per component
+                tabs = {cid: hts[t >> 4] for cid, t in scomps}
+                for _si, cid, bi in dc_blocks():
+                    size = _read_symbol(br, tabs[cid])
+                    diff = _extend(br.read(size), size) if size else 0
+                    preds[cid] += diff
+                    coefs[cid][bi, 0] = preds[cid] << al
+            else:  # refinement: one raw bit per block
                 p1 = 1 << al
-                for bi in range(nb):
-                    for cid, _tdta in scomps:
-                        if br.read(1):
-                            coefs[cid][bi, 0] |= p1
-        elif ah == 0:  # AC first pass: exactly one component
+                for _si, cid, bi in dc_blocks():
+                    if br.read(1):
+                        coefs[cid][bi, 0] |= p1
+        elif ah == 0:  # AC first pass: exactly one component, own raster
             cid, tdta = scomps[0]
             act = hts[0x10 | (tdta & 0x0F)]
             eobrun = 0
-            for bi in range(nb):
+            cc = coefs[cid]
+            for bi in noninterleaved_indices(cid):
                 if eobrun:
                     eobrun -= 1
                     continue
@@ -1007,14 +1042,14 @@ def _decode_progressive(data, pos, ln, payload, comps, qts, hts, parse_dht, h, w
                         eobrun = (1 << r) + (br.read(r) if r else 0) - 1
                         break
                     k += r
-                    coefs[cid][bi, k] = _extend(br.read(s), s) << al
+                    cc[bi, k] = _extend(br.read(s), s) << al
                     k += 1
         else:  # AC refinement pass
             cid, tdta = scomps[0]
             act = hts[0x10 | (tdta & 0x0F)]
             eobrun = 0
             cc = coefs[cid]
-            for bi in range(nb):
+            for bi in noninterleaved_indices(cid):
                 eobrun = _ac_refine_block(br, act, cc[bi], ss, se, al, eobrun)
         # next marker
         pos = end
@@ -1040,12 +1075,18 @@ def _decode_progressive(data, pos, ln, payload, comps, qts, hts, parse_dht, h, w
             raise NotImplementedError(f"unexpected marker 0x{marker:02X} mid-stream")
 
     chans = []
-    for cid, tq, _hi, _vi in comps:
+    for cid, tq, hi, vi in comps:
+        _hi, _vi, bw_c, bh_c, _nw, _nh = geo[cid]
         zz = coefs[cid]
-        blk = np.zeros((nb, 8, 8))
+        blk = np.zeros((zz.shape[0], 8, 8))
         blk[:, _Z // 8, _Z % 8] = zz * qts[tq][_Z // 8, _Z % 8]
         px = np.einsum("ji,njk,kl->nil", _C, blk, _C) + 128.0
-        full = px.reshape(bh, bw_, 8, 8).transpose(0, 2, 1, 3).reshape(bh * 8, bw_ * 8)
+        full = (
+            px.reshape(bh_c, bw_c, 8, 8).transpose(0, 2, 1, 3)
+            .reshape(bh_c * 8, bw_c * 8)
+        )
+        if hi != hmax or vi != vmax:  # replicate-upsample subsampled chroma
+            full = np.repeat(np.repeat(full, vmax // vi, axis=0), hmax // hi, axis=1)
         chans.append(full[:h, :w])
     if len(chans) == 1:
         g = np.clip(np.rint(chans[0]), 0, 255).astype(np.uint8)
