@@ -68,10 +68,21 @@ class _SAWriter(_BitWriter):
         self.pending = []
 
 
-def _encode_dc_first(bw, comps, dc_tabs, al):
+def _rst(bw, state):
+    """Emit the next cyclic RSTm: 1-pad to byte, raw marker bytes."""
+    bw.flush()
+    bw.buf += bytes((0xFF, 0xD0 + state[0]))
+    state[0] = (state[0] + 1) & 7
+
+
+def _encode_dc_first(bw, comps, dc_tabs, al, ri=0):
     preds = [0] * len(comps)
     nb = comps[0].shape[0]
+    rst = [0]
     for bi in range(nb):
+        if ri and bi and bi % ri == 0:
+            _rst(bw, rst)
+            preds = [0] * len(comps)
         for ci, zz in enumerate(comps):
             v = int(zz[bi, 0]) >> al  # arithmetic shift = DC point transform
             diff = v - preds[ci]
@@ -82,17 +93,23 @@ def _encode_dc_first(bw, comps, dc_tabs, al):
                 bw.write(bits, size)
 
 
-def _encode_dc_refine(bw, comps, al):
+def _encode_dc_refine(bw, comps, al, ri=0):
     nb = comps[0].shape[0]
+    rst = [0]
     for bi in range(nb):
+        if ri and bi and bi % ri == 0:
+            _rst(bw, rst)
         for zz in comps:
             bw.write((int(zz[bi, 0]) >> al) & 1, 1)
 
 
-def _encode_ac_first(bw, zz, ac_tab, ss, se, al):
+def _encode_ac_first(bw, zz, ac_tab, ss, se, al, ri=0):
     """Band first pass at precision al; one EOB per block (run len 1)."""
     nb = zz.shape[0]
+    rst = [0]
     for bi in range(nb):
+        if ri and bi and bi % ri == 0:
+            _rst(bw, rst)
         r = 0
         wrote = False
         for k in range(ss, se + 1):
@@ -113,13 +130,16 @@ def _encode_ac_first(bw, zz, ac_tab, ss, se, al):
             bw.emit_sym(ac_tab, 0x00)  # EOB (run of 1)
 
 
-def _encode_ac_refine(bw, zz, ac_tab, ss, se, al):
+def _encode_ac_refine(bw, zz, ac_tab, ss, se, al, ri=0):
     """G.1.2.3 refinement: newly-significant (temp==1) coefficients get
     (run, 1)+sign; already-nonzero get buffered correction bits flushed
     after the next emitted code; per-block EOB when a tail remains."""
     nb = zz.shape[0]
     p_mask = 1
+    rst = [0]
     for bi in range(nb):
+        if ri and bi and bi % ri == 0:
+            _rst(bw, rst)
         absv = [abs(int(zz[bi, k])) >> al for k in range(ss, se + 1)]
         eob_idx = -1
         for i, t in enumerate(absv):
@@ -152,7 +172,7 @@ def _scan(marker_payload: bytes, body: bytes) -> bytes:
     return _seg(0xFFDA, marker_payload) + body
 
 
-def _sa_stream(img: np.ndarray, quality: int, band_split: int = 5) -> bytes:
+def _sa_stream(img: np.ndarray, quality: int, band_split: int = 5, ri: int = 0) -> bytes:
     """Full SOF2 JFIF stream using a 2-level SA ladder (Al=1 → Al=0)."""
     comps, (qt_l, qt_c) = _quantized_components(img, quality)
     h, w = img.shape[:2]
@@ -171,10 +191,12 @@ def _sa_stream(img: np.ndarray, quality: int, band_split: int = 5) -> bytes:
 
     dc_tabs = [_DCL, _DCC, _DCC]
     ac_tabs = [_ACL, _ACC, _ACC]
+    if ri:
+        out += _seg(0xFFDD, struct.pack(">H", ri))
 
     # scan 1: interleaved DC first, Al=1
     bw = _SAWriter()
-    _encode_dc_first(bw, comps, dc_tabs, al=1)
+    _encode_dc_first(bw, comps, dc_tabs, al=1, ri=ri)
     bw.flush()
     hdr = struct.pack(">B", 3)
     for cid, t in ((1, 0x00), (2, 0x11), (3, 0x11)):
@@ -185,7 +207,7 @@ def _sa_stream(img: np.ndarray, quality: int, band_split: int = 5) -> bytes:
     for ci, (cid, ta) in enumerate(((1, 0x00), (2, 0x01), (3, 0x01))):
         for ss, se in ((1, band_split), (band_split + 1, 63)):
             bw = _SAWriter()
-            _encode_ac_first(bw, comps[ci], ac_tabs[ci], ss, se, al=1)
+            _encode_ac_first(bw, comps[ci], ac_tabs[ci], ss, se, al=1, ri=ri)
             bw.flush()
             out += _scan(
                 struct.pack(">BBB", 1, cid, ta) + bytes([ss, se, 0x01]),
@@ -194,7 +216,7 @@ def _sa_stream(img: np.ndarray, quality: int, band_split: int = 5) -> bytes:
 
     # DC refinement, Ah=1 Al=0
     bw = _SAWriter()
-    _encode_dc_refine(bw, comps, al=0)
+    _encode_dc_refine(bw, comps, al=0, ri=ri)
     bw.flush()
     out += _scan(hdr + bytes([0, 0, 0x10]), bytes(bw.buf))
 
@@ -202,7 +224,7 @@ def _sa_stream(img: np.ndarray, quality: int, band_split: int = 5) -> bytes:
     for ci, (cid, ta) in enumerate(((1, 0x00), (2, 0x01), (3, 0x01))):
         for ss, se in ((1, band_split), (band_split + 1, 63)):
             bw = _SAWriter()
-            _encode_ac_refine(bw, comps[ci], ac_tabs[ci], ss, se, al=0)
+            _encode_ac_refine(bw, comps[ci], ac_tabs[ci], ss, se, al=0, ri=ri)
             bw.flush()
             out += _scan(
                 struct.pack(">BBB", 1, cid, ta) + bytes([ss, se, 0x10]),
@@ -385,4 +407,13 @@ def test_progressive_420_sa_matches_baseline_420(hw, quality, seed):
     img = rng.integers(0, 256, size=(*hw, 3), dtype=np.uint8)
     expected = decode_jpeg(encode_jpeg(img, quality, subsampling="420"))
     got = decode_jpeg(_sa_stream_420(img, quality))
+    np.testing.assert_array_equal(got, expected)
+
+
+@pytest.mark.parametrize("ri", [1, 3])
+def test_progressive_sa_with_restart_markers(ri):
+    rng = np.random.default_rng(21)
+    img = rng.integers(0, 256, size=(24, 24, 3), dtype=np.uint8)
+    expected = decode_jpeg(encode_jpeg(img, 85, progressive=True))
+    got = decode_jpeg(_sa_stream(img, 85, ri=ri))
     np.testing.assert_array_equal(got, expected)

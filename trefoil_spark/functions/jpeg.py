@@ -767,10 +767,9 @@ def decode_jpeg(data: bytes) -> np.ndarray:
             restart_interval = struct.unpack(">H", payload[:2])[0]
         elif marker == 0xDA:
             if progressive:
-                if restart_interval:
-                    raise NotImplementedError("progressive + restart markers")
                 return _decode_progressive(
-                    data, pos, ln, payload, comps, qts, hts, parse_dht, h, w
+                    data, pos, ln, payload, comps, qts, hts, parse_dht, h, w,
+                    restart_interval,
                 )
             ns = payload[0]
             for i in range(ns):
@@ -950,7 +949,10 @@ def _ac_refine_block(br, act, row, ss, se, al, eobrun):
     return eobrun
 
 
-def _decode_progressive(data, pos, ln, payload, comps, qts, hts, parse_dht, h, w):
+def _decode_progressive(
+    data, pos, ln, payload, comps, qts, hts, parse_dht, h, w,
+    restart_interval=0,
+):
     """Progressive (SOF2) scan loop: spectral selection AND successive
     approximation (r5 — the libjpeg default scan script's Ah/Al
     refinement passes): interleaved DC first/refine scans plus
@@ -989,47 +991,83 @@ def _decode_progressive(data, pos, ln, payload, comps, qts, hts, parse_dht, h, w
         ah, al = ahal >> 4, ahal & 0x0F
         end = _scan_end(data, pos + ln)
         br = _BitReader(data[pos + ln:end])
+
+        # restart gate (r5): called once per MCU (interleaved DC) or per
+        # block (non-interleaved); consumes the cyclic RSTm and runs the
+        # scan-specific state reset at each interval boundary
+        rst_state = {"i": 0, "next": 0}
+
+        def rst_gate(reset):
+            if (
+                restart_interval
+                and rst_state["i"]
+                and rst_state["i"] % restart_interval == 0
+            ):
+                m = br.restart()
+                if m != rst_state["next"]:
+                    raise ValueError("JPEG: restart marker out of sequence")
+                rst_state["next"] = (rst_state["next"] + 1) & 0x07
+                reset()
+            rst_state["i"] += 1
+
         if ss == 0:  # DC scan
             if se != 0:
                 raise NotImplementedError("mixed DC/AC spectral band")
-            # block visit order: interleaved = MCU walk with hi×vi
-            # blocks/comp; single-component = that comp's own raster
-            def dc_blocks():
+            # MCU units: interleaved = hi×vi blocks per comp per MCU;
+            # single-component scan = one block per unit (own raster)
+            def dc_units():
                 if ns == 1:
                     cid = scomps[0][0]
                     for bi in noninterleaved_indices(cid):
-                        yield 0, cid, bi
+                        yield ((cid, bi),)
                 else:
                     for my in range(mcuy):
                         for mx in range(mcux):
-                            for si, (cid, _t) in enumerate(scomps):
+                            unit = []
+                            for cid, _t in scomps:
                                 hi, vi, bw_c = geo[cid][:3]
                                 for by in range(vi):
                                     for bx in range(hi):
-                                        yield si, cid, (
-                                            (my * vi + by) * bw_c + mx * hi + bx
-                                        )
+                                        unit.append((
+                                            cid,
+                                            (my * vi + by) * bw_c + mx * hi + bx,
+                                        ))
+                            yield unit
             if ah == 0:  # first pass at point transform al
                 preds = {cid: 0 for cid, _t in scomps}
                 tabs = {cid: hts[t >> 4] for cid, t in scomps}
-                for _si, cid, bi in dc_blocks():
-                    size = _read_symbol(br, tabs[cid])
-                    diff = _extend(br.read(size), size) if size else 0
-                    preds[cid] += diff
-                    coefs[cid][bi, 0] = preds[cid] << al
+
+                def reset_preds():
+                    for c in preds:
+                        preds[c] = 0
+
+                for unit in dc_units():
+                    rst_gate(reset_preds)
+                    for cid, bi in unit:
+                        size = _read_symbol(br, tabs[cid])
+                        diff = _extend(br.read(size), size) if size else 0
+                        preds[cid] += diff
+                        coefs[cid][bi, 0] = preds[cid] << al
             else:  # refinement: one raw bit per block
                 p1 = 1 << al
-                for _si, cid, bi in dc_blocks():
-                    if br.read(1):
-                        coefs[cid][bi, 0] |= p1
+                for unit in dc_units():
+                    rst_gate(lambda: None)
+                    for cid, bi in unit:
+                        if br.read(1):
+                            coefs[cid][bi, 0] |= p1
         elif ah == 0:  # AC first pass: exactly one component, own raster
             cid, tdta = scomps[0]
             act = hts[0x10 | (tdta & 0x0F)]
-            eobrun = 0
+            eob = {"run": 0}
             cc = coefs[cid]
+
+            def reset_eob():
+                eob["run"] = 0
+
             for bi in noninterleaved_indices(cid):
-                if eobrun:
-                    eobrun -= 1
+                rst_gate(reset_eob)
+                if eob["run"]:
+                    eob["run"] -= 1
                     continue
                 k = ss
                 while k <= se:
@@ -1039,7 +1077,7 @@ def _decode_progressive(data, pos, ln, payload, comps, qts, hts, parse_dht, h, w
                         if r == 15:
                             k += 16
                             continue
-                        eobrun = (1 << r) + (br.read(r) if r else 0) - 1
+                        eob["run"] = (1 << r) + (br.read(r) if r else 0) - 1
                         break
                     k += r
                     cc[bi, k] = _extend(br.read(s), s) << al
@@ -1047,32 +1085,45 @@ def _decode_progressive(data, pos, ln, payload, comps, qts, hts, parse_dht, h, w
         else:  # AC refinement pass
             cid, tdta = scomps[0]
             act = hts[0x10 | (tdta & 0x0F)]
-            eobrun = 0
+            eob = {"run": 0}
             cc = coefs[cid]
+
+            def reset_eob():
+                eob["run"] = 0
+
             for bi in noninterleaved_indices(cid):
-                eobrun = _ac_refine_block(br, act, cc[bi], ss, se, al, eobrun)
-        # next marker
+                rst_gate(reset_eob)
+                eob["run"] = _ac_refine_block(
+                    br, act, cc[bi], ss, se, al, eob["run"]
+                )
+        # between-scan markers: any number of DHT/DRI segments, then SOS
         pos = end
-        if pos + 1 >= len(data) or data[pos] != 0xFF:
-            break
-        marker = data[pos + 1]
-        pos += 2
-        if marker == 0xD9:
-            break
-        ln = struct.unpack(">H", data[pos:pos + 2])[0]
-        payload = data[pos + 2:pos + ln]
-        if marker == 0xC4:
-            parse_dht(payload)
-            pos += ln
-            # read the following marker (expect SOS)
+        done = False
+        while True:
+            if pos + 1 >= len(data) or data[pos] != 0xFF:
+                done = True
+                break
             marker = data[pos + 1]
             pos += 2
             if marker == 0xD9:
+                done = True
                 break
             ln = struct.unpack(">H", data[pos:pos + 2])[0]
             payload = data[pos + 2:pos + ln]
-        if marker != 0xDA:
-            raise NotImplementedError(f"unexpected marker 0x{marker:02X} mid-stream")
+            if marker == 0xC4:
+                parse_dht(payload)
+                pos += ln
+            elif marker == 0xDD:
+                restart_interval = struct.unpack(">H", payload[:2])[0]
+                pos += ln
+            elif marker == 0xDA:
+                break
+            else:
+                raise NotImplementedError(
+                    f"unexpected marker 0x{marker:02X} mid-stream"
+                )
+        if done:
+            break
 
     chans = []
     for cid, tq, hi, vi in comps:
