@@ -756,8 +756,8 @@ def decode_jpeg(data: bytes) -> np.ndarray:
             for i in range(nc):
                 cid, samp, tq = payload[6 + 3 * i:9 + 3 * i]
                 hi, vi = samp >> 4, samp & 0x0F
-                if (hi, vi) not in ((1, 1), (2, 2)):
-                    raise NotImplementedError(f"sampling {hi}x{vi}")
+                if not (1 <= hi <= 4 and 1 <= vi <= 4):
+                    raise ValueError(f"JPEG: sampling {hi}x{vi}")
                 comps.append((cid, tq, hi, vi))
         elif marker in (0xC1, 0xC3):
             raise NotImplementedError("non-baseline SOF")
@@ -784,6 +784,9 @@ def decode_jpeg(data: bytes) -> np.ndarray:
     br = _BitReader(data[pos:_scan_end(data, pos)])
     hmax = max(c[2] for c in comps)
     vmax = max(c[3] for c in comps)
+    for _cid, _tq, hi, vi in comps:
+        if hmax % hi or vmax % vi:
+            raise NotImplementedError(f"fractional sampling ratio {hi}x{vi}")
     mcux = -(-w // (8 * hmax))
     mcuy = -(-h // (8 * vmax))
     planes = [
@@ -887,6 +890,8 @@ def decode_jpeg(data: bytes) -> np.ndarray:
         )
     chans = []
     for (cid, _tq, hi, vi), p in zip(comps, planes):
+        if hmax % hi or vmax % vi:
+            raise NotImplementedError(f"fractional sampling ratio {hi}x{vi}")
         if hi != hmax or vi != vmax:  # replicate-upsample subsampled chroma
             p = np.repeat(np.repeat(p, vmax // vi, axis=0), hmax // hi, axis=1)
         chans.append(p[:h, :w])
@@ -966,6 +971,9 @@ def _decode_progressive(
     ceil-dims block raster (T.81 A.2.2) indexed into the padded array."""
     hmax = max(c[2] for c in comps)
     vmax = max(c[3] for c in comps)
+    for _cid, _tq, hi, vi in comps:
+        if hmax % hi or vmax % vi:
+            raise NotImplementedError(f"fractional sampling ratio {hi}x{vi}")
     mcux = -(-w // (8 * hmax))
     mcuy = -(-h // (8 * vmax))
     geo = {}  # cid -> (hi, vi, bw_c, bh_c, nw_c, nh_c)
@@ -1136,6 +1144,8 @@ def _decode_progressive(
             px.reshape(bh_c, bw_c, 8, 8).transpose(0, 2, 1, 3)
             .reshape(bh_c * 8, bw_c * 8)
         )
+        if hmax % hi or vmax % vi:
+            raise NotImplementedError(f"fractional sampling ratio {hi}x{vi}")
         if hi != hmax or vi != vmax:  # replicate-upsample subsampled chroma
             full = np.repeat(np.repeat(full, vmax // vi, axis=0), hmax // hi, axis=1)
         chans.append(full[:h, :w])
