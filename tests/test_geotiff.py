@@ -10,6 +10,7 @@ from trefoil_spark.grid.bbox import BBox
 from trefoil_spark.raster.gridspec import GridSpec
 from trefoil_spark.raster.synth import block_values, synthetic_tiles
 from trefoil_spark.sources.geotiff import (
+    _lzw_decode,
     geotiff_to_tiles,
     read_geotiff,
     save_window_geotiff,
@@ -134,6 +135,7 @@ def _lzw_encode(data: bytes) -> bytes:
         while accbits >= 8:
             accbits -= 8
             out.append((acc >> accbits) & 0xFF)
+        acc &= (1 << accbits) - 1  # keep the accumulator at its live bits
 
     table = {bytes([i]): i for i in range(256)}
     next_code = 258
@@ -382,3 +384,16 @@ def test_multiband_predictor2_stride(tmp_path):
     open(p, "wb").write(bytes(buf))
     got, _meta = read_geotiff(p)
     assert np.array_equal(got, rgb)
+
+
+def test_lzw_roundtrip_across_width_boundaries():
+    """r5 regression: incompressible data drives one table entry per
+    code, crossing the 511/1023/2047 early-change boundaries and the
+    4094 CLEAR reset — the decoder's width bump must fire one code
+    earlier than naive LZW (its table lags the encoder by the entry it
+    appends on the next code). Pre-r5 this raised 'corrupt LZW stream'
+    at ~400 random bytes; fixtures never reached the boundary."""
+    rng = np.random.default_rng(7)
+    for n in (300, 1000, 5000, 60000):
+        payload = rng.integers(0, 255, n, dtype=np.uint8).tobytes()
+        assert _lzw_decode(_lzw_encode(payload)) == payload

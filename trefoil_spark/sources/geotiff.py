@@ -224,7 +224,12 @@ def _lzw_decode(data: bytes) -> bytes:
             pos += 1
             accbits += 8
         accbits -= width
-        return (acc >> accbits) & ((1 << width) - 1)
+        v = (acc >> accbits) & ((1 << width) - 1)
+        # truncate to live bits — an unmasked accumulator grows by 8 bits
+        # per input byte and turns every shift into an O(stream) big-int
+        # operation (r5: same defect class as the JPEG bit reader)
+        acc &= (1 << accbits) - 1
+        return v
 
     base = [bytes([i]) for i in range(256)] + [b"", b""]
     table = list(base)
@@ -251,7 +256,12 @@ def _lzw_decode(data: bytes) -> bytes:
             raise ValueError("corrupt LZW stream")
         out += entry
         prev = entry
-        if len(table) == (1 << width) - 1 and width < 12:  # early change
+        # TIFF early change, decoder side: the decoder's table lags the
+        # encoder by the one entry it will append on the NEXT code, so
+        # the width bump fires at next-free-slot+1 == 2^w - 1 (len ==
+        # 2^w - 2) — one code earlier than naive LZW (r5: latent
+        # off-by-one; pre-r5 fixtures never crossed the 511 boundary)
+        if len(table) >= (1 << width) - 2 and width < 12:
             width += 1
     return bytes(out)
 
