@@ -588,8 +588,11 @@ class _BitReader:
             stuffed = np.flatnonzero((arr[:-1] == 0xFF) & (arr[1:] == 0x00)) + 1
             if stuffed.size:
                 arr = np.delete(arr, stuffed)
-        # pad like the old reader's marker→0 fallback: overruns read 0s
-        self.data = arr.tobytes() + b"\x00" * 4
+        # pad like the old reader's marker→0 fallback: overruns read 0s.
+        # 64 zero bytes (not 4) so a truncated/corrupt stream cannot
+        # exhaust the pad mid-refill and leak IndexError past the
+        # ValueError contract of decode_jpeg.
+        self.data = arr.tobytes() + b"\x00" * 64
         self.pos = 0
         self.acc = 0
         self.nbits = 0
@@ -697,7 +700,18 @@ def _scan_end(data: bytes, start: int) -> int:
 
 def decode_jpeg(data: bytes) -> np.ndarray:
     """JFIF bytes (this module's subsets: baseline 444/420, progressive
-    spectral-selection 444) -> (H,W,3) uint8 RGB."""
+    spectral-selection 444) -> (H,W,3) uint8 RGB.
+
+    Malformed/truncated input raises ValueError — IndexError/struct.error
+    from out-of-bounds reads on corrupt streams are converted here so the
+    documented contract holds even past the 64-byte zero pad."""
+    try:
+        return _decode_jpeg(data)
+    except (IndexError, struct.error) as e:
+        raise ValueError(f"truncated or corrupt JPEG stream: {e}") from e
+
+
+def _decode_jpeg(data: bytes) -> np.ndarray:
     if data[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG (no SOI)")
     pos = 2

@@ -279,6 +279,8 @@ def decode_png(data: bytes) -> np.ndarray:
     channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(ctype)
     if channels is None:
         raise ValueError(f"PNG: color type {ctype}")
+    if depth not in (1, 2, 4, 8, 16):
+        raise ValueError(f"PNG: illegal bit depth {depth}")
     if ctype in (2, 4, 6) and depth not in (8, 16):
         raise ValueError(f"PNG: depth {depth} invalid for color type {ctype}")
     if ctype == 3 and depth == 16:

@@ -90,6 +90,11 @@ def decode_wav(data: bytes) -> tuple[np.ndarray, int]:
                     raise ValueError("truncated WAVE_FORMAT_EXTENSIBLE fmt")
                 fmt_code = struct.unpack("<H", body[24:26])[0]
         elif tag == b"data":
+            if pos + 8 + size > len(data):
+                raise ValueError(
+                    "WAV: data chunk declares %d bytes but only %d remain"
+                    % (size, len(data) - pos - 8)
+                )
             pcm = body
         pos += 8 + size + (size & 1)
     if pcm is None or sample_rate is None:

@@ -715,6 +715,8 @@ def _walk_group_btree(d: bytes, addr: int, heap_data: int) -> list[tuple[str, in
             name_off = int.from_bytes(d[p : p + 8], "little")
             ohdr = int.from_bytes(d[p + 8 : p + 16], "little")
             end = d.find(b"\x00", heap_data + name_off)
+            if end == -1:
+                raise ValueError("unterminated name in local heap")
             name = d[heap_data + name_off : end].decode()
             out.append((name, ohdr))
             p += 40  # entry: link offset, ohdr, cache type, reserved, scratch
