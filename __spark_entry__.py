@@ -1373,14 +1373,14 @@ def q_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Multimodal with REAL codecs (r3): deterministic RGB images are
-    encoded to actual PNG (even doc_id) / lossless WebP (odd) bytes with
-    the engine's own encoders, ride the binary column through a hash
-    repartition, and are decoded back executor-side by magic-sniffed
-    dispatch into exact per-channel pixel sums. The DuckDB oracle
-    recomputes the sums from the closed-form pixel generator — a hash
-    match proves decode(encode(x)) == x through the shuffle for BOTH
-    container formats."""
+    """Multimodal with REAL codecs (r3; r6 adds GIF): deterministic RGB
+    images are encoded to actual PNG (doc_id%3==0) / lossless WebP (==1)
+    / GIF89a (==2) bytes with the engine's own encoders, ride the binary
+    column through a hash repartition, and are decoded back
+    executor-side by magic-sniffed dispatch into exact per-channel pixel
+    sums. The DuckDB oracle recomputes the sums from the closed-form
+    pixel generator — a hash match proves decode(encode(x)) == x through
+    the shuffle for all THREE container formats."""
     from trefoil_spark.operators.multimodal import (
         attach_real_images,
         decode_image_features,
@@ -1820,7 +1820,8 @@ def oracle_sql() -> dict[str, str]:
                 FROM px GROUP BY doc_id
             )
             SELECT doc_id,
-                   CASE WHEN doc_id % 2 = 0 THEN 'png' ELSE 'webp' END AS fmt,
+                   CASE doc_id % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'webp'
+                        ELSE 'gif' END AS fmt,
                    CAST(16 AS BIGINT) AS width, CAST(16 AS BIGINT) AS height,
                    sum_r, sum_g, sum_b
             FROM s ORDER BY doc_id

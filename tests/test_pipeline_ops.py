@@ -164,8 +164,8 @@ def test_text_fingerprint_order_sensitivity(spark, sf_dir):
 
 
 def test_multimodal_real_decode_roundtrip(spark, sf_dir):
-    """Real PNG/WebP bytes through a repartition, decoded with the own
-    codecs: per-channel sums equal the closed-form generator."""
+    """Real PNG/WebP/GIF bytes through a repartition, decoded with the
+    own codecs: per-channel sums equal the closed-form generator."""
     import numpy as np
     from pyspark.sql import functions as F
 
@@ -184,7 +184,7 @@ def test_multimodal_real_decode_roundtrip(spark, sf_dir):
         img = synth_image(r["doc_id"])
         sums = img.astype(np.int64).sum(axis=(0, 1))
         assert (r["sum_r"], r["sum_g"], r["sum_b"]) == tuple(int(s) for s in sums)
-        assert r["fmt"] == ("png" if r["doc_id"] % 2 == 0 else "webp")
+        assert r["fmt"] == {0: "png", 1: "webp", 2: "gif"}[r["doc_id"] % 3]
         assert (r["width"], r["height"]) == (16, 16)
 
 

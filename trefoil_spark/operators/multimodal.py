@@ -162,18 +162,21 @@ def synth_image(doc_id: int) -> np.ndarray:
 
 def attach_real_images(df: DataFrame) -> DataFrame:
     """doc_id → actual encoded image bytes in the ``media`` column:
-    even doc_id → truecolor PNG, odd → lossless WebP (both byte-exact
-    codecs, so downstream features are closed-form checkable)."""
+    doc_id%3==0 → truecolor PNG, ==1 → lossless WebP, ==2 → GIF89a
+    (all byte-exact codecs — a 16×16 image has ≤256 pixels so the GIF
+    palette is exact — keeping downstream features closed-form)."""
+    from ..functions.gif import encode_gif
     from ..functions.png import encode_rgb_png
     from ..functions.webp import encode_webp
+
+    encoders = (encode_rgb_png, encode_webp, encode_gif)
 
     def gen(batches):
         for pdf in batches:
             rows = []
             for doc_id in pdf["doc_id"]:
                 d = int(doc_id)
-                img = synth_image(d)
-                payload = encode_rgb_png(img) if d % 2 == 0 else encode_webp(img)
+                payload = encoders[d % 3](synth_image(d))
                 rows.append((d, payload))
             yield pd.DataFrame(rows, columns=["doc_id", "media"])
 
@@ -187,6 +190,8 @@ def sniff_format(payload: bytes) -> str:
         return "jpg"
     if payload[:4] == b"RIFF" and payload[8:12] == b"WEBP":
         return "webp"
+    if payload[:6] in (b"GIF87a", b"GIF89a"):
+        return "gif"
     raise ValueError("unknown image payload")
 
 
@@ -194,6 +199,7 @@ def decode_image_features(df: DataFrame) -> DataFrame:
     """media binary → REAL decode (magic-sniffed codec dispatch) →
     (fmt, width, height, per-channel integer pixel sums). Exact bigint
     features: order-free and lossless-codec-exact."""
+    from ..functions.gif import decode_gif
     from ..functions.jpeg import decode_jpeg
     from ..functions.png import decode_rgb_png
     from ..functions.webp import decode_webp
@@ -208,6 +214,8 @@ def decode_image_features(df: DataFrame) -> DataFrame:
                     img = decode_rgb_png(raw)
                 elif fmt == "webp":
                     img = decode_webp(raw)
+                elif fmt == "gif":
+                    img = decode_gif(raw)
                 else:
                     img = decode_jpeg(raw)
                 sums = img[..., :3].astype(np.int64).sum(axis=(0, 1))
