@@ -16,6 +16,7 @@ from __future__ import annotations
 
 import json
 import os
+import struct
 import sys
 import time
 
@@ -145,6 +146,150 @@ def _cpu_ticks() -> tuple[int, int]:
         return 0, 0
 
 
+_BW_BUFS = None
+
+
+def _bandwidth_probe(iters: int = 12, mib: int = 64) -> float:
+    """STREAM-style add kernel (a = b + c over 64 MiB float64 buffers,
+    far above L3): achieved single-thread GB/s, median of `iters` after
+    two discarded fault-in/warmup iterations.  Steal sampling catches
+    co-tenant CPU theft but NOT memory-bus drag — the one mechanism left
+    unmeasured in the r5 zonal-family drift (VERDICT r5 item 3).
+    Probing at every pass boundary lets a record be machine-flagged when
+    the bus was slower than the session's best.  Buffers are cached so
+    repeated probes measure bandwidth, not page-fault latency (first
+    fault-in was observed at 15 s under co-tenant memory pressure)."""
+    import numpy as np
+
+    global _BW_BUFS
+    n = mib * 1024 * 1024 // 8
+    if _BW_BUFS is None:
+        _BW_BUFS = (np.full(n, 1.5), np.full(n, 2.5), np.empty(n))
+    b, c, a = _BW_BUFS
+    times = []
+    for i in range(iters + 2):
+        t0 = time.perf_counter()
+        np.add(b, c, out=a)
+        dt = time.perf_counter() - t0
+        if i >= 2:  # discard fault-in / cache-state warmup
+            times.append(dt)
+    # STREAM convention: 3 array transfers per add iteration
+    return 3 * 8 * n / (sorted(times)[len(times) // 2] * 1e9)
+
+
+def _paeth_png(img) -> bytes:
+    """Forward-Paeth-filtered truecolor PNG (filter byte 4 on every
+    scanline) — the engine's encoder emits filter 0 only, so the decode
+    worst case (the r5 'PNG (Paeth-filtered)' row) needs this foreign
+    construction.  Filters reference the UNFILTERED previous scanline
+    per the PNG spec."""
+    import zlib
+
+    import numpy as np
+
+    from trefoil_spark.functions.png import _chunk
+
+    h, w, _ = img.shape
+    stride = 3 * w
+    raw = img.reshape(h, stride).astype(np.int16)
+    zero3 = np.zeros(3, dtype=np.int16)
+    prev = np.zeros(stride, dtype=np.int16)
+    rows = bytearray()
+    for r in range(h):
+        cur = raw[r]
+        left = np.concatenate([zero3, cur[:-3]])
+        ul = np.concatenate([zero3, prev[:-3]])
+        p = left + prev - ul
+        pa, pb, pc = np.abs(p - left), np.abs(p - prev), np.abs(p - ul)
+        pred = np.where(
+            (pa <= pb) & (pa <= pc), left, np.where(pb <= pc, prev, ul)
+        )
+        rows.append(4)
+        rows += ((cur - pred) % 256).astype(np.uint8).tobytes()
+        prev = cur
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + _chunk(b"IHDR", ihdr)
+        + _chunk(b"IDAT", zlib.compress(bytes(rows), 6))
+        + _chunk(b"IEND", b"")
+    )
+
+
+def _codec_tiles() -> dict[str, bytes]:
+    """Deterministic worst-case decode payloads, one per own codec:
+    a dense uniform-noise 256² RGB tile (JPEG/PNG/WebP) and its
+    256-color palette-noise twin (GIF is palette-bound by format)."""
+    import numpy as np
+
+    from trefoil_spark.functions.gif import encode_gif
+    from trefoil_spark.functions.jpeg import encode_jpeg
+    from trefoil_spark.functions.png import encode_rgb_png
+    from trefoil_spark.functions.webp import encode_webp
+
+    rng = np.random.default_rng(42)
+    img = rng.integers(0, 256, (256, 256, 3), dtype=np.uint8)
+    pal = np.unique(rng.integers(0, 256, (256, 3), dtype=np.uint8), axis=0)
+    pimg = pal[rng.integers(0, len(pal), (256, 256))]
+    return {
+        "jpeg_baseline": encode_jpeg(img, 90),
+        "jpeg_progressive": encode_jpeg(img, 90, progressive=True),
+        "png_filter0": encode_rgb_png(img),
+        "png_paeth": _paeth_png(img),
+        "webp_vp8l": encode_webp(img),
+        "gif": encode_gif(pimg),
+    }
+
+
+def _codec_decode_bench(runs: int, steal_max: float) -> dict[str, float]:
+    """Per-format decode seconds per 256² tile, min-of-`runs`,
+    steal-gated like the suite (VERDICT r5 item 7: regressions in the
+    pure-Python decoders must show in the driver's cross-round diff,
+    not only in prose)."""
+    from trefoil_spark.functions.gif import decode_gif
+    from trefoil_spark.functions.jpeg import decode_jpeg
+    from trefoil_spark.functions.png import decode_png, decode_rgb_png
+    from trefoil_spark.functions.webp import decode_webp
+
+    decoders = {
+        "jpeg_baseline": decode_jpeg,
+        "jpeg_progressive": decode_jpeg,
+        "png_filter0": decode_rgb_png,
+        "png_paeth": decode_png,
+        "webp_vp8l": decode_webp,
+        "gif": decode_gif,
+    }
+    tiles = _codec_tiles()
+    out = {}
+    for name, payload in tiles.items():
+        dec = decoders[name]
+        dec(payload)  # warmup (allocator, LUT builds)
+        samples = []
+
+        def one():
+            s0, t0j = _cpu_ticks()
+            t0 = time.perf_counter()
+            dec(payload)
+            wall = time.perf_counter() - t0
+            s1, t1j = _cpu_ticks()
+            dt = t1j - t0j
+            samples.append(
+                (wall, (100.0 * (s1 - s0) / dt) if dt > 0 else 0.0)
+            )
+
+        for _ in range(runs):
+            one()
+        extra = 0
+        while all(st > steal_max for _, st in samples) and extra < 2:
+            one()
+            extra += 1
+        clean = [w for w, st in samples if st <= steal_max] or [
+            w for w, _ in samples
+        ]
+        out[name] = round(min(clean), 4)
+    return out
+
+
 def _timed_force(fn, spark, sf_dir) -> tuple[float, float]:
     """Run one query; returns (wall_sec, steal_pct during the run)."""
     s0, t0j = _cpu_ticks()
@@ -178,6 +323,7 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
 
     qs = headline_queries()
+    bw_probes: list[float] = [_bandwidth_probe()]
     # warmup (discarded): JVM JIT + Python worker pool spin-up
     for fn in qs.values():
         force(fn(spark, sf_dir))
@@ -196,6 +342,7 @@ def main() -> None:
         for name, fn in qs.items():
             samples[name].append(_timed_force(fn, spark, sf_dir))
             per_run_loads.append(os.getloadavg()[0])
+        bw_probes.append(_bandwidth_probe())
     def _kept(s: list[tuple[float, float]]) -> tuple[float, float]:
         return min(s, key=lambda ws: ws[0])
 
@@ -244,6 +391,23 @@ def main() -> None:
             "docs_rows": n_docs,
         },
     }
+    # memory-bandwidth co-probe (r6): pass-boundary STREAM-add GB/s.
+    # NOTE: during_max load is the suite's OWN local[32] work, not
+    # pollution (r5 finding #3) — pollution is what steal/bandwidth flag.
+    best_bw = max(bw_probes)
+    worst_bw = min(bw_probes)
+    out["bandwidth"] = {
+        "probe_gbps": [round(x, 2) for x in bw_probes],
+        "best_gbps": round(best_bw, 2),
+        "worst_gbps": round(worst_bw, 2),
+        "max_drop_pct": round(100.0 * (1 - worst_bw / best_bw), 1),
+        "flagged": bool(worst_bw < 0.9 * best_bw),
+    }
+    # per-codec decode floor (r6): pure single-core Python decoders —
+    # regressions here must surface in the driver's cross-round diff
+    out["codec_decode"] = _codec_decode_bench(
+        runs=max(3, runs), steal_max=steal_max
+    )
     print(json.dumps(out))
 
 
