@@ -550,9 +550,121 @@ def _fixed_array(bld: _Builder, elems: list[bytes], entry_size: int,
     return bld.alloc(hdr)
 
 
+def _dataspace_v1_unlim(dims: list[int]) -> bytes:
+    """v1 dataspace with the maxdims flag set and dim 0 unlimited — the
+    shape HDF5 emits for appendable (time-unlimited) variables.  The
+    reader uses current dims only; maxdims ride along for realism."""
+    body = struct.pack("<BBB5x", 1, len(dims), 1)
+    body += b"".join(struct.pack("<Q", d) for d in dims)
+    body += UNDEF8  # dim 0: H5S_UNLIMITED
+    body += b"".join(struct.pack("<Q", d) for d in dims[1:])
+    return body
+
+
+def _ext_array(
+    bld: _Builder, elems: list[bytes], esize: int, client: int,
+    maxbits: int, iblk_elmts: int, dmin: int, smin: int, pbits: int,
+) -> int:
+    """EAHD + EAIB + EADB/EASB extensible-array chunk index, laid out
+    per the public HDF5 File Format Specification v3.0: element i in
+    the index block if i < iblk_elmts, else in super block
+    s = floor(log2(rel/dmin + 1)) (2^(s//2) data blocks of
+    dmin*2^((s+1)//2) elements); the first 2*log2(smin) super blocks'
+    data blocks are addressed from the index block's 2*(smin-1) direct
+    slots, later ones via EASB; data blocks larger than 2^pbits
+    elements are paged (prefix+checksum, then pages each with its own
+    checksum)."""
+    undef_elem = UNDEF8 + b"\x00" * (esize - 8)
+    off_size = (maxbits + 7) // 8
+    page_elems = 1 << pbits
+    log2smin = smin.bit_length() - 1
+    nsblk_iblk = 2 * log2smin
+    ndblk_addrs = 2 * (smin - 1)
+    # total super-block slot count: enough capacity for 2^maxbits elems
+    nsblks_total, cap = 0, iblk_elmts
+    while cap < (1 << maxbits):
+        cap += dmin * (1 << nsblks_total)  # sblk s capacity = dmin * 2^s
+        nsblks_total += 1
+
+    iblk_elems = list(elems[:iblk_elmts])
+    iblk_elems += [undef_elem] * (iblk_elmts - len(iblk_elems))
+    rem = elems[iblk_elmts:]
+    direct_addrs: list[int | None] = []
+    sblk_addrs: list[int | None] = []
+    pos, s = 0, 0
+    while pos < len(rem):
+        ndblks_s = 1 << (s // 2)
+        dblk_nelmts = dmin << ((s + 1) // 2)
+        npages = dblk_nelmts // page_elems if dblk_nelmts > page_elems else 0
+        daddrs: list[int | None] = []
+        for _ in range(ndblks_s):
+            block = rem[pos : pos + dblk_nelmts]
+            pos += dblk_nelmts
+            if not block:
+                daddrs.append(None)
+                continue
+            block = block + [undef_elem] * (dblk_nelmts - len(block))
+            body = bytearray(b"EADB")
+            body += struct.pack("<BB", 0, client) + struct.pack("<Q", 0)
+            body += (0).to_bytes(off_size, "little")  # block offset
+            if npages:
+                body += b"\x00" * 4  # block checksum; pages follow
+                for pg in range(npages):
+                    for e in block[pg * page_elems : (pg + 1) * page_elems]:
+                        body += e
+                    body += b"\x00" * 4  # page checksum (unverified)
+            else:
+                for e in block:
+                    body += e
+                body += b"\x00" * 4
+            daddrs.append(bld.alloc(bytes(body)))
+        if s < nsblk_iblk:
+            direct_addrs.extend(daddrs)
+        else:
+            sb = bytearray(b"EASB")
+            sb += struct.pack("<BB", 0, client) + struct.pack("<Q", 0)
+            sb += (0).to_bytes(off_size, "little")
+            if npages:
+                bitmap = bytearray((ndblks_s * npages + 7) // 8)
+                bit = 0
+                for a in daddrs:
+                    for _ in range(npages):
+                        if a is not None:
+                            bitmap[bit // 8] |= 1 << (bit % 8)
+                        bit += 1
+                sb += bitmap
+            for a in daddrs:
+                sb += UNDEF8 if a is None else struct.pack("<Q", a)
+            sb += b"\x00" * 4
+            sblk_addrs.append(bld.alloc(bytes(sb)))
+        s += 1
+    direct_addrs += [None] * (ndblk_addrs - len(direct_addrs))
+    sblk_addrs += [None] * (max(0, nsblks_total - nsblk_iblk)
+                            - len(sblk_addrs))
+    ib = bytearray(b"EAIB")
+    ib += struct.pack("<BB", 0, client) + struct.pack("<Q", 0)
+    for e in iblk_elems:
+        ib += e
+    for a in direct_addrs + sblk_addrs:
+        ib += UNDEF8 if a is None else struct.pack("<Q", a)
+    ib += b"\x00" * 4
+    iblk_addr = bld.alloc(bytes(ib))
+    hdr = b"EAHD" + struct.pack(
+        "<BBBBBBBB", 0, client, esize, maxbits, iblk_elmts, dmin, smin, pbits
+    )
+    hdr += b"\x00" * 48  # stats (unread by this repo's parser)
+    hdr += struct.pack("<Q", iblk_addr) + b"\x00" * 4
+    return bld.alloc(hdr)
+
+
+EA_SMALL = dict(maxbits=16, iblk_elmts=2, dmin=2, smin=2, pbits=2)
+EA_DEFAULT = dict(maxbits=32, iblk_elmts=4, dmin=16, smin=4, pbits=10)
+
+
 def _dataset_v4_chunked(
     bld: _Builder, arr: np.ndarray, chunk, kind: str, itype: int,
     deflate: bool = False, elem_dim: bool = True, page_bits: int = 5,
+    ea_params: dict | None = None, unlim: bool = False,
 ) -> int:
     blobs = _chunk_blobs(arr, chunk, deflate)
     extra = b""
@@ -566,7 +678,7 @@ def _dataset_v4_chunked(
     elif itype == 2:  # implicit: equal-size raw chunks, contiguous
         assert not deflate
         addr = bld.alloc(b"".join(blobs))
-    else:  # fixed array
+    elif itype in (3, 4):  # fixed array / extensible array
         addrs = [bld.alloc(b) for b in blobs]
         client = 1 if deflate else 0
         entry_size = 20 if deflate else 8  # addr + size(8) + mask(4)
@@ -576,10 +688,21 @@ def _dataset_v4_chunked(
             if deflate:
                 e += struct.pack("<QI", len(raw), 0)
             elems.append(e)
-        addr = _fixed_array(bld, elems, entry_size, client, page_bits)
-        extra = struct.pack("<B", page_bits)
+        if itype == 3:
+            addr = _fixed_array(bld, elems, entry_size, client, page_bits)
+            extra = struct.pack("<B", page_bits)
+        else:
+            ea = dict(ea_params or EA_DEFAULT)
+            addr = _ext_array(bld, elems, entry_size, client, **ea)
+            extra = struct.pack(
+                "<BBBBB", ea["maxbits"], ea["iblk_elmts"], ea["smin"],
+                ea["dmin"], ea["pbits"],
+            )
+    else:
+        raise ValueError(f"itype {itype}")
+    space = _dataspace_v1_unlim if unlim else _dataspace_v1
     msgs = [
-        (0x0001, _dataspace_v1(list(arr.shape))),
+        (0x0001, space(list(arr.shape))),
         (0x0003, _datatype(kind)),
         (0x0008, _layout_v4_msg(chunk, arr.dtype.itemsize, itype, extra,
                                 addr, flags, elem_dim)),
@@ -613,6 +736,56 @@ def build_v4_index_file(path: str) -> dict[str, np.ndarray]:
                                               deflate=False, elem_dim=False,
                                               page_bits=2), big)
     add("twin", _chunked_dataset(bld, big, (4, 4), "i4", True, []), big)
+    root = _symbol_table_root(bld, links)
+    data = bld.bytes()
+    bld.place(0, _superblock_v0(root, len(data)))
+    with open(path, "wb") as f:
+        f.write(bld.bytes())
+    return out
+
+
+def build_earray_file(path: str) -> dict[str, np.ndarray]:
+    """Extensible-array chunk indexes (unlimited dim 0), one variable
+    per structural regime: all-in-index-block, direct data blocks,
+    secondary blocks, paged data blocks, filtered elements, plus an
+    HDF5-default-cparams variable and a v1-B-tree twin for
+    tile-identity assertions (VERDICT r5 item 4)."""
+    bld = _Builder(1 << 18)
+    out: dict[str, np.ndarray] = {}
+    links = []
+
+    def add(name, oh, arr):
+        out[name] = arr
+        links.append((name, oh))
+
+    def mk(nt, w):  # deterministic (nt, w) int32 payload
+        return ((np.arange(nt * w, dtype="<i4").reshape(nt, w) * 13 + 7)
+                % 2011)
+
+    # 2 chunks -> both inline in the index block (iblk_elmts=2)
+    a = mk(2, 5)
+    add("ea_iblock", _dataset_v4_chunked(
+        bld, a, (1, 5), "i4", 4, ea_params=EA_SMALL, unlim=True), a)
+    # 5 chunks -> 2 inline + super blocks 0 (1x2) and 1 (1x4, partial),
+    # both addressed from the index block's direct slots (smin=2 -> 2)
+    b = mk(5, 4)
+    add("ea_direct", _dataset_v4_chunked(
+        bld, b, (1, 4), "i4", 4, ea_params=EA_SMALL, unlim=True), b)
+    # 26 chunks -> spills into EASB super blocks 2 (2x4) and 3 (2x8,
+    # paged: dblk 8 elems > 2^pbits=4 -> 2 pages per data block)
+    c = mk(26, 5)
+    add("ea_paged", _dataset_v4_chunked(
+        bld, c, (1, 5), "i4", 4, ea_params=EA_SMALL, unlim=True), c)
+    # same shape, deflate filter -> client-1 (addr,size,mask) elements
+    add("ea_deflate", _dataset_v4_chunked(
+        bld, c, (1, 5), "i4", 4, deflate=True, ea_params=EA_SMALL,
+        unlim=True), c)
+    # HDF5 library default creation params (the real-file shape):
+    # 40 chunks -> 4 inline + s0 (1x16) + s1 (1x32 partial), all direct
+    d = mk(40, 8)
+    add("ea_default", _dataset_v4_chunked(
+        bld, d, (1, 8), "i4", 4, ea_params=EA_DEFAULT, unlim=True), d)
+    add("twin", _chunked_dataset(bld, c, (1, 5), "i4", True, []), c)
     root = _symbol_table_root(bld, links)
     data = bld.bytes()
     bld.place(0, _superblock_v0(root, len(data)))

@@ -455,9 +455,9 @@ def test_v4_chunk_indexes(tmp_path):
     assert offs_fa == offs_tw and len(offs_fa) == 9
 
 
-def test_v4_extensible_array_raises():
-    """Unsupported v4 index types (extensible array / v2 B-tree) raise
-    loudly at parse time, not silently misread."""
+def test_v4_btree2_index_raises():
+    """The one remaining v4 index type (v2 B-tree, 2+ unlimited dims)
+    raises loudly at parse time, not silently misread."""
     import struct as _s
 
     from trefoil_spark.sources.hdf5 import _parse_layout
@@ -465,7 +465,31 @@ def test_v4_extensible_array_raises():
     body = (
         _s.pack("<BBBBB", 4, 2, 0, 3, 4)
         + _s.pack("<III", 4, 4, 4)
-        + _s.pack("<B", 4)
+        + _s.pack("<B", 5)
     )
-    with pytest.raises(NotImplementedError, match="extensible array"):
+    with pytest.raises(NotImplementedError, match="B-tree"):
         _parse_layout(body)
+
+
+def test_v4_extensible_array(tmp_path):
+    """Extensible-array chunk index (unlimited dim 0, HDF5 1.10
+    libver='latest' appendable variables): every structural regime —
+    inline index-block elements, direct data blocks, EASB secondary
+    blocks, paged data blocks, filtered (client-1) elements, and the
+    HDF5-default creation parameters — reads value-identical, and the
+    paged variable is tile-identical to its v1-B-tree twin
+    (VERDICT r5 item 4)."""
+    from tests.h5build import build_earray_file
+
+    p = str(tmp_path / "ea.h5")
+    want = build_earray_file(p)
+    f = H5File(p)
+    assert sorted(f.datasets) == sorted(want)
+    for name, arr in want.items():
+        assert np.array_equal(f.datasets[name].read(), arr), name
+    assert np.array_equal(
+        f.datasets["ea_paged"].read(), f.datasets["twin"].read()
+    )
+    offs_ea = sorted(o for o, *_ in f.datasets["ea_paged"].chunk_map())
+    offs_tw = sorted(o for o, *_ in f.datasets["twin"].chunk_map())
+    assert offs_ea == offs_tw and len(offs_ea) == 26

@@ -23,8 +23,10 @@ subset, chosen to cover what netCDF-4 writers emit:
 - dense attributes (same fractal heap + v2 B-tree machinery)
 - chunk index: v1 B-tree (layout v3); layout v4 (HDF5 1.10
   latest-format) single-chunk / implicit / fixed-array indexes incl.
-  data-block paging (r5); extensible array & v2 B-tree (unlimited
-  dims) raise with a clear message
+  data-block paging (r5); extensible array (ONE unlimited dim — the
+  appendable-time-archive shape, r6) incl. secondary blocks and paged
+  data blocks; v2 B-tree (2+ unlimited dims) raises with a clear
+  message
 - global heap ("GCOL") for vlen attribute data (DIMENSION_LIST)
 
 The netCDF-4 semantic layer (dimension scales via CLASS=DIMENSION_SCALE
@@ -468,10 +470,15 @@ def _parse_layout(b: bytes) -> Layout:
             elif itype == 3:  # fixed array
                 page_bits = b[p]
                 p += 1
+            elif itype == 4:  # extensible array (r6): 5 creation params
+                # (max bits, index elements, min pointers, min elements,
+                # page bits) — duplicated in the EAHD header, which the
+                # walker reads authoritatively, so only skip them here
+                p += 5
             else:
                 raise NotImplementedError(
                     f"HDF5 v4 chunk index type {itype} "
-                    "(extensible array / v2 B-tree) unsupported"
+                    "(v2 B-tree) unsupported"
                 )
             addr = int.from_bytes(b[p : p + 8], "little")
             return Layout(
@@ -635,13 +642,126 @@ def _fixed_array_chunks(
     return out
 
 
+def _extensible_array_chunks(
+    d, eahd: int, chunk_bytes: int, grid: list[int], cshape: tuple[int, ...],
+    nchunks: int,
+) -> list[tuple[tuple[int, ...], int, int, int]]:
+    """Extensible Array chunk index (EAHD/EAIB/EADB/EASB) → chunk
+    records — the index HDF5 1.10 emits for chunked datasets with ONE
+    unlimited dimension (appendable archives) under libver='latest'.
+
+    Element i lives in: the index block's inline element area
+    (i < idx_blk_elmts), else super block s = floor(log2(rel/dmin + 1))
+    where rel = i - idx_blk_elmts (super block s holds 2^(s//2) data
+    blocks of dmin*2^((s+1)//2) elements each, so capacity doubles per
+    super block).  Data blocks of the first 2*log2(smin) super blocks
+    are addressed directly from the index block (2*(smin-1) slots);
+    later super blocks get their own EASB containing the data-block
+    address list.  Data blocks whose element count exceeds 2^pbits are
+    paged: the block body holds only the prefix + checksum and pages of
+    2^pbits elements (each with a trailing checksum) follow it.
+    Structure per the public HDF5 File Format Specification v3.0
+    ("Disk Format: Level 1H - Extensible Array")."""
+    if d[eahd : eahd + 4] != b"EAHD":
+        raise ValueError(f"bad extensible array header signature at {eahd}")
+    client = d[eahd + 5]
+    esize = d[eahd + 6]
+    maxbits = d[eahd + 7]
+    iblk_elmts = d[eahd + 8]
+    dmin = d[eahd + 9]
+    smin = d[eahd + 10]
+    pbits = d[eahd + 11]
+    if client not in (0, 1):
+        raise NotImplementedError(f"extensible array client id {client}")
+    # 6 hsize_t stats (nsec/sec-size/ndata/data-size/max-set/nelmts)
+    iblk = int.from_bytes(d[eahd + 60 : eahd + 68], "little")
+    if iblk == UNDEF:
+        return []
+    if d[iblk : iblk + 4] != b"EAIB":
+        raise ValueError(f"bad extensible array index block at {iblk}")
+    off_size = (maxbits + 7) // 8
+    page_elems = 1 << pbits
+    log2smin = smin.bit_length() - 1
+    nsblk_iblk = 2 * log2smin           # super blocks condensed in iblock
+    ndblk_addrs = 2 * (smin - 1)        # direct data-block addr slots
+    elems_base = iblk + 14              # sig(4) ver(1) client(1) hdr(8)
+    dblk_base = elems_base + iblk_elmts * esize
+    sblk_base = dblk_base + ndblk_addrs * 8
+
+    out: list[tuple[tuple[int, ...], int, int, int]] = []
+
+    def parse_elem(q: int, idx: int) -> None:
+        addr = int.from_bytes(d[q : q + 8], "little")
+        if addr == UNDEF:
+            return
+        if client == 1:  # filtered: addr(8) size(esize-12) mask(4)
+            szb = esize - 12
+            size = int.from_bytes(d[q + 8 : q + 8 + szb], "little")
+            mask = struct.unpack_from("<I", d, q + 8 + szb)[0]
+        else:
+            size, mask = chunk_bytes, 0
+        out.append((_grid_offsets(idx, grid, cshape), addr, size, mask))
+
+    sblk_cache: dict[int, int] = {}  # super block index -> EASB addr
+
+    for i in range(nchunks):
+        if i < iblk_elmts:
+            parse_elem(elems_base + i * esize, i)
+            continue
+        rel = i - iblk_elmts
+        s = (rel // dmin + 1).bit_length() - 1
+        off = rel - dmin * ((1 << s) - 1)
+        dblk_nelmts = dmin << ((s + 1) // 2)
+        ndblks_s = 1 << (s // 2)
+        dblk_idx, in_dblk = divmod(off, dblk_nelmts)
+        npages = dblk_nelmts // page_elems if dblk_nelmts > page_elems else 0
+
+        if s < nsblk_iblk:  # direct slot in index block
+            global_dblk = sum(1 << (u // 2) for u in range(s)) + dblk_idx
+            daddr = int.from_bytes(
+                d[dblk_base + global_dblk * 8 : dblk_base + global_dblk * 8 + 8],
+                "little",
+            )
+        else:
+            slot = s - nsblk_iblk
+            if s not in sblk_cache:
+                q = sblk_base + slot * 8
+                sblk_cache[s] = int.from_bytes(d[q : q + 8], "little")
+            sb = sblk_cache[s]
+            if sb == UNDEF:
+                continue  # whole super block unwritten: fill
+            if d[sb : sb + 4] != b"EASB":
+                raise ValueError(f"bad extensible array super block at {sb}")
+            p = sb + 14 + off_size  # sig/ver/client/hdr-addr/block-offset
+            if npages:  # page-init bitmap precedes the dblk addresses
+                p += (ndblks_s * npages + 7) // 8
+            daddr = int.from_bytes(
+                d[p + dblk_idx * 8 : p + dblk_idx * 8 + 8], "little"
+            )
+        if daddr == UNDEF:
+            continue  # unwritten chunk: fill
+        if d[daddr : daddr + 4] != b"EADB":
+            raise ValueError(f"bad extensible array data block at {daddr}")
+        body = daddr + 14 + off_size
+        if npages:
+            # paged block: prefix + checksum only; pages follow, each
+            # page_elems elements + 4-byte page checksum
+            page_j, within = divmod(in_dblk, page_elems)
+            q = (body + 4) + page_j * (page_elems * esize + 4) + within * esize
+        else:
+            q = body + in_dblk * esize
+        parse_elem(q, i)
+    return out
+
+
 def _walk_v4_chunk_index(
     d, layout: Layout, shape: tuple[int, ...], itemsize: int
 ) -> list[tuple[tuple[int, ...], int, int, int]]:
     """Layout-v4 chunk indexes (HDF5 1.10 latest-format): single chunk,
-    implicit, and fixed array — the three netCDF-4 emits for
-    fixed-dimension variables; extensible array / v2 B-tree (unlimited
-    dims) raise in _parse_layout with a clear message."""
+    implicit, fixed array (fixed-dimension variables) and extensible
+    array (ONE unlimited dimension — appendable time archives, r6);
+    v2 B-tree (2+ unlimited dims, rare in netCDF-4 practice) raises in
+    _parse_layout with a clear message."""
     cshape = layout.chunk_shape
     if layout.addr == UNDEF:
         return []  # never-written dataset: all-fill
@@ -666,6 +786,10 @@ def _walk_v4_chunk_index(
         ]
     if it == 3:
         return _fixed_array_chunks(d, layout.addr, chunk_bytes, grid, cshape)
+    if it == 4:
+        return _extensible_array_chunks(
+            d, layout.addr, chunk_bytes, grid, cshape, nchunks
+        )
     raise NotImplementedError(f"HDF5 v4 chunk index type {it}")
 
 
