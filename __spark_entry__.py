@@ -419,9 +419,11 @@ _EMB_DUP_TAU = "CAST(0.99 AS DOUBLE)"
 
 
 # dedup_embedding recall fixture constants (shared with the oracle):
-# 250 identical vectors form one degenerate bucket > the 200 cap, with
-# 125 planted pairs inside it — the guard drops them all (bounded-work /
-# recall tradeoff made measurable, VERDICT r4 item 5)
+# 250 identical vectors form one degenerate bucket > the 200 cap with
+# 125 planted pairs inside it — the guard keeps a deterministic
+# 200-row stratified sample (r6: was a wholesale drop, recall_hot == 0;
+# now a pair survives iff both endpoints rank inside the sample, so
+# recall_hot > 0 at the same bounded cost — both driver-measured)
 _EMB_HOT_N = 250
 _EMB_HOT_PAIRS = _EMB_HOT_N // 2
 _EMB_RECALL_CAP = 200
@@ -435,14 +437,16 @@ def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     (cos ≈ 0.997 vs a 0.51 background max) — the 'normal' planted set —
     plus 250 identical constant vectors holding 125 planted pairs inside
     ONE degenerate LSH bucket that exceeds the 200-row cap, so the guard
-    drops them (and any base pair sharing that bucket — collateral loss
-    included in the normal count). Output sections:
+    keeps its deterministic 200-row stratified sample (r6 — previously a
+    wholesale drop). Output sections:
 
     - 'pair': the found near-dup pairs (LSH buckets → exact cosine
       >= 0.99), as before
     - 'recall_normal': id_a = planted normal pairs, id_b = found
-    - 'recall_hot': id_a = planted hot-bucket pairs, id_b = found (0 —
-      the cap's documented recall loss, now driver-checked)
+    - 'recall_hot': id_a = planted hot-bucket pairs, id_b = found (> 0:
+      a planted pair survives iff both endpoints rank inside the
+      Knuth-scramble sample — the cap's recall cost AND the sampling
+      recovery are both driver-measured)
 
     The oracle replays the identical planes, fold arithmetic, cap and
     planted sets, so the recall numbers are hash-gated, not asserted."""
@@ -1883,10 +1887,14 @@ def _dedup_simhash_oracle() -> str:
             FROM s, (SELECT UNNEST(range(4)) AS ck)
         ),
         c AS (
-            -- hot-key guard mirror (dedup.DEFAULT_MAX_BUCKET)
+            -- hot-key guard mirror (dedup.DEFAULT_MAX_BUCKET): keep the
+            -- deterministic Knuth-scramble stratified sample per key (r6)
             SELECT doc_id, simhash, chunk, key FROM (
-                SELECT *, COUNT(*) OVER (PARTITION BY chunk, key) AS _kn FROM c0
-            ) WHERE _kn <= {_MAX_BUCKET}
+                SELECT *, ROW_NUMBER() OVER (
+                    PARTITION BY chunk, key
+                    ORDER BY (doc_id * 2654435761) % 4294967296, doc_id
+                ) AS _rn FROM c0
+            ) WHERE _rn <= {_MAX_BUCKET}
         ),
         p AS (
             SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b,
@@ -1922,11 +1930,14 @@ def _minhash_pairs_ctes() -> str:
         ),
         banded0 AS ({band_union}),
         banded AS (
-            -- hot-key guard mirror (dedup.DEFAULT_MAX_BUCKET)
+            -- hot-key guard mirror (dedup.DEFAULT_MAX_BUCKET): keep the
+            -- deterministic Knuth-scramble stratified sample per key (r6)
             SELECT doc_id, band, key FROM (
-                SELECT *, COUNT(*) OVER (PARTITION BY band, key) AS _kn
-                FROM banded0
-            ) WHERE _kn <= {_MAX_BUCKET}
+                SELECT *, ROW_NUMBER() OVER (
+                    PARTITION BY band, key
+                    ORDER BY (doc_id * 2654435761) % 4294967296, doc_id
+                ) AS _rn FROM banded0
+            ) WHERE _rn <= {_MAX_BUCKET}
         ),
         pairs AS (
             SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
@@ -2002,10 +2013,15 @@ def _dedup_embedding_oracle() -> str:
         ),
         b0 AS (SELECT vec_id AS id, embedding, {be} AS bucket FROM allv),
         b AS (
-            -- hot-key guard mirror (recall-fixture cap)
+            -- hot-key guard mirror (recall-fixture cap): deterministic
+            -- Knuth-scramble stratified sample per bucket (r6 — recall
+            -- in hot buckets is now > 0 at the same bounded cost)
             SELECT id, embedding, bucket FROM (
-                SELECT *, COUNT(*) OVER (PARTITION BY bucket) AS _kn FROM b0
-            ) WHERE _kn <= {_EMB_RECALL_CAP}
+                SELECT *, ROW_NUMBER() OVER (
+                    PARTITION BY bucket
+                    ORDER BY (id * 2654435761) % 4294967296, id
+                ) AS _rn FROM b0
+            ) WHERE _rn <= {_EMB_RECALL_CAP}
         ),
         found_pairs AS (
             SELECT DISTINCT l.id AS id_a, r.id AS id_b

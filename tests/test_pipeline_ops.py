@@ -237,12 +237,19 @@ def test_audio_wav_roundtrip():
 
 
 def test_embedding_neardup_hot_bucket_cap(spark):
-    """The hot-bucket guard drops over-populated LSH keys instead of
-    going quadratic: 200 identical vectors (one degenerate bucket) plus
-    two planted near-dups elsewhere."""
+    """The hot-bucket guard keeps a deterministic cap-row stratified
+    sample of over-populated LSH keys instead of going quadratic: 200
+    identical vectors (one degenerate bucket) plus two planted
+    near-dups elsewhere.  r6: was a wholesale drop (recall_hot == 0);
+    now exactly C(cap, 2) pairs survive inside the hot bucket and the
+    surviving ids are the Knuth-scramble sample, replayable in SQL."""
     import numpy as np
 
-    from trefoil_spark.operators.dedup import embedding_near_duplicates
+    from trefoil_spark.operators.dedup import (
+        _SCRAMBLE_MOD,
+        _SCRAMBLE_MULT,
+        embedding_near_duplicates,
+    )
 
     rng = np.random.default_rng(4)
     base = rng.standard_normal(16)
@@ -258,4 +265,11 @@ def test_embedding_neardup_hot_bucket_cap(spark):
                                        max_bucket=50)
     got = {(r["id_a"], r["id_b"]) for r in capped.collect()}
     assert (1000, 1001) in got          # planted pair survives
-    assert all(a >= 1000 for a, _ in got)  # degenerate bucket fully dropped
+    hot_pairs = {(a, b) for a, b in got if a < 1000}
+    # bounded work: exactly C(50, 2) pairs, never the 19900 quadratic
+    assert len(hot_pairs) == 50 * 49 // 2
+    # and the survivors are exactly the deterministic scramble sample
+    sample = set(sorted(range(200),
+                        key=lambda i: ((i * _SCRAMBLE_MULT) % _SCRAMBLE_MOD, i))[:50])
+    hot_ids = {i for pair in hot_pairs for i in pair}
+    assert hot_ids == sample
