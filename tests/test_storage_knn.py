@@ -61,6 +61,44 @@ def test_adaptive_knn_is_complete(spark, sf_dir):
     pd.testing.assert_frame_equal(got, want)
 
 
+def test_adaptive_knn_metrics_report_escalation_and_cap(spark):
+    """The adaptive loop's metrics hook reports ring depth, per-ring
+    escalation counts and the number of queries emitted at max_ring
+    without the completeness guarantee (VERDICT r5 item 9).
+
+    Fixture forces escalation at res=7 (cells 2.8125° lon × 1.40625°
+    lat, guarantee unit 1.40625°): one near neighbor plus one 3° away,
+    k=2 — ring 1 can't see the far point, ring 2 sees it but its
+    distance (9 deg²) exceeds the ring-2 guarantee (7.91 deg²), ring 4
+    proves it."""
+    from trefoil_spark.operators.knn import knn_join_adaptive
+
+    points = spark.createDataFrame(
+        [(1, 1.41, 0.71), (2, 1.4, 3.7), (10, 1.4, 0.7)],
+        "doc_id bigint, lon double, lat double",
+    )
+    queries = points.filter(F.col("doc_id") == 10)
+
+    metrics = {}
+    got = knn_join_adaptive(
+        points, queries, k=2, res=7, max_ring=8, metrics=metrics
+    ).collect()
+    assert {(r["neighbor_id"], r["rank"]) for r in got} == {(1, 1), (2, 2)}
+    assert metrics["rings_used"] == 4
+    assert metrics["escalated_per_ring"] == {1: 1, 2: 1, 4: 0}
+    assert metrics["cap_queries"] == 0
+
+    # cap hit: same fixture, max_ring=2 — the query is emitted unproven
+    m2 = {}
+    got2 = knn_join_adaptive(
+        points, queries, k=2, res=7, max_ring=2, metrics=m2
+    ).collect()
+    assert {(r["neighbor_id"], r["rank"]) for r in got2} == {(1, 1), (2, 2)}
+    assert m2["rings_used"] == 2
+    assert m2["escalated_per_ring"] == {1: 1}
+    assert m2["cap_queries"] == 1
+
+
 def test_kmeans_lloyd_quantized_matches_numpy(spark, sf_dir):
     """Distributed quantized Lloyd's equals a numpy replay of the same
     quantized algorithm, and iterating reduces total within-cluster

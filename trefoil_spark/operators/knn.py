@@ -144,6 +144,7 @@ def knn_join_adaptive(
     res: int = 7,
     max_ring: int = 8,
     timings: list | None = None,
+    metrics: dict | None = None,
 ) -> DataFrame:
     """Complete grid kNN via ring EXPANSION (SURVEY.md §4.2 item 4).
 
@@ -165,6 +166,16 @@ def knn_join_adaptive(
     localCheckpoint-ed (eager) — that both materializes the ≤k·|remaining|
     rows once (each feeds two consumers) and truncates the iterative
     lineage.
+
+    ``metrics`` (optional dict, mutated in place) makes the operator
+    report its own worst case — essential observability at 100 TB where
+    a single adversarial density pocket can silently quadruple ring
+    work.  Keys written: ``rings_used`` (deepest ring executed),
+    ``escalated_per_ring`` ({ring: queries still unproven after that
+    ring's guard}), ``cap_queries`` (queries emitted at ``max_ring``
+    WITHOUT the completeness guarantee — 0 unless the cap was hit).
+    Costs one count() job per iteration on the checkpointed remaining
+    set (replacing the isEmpty probe), driver memory O(#rings).
     """
     n = 1 << res
     cell_h_deg = 180.0 / n
@@ -186,6 +197,12 @@ def knn_join_adaptive(
             _t0 = _time.perf_counter()
         if ring >= max_ring:
             results.append(got)
+            if metrics is not None:
+                metrics["rings_used"] = ring
+                # ring == 1 means max_ring == 1: nothing ever escalated,
+                # but the guard never ran either, so every query is
+                # unproven; count the full remaining set in both cases
+                metrics["cap_queries"] = remaining.count()
             break
         # completeness per query: found k candidates AND the k-th distance
         # is STRICTLY within the ring guarantee radius
@@ -223,7 +240,15 @@ def knn_join_adaptive(
         ).localCheckpoint(eager=True)
         if timings is not None:
             timings.append(("ring_%d_guard" % ring, _time.perf_counter() - _t0))
-        if remaining.isEmpty():
+        if metrics is not None:
+            n_rem = remaining.count()
+            metrics.setdefault("escalated_per_ring", {})[ring] = n_rem
+            metrics["rings_used"] = ring
+            metrics.setdefault("cap_queries", 0)
+            empty = n_rem == 0
+        else:
+            empty = remaining.isEmpty()
+        if empty:
             break
         ring *= 2
 
