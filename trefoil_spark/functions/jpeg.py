@@ -16,6 +16,9 @@ implements the public ITU-T T.81 baseline process directly):
   successive approximation (DC/AC first + refinement scans, general
   EOBn runs — the libjpeg default scan script), 8-bit and 16-bit quant
   tables — real-world files ingest, not just this module's own output.
+  r6: APP14 Adobe color transforms — 4-component CMYK / YCCK (print
+  workflow crawl JPEGs, inverted-ink convention) and Adobe-declared
+  plain RGB, both baseline and progressive (see _color_out).
 """
 
 from __future__ import annotations
@@ -158,6 +161,58 @@ def ycbcr_to_rgb(ycc: np.ndarray) -> np.ndarray:
     g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
     b = y + 1.772 * (cb - 128.0)
     return np.clip(np.rint(np.stack([r, g, b], axis=-1)), 0, 255).astype(np.uint8)
+
+
+def _color_out(chans: list, adobe_transform: int | None) -> np.ndarray:
+    """Final color stage shared by the baseline and progressive decode
+    paths -> (H,W,3) uint8 RGB.
+
+    APP14 'Adobe' transform semantics (public knowledge: Adobe TN 5116
+    / the libjpeg jdcolor conventions; r6 — crawl JPEGs from print
+    workflows are routinely CMYK/YCCK):
+
+    - 1 comp: grayscale, replicated to RGB.
+    - 3 comps: transform 1 (or no marker) = YCbCr; transform 0 = RGB
+      stored directly.
+    - 4 comps: Adobe stores INVERTED ink (stored byte = 255 - ink).
+      transform 0 (or no marker) = the four inverted-CMYK planes as-is;
+      transform 2 (YCCK) = the complement of the inverted CMY triple is
+      YCbCr-coded and K is stored directly, so un-coding is
+      stored_cmy = 255 - ycbcr_to_rgb(ch0..2).  Either way display RGB
+      is the composition of un-invert + naive CMYK->RGB, which
+      simplifies to R = c*k/255, G = m*k/255, B = y*k/255 on the STORED
+      values.
+    """
+    n = len(chans)
+    if n == 1:
+        g = np.clip(np.rint(chans[0]), 0, 255).astype(np.uint8)
+        return np.stack([g] * 3, axis=-1)
+    if n == 3:
+        if adobe_transform == 0:  # Adobe-declared plain RGB
+            return np.clip(np.rint(np.stack(chans, axis=-1)), 0, 255).astype(
+                np.uint8
+            )
+        if adobe_transform not in (None, 1):
+            raise ValueError(
+                f"JPEG: Adobe transform {adobe_transform} with 3 components"
+            )
+        return ycbcr_to_rgb(np.stack(chans, axis=-1))
+    if n == 4:
+        if adobe_transform == 2:  # YCCK: un-code CMY via the YCbCr matrix
+            y, cb, cr = chans[0], chans[1], chans[2]
+            c = 255.0 - (y + 1.402 * (cr - 128.0))
+            m = 255.0 - (y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0))
+            ye = 255.0 - (y + 1.772 * (cb - 128.0))
+            cmy = np.clip(np.stack([c, m, ye], axis=-1), 0.0, 255.0)
+        elif adobe_transform in (None, 0):
+            cmy = np.clip(np.stack(chans[:3], axis=-1), 0.0, 255.0)
+        else:
+            raise ValueError(
+                f"JPEG: Adobe transform {adobe_transform} with 4 components"
+            )
+        k = np.clip(chans[3], 0.0, 255.0)[..., None]
+        return np.clip(np.rint(cmy * k / 255.0), 0, 255).astype(np.uint8)
+    raise ValueError(f"JPEG: unsupported component count {n}")
 
 
 def _to_blocks(chan: np.ndarray) -> np.ndarray:
@@ -722,6 +777,7 @@ def _decode_jpeg(data: bytes) -> np.ndarray:
     scan_tabs = {}
     progressive = False
     restart_interval = 0
+    adobe_transform = None
 
     def parse_dht(payload):
         off = 0
@@ -779,11 +835,14 @@ def _decode_jpeg(data: bytes) -> np.ndarray:
             parse_dht(payload)
         elif marker == 0xDD:  # DRI (r5: restart-interval support)
             restart_interval = struct.unpack(">H", payload[:2])[0]
+        elif marker == 0xEE:  # APP14 (r6: Adobe color-transform flag)
+            if payload[:5] == b"Adobe" and len(payload) >= 12:
+                adobe_transform = payload[11]
         elif marker == 0xDA:
             if progressive:
                 return _decode_progressive(
                     data, pos, ln, payload, comps, qts, hts, parse_dht, h, w,
-                    restart_interval,
+                    restart_interval, adobe_transform,
                 )
             ns = payload[0]
             for i in range(ns):
@@ -909,10 +968,7 @@ def _decode_jpeg(data: bytes) -> np.ndarray:
         if hi != hmax or vi != vmax:  # replicate-upsample subsampled chroma
             p = np.repeat(np.repeat(p, vmax // vi, axis=0), hmax // hi, axis=1)
         chans.append(p[:h, :w])
-    if len(chans) == 1:
-        g = np.clip(np.rint(chans[0]), 0, 255).astype(np.uint8)
-        return np.stack([g] * 3, axis=-1)
-    return ycbcr_to_rgb(np.stack(chans, axis=-1))
+    return _color_out(chans, adobe_transform)
 
 
 def _ac_refine_block(br, act, row, ss, se, al, eobrun):
@@ -970,7 +1026,7 @@ def _ac_refine_block(br, act, row, ss, se, al, eobrun):
 
 def _decode_progressive(
     data, pos, ln, payload, comps, qts, hts, parse_dht, h, w,
-    restart_interval=0,
+    restart_interval=0, adobe_transform=None,
 ):
     """Progressive (SOF2) scan loop: spectral selection AND successive
     approximation (r5 — the libjpeg default scan script's Ah/Al
@@ -1163,7 +1219,4 @@ def _decode_progressive(
         if hi != hmax or vi != vmax:  # replicate-upsample subsampled chroma
             full = np.repeat(np.repeat(full, vmax // vi, axis=0), hmax // hi, axis=1)
         chans.append(full[:h, :w])
-    if len(chans) == 1:
-        g = np.clip(np.rint(chans[0]), 0, 255).astype(np.uint8)
-        return np.stack([g] * 3, axis=-1)
-    return ycbcr_to_rgb(np.stack(chans, axis=-1))
+    return _color_out(chans, adobe_transform)
