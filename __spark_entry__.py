@@ -1377,14 +1377,18 @@ def q_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Multimodal with REAL codecs (r3; r6 adds GIF): deterministic RGB
-    images are encoded to actual PNG (doc_id%3==0) / lossless WebP (==1)
-    / GIF89a (==2) bytes with the engine's own encoders, ride the binary
-    column through a hash repartition, and are decoded back
-    executor-side by magic-sniffed dispatch into exact per-channel pixel
-    sums. The DuckDB oracle recomputes the sums from the closed-form
-    pixel generator — a hash match proves decode(encode(x)) == x through
-    the shuffle for all THREE container formats."""
+    """Multimodal with REAL codecs (r3; r6 adds GIF + lossy VP8):
+    deterministic RGB images are encoded to actual PNG (doc_id%4==0) /
+    lossless WebP (==1) / GIF89a (==2) / lossy-VP8 WebP (==3, RFC 6386
+    key frame via functions/vp8.py) bytes with the engine's own
+    encoders, ride the binary column through a hash repartition, and are
+    decoded back executor-side by magic-sniffed dispatch into exact
+    per-channel pixel sums. The DuckDB oracle recomputes the lossless
+    sums from the closed-form pixel generator and carries a 256-row
+    expectation table (engine-computed reference decode of the flat
+    lossy sources) for the VP8 leg — a hash match proves byte-exact
+    round trips for the lossless codecs and deterministic,
+    reference-identical decode for the lossy one."""
     from trefoil_spark.operators.multimodal import (
         attach_real_images,
         decode_image_features,
@@ -1812,24 +1816,7 @@ def oracle_sql() -> dict[str, str]:
                    CAST(LENGTH(text) AS BIGINT) AS n_chars
             FROM documents ORDER BY doc_id
         """,
-        "multimodal_decode": """
-            WITH px AS (
-                SELECT doc_id, i
-                FROM documents, (SELECT UNNEST(range(256)) AS i)
-            ), s AS (
-                SELECT doc_id,
-                       CAST(SUM((doc_id * 31 + i) % 256) AS BIGINT) AS sum_r,
-                       CAST(SUM((doc_id * 57 + i) % 256) AS BIGINT) AS sum_g,
-                       CAST(SUM((doc_id * 89 + i) % 256) AS BIGINT) AS sum_b
-                FROM px GROUP BY doc_id
-            )
-            SELECT doc_id,
-                   CASE doc_id % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'webp'
-                        ELSE 'gif' END AS fmt,
-                   CAST(16 AS BIGINT) AS width, CAST(16 AS BIGINT) AS height,
-                   sum_r, sum_g, sum_b
-            FROM s ORDER BY doc_id
-        """,
+        "multimodal_decode": _multimodal_decode_oracle(),
         "multimodal_features": f"""
             SELECT doc_id, i AS feature_idx,
                    CAST(('0x' || substr(md5(text), CAST(2 * i + 1 AS INT), 2))
@@ -1838,6 +1825,47 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY doc_id, feature_idx
         """,
     }
+
+
+def _multimodal_decode_oracle() -> str:
+    """Oracle for multimodal_decode. Lossless legs (doc_id%4 in 0,1,2)
+    are closed-form sums of the synth_image generator; the lossy-VP8 leg
+    (==3) joins a 256-row VALUES expectation table produced by the
+    engine's own reference encode→decode of the flat sources
+    (operators/multimodal.py lossy_expectation_table) — the driver hash
+    then gates that executor-side decode is deterministic and identical
+    to this reference evaluation."""
+    from trefoil_spark.operators.multimodal import lossy_expectation_table
+
+    values = ",\n                ".join(
+        f"({v}, {r}, {g}, {b})" for v, r, g, b in lossy_expectation_table()
+    )
+    return f"""
+        WITH px AS (
+            SELECT doc_id, i
+            FROM documents, (SELECT UNNEST(range(256)) AS i)
+        ), s AS (
+            SELECT doc_id,
+                   CAST(SUM((doc_id * 31 + i) % 256) AS BIGINT) AS sum_r,
+                   CAST(SUM((doc_id * 57 + i) % 256) AS BIGINT) AS sum_g,
+                   CAST(SUM((doc_id * 89 + i) % 256) AS BIGINT) AS sum_b
+            FROM px GROUP BY doc_id
+        ), lossy(v, er, eg, eb) AS (
+            VALUES {values}
+        )
+        SELECT s.doc_id,
+               CASE s.doc_id % 4 WHEN 0 THEN 'png' WHEN 1 THEN 'webp'
+                    WHEN 2 THEN 'gif' ELSE 'webp_lossy' END AS fmt,
+               CAST(16 AS BIGINT) AS width, CAST(16 AS BIGINT) AS height,
+               CASE WHEN s.doc_id % 4 = 3 THEN CAST(l.er AS BIGINT)
+                    ELSE s.sum_r END AS sum_r,
+               CASE WHEN s.doc_id % 4 = 3 THEN CAST(l.eg AS BIGINT)
+                    ELSE s.sum_g END AS sum_g,
+               CASE WHEN s.doc_id % 4 = 3 THEN CAST(l.eb AS BIGINT)
+                    ELSE s.sum_b END AS sum_b
+        FROM s JOIN lossy l ON l.v = s.doc_id % 256
+        ORDER BY s.doc_id
+    """
 
 
 def _text_stats_oracle() -> str:

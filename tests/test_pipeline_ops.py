@@ -164,14 +164,20 @@ def test_text_fingerprint_order_sensitivity(spark, sf_dir):
 
 
 def test_multimodal_real_decode_roundtrip(spark, sf_dir):
-    """Real PNG/WebP/GIF bytes through a repartition, decoded with the
-    own codecs: per-channel sums equal the closed-form generator."""
+    """Real PNG/WebP/GIF/lossy-VP8 bytes through a repartition, decoded
+    with the own codecs: lossless per-channel sums equal the closed-form
+    generator; lossy sums equal the engine's reference decode of the
+    same flat source (determinism, not exactness)."""
     import numpy as np
     from pyspark.sql import functions as F
 
+    from trefoil_spark.functions.vp8 import encode_webp_lossy
+    from trefoil_spark.functions.webp import decode_webp
     from trefoil_spark.operators.multimodal import (
+        LOSSY_QI,
         attach_real_images,
         decode_image_features,
+        lossy_flat_image,
         synth_image,
     )
 
@@ -180,12 +186,22 @@ def test_multimodal_real_decode_roundtrip(spark, sf_dir):
         attach_real_images(docs).repartition(4, "doc_id")
     ).collect()
     assert len(out) == 40
+    fmts = set()
     for r in out:
-        img = synth_image(r["doc_id"])
-        sums = img.astype(np.int64).sum(axis=(0, 1))
+        if r["doc_id"] % 4 == 3:
+            ref = decode_webp(
+                encode_webp_lossy(lossy_flat_image(r["doc_id"] % 256), qi=LOSSY_QI)
+            )
+            sums = ref[..., :3].astype(np.int64).sum(axis=(0, 1))
+        else:
+            sums = synth_image(r["doc_id"]).astype(np.int64).sum(axis=(0, 1))
         assert (r["sum_r"], r["sum_g"], r["sum_b"]) == tuple(int(s) for s in sums)
-        assert r["fmt"] == {0: "png", 1: "webp", 2: "gif"}[r["doc_id"] % 3]
+        assert r["fmt"] == {0: "png", 1: "webp", 2: "gif", 3: "webp_lossy"}[
+            r["doc_id"] % 4
+        ]
         assert (r["width"], r["height"]) == (16, 16)
+        fmts.add(r["fmt"])
+    assert fmts == {"png", "webp", "gif", "webp_lossy"}
 
 
 def test_html_extract_recovers_bytes(spark, sf_dir):

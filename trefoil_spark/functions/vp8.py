@@ -1,0 +1,1380 @@
+"""VP8 (lossy WebP) intra-frame codec — pure python/numpy, from scratch.
+
+Implements the public VP8 Data Format and Decoding Guide (RFC 6386),
+key-frame (intra) path: boolean arithmetic decoder (§7), frame /
+segmentation / loop-filter / quantizer headers (§9-10), key-frame intra
+mode coding (§11), intra prediction (§12: 16x16 DC/V/H/TM, all ten
+B_PRED 4x4 modes with the above-right conventions, 8x8 chroma), DCT /
+WHT coefficient token decoding with contexts and per-frame probability
+updates (§13), dequantization (§14.1), the exact integer inverse DCT /
+WHT (§14.3-14.4), and both loop filters (§15, normal + simple).  The
+companion encoder emits conforming key frames (any quant index, any
+mode map, optional skip, 1-8 token partitions, either loop filter) so
+the multimodal pipeline has a deterministic lossy-WebP payload.
+
+INTEROPERABILITY CAVEAT (load-bearing, read this): RFC 6386 normatively
+fixes three LARGE default probability tables — the default DCT token
+probs (§13.5, 4*8*3*11 entries), their update conditioning probs
+(§13.4, same shape) and the key-frame B-mode probs (§11.3, 10*10*9
+entries), ~3 KB of specific constants.  This build environment has no
+copy of the RFC text, no reference decoder and no conformance vectors
+to transcribe or verify those constants against, so this module ships
+clearly-marked NEUTRAL PLACEHOLDERS for the three tables.  Everything
+is self-consistent — streams from this module's encoder decode
+bit-exactly (twin-validated in tests/test_vp8.py against an independent
+numpy reconstruction) — but a foreign (libvpx/libwebp) stream relying
+on the true default tables would desync in the arithmetic decoder.
+Dropping in the three real tables is the complete fix; no machinery
+changes.  All SMALL normative tables (trees, category probs, coeff
+bands, zigzag, quantizer lookups) are real per the RFC sections cited
+at each definition.
+
+Reference context: trefoil/cli/utilities.py:16-34 (the reference saves
+all image formats through PIL; PIL is absent here).
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+# ---------------------------------------------------------------------------
+# mode enums (RFC 6386 §11.2)
+# ---------------------------------------------------------------------------
+
+DC_PRED, V_PRED, H_PRED, TM_PRED, B_PRED = range(5)
+(B_DC_PRED, B_TM_PRED, B_VE_PRED, B_HE_PRED, B_LD_PRED,
+ B_RD_PRED, B_VR_PRED, B_VL_PRED, B_HD_PRED, B_HU_PRED) = range(10)
+
+# 16x16 mode -> equivalent b-mode for key-frame neighbor context (§11.3)
+_MODE_TO_B = {DC_PRED: B_DC_PRED, V_PRED: B_VE_PRED,
+              H_PRED: B_HE_PRED, TM_PRED: B_TM_PRED}
+
+# ---------------------------------------------------------------------------
+# trees (§8.2, §11.2): negative entry = leaf (-value), else next node index
+# ---------------------------------------------------------------------------
+
+KF_YMODE_TREE = (-B_PRED, 2, 4, 6, -DC_PRED, -V_PRED, -H_PRED, -TM_PRED)
+KF_YMODE_PROB = (145, 156, 163, 128)
+UV_MODE_TREE = (-DC_PRED, 2, -V_PRED, 4, -H_PRED, -TM_PRED)
+KF_UV_MODE_PROB = (142, 114, 183)
+BMODE_TREE = (
+    -B_DC_PRED, 2,
+    -B_TM_PRED, 4,
+    -B_VE_PRED, 6,
+    8, 12,
+    -B_HE_PRED, 10,
+    -B_RD_PRED, -B_VR_PRED,
+    -B_LD_PRED, 14,
+    -B_VL_PRED, 16,
+    -B_HD_PRED, -B_HU_PRED,
+)
+MB_SEGMENT_TREE = (2, 4, -0, -1, -2, -3)
+
+# DCT token tree (§13.2); tokens 0-4 are literal values, 5-10 the six
+# extra-bit categories, 11 is EOB
+DCT_EOB = 11
+COEFF_TREE = (
+    -DCT_EOB, 2,
+    -0, 4,
+    -1, 6,
+    8, 12,
+    -2, 10,
+    -3, -4,
+    14, 16,
+    -5, -6,
+    18, 20,
+    -7, -8,
+    -9, -10,
+)
+# category extra-bit probabilities and base values (§13.2 Pcat1..Pcat6)
+CAT_PROBS = (
+    (159,),
+    (165, 145),
+    (173, 148, 140),
+    (176, 155, 140, 135),
+    (180, 157, 141, 134, 130),
+    (254, 254, 243, 230, 196, 177, 153, 140, 133, 130, 129),
+)
+CAT_BASE = (5, 7, 11, 19, 35, 67)
+
+COEFF_BANDS = (0, 1, 2, 3, 6, 4, 5, 6, 6, 6, 6, 6, 6, 6, 6, 7)
+ZIGZAG = (0, 1, 4, 8, 5, 2, 3, 6, 9, 12, 13, 10, 7, 11, 14, 15)
+
+# quantizer lookups (§14.1)
+DC_QLOOKUP = (
+    4, 5, 6, 7, 8, 9, 10, 10, 11, 12, 13, 14, 15, 16, 17, 17,
+    18, 19, 20, 20, 21, 21, 22, 22, 23, 23, 24, 25, 25, 26, 27, 28,
+    29, 30, 31, 32, 33, 34, 35, 36, 37, 37, 38, 39, 40, 41, 42, 43,
+    44, 45, 46, 46, 47, 48, 49, 50, 51, 52, 53, 54, 55, 56, 57, 58,
+    59, 60, 61, 62, 63, 64, 65, 66, 67, 68, 69, 70, 71, 72, 73, 74,
+    75, 76, 76, 77, 78, 79, 80, 81, 82, 83, 84, 85, 86, 87, 88, 89,
+    91, 93, 95, 96, 98, 100, 101, 102, 104, 106, 108, 110, 112, 114,
+    116, 118, 122, 124, 126, 128, 130, 132, 134, 136, 138, 140, 143,
+    145, 148, 151, 154, 157,
+)
+AC_QLOOKUP = (
+    4, 5, 6, 7, 8, 9, 10, 11, 12, 13, 14, 15, 16, 17, 18, 19,
+    20, 21, 22, 23, 24, 25, 26, 27, 28, 29, 30, 31, 32, 33, 34, 35,
+    36, 37, 38, 39, 40, 41, 42, 43, 44, 45, 46, 47, 48, 49, 50, 51,
+    52, 53, 54, 55, 56, 57, 58, 60, 62, 64, 66, 68, 70, 72, 74, 76,
+    78, 80, 82, 84, 86, 88, 90, 92, 94, 96, 98, 100, 102, 104, 106,
+    108, 110, 112, 114, 116, 119, 122, 125, 128, 131, 134, 137, 140,
+    143, 146, 149, 152, 155, 158, 161, 164, 167, 170, 173, 177, 181,
+    185, 189, 193, 197, 201, 205, 209, 213, 217, 221, 225, 229, 234,
+    239, 245, 249, 254, 259, 264, 269, 274, 279, 284,
+)
+
+# ---------------------------------------------------------------------------
+# PLACEHOLDER probability tables — see module docstring.  Neutral values:
+# 128 makes every branch cost one bit (valid, just uncompressed); 255 for
+# the update flags makes "no update" nearly free in this module's encoder.
+# The shapes and index orders are the normative ones (§13.4-13.5, §11.3).
+# ---------------------------------------------------------------------------
+
+DEFAULT_COEFF_PROBS = [[[[128] * 11 for _ in range(3)] for _ in range(8)]
+                       for _ in range(4)]
+COEFF_UPDATE_PROBS = [[[[255] * 11 for _ in range(3)] for _ in range(8)]
+                      for _ in range(4)]
+KF_B_MODE_PROBS = [[[128] * 9 for _ in range(10)] for _ in range(10)]
+
+
+# ---------------------------------------------------------------------------
+# boolean coder (§7; decoder mirrors the RFC reference implementation,
+# encoder the standard 24-bit-window carry-propagating formulation)
+# ---------------------------------------------------------------------------
+
+
+class BoolDecoder:
+    """RFC 6386 §7.3 reference boolean decoder. Input is zero-padded so
+    reads past a truncated partition yield zeros (callers see garbage
+    values, never an exception mid-symbol; the frame parser validates
+    sizes up front)."""
+
+    def __init__(self, data: bytes):
+        d = bytes(data) + b"\x00" * 16
+        self.d = d
+        self.value = (d[0] << 8) | d[1]
+        self.pos = 2
+        self.range = 255
+        self.bit_count = 0
+
+    def bool(self, prob: int) -> int:
+        split = 1 + (((self.range - 1) * prob) >> 8)
+        big = split << 8
+        if self.value >= big:
+            ret = 1
+            self.range -= split
+            self.value -= big
+        else:
+            ret = 0
+            self.range = split
+        while self.range < 128:
+            self.value <<= 1
+            self.range <<= 1
+            self.bit_count += 1
+            if self.bit_count == 8:
+                self.bit_count = 0
+                self.value |= self.d[self.pos]
+                self.pos += 1
+        return ret
+
+    def literal(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.bool(128)
+        return v
+
+    def signed_literal(self, n: int) -> int:
+        v = self.literal(n)
+        return -v if self.bool(128) else v
+
+    def tree(self, tree, probs, start: int = 0) -> int:
+        i = tree[start + self.bool(probs[start >> 1])]
+        while i > 0:
+            i = tree[i + self.bool(probs[i >> 1])]
+        return -i
+
+
+class BoolEncoder:
+    """Carry-propagating boolean encoder (the 24-bit lowvalue window
+    formulation); round-trip property-tested against BoolDecoder."""
+
+    def __init__(self):
+        self.low = 0
+        self.range = 255
+        self.count = -24
+        self.buf = bytearray()
+
+    def bool(self, bit: int, prob: int):
+        split = 1 + (((self.range - 1) * prob) >> 8)
+        if bit:
+            self.low += split
+            self.range -= split
+        else:
+            self.range = split
+        shift = 8 - self.range.bit_length()  # renormalize range into [128,255]
+        self.range <<= shift
+        self.count += shift
+        if self.count >= 0:
+            offset = shift - self.count
+            if (self.low << (offset - 1)) & 0x80000000:
+                x = len(self.buf) - 1
+                while x >= 0 and self.buf[x] == 0xFF:
+                    self.buf[x] = 0
+                    x -= 1
+                if x >= 0:
+                    self.buf[x] += 1
+            self.buf.append((self.low >> (24 - offset)) & 0xFF)
+            self.low = (self.low << offset) & 0xFFFFFF
+            shift = self.count
+            self.count -= 8
+        self.low = (self.low << shift) & 0xFFFFFFFF
+
+    def literal(self, v: int, n: int):
+        for i in range(n - 1, -1, -1):
+            self.bool((v >> i) & 1, 128)
+
+    def signed_literal(self, v: int, n: int):
+        self.literal(abs(v), n)
+        self.bool(1 if v < 0 else 0, 128)
+
+    def tree(self, tree, probs, value: int, start: int = 0):
+        # walk the tree collecting (node, bit) decisions for `value`
+        path = _tree_path(tree, value, start)
+        for node, bit in path:
+            self.bool(bit, probs[node >> 1])
+
+    def finish(self) -> bytes:
+        for _ in range(32):
+            self.bool(0, 128)
+        return bytes(self.buf)
+
+
+def _tree_path(tree, value: int, start: int = 0):
+    """(node_index, bit) decisions that encode `value` in `tree`."""
+    # depth-first search; trees are tiny and this is encoder-side only
+    def walk(i, acc):
+        for bit in (0, 1):
+            t = tree[i + bit]
+            if t <= 0:
+                if -t == value:
+                    return acc + [(i, bit)]
+            else:
+                r = walk(t, acc + [(i, bit)])
+                if r is not None:
+                    return r
+        return None
+
+    path = walk(start, [])
+    if path is None:
+        raise ValueError(f"value {value} not in tree")
+    return path
+
+
+# ---------------------------------------------------------------------------
+# inverse transforms (§14.3-14.4) — exact integer arithmetic
+# ---------------------------------------------------------------------------
+
+_COS = 20091  # cospi8sqrt2minus1, Q16
+_SIN = 35468  # sinpi8sqrt2, Q16
+
+
+def idct4x4(coeffs) -> np.ndarray:
+    """§14.3 inverse DCT: 4x4 int array -> 4x4 int residual."""
+    ip = [int(v) for v in np.asarray(coeffs).reshape(16)]
+    tmp = [0] * 16
+    for i in range(4):
+        a1 = ip[i] + ip[i + 8]
+        b1 = ip[i] - ip[i + 8]
+        t1 = (ip[i + 4] * _SIN) >> 16
+        t2 = ip[i + 12] + ((ip[i + 12] * _COS) >> 16)
+        c1 = t1 - t2
+        t1 = ip[i + 4] + ((ip[i + 4] * _COS) >> 16)
+        t2 = (ip[i + 12] * _SIN) >> 16
+        d1 = t1 + t2
+        tmp[i] = a1 + d1
+        tmp[i + 12] = a1 - d1
+        tmp[i + 4] = b1 + c1
+        tmp[i + 8] = b1 - c1
+    out = [0] * 16
+    for i in range(4):
+        o = 4 * i
+        a1 = tmp[o] + tmp[o + 2]
+        b1 = tmp[o] - tmp[o + 2]
+        t1 = (tmp[o + 1] * _SIN) >> 16
+        t2 = tmp[o + 3] + ((tmp[o + 3] * _COS) >> 16)
+        c1 = t1 - t2
+        t1 = tmp[o + 1] + ((tmp[o + 1] * _COS) >> 16)
+        t2 = (tmp[o + 3] * _SIN) >> 16
+        d1 = t1 + t2
+        out[o] = (a1 + d1 + 4) >> 3
+        out[o + 3] = (a1 - d1 + 4) >> 3
+        out[o + 1] = (b1 + c1 + 4) >> 3
+        out[o + 2] = (b1 - c1 + 4) >> 3
+    return np.array(out, dtype=np.int32).reshape(4, 4)
+
+
+def iwht4x4(coeffs) -> np.ndarray:
+    """§14.3 inverse Walsh-Hadamard (Y2 block) -> 16 luma DC values."""
+    ip = [int(v) for v in np.asarray(coeffs).reshape(16)]
+    tmp = [0] * 16
+    for i in range(4):
+        a1 = ip[i] + ip[i + 12]
+        b1 = ip[i + 4] + ip[i + 8]
+        c1 = ip[i + 4] - ip[i + 8]
+        d1 = ip[i] - ip[i + 12]
+        tmp[i] = a1 + b1
+        tmp[i + 4] = c1 + d1
+        tmp[i + 8] = a1 - b1
+        tmp[i + 12] = d1 - c1
+    out = [0] * 16
+    for i in range(4):
+        o = 4 * i
+        a1 = tmp[o] + tmp[o + 3]
+        b1 = tmp[o + 1] + tmp[o + 2]
+        c1 = tmp[o + 1] - tmp[o + 2]
+        d1 = tmp[o] - tmp[o + 3]
+        out[o] = (a1 + b1 + 3) >> 3
+        out[o + 1] = (c1 + d1 + 3) >> 3
+        out[o + 2] = (a1 - b1 + 3) >> 3
+        out[o + 3] = (d1 - c1 + 3) >> 3
+    return np.array(out, dtype=np.int32).reshape(4, 4)
+
+
+# encoder-side forward transforms (non-normative: any forward transform
+# the §14 inverses approximately invert is conforming; these are the
+# classic integer formulations)
+
+def fdct4x4(block) -> np.ndarray:
+    ip = [int(v) for v in np.asarray(block).reshape(16)]
+    tmp = [0] * 16
+    for i in range(4):
+        o = 4 * i
+        a1 = (ip[o] + ip[o + 3]) * 8
+        b1 = (ip[o + 1] + ip[o + 2]) * 8
+        c1 = (ip[o + 1] - ip[o + 2]) * 8
+        d1 = (ip[o] - ip[o + 3]) * 8
+        tmp[o] = a1 + b1
+        tmp[o + 2] = a1 - b1
+        tmp[o + 1] = (c1 * 2217 + d1 * 5352 + 14500) >> 12
+        tmp[o + 3] = (d1 * 2217 - c1 * 5352 + 7500) >> 12
+    out = [0] * 16
+    for i in range(4):
+        a1 = tmp[i] + tmp[i + 12]
+        b1 = tmp[i + 4] + tmp[i + 8]
+        c1 = tmp[i + 4] - tmp[i + 8]
+        d1 = tmp[i] - tmp[i + 12]
+        out[i] = (a1 + b1 + 7) >> 4
+        out[i + 8] = (a1 - b1 + 7) >> 4
+        out[i + 4] = ((c1 * 2217 + d1 * 5352 + 12000) >> 16) + (1 if d1 else 0)
+        out[i + 12] = (d1 * 2217 - c1 * 5352 + 51000) >> 16
+    return np.array(out, dtype=np.int32).reshape(4, 4)
+
+
+def fwht4x4(block) -> np.ndarray:
+    ip = [int(v) for v in np.asarray(block).reshape(16)]
+    tmp = [0] * 16
+    for i in range(4):
+        o = 4 * i
+        a1 = (ip[o] + ip[o + 2]) * 4
+        d1 = (ip[o + 1] + ip[o + 3]) * 4
+        c1 = (ip[o + 1] - ip[o + 3]) * 4
+        b1 = (ip[o] - ip[o + 2]) * 4
+        tmp[o] = a1 + d1 + (1 if a1 else 0)
+        tmp[o + 1] = b1 + c1
+        tmp[o + 2] = b1 - c1
+        tmp[o + 3] = a1 - d1
+    out = [0] * 16
+    for i in range(4):
+        a1 = tmp[i] + tmp[i + 8]
+        d1 = tmp[i + 4] + tmp[i + 12]
+        c1 = tmp[i + 4] - tmp[i + 12]
+        b1 = tmp[i] - tmp[i + 8]
+        a2 = a1 + d1
+        b2 = b1 + c1
+        c2 = b1 - c1
+        d2 = a1 - d1
+        out[i] = (a2 + (1 if a2 < 0 else 0) + 3) >> 3
+        out[i + 4] = (b2 + (1 if b2 < 0 else 0) + 3) >> 3
+        out[i + 8] = (c2 + (1 if c2 < 0 else 0) + 3) >> 3
+        out[i + 12] = (d2 + (1 if d2 < 0 else 0) + 3) >> 3
+    return np.array(out, dtype=np.int32).reshape(4, 4)
+
+
+# ---------------------------------------------------------------------------
+# dequantization (§14.1)
+# ---------------------------------------------------------------------------
+
+
+def dequant_factors(qi: int, deltas) -> dict:
+    """Per-plane (dc, ac) quantizer pairs. ``deltas`` = (ydc, y2dc,
+    y2ac, uvdc, uvac)."""
+    ydc_d, y2dc_d, y2ac_d, uvdc_d, uvac_d = deltas
+
+    def c(x):
+        return max(0, min(127, x))
+
+    y2ac = (AC_QLOOKUP[c(qi + y2ac_d)] * 155) // 100
+    return {
+        "y": (DC_QLOOKUP[c(qi + ydc_d)], AC_QLOOKUP[c(qi)]),
+        "y2": (DC_QLOOKUP[c(qi + y2dc_d)] * 2, max(8, y2ac)),
+        "uv": (min(132, DC_QLOOKUP[c(qi + uvdc_d)]), AC_QLOOKUP[c(qi + uvac_d)]),
+    }
+
+
+# ---------------------------------------------------------------------------
+# intra prediction (§12) — operates on bordered int32 plane buffers
+# ---------------------------------------------------------------------------
+
+
+def _pred_block16(buf, y0, x0, mode, above_ok, left_ok):
+    """16x16 (and, with n=8, chroma 8x8) whole-block prediction."""
+    return _pred_block(buf, y0, x0, 16, mode, above_ok, left_ok)
+
+
+def _pred_block(buf, y0, x0, n, mode, above_ok, left_ok):
+    above = buf[y0 - 1, x0:x0 + n]
+    left = buf[y0:y0 + n, x0 - 1]
+    p = int(buf[y0 - 1, x0 - 1])
+    if mode == DC_PRED:
+        if above_ok and left_ok:
+            dc = (int(above.sum()) + int(left.sum()) + n) >> _log2(2 * n)
+        elif above_ok:
+            dc = (int(above.sum()) + (n >> 1)) >> _log2(n)
+        elif left_ok:
+            dc = (int(left.sum()) + (n >> 1)) >> _log2(n)
+        else:
+            dc = 128
+        return np.full((n, n), dc, dtype=np.int32)
+    if mode == V_PRED:
+        return np.tile(above, (n, 1)).astype(np.int32)
+    if mode == H_PRED:
+        return np.tile(left[:, None], (1, n)).astype(np.int32)
+    if mode == TM_PRED:
+        out = left[:, None].astype(np.int32) + above[None, :].astype(np.int32) - p
+        return np.clip(out, 0, 255)
+    raise ValueError(f"VP8: bad whole-block mode {mode}")
+
+
+def _log2(n):
+    return n.bit_length() - 1
+
+
+def _avg2(a, b):
+    return (a + b + 1) >> 1
+
+
+def _avg3(a, b, c):
+    return (a + 2 * b + c + 2) >> 2
+
+
+def predict_b(mode, above, above_right, left, p):
+    """One 4x4 subblock prediction (§12.3). `above`/`above_right`/`left`
+    are length-4 int sequences, `p` the above-left pixel."""
+    A = [int(v) for v in above] + [int(v) for v in above_right]
+    L = [int(v) for v in left]
+    p = int(p)
+    b = np.zeros((4, 4), dtype=np.int32)
+    if mode == B_DC_PRED:
+        b[:] = (sum(A[:4]) + sum(L) + 4) >> 3
+    elif mode == B_TM_PRED:
+        for r in range(4):
+            for c in range(4):
+                b[r, c] = min(255, max(0, A[c] + L[r] - p))
+    elif mode == B_VE_PRED:
+        e = [p] + A[:5]
+        for c in range(4):
+            b[:, c] = _avg3(e[c], e[c + 1], e[c + 2])
+    elif mode == B_HE_PRED:
+        e = [p] + L + [L[3]]
+        for r in range(4):
+            b[r, :] = _avg3(e[r], e[r + 1], e[r + 2])
+    elif mode == B_LD_PRED:
+        for r in range(4):
+            for c in range(4):
+                d = r + c
+                b[r, c] = (_avg3(A[d], A[d + 1], A[d + 2]) if d < 6
+                           else _avg3(A[6], A[7], A[7]))
+    elif mode == B_RD_PRED:
+        e = [L[3], L[2], L[1], L[0], p, A[0], A[1], A[2], A[3]]
+        for r in range(4):
+            for c in range(4):
+                i = c - r + 3
+                b[r, c] = _avg3(e[i], e[i + 1], e[i + 2])
+    elif mode == B_VR_PRED:
+        e = [L[3], L[2], L[1], L[0], p, A[0], A[1], A[2], A[3]]
+        b[3, 0] = _avg3(e[1], e[2], e[3])
+        b[2, 0] = _avg3(e[2], e[3], e[4])
+        b[3, 1] = b[1, 0] = _avg3(e[3], e[4], e[5])
+        b[2, 1] = b[0, 0] = _avg2(e[4], e[5])
+        b[3, 2] = b[1, 1] = _avg3(e[4], e[5], e[6])
+        b[2, 2] = b[0, 1] = _avg2(e[5], e[6])
+        b[3, 3] = b[1, 2] = _avg3(e[5], e[6], e[7])
+        b[2, 3] = b[0, 2] = _avg2(e[6], e[7])
+        b[1, 3] = _avg3(e[6], e[7], e[8])
+        b[0, 3] = _avg2(e[7], e[8])
+    elif mode == B_VL_PRED:
+        b[0, 0] = _avg2(A[0], A[1])
+        b[1, 0] = _avg3(A[0], A[1], A[2])
+        b[2, 0] = b[0, 1] = _avg2(A[1], A[2])
+        b[1, 1] = b[3, 0] = _avg3(A[1], A[2], A[3])
+        b[2, 1] = b[0, 2] = _avg2(A[2], A[3])
+        b[3, 1] = b[1, 2] = _avg3(A[2], A[3], A[4])
+        b[2, 2] = b[0, 3] = _avg2(A[3], A[4])
+        b[3, 2] = b[1, 3] = _avg3(A[3], A[4], A[5])
+        b[2, 3] = _avg3(A[4], A[5], A[6])
+        b[3, 3] = _avg3(A[5], A[6], A[7])
+    elif mode == B_HD_PRED:
+        e = [L[3], L[2], L[1], L[0], p, A[0], A[1], A[2], A[3]]
+        b[3, 0] = _avg2(e[0], e[1])
+        b[3, 1] = _avg3(e[0], e[1], e[2])
+        b[2, 0] = b[3, 2] = _avg2(e[1], e[2])
+        b[2, 1] = b[3, 3] = _avg3(e[1], e[2], e[3])
+        b[2, 2] = b[1, 0] = _avg2(e[2], e[3])
+        b[2, 3] = b[1, 1] = _avg3(e[2], e[3], e[4])
+        b[1, 2] = b[0, 0] = _avg2(e[3], e[4])
+        b[1, 3] = b[0, 1] = _avg3(e[3], e[4], e[5])
+        b[0, 2] = _avg3(e[4], e[5], e[6])
+        b[0, 3] = _avg3(e[5], e[6], e[7])
+    elif mode == B_HU_PRED:
+        b[0, 0] = _avg2(L[0], L[1])
+        b[0, 1] = _avg3(L[0], L[1], L[2])
+        b[0, 2] = b[1, 0] = _avg2(L[1], L[2])
+        b[0, 3] = b[1, 1] = _avg3(L[1], L[2], L[3])
+        b[1, 2] = b[2, 0] = _avg2(L[2], L[3])
+        b[1, 3] = b[2, 1] = _avg3(L[2], L[3], L[3])
+        b[2, 2] = b[2, 3] = L[3]
+        b[3, :] = L[3]
+    else:
+        raise ValueError(f"VP8: bad b-mode {mode}")
+    return b
+
+# ---------------------------------------------------------------------------
+# loop filter (§15) — vectorized across each edge's perpendicular axis
+# ---------------------------------------------------------------------------
+
+
+def _s(v):
+    return v.astype(np.int32) - 128
+
+
+def _c8(v):
+    return np.clip(v, -128, 127)
+
+
+def _normal_filter(seg: np.ndarray, mb_edge: bool, lim: int, il: int,
+                   hev_t: int) -> np.ndarray:
+    """§15.2-15.3 normal filter on seg rows [p3 p2 p1 p0 q0 q1 q2 q3]
+    x N positions (int32, unsigned domain). Returns the filtered seg."""
+    p3, p2, p1, p0, q0, q1, q2, q3 = (seg[i] for i in range(8))
+    mask = (
+        (np.abs(p3 - p2) <= il) & (np.abs(p2 - p1) <= il)
+        & (np.abs(p1 - p0) <= il) & (np.abs(q1 - q0) <= il)
+        & (np.abs(q2 - q1) <= il) & (np.abs(q3 - q2) <= il)
+        & (np.abs(p0 - q0) * 2 + np.abs(p1 - q1) // 2 <= lim)
+    )
+    hev = (np.abs(p1 - p0) > hev_t) | (np.abs(q1 - q0) > hev_t)
+    P2, P1, P0, Q0, Q1, Q2 = _s(p2), _s(p1), _s(p0), _s(q0), _s(q1), _s(q2)
+
+    # common adjust (use_outer_taps = 1 on MB edges, = hev on subblock edges)
+    use_outer = np.ones_like(hev) if mb_edge else hev
+    a = _c8(np.where(use_outer, _c8(P1 - Q1), 0) + 3 * (Q0 - P0))
+    F1 = _c8(a + 4) >> 3
+    F2 = _c8(a + 3) >> 3
+    cQ0 = _c8(Q0 - F1)
+    cP0 = _c8(P0 + F2)
+
+    out = seg.copy()
+    if mb_edge:
+        # hev rows: common adjust of p0/q0; non-hev rows: 27/18/9 taps
+        w = _c8(_c8(P1 - Q1) + 3 * (Q0 - P0))
+        a27 = _c8((27 * w + 63) >> 7)
+        a18 = _c8((18 * w + 63) >> 7)
+        a9 = _c8((9 * w + 63) >> 7)
+        nQ0 = np.where(hev, cQ0, _c8(Q0 - a27))
+        nP0 = np.where(hev, cP0, _c8(P0 + a27))
+        nQ1 = np.where(hev, Q1, _c8(Q1 - a18))
+        nP1 = np.where(hev, P1, _c8(P1 + a18))
+        nQ2 = np.where(hev, Q2, _c8(Q2 - a9))
+        nP2 = np.where(hev, P2, _c8(P2 + a9))
+        for i, v in ((1, nP2), (2, nP1), (3, nP0), (4, nQ0), (5, nQ1), (6, nQ2)):
+            out[i] = np.where(mask, v + 128, seg[i])
+    else:
+        a2 = (F1 + 1) >> 1
+        nQ1 = np.where(hev, Q1, _c8(Q1 - a2))
+        nP1 = np.where(hev, P1, _c8(P1 + a2))
+        for i, v in ((2, nP1), (3, cP0), (4, cQ0), (5, nQ1)):
+            out[i] = np.where(mask, v + 128, seg[i])
+    return out
+
+
+def _simple_filter(seg: np.ndarray, lim: int) -> np.ndarray:
+    """§15.1 simple filter (luma only): seg rows [p1 p0 q0 q1] x N."""
+    p1, p0, q0, q1 = (seg[i] for i in range(4))
+    mask = np.abs(p0 - q0) * 2 + np.abs(p1 - q1) // 2 <= lim
+    P1, P0, Q0, Q1 = _s(p1), _s(p0), _s(q0), _s(q1)
+    a = _c8(_c8(P1 - Q1) + 3 * (Q0 - P0))
+    F1 = _c8(a + 4) >> 3
+    F2 = _c8(a + 3) >> 3
+    out = seg.copy()
+    out[1] = np.where(mask, _c8(P0 + F2) + 128, p0)
+    out[2] = np.where(mask, _c8(Q0 - F1) + 128, q0)
+    return out
+
+
+def _filter_v_edge(buf, y0, x, n, mb_edge, lim, il, hev_t, simple):
+    """Filter the vertical edge at column x over rows y0..y0+n."""
+    if simple:
+        seg = buf[y0:y0 + n, x - 2:x + 2].T.astype(np.int32)
+        buf[y0:y0 + n, x - 2:x + 2] = _simple_filter(seg, lim).T
+    else:
+        seg = buf[y0:y0 + n, x - 4:x + 4].T.astype(np.int32)
+        buf[y0:y0 + n, x - 4:x + 4] = _normal_filter(
+            seg, mb_edge, lim, il, hev_t).T
+
+
+def _filter_h_edge(buf, y, x0, n, mb_edge, lim, il, hev_t, simple):
+    """Filter the horizontal edge at row y over columns x0..x0+n."""
+    if simple:
+        seg = buf[y - 2:y + 2, x0:x0 + n].astype(np.int32)
+        buf[y - 2:y + 2, x0:x0 + n] = _simple_filter(seg, lim)
+    else:
+        seg = buf[y - 4:y + 4, x0:x0 + n].astype(np.int32)
+        buf[y - 4:y + 4, x0:x0 + n] = _normal_filter(
+            seg, mb_edge, lim, il, hev_t)
+
+
+def loop_filter_frame(ybuf, ubuf, vbuf, mb_w, mb_h, levels, sub_flags,
+                      filter_type, sharpness):
+    """§15.4 frame-level filter pass, MB raster order. ``levels`` is the
+    per-MB filter level (0 = skip), ``sub_flags`` whether subblock
+    (interior) edges are filtered (MB has coefficients or is B_PRED).
+    filter_type: 0 = normal, 1 = simple (luma only)."""
+    simple = filter_type == 1
+    for mb_y in range(mb_h):
+        for mb_x in range(mb_w):
+            lvl = int(levels[mb_y][mb_x])
+            if lvl == 0:
+                continue
+            il = lvl
+            if sharpness:
+                il >>= 2 if sharpness > 4 else 1
+                il = min(il, 9 - sharpness)
+            il = max(il, 1)
+            hev_t = 2 if lvl >= 40 else (1 if lvl >= 15 else 0)
+            mb_lim = (lvl + 2) * 2 + il
+            sub_lim = lvl * 2 + il
+            sub = bool(sub_flags[mb_y][mb_x])
+            y0, x0 = 1 + 16 * mb_y, 1 + 16 * mb_x
+            if mb_x:
+                _filter_v_edge(ybuf, y0, x0, 16, True, mb_lim, il, hev_t, simple)
+            if sub:
+                for dx in (4, 8, 12):
+                    _filter_v_edge(ybuf, y0, x0 + dx, 16, False, sub_lim, il,
+                                   hev_t, simple)
+            if mb_y:
+                _filter_h_edge(ybuf, y0, x0, 16, True, mb_lim, il, hev_t, simple)
+            if sub:
+                for dy in (4, 8, 12):
+                    _filter_h_edge(ybuf, y0 + dy, x0, 16, False, sub_lim, il,
+                                   hev_t, simple)
+            if not simple:
+                c0, cx0 = 1 + 8 * mb_y, 1 + 8 * mb_x
+                for cbuf in (ubuf, vbuf):
+                    if mb_x:
+                        _filter_v_edge(cbuf, c0, cx0, 8, True, mb_lim, il,
+                                       hev_t, False)
+                    if sub:
+                        _filter_v_edge(cbuf, c0, cx0 + 4, 8, False, sub_lim,
+                                       il, hev_t, False)
+                    if mb_y:
+                        _filter_h_edge(cbuf, c0, cx0, 8, True, mb_lim, il,
+                                       hev_t, False)
+                    if sub:
+                        _filter_h_edge(cbuf, c0 + 4, cx0, 8, False, sub_lim,
+                                       il, hev_t, False)
+
+# ---------------------------------------------------------------------------
+# coefficient token decoding (§13)
+# ---------------------------------------------------------------------------
+
+
+def _decode_block_tokens(bd: BoolDecoder, plane_probs, first: int, ctx: int,
+                         qdc: int, qac: int):
+    """Decode one 4x4 block's tokens -> (dequantized natural-order 4x4
+    int array, nonzero flag). `plane_probs` is probs[plane] (8x3x11)."""
+    out = np.zeros(16, dtype=np.int64)
+    i = first
+    start = 0
+    nnz = 0
+    while i < 16:
+        p = plane_probs[COEFF_BANDS[i]][ctx]
+        tok = bd.tree(COEFF_TREE, p, start)
+        if tok == DCT_EOB:
+            break
+        if tok == 0:
+            ctx = 0
+            start = 2  # after a zero token EOB cannot follow (§13.3)
+            i += 1
+            continue
+        start = 0
+        if tok <= 4:
+            v = tok
+            ctx = 1 if tok == 1 else 2
+        else:
+            cat = tok - 5
+            extra = 0
+            for pp in CAT_PROBS[cat]:
+                extra = (extra << 1) | bd.bool(pp)
+            v = CAT_BASE[cat] + extra
+            ctx = 2
+        if bd.bool(128):
+            v = -v
+        out[ZIGZAG[i]] = v * (qdc if i == 0 else qac)
+        nnz += 1
+        i += 1
+    return out.reshape(4, 4), 1 if nnz else 0
+
+
+# ---------------------------------------------------------------------------
+# key-frame decoder
+# ---------------------------------------------------------------------------
+
+
+def decode_vp8_planes(data: bytes):
+    """VP8 key frame -> (y, u, v) uint8 planes (§9-15). See the module
+    docstring for the foreign-stream probability-table caveat."""
+    if len(data) < 10:
+        raise ValueError("VP8: truncated frame header")
+    tag = data[0] | (data[1] << 8) | (data[2] << 16)
+    if tag & 1:
+        raise NotImplementedError("VP8: inter frame (key frames only)")
+    part1_len = tag >> 5
+    if data[3:6] != b"\x9d\x01\x2a":
+        raise ValueError("VP8: bad keyframe start code")
+    w = struct.unpack("<H", data[6:8])[0] & 0x3FFF
+    h = struct.unpack("<H", data[8:10])[0] & 0x3FFF
+    if not w or not h:
+        raise ValueError("VP8: zero dimension")
+    if 10 + part1_len > len(data):
+        raise ValueError("VP8: first partition overruns frame")
+    bd = BoolDecoder(data[10:10 + part1_len])
+
+    bd.literal(1)  # color space
+    bd.literal(1)  # clamping type
+    seg_enabled = bd.literal(1)
+    seg_update_map = 0
+    seg_abs = 0
+    seg_qi = [0] * 4
+    seg_lf = [0] * 4
+    seg_tree_probs = [255] * 3
+    if seg_enabled:
+        seg_update_map = bd.literal(1)
+        update_data = bd.literal(1)
+        if update_data:
+            seg_abs = bd.literal(1)
+            for i in range(4):
+                if bd.literal(1):
+                    seg_qi[i] = bd.signed_literal(7)
+            for i in range(4):
+                if bd.literal(1):
+                    seg_lf[i] = bd.signed_literal(6)
+        if seg_update_map:
+            for i in range(3):
+                if bd.literal(1):
+                    seg_tree_probs[i] = bd.literal(8)
+    filter_type = bd.literal(1)
+    filter_level = bd.literal(6)
+    sharpness = bd.literal(3)
+    ref_deltas = [0] * 4
+    mode_deltas = [0] * 4
+    lf_delta_enabled = bd.literal(1)
+    if lf_delta_enabled:
+        if bd.literal(1):  # mode_ref_lf_delta_update
+            for i in range(4):
+                if bd.literal(1):
+                    ref_deltas[i] = bd.signed_literal(6)
+            for i in range(4):
+                if bd.literal(1):
+                    mode_deltas[i] = bd.signed_literal(6)
+    nparts = 1 << bd.literal(2)
+    qi = bd.literal(7)
+    qdeltas = tuple(
+        bd.signed_literal(4) if bd.literal(1) else 0 for _ in range(5)
+    )
+    bd.literal(1)  # refresh entropy probs (key frame)
+    probs = [[[list(DEFAULT_COEFF_PROBS[i][j][k]) for k in range(3)]
+              for j in range(8)] for i in range(4)]
+    for i in range(4):
+        for j in range(8):
+            for k in range(3):
+                for l in range(11):
+                    if bd.bool(COEFF_UPDATE_PROBS[i][j][k][l]):
+                        probs[i][j][k][l] = bd.literal(8)
+    skip_enabled = bd.literal(1)
+    prob_skip = bd.literal(8) if skip_enabled else 0
+
+    # token partitions: (nparts-1) 3-byte little-endian sizes, then data
+    tok0 = 10 + part1_len
+    sizes = []
+    p = tok0
+    for _ in range(nparts - 1):
+        sizes.append(data[p] | (data[p + 1] << 8) | (data[p + 2] << 16))
+        p += 3
+    parts = []
+    for s in sizes:
+        if p + s > len(data):
+            raise ValueError("VP8: token partition overruns frame")
+        parts.append(BoolDecoder(data[p:p + s]))
+        p += s
+    parts.append(BoolDecoder(data[p:]))
+
+    mb_w, mb_h = (w + 15) // 16, (h + 15) // 16
+    ybuf = np.full((1 + 16 * mb_h, 1 + 16 * mb_w + 4), 127, dtype=np.int32)
+    ybuf[1:, 0] = 129
+    ubuf = np.full((1 + 8 * mb_h, 1 + 8 * mb_w), 127, dtype=np.int32)
+    ubuf[1:, 0] = 129
+    vbuf = ubuf.copy()
+
+    above_bmodes = [[B_DC_PRED] * 4 for _ in range(mb_w)]
+    above_nz = {
+        "y": [[0] * 4 for _ in range(mb_w)],
+        "u": [[0] * 2 for _ in range(mb_w)],
+        "v": [[0] * 2 for _ in range(mb_w)],
+        "y2": [0] * mb_w,
+    }
+    levels = [[0] * mb_w for _ in range(mb_h)]
+    sub_flags = [[False] * mb_w for _ in range(mb_h)]
+
+    for mb_y in range(mb_h):
+        tbd = parts[mb_y % nparts]
+        left_bmodes = [B_DC_PRED] * 4
+        left_nz = {"y": [0] * 4, "u": [0] * 2, "v": [0] * 2, "y2": [0]}
+        for mb_x in range(mb_w):
+            seg_id = 0
+            if seg_enabled and seg_update_map:
+                seg_id = bd.tree(MB_SEGMENT_TREE, seg_tree_probs)
+            skip = bd.bool(prob_skip) if skip_enabled else 0
+            ymode = bd.tree(KF_YMODE_TREE, KF_YMODE_PROB)
+            if ymode == B_PRED:
+                bmodes = []
+                for r in range(4):
+                    for c in range(4):
+                        am = above_bmodes[mb_x][c] if r == 0 else bmodes[4 * (r - 1) + c]
+                        lm = left_bmodes[r] if c == 0 else bmodes[4 * r + c - 1]
+                        bmodes.append(
+                            bd.tree(BMODE_TREE, KF_B_MODE_PROBS[am][lm]))
+            else:
+                bmodes = [_MODE_TO_B[ymode]] * 16
+            uvmode = bd.tree(UV_MODE_TREE, KF_UV_MODE_PROB)
+
+            if seg_enabled:
+                mb_qi = seg_qi[seg_id] if seg_abs else qi + seg_qi[seg_id]
+            else:
+                mb_qi = qi
+            dq = dequant_factors(mb_qi, qdeltas)
+            has_y2 = ymode != B_PRED
+
+            yco = [None] * 16
+            uco = [None] * 4
+            vco = [None] * 4
+            y2_nz = 0
+            has_coeffs = False
+            if skip:
+                left_nz["y"] = [0] * 4
+                left_nz["u"] = [0] * 2
+                left_nz["v"] = [0] * 2
+                above_nz["y"][mb_x] = [0] * 4
+                above_nz["u"][mb_x] = [0] * 2
+                above_nz["v"][mb_x] = [0] * 2
+                if has_y2:
+                    left_nz["y2"][0] = 0
+                    above_nz["y2"][mb_x] = 0
+                dcs = np.zeros((4, 4), dtype=np.int64)
+            else:
+                if has_y2:
+                    ctx = above_nz["y2"][mb_x] + left_nz["y2"][0]
+                    blk, y2_nz = _decode_block_tokens(
+                        tbd, probs[1], 0, ctx, dq["y2"][0], dq["y2"][1])
+                    above_nz["y2"][mb_x] = left_nz["y2"][0] = y2_nz
+                    dcs = iwht4x4(blk).astype(np.int64)
+                    has_coeffs = has_coeffs or bool(y2_nz)
+                else:
+                    dcs = np.zeros((4, 4), dtype=np.int64)
+                ytype = 0 if has_y2 else 3
+                yfirst = 1 if has_y2 else 0
+                for r in range(4):
+                    for c in range(4):
+                        ctx = above_nz["y"][mb_x][c] + left_nz["y"][r]
+                        blk, nz = _decode_block_tokens(
+                            tbd, probs[ytype], yfirst, ctx,
+                            dq["y"][0], dq["y"][1])
+                        above_nz["y"][mb_x][c] = left_nz["y"][r] = nz
+                        yco[4 * r + c] = blk
+                        has_coeffs = has_coeffs or bool(nz)
+                for name, store in (("u", uco), ("v", vco)):
+                    for r in range(2):
+                        for c in range(2):
+                            ctx = above_nz[name][mb_x][c] + left_nz[name][r]
+                            blk, nz = _decode_block_tokens(
+                                tbd, probs[2], 0, ctx,
+                                dq["uv"][0], dq["uv"][1])
+                            above_nz[name][mb_x][c] = left_nz[name][r] = nz
+                            store[2 * r + c] = blk
+                            has_coeffs = has_coeffs or bool(nz)
+
+            # ---- reconstruction ----
+            y0, x0 = 1 + 16 * mb_y, 1 + 16 * mb_x
+            if ymode != B_PRED:
+                pred = _pred_block(ybuf, y0, x0, 16, ymode, mb_y > 0, mb_x > 0)
+                for r in range(4):
+                    for c in range(4):
+                        blk = yco[4 * r + c]
+                        if blk is None:
+                            blk = np.zeros((4, 4), dtype=np.int64)
+                        blk = blk.copy()
+                        blk[0, 0] = dcs[r, c]
+                        res = idct4x4(blk)
+                        tgt = pred[4 * r:4 * r + 4, 4 * c:4 * c + 4] + res
+                        ybuf[y0 + 4 * r:y0 + 4 * r + 4,
+                             x0 + 4 * c:x0 + 4 * c + 4] = np.clip(tgt, 0, 255)
+            else:
+                for r in range(4):
+                    for c in range(4):
+                        yb, xb = y0 + 4 * r, x0 + 4 * c
+                        above = ybuf[yb - 1, xb:xb + 4]
+                        if c == 3:
+                            aright = ybuf[y0 - 1, x0 + 16:x0 + 20]
+                        else:
+                            aright = ybuf[yb - 1, xb + 4:xb + 8]
+                        left = ybuf[yb:yb + 4, xb - 1]
+                        al = ybuf[yb - 1, xb - 1]
+                        pred = predict_b(bmodes[4 * r + c], above, aright,
+                                         left, al)
+                        blk = yco[4 * r + c]
+                        res = (idct4x4(blk) if blk is not None
+                               else np.zeros((4, 4), dtype=np.int32))
+                        ybuf[yb:yb + 4, xb:xb + 4] = np.clip(pred + res, 0, 255)
+            c0, cx0 = 1 + 8 * mb_y, 1 + 8 * mb_x
+            for buf, store in ((ubuf, uco), (vbuf, vco)):
+                pred = _pred_block(buf, c0, cx0, 8, uvmode, mb_y > 0, mb_x > 0)
+                for r in range(2):
+                    for c in range(2):
+                        blk = store[2 * r + c]
+                        res = (idct4x4(blk) if blk is not None
+                               else np.zeros((4, 4), dtype=np.int32))
+                        tgt = pred[4 * r:4 * r + 4, 4 * c:4 * c + 4] + res
+                        buf[c0 + 4 * r:c0 + 4 * r + 4,
+                            cx0 + 4 * c:cx0 + 4 * c + 4] = np.clip(tgt, 0, 255)
+
+            # ---- loop filter bookkeeping ----
+            if seg_enabled:
+                lvl = seg_lf[seg_id] if seg_abs else filter_level + seg_lf[seg_id]
+            else:
+                lvl = filter_level
+            if lf_delta_enabled:
+                lvl += ref_deltas[0]  # intra frame
+                if ymode == B_PRED:
+                    lvl += mode_deltas[0]
+            levels[mb_y][mb_x] = max(0, min(63, lvl))
+            sub_flags[mb_y][mb_x] = has_coeffs or ymode == B_PRED
+
+            above_bmodes[mb_x] = bmodes[12:]
+            left_bmodes = [bmodes[3], bmodes[7], bmodes[11], bmodes[15]]
+        # right-edge extension for next row's above-right reads
+        ybuf[y0:y0 + 16, 1 + 16 * mb_w:] = ybuf[y0:y0 + 16,
+                                                16 * mb_w][:, None]
+
+    if filter_level:
+        loop_filter_frame(ybuf, ubuf, vbuf, mb_w, mb_h, levels, sub_flags,
+                          filter_type, sharpness)
+
+    cw, ch = (w + 1) // 2, (h + 1) // 2
+    return (
+        ybuf[1:h + 1, 1:w + 1].astype(np.uint8),
+        ubuf[1:ch + 1, 1:cw + 1].astype(np.uint8),
+        vbuf[1:ch + 1, 1:cw + 1].astype(np.uint8),
+    )
+
+# ---------------------------------------------------------------------------
+# encoder (key frames; mirrors the decoder's reconstruction exactly)
+# ---------------------------------------------------------------------------
+
+
+def _quantize_block(coeffs, qdc, qac, skip_dc=False):
+    """Truncating-division quantization (non-normative encoder choice);
+    magnitudes clamped to the token alphabet (cat6 <= 2047 extra)."""
+    out = np.zeros((4, 4), dtype=np.int64)
+    flat_c = np.asarray(coeffs, dtype=np.int64).reshape(16)
+    for i in range(16):
+        if skip_dc and i == 0:
+            continue
+        q = qdc if i == 0 else qac
+        val = int(flat_c[i])
+        qv = abs(val) // q
+        qv = min(qv, 2047)
+        out.flat[i] = -qv if val < 0 else qv
+    return out
+
+
+def _encode_block_tokens(be: BoolEncoder, plane_probs, first: int, ctx: int,
+                         qblk) -> int:
+    """Mirror of _decode_block_tokens for the encoder. `qblk` is the
+    natural-order 4x4 QUANTIZED block. Returns the nonzero flag."""
+    zz = [int(qblk.flat[ZIGZAG[i]]) for i in range(16)]
+    last = -1
+    for i in range(15, first - 1, -1):
+        if zz[i]:
+            last = i
+            break
+    i = first
+    start = 0
+    if last < first:
+        be.tree(COEFF_TREE, plane_probs[COEFF_BANDS[i]][ctx], DCT_EOB, start)
+        return 0
+    while i <= last:
+        p = plane_probs[COEFF_BANDS[i]][ctx]
+        v = zz[i]
+        if v == 0:
+            be.tree(COEFF_TREE, p, 0, start)
+            ctx = 0
+            start = 2
+            i += 1
+            continue
+        av = abs(v)
+        if av <= 4:
+            tok = av
+            ctx = 1 if av == 1 else 2
+            be.tree(COEFF_TREE, p, tok, start)
+        else:
+            for cat in range(5, -1, -1):
+                top = CAT_BASE[cat] + (1 << len(CAT_PROBS[cat])) - 1
+                if av >= CAT_BASE[cat] and av <= top:
+                    break
+            be.tree(COEFF_TREE, p, 5 + cat, start)
+            extra = av - CAT_BASE[cat]
+            nb = len(CAT_PROBS[cat])
+            for b, pp in enumerate(CAT_PROBS[cat]):
+                be.bool((extra >> (nb - 1 - b)) & 1, pp)
+            ctx = 2
+        be.bool(1 if v < 0 else 0, 128)
+        start = 0
+        i += 1
+    if i < 16:
+        be.tree(COEFF_TREE, plane_probs[COEFF_BANDS[i]][ctx], DCT_EOB, start)
+    return 1
+
+
+def _pad_plane(p, bh, bw):
+    h, w = p.shape
+    out = np.zeros((bh, bw), dtype=np.int32)
+    out[:h, :w] = p
+    if w < bw:
+        out[:h, w:] = p[:, -1:]
+    if h < bh:
+        out[h:, :] = out[h - 1:h, :]
+    return out
+
+
+def encode_vp8(y, u, v, qi: int = 40, *, filter_level: int = 0,
+               filter_type: int = 0, sharpness: int = 0,
+               n_partitions: int = 1, qdeltas=(0, 0, 0, 0, 0),
+               ymode_map=None, bmode_map=None, uvmode_map=None,
+               skip_enabled: bool = True, return_debug: bool = False):
+    """Encode (y, u, v) uint8 planes as a VP8 key frame.
+
+    ``ymode_map``/``uvmode_map``: (mb_h, mb_w) arrays of whole-MB modes
+    (default all DC_PRED); ``bmode_map``: (mb_h, mb_w, 16) sub-modes for
+    MBs whose ymode is B_PRED.  Reconstruction (prediction, dequant,
+    inverse transforms, skip and context rules) mirrors the decoder
+    statement-for-statement, so decode(encode(x)) is bit-exact by
+    construction — the independent check lives in tests/test_vp8.py.
+    With ``return_debug`` also returns per-MB modes and quantized
+    coefficients so tests can rebuild the expected frame from scratch."""
+    y = np.asarray(y)
+    u = np.asarray(u)
+    v = np.asarray(v)
+    h, w = y.shape
+    ch, cw = (h + 1) // 2, (w + 1) // 2
+    if u.shape != (ch, cw) or v.shape != (ch, cw):
+        raise ValueError("VP8: chroma planes must be ceil-half luma size")
+    if n_partitions not in (1, 2, 4, 8):
+        raise ValueError("VP8: 1/2/4/8 token partitions")
+    mb_w, mb_h = (w + 15) // 16, (h + 15) // 16
+    ys = _pad_plane(y, 16 * mb_h, 16 * mb_w)
+    us = _pad_plane(u, 8 * mb_h, 8 * mb_w)
+    vs = _pad_plane(v, 8 * mb_h, 8 * mb_w)
+
+    ybuf = np.full((1 + 16 * mb_h, 1 + 16 * mb_w + 4), 127, dtype=np.int32)
+    ybuf[1:, 0] = 129
+    ubuf = np.full((1 + 8 * mb_h, 1 + 8 * mb_w), 127, dtype=np.int32)
+    ubuf[1:, 0] = 129
+    vbuf = ubuf.copy()
+    dq = dequant_factors(qi, qdeltas)
+
+    recs = []  # per-MB records for the bitstream pass
+    for mb_y in range(mb_h):
+        for mb_x in range(mb_w):
+            ymode = int(ymode_map[mb_y][mb_x]) if ymode_map is not None else DC_PRED
+            uvmode = int(uvmode_map[mb_y][mb_x]) if uvmode_map is not None else DC_PRED
+            has_y2 = ymode != B_PRED
+            y0, x0 = 1 + 16 * mb_y, 1 + 16 * mb_x
+            yq = [None] * 16
+            if has_y2:
+                bmodes = [_MODE_TO_B[ymode]] * 16
+                pred = _pred_block(ybuf, y0, x0, 16, ymode, mb_y > 0, mb_x > 0)
+                src = ys[16 * mb_y:16 * mb_y + 16, 16 * mb_x:16 * mb_x + 16]
+                fds = [[None] * 4 for _ in range(4)]
+                dcin = np.zeros((4, 4), dtype=np.int64)
+                for r in range(4):
+                    for c in range(4):
+                        res = (src[4 * r:4 * r + 4, 4 * c:4 * c + 4]
+                               - pred[4 * r:4 * r + 4, 4 * c:4 * c + 4])
+                        fd = fdct4x4(res)
+                        dcin[r, c] = fd[0, 0]
+                        fds[r][c] = fd
+                y2q = _quantize_block(fwht4x4(dcin), dq["y2"][0], dq["y2"][1])
+                y2deq = y2q.astype(np.int64).copy()
+                y2deq.flat[0] *= dq["y2"][0]
+                y2deq.flat[1:] *= dq["y2"][1]
+                dcs = iwht4x4(y2deq).astype(np.int64)
+                for r in range(4):
+                    for c in range(4):
+                        q = _quantize_block(fds[r][c], 1, dq["y"][1],
+                                            skip_dc=True)
+                        yq[4 * r + c] = q
+                        deq = q * dq["y"][1]
+                        deq[0, 0] = dcs[r, c]
+                        out = (pred[4 * r:4 * r + 4, 4 * c:4 * c + 4]
+                               + idct4x4(deq))
+                        ybuf[y0 + 4 * r:y0 + 4 * r + 4,
+                             x0 + 4 * c:x0 + 4 * c + 4] = np.clip(out, 0, 255)
+            else:
+                if bmode_map is None:
+                    raise ValueError("VP8: B_PRED requires bmode_map")
+                bmodes = [int(m) for m in np.asarray(bmode_map[mb_y][mb_x]).reshape(16)]
+                y2q = None
+                src = ys[16 * mb_y:16 * mb_y + 16, 16 * mb_x:16 * mb_x + 16]
+                for r in range(4):
+                    for c in range(4):
+                        yb, xb = y0 + 4 * r, x0 + 4 * c
+                        above = ybuf[yb - 1, xb:xb + 4]
+                        if c == 3:
+                            aright = ybuf[y0 - 1, x0 + 16:x0 + 20]
+                        else:
+                            aright = ybuf[yb - 1, xb + 4:xb + 8]
+                        left = ybuf[yb:yb + 4, xb - 1]
+                        al = ybuf[yb - 1, xb - 1]
+                        pred = predict_b(bmodes[4 * r + c], above, aright,
+                                         left, al)
+                        res = src[4 * r:4 * r + 4, 4 * c:4 * c + 4] - pred
+                        q = _quantize_block(fdct4x4(res), dq["y"][0],
+                                            dq["y"][1])
+                        yq[4 * r + c] = q
+                        deq = q.astype(np.int64).copy()
+                        deq.flat[0] *= dq["y"][0]
+                        deq.flat[1:] *= dq["y"][1]
+                        ybuf[yb:yb + 4, xb:xb + 4] = np.clip(
+                            pred + idct4x4(deq), 0, 255)
+            c0, cx0 = 1 + 8 * mb_y, 1 + 8 * mb_x
+            uq = [None] * 4
+            vq = [None] * 4
+            for sbuf, splane, store in ((ubuf, us, uq), (vbuf, vs, vq)):
+                pred = _pred_block(sbuf, c0, cx0, 8, uvmode, mb_y > 0, mb_x > 0)
+                src = splane[8 * mb_y:8 * mb_y + 8, 8 * mb_x:8 * mb_x + 8]
+                for r in range(2):
+                    for c in range(2):
+                        res = (src[4 * r:4 * r + 4, 4 * c:4 * c + 4]
+                               - pred[4 * r:4 * r + 4, 4 * c:4 * c + 4])
+                        q = _quantize_block(fdct4x4(res), dq["uv"][0],
+                                            dq["uv"][1])
+                        store[2 * r + c] = q
+                        deq = q.astype(np.int64).copy()
+                        deq.flat[0] *= dq["uv"][0]
+                        deq.flat[1:] *= dq["uv"][1]
+                        out = (pred[4 * r:4 * r + 4, 4 * c:4 * c + 4]
+                               + idct4x4(deq))
+                        sbuf[c0 + 4 * r:c0 + 4 * r + 4,
+                             cx0 + 4 * c:cx0 + 4 * c + 4] = np.clip(out, 0, 255)
+            all_zero = (
+                all(not q.any() for q in yq)
+                and all(not q.any() for q in uq)
+                and all(not q.any() for q in vq)
+                and (y2q is None or not y2q.any())
+            )
+            skip = 1 if (skip_enabled and all_zero) else 0
+            recs.append(dict(ymode=ymode, uvmode=uvmode, bmodes=bmodes,
+                             skip=skip, y2q=y2q, yq=yq, uq=uq, vq=vq))
+        ybuf[y0:y0 + 16, 1 + 16 * mb_w:] = ybuf[y0:y0 + 16, 16 * mb_w][:, None]
+
+    # ---- bitstream pass ----
+    probs = DEFAULT_COEFF_PROBS
+    be = BoolEncoder()
+    be.literal(0, 1)  # color space
+    be.literal(0, 1)  # clamping
+    be.literal(0, 1)  # segmentation disabled
+    be.literal(filter_type & 1, 1)
+    be.literal(filter_level, 6)
+    be.literal(sharpness, 3)
+    be.literal(0, 1)  # lf deltas disabled
+    be.literal({1: 0, 2: 1, 4: 2, 8: 3}[n_partitions], 2)
+    be.literal(qi, 7)
+    for d in qdeltas:
+        if d:
+            be.literal(1, 1)
+            be.signed_literal(d, 4)
+        else:
+            be.literal(0, 1)
+    be.literal(1, 1)  # refresh entropy probs
+    for i in range(4):
+        for j in range(8):
+            for k in range(3):
+                for l in range(11):
+                    be.bool(0, COEFF_UPDATE_PROBS[i][j][k][l])
+    be.literal(1 if skip_enabled else 0, 1)
+    if skip_enabled:
+        be.literal(128, 8)  # prob_skip_false
+    prob_skip = 128
+
+    above_bmodes = [[B_DC_PRED] * 4 for _ in range(mb_w)]
+    tok_encoders = [BoolEncoder() for _ in range(n_partitions)]
+    above_nz = {
+        "y": [[0] * 4 for _ in range(mb_w)],
+        "u": [[0] * 2 for _ in range(mb_w)],
+        "v": [[0] * 2 for _ in range(mb_w)],
+        "y2": [0] * mb_w,
+    }
+    for mb_y in range(mb_h):
+        te = tok_encoders[mb_y % n_partitions]
+        left_bmodes = [B_DC_PRED] * 4
+        left_nz = {"y": [0] * 4, "u": [0] * 2, "v": [0] * 2, "y2": [0]}
+        for mb_x in range(mb_w):
+            rec = recs[mb_y * mb_w + mb_x]
+            if skip_enabled:
+                be.bool(rec["skip"], prob_skip)
+            be.tree(KF_YMODE_TREE, KF_YMODE_PROB, rec["ymode"])
+            if rec["ymode"] == B_PRED:
+                bm = rec["bmodes"]
+                for r in range(4):
+                    for c in range(4):
+                        am = above_bmodes[mb_x][c] if r == 0 else bm[4 * (r - 1) + c]
+                        lm = left_bmodes[r] if c == 0 else bm[4 * r + c - 1]
+                        be.tree(BMODE_TREE, KF_B_MODE_PROBS[am][lm],
+                                bm[4 * r + c])
+            be.tree(UV_MODE_TREE, KF_UV_MODE_PROB, rec["uvmode"])
+            has_y2 = rec["ymode"] != B_PRED
+            if rec["skip"]:
+                left_nz["y"] = [0] * 4
+                left_nz["u"] = [0] * 2
+                left_nz["v"] = [0] * 2
+                above_nz["y"][mb_x] = [0] * 4
+                above_nz["u"][mb_x] = [0] * 2
+                above_nz["v"][mb_x] = [0] * 2
+                if has_y2:
+                    left_nz["y2"][0] = 0
+                    above_nz["y2"][mb_x] = 0
+            else:
+                if has_y2:
+                    ctx = above_nz["y2"][mb_x] + left_nz["y2"][0]
+                    nz = _encode_block_tokens(te, probs[1], 0, ctx, rec["y2q"])
+                    above_nz["y2"][mb_x] = left_nz["y2"][0] = nz
+                ytype = 0 if has_y2 else 3
+                yfirst = 1 if has_y2 else 0
+                for r in range(4):
+                    for c in range(4):
+                        ctx = above_nz["y"][mb_x][c] + left_nz["y"][r]
+                        nz = _encode_block_tokens(te, probs[ytype], yfirst,
+                                                  ctx, rec["yq"][4 * r + c])
+                        above_nz["y"][mb_x][c] = left_nz["y"][r] = nz
+                for name, key in (("u", "uq"), ("v", "vq")):
+                    for r in range(2):
+                        for c in range(2):
+                            ctx = above_nz[name][mb_x][c] + left_nz[name][r]
+                            nz = _encode_block_tokens(te, probs[2], 0, ctx,
+                                                      rec[key][2 * r + c])
+                            above_nz[name][mb_x][c] = left_nz[name][r] = nz
+            above_bmodes[mb_x] = rec["bmodes"][12:]
+            left_bmodes = [rec["bmodes"][i] for i in (3, 7, 11, 15)]
+
+    part1 = be.finish()
+    parts = [t.finish() for t in tok_encoders]
+    tag = (0) | (0 << 1) | (1 << 4) | (len(part1) << 5)
+    out = bytearray()
+    out += bytes((tag & 0xFF, (tag >> 8) & 0xFF, (tag >> 16) & 0xFF))
+    out += b"\x9d\x01\x2a"
+    out += struct.pack("<HH", w, h)
+    out += part1
+    for p in parts[:-1]:
+        out += bytes((len(p) & 0xFF, (len(p) >> 8) & 0xFF, (len(p) >> 16) & 0xFF))
+    for p in parts:
+        out += p
+    stream = bytes(out)
+    if return_debug:
+        return stream, dict(recs=recs, dq=dq, mb_w=mb_w, mb_h=mb_h,
+                            filter_level=filter_level,
+                            filter_type=filter_type, sharpness=sharpness)
+    return stream
+
+# ---------------------------------------------------------------------------
+# color conversion + WebP container (public API)
+# ---------------------------------------------------------------------------
+
+
+def vp8_yuv_to_rgb(y, u, v) -> np.ndarray:
+    """BT.601 limited-range YUV420 -> (H,W,3) uint8 RGB; chroma is
+    replicate-upsampled (non-normative display-side choice, mirrored by
+    rgb_to_vp8_yuv)."""
+    h, w = y.shape
+    uu = np.repeat(np.repeat(u, 2, axis=0), 2, axis=1)[:h, :w]
+    vv = np.repeat(np.repeat(v, 2, axis=0), 2, axis=1)[:h, :w]
+    yf = y.astype(np.float64) - 16.0
+    uf = uu.astype(np.float64) - 128.0
+    vf = vv.astype(np.float64) - 128.0
+    r = 1.164 * yf + 1.596 * vf
+    g = 1.164 * yf - 0.813 * vf - 0.391 * uf
+    b = 1.164 * yf + 2.018 * uf
+    return np.clip(np.rint(np.stack([r, g, b], axis=-1)), 0, 255).astype(
+        np.uint8)
+
+
+def rgb_to_vp8_yuv(rgb) -> tuple:
+    """(H,W,3) uint8 RGB -> BT.601 limited-range (y, u, v) 4:2:0 planes
+    (box-average chroma downsample with edge replication)."""
+    rgb = np.asarray(rgb, dtype=np.float64)
+    r, g, b = rgb[..., 0], rgb[..., 1], rgb[..., 2]
+    y = 16.0 + 0.257 * r + 0.504 * g + 0.098 * b
+    u = 128.0 - 0.148 * r - 0.291 * g + 0.439 * b
+    v = 128.0 + 0.439 * r - 0.368 * g - 0.071 * b
+    h, w = y.shape
+    ch, cw = (h + 1) // 2, (w + 1) // 2
+
+    def down(p):
+        pp = np.zeros((2 * ch, 2 * cw))
+        pp[:h, :w] = p
+        if w < 2 * cw:
+            pp[:h, w:] = p[:, -1:]
+        if h < 2 * ch:
+            pp[h:, :] = pp[h - 1:h, :]
+        return (pp[0::2, 0::2] + pp[0::2, 1::2] + pp[1::2, 0::2]
+                + pp[1::2, 1::2]) / 4.0
+
+    to8 = lambda p: np.clip(np.rint(p), 0, 255).astype(np.uint8)  # noqa: E731
+    return to8(y), to8(down(u)), to8(down(v))
+
+
+def decode_vp8(data: bytes) -> np.ndarray:
+    """VP8 key frame -> (H,W,3) uint8 RGB."""
+    y, u, v = decode_vp8_planes(data)
+    return vp8_yuv_to_rgb(y, u, v)
+
+
+def encode_webp_lossy(img, qi: int = 40, **kw) -> bytes:
+    """(H,W,3) uint8 RGB -> lossy WebP (RIFF/WEBP/'VP8 ' chunk)."""
+    y, u, v = rgb_to_vp8_yuv(img)
+    frame = encode_vp8(y, u, v, qi=qi, **kw)
+    chunk = b"VP8 " + struct.pack("<I", len(frame)) + frame
+    if len(frame) & 1:
+        chunk += b"\x00"
+    return b"RIFF" + struct.pack("<I", 4 + len(chunk)) + b"WEBP" + chunk

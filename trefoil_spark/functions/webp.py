@@ -713,8 +713,15 @@ def decode_webp(data: bytes) -> np.ndarray:
         if tag == b"VP8L":
             payload = data[pos + 8:pos + 8 + size]
             break
-        if tag == b"VP8 " or tag == b"VP8X":
-            raise NotImplementedError("lossy/extended WebP")
+        if tag == b"VP8 ":  # r6: lossy VP8 key frame (functions/vp8.py)
+            from .vp8 import decode_vp8
+
+            rgb = decode_vp8(data[pos + 8:pos + 8 + size])
+            return np.concatenate(
+                [rgb, np.full(rgb.shape[:2] + (1,), 255, np.uint8)], axis=-1
+            )
+        if tag == b"VP8X":
+            raise NotImplementedError("extended WebP")
         pos += 8 + size + (size & 1)
     if payload is None:
         raise ValueError("no VP8L chunk")

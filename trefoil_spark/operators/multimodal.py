@@ -160,23 +160,67 @@ def synth_image(doc_id: int) -> np.ndarray:
     return np.stack(chans, axis=-1)
 
 
+LOSSY_QI = 40
+
+
+def lossy_flat_image(v: int) -> np.ndarray:
+    """Flat 16×16 RGB test image for the lossy-WebP leg: every pixel is
+    (v, 3v+17, 7v+29) mod 256, so the decoded output is a pure function
+    of v = doc_id % 256 and a 256-row expectation table covers it."""
+    img = np.empty((IMG_SIDE, IMG_SIDE, 3), np.uint8)
+    img[..., 0] = v
+    img[..., 1] = (3 * v + 17) % 256
+    img[..., 2] = (7 * v + 29) % 256
+    return img
+
+
+def lossy_expectation_table(qi: int = LOSSY_QI) -> list:
+    """(v, sum_r, sum_g, sum_b) for each of the 256 flat lossy sources,
+    computed by running the engine's own VP8 encode→decode round trip.
+    Used by the DuckDB oracle (as a VALUES table) and by tests: a driver
+    hash match then proves executor-side decode is deterministic and
+    bit-identical to this reference evaluation."""
+    from ..functions.vp8 import encode_webp_lossy
+    from ..functions.webp import decode_webp
+
+    rows = []
+    for v in range(256):
+        dec = decode_webp(encode_webp_lossy(lossy_flat_image(v), qi=qi))
+        s = dec[..., :3].astype(np.int64).sum(axis=(0, 1))
+        rows.append((v, int(s[0]), int(s[1]), int(s[2])))
+    return rows
+
+
 def attach_real_images(df: DataFrame) -> DataFrame:
     """doc_id → actual encoded image bytes in the ``media`` column:
-    doc_id%3==0 → truecolor PNG, ==1 → lossless WebP, ==2 → GIF89a
-    (all byte-exact codecs — a 16×16 image has ≤256 pixels so the GIF
-    palette is exact — keeping downstream features closed-form)."""
+    doc_id%4==0 → truecolor PNG, ==1 → lossless WebP (VP8L), ==2 →
+    GIF89a, ==3 → lossy WebP (VP8 key frame, functions/vp8.py). The
+    three lossless codecs carry the closed-form synth_image (byte-exact
+    round trip — a 16×16 image has ≤256 pixels so the GIF palette is
+    exact); the lossy leg carries a FLAT image keyed by doc_id%256 so
+    its decode is covered by lossy_expectation_table()."""
     from ..functions.gif import encode_gif
     from ..functions.png import encode_rgb_png
+    from ..functions.vp8 import encode_webp_lossy
     from ..functions.webp import encode_webp
 
     encoders = (encode_rgb_png, encode_webp, encode_gif)
 
     def gen(batches):
+        lossy_cache: dict[int, bytes] = {}
         for pdf in batches:
             rows = []
             for doc_id in pdf["doc_id"]:
                 d = int(doc_id)
-                payload = encoders[d % 3](synth_image(d))
+                if d % 4 == 3:
+                    v = d % 256
+                    if v not in lossy_cache:
+                        lossy_cache[v] = encode_webp_lossy(
+                            lossy_flat_image(v), qi=LOSSY_QI
+                        )
+                    payload = lossy_cache[v]
+                else:
+                    payload = encoders[d % 4](synth_image(d))
                 rows.append((d, payload))
             yield pd.DataFrame(rows, columns=["doc_id", "media"])
 
@@ -189,7 +233,7 @@ def sniff_format(payload: bytes) -> str:
     if payload[:2] == b"\xff\xd8":
         return "jpg"
     if payload[:4] == b"RIFF" and payload[8:12] == b"WEBP":
-        return "webp"
+        return "webp_lossy" if payload[12:16] == b"VP8 " else "webp"
     if payload[:6] in (b"GIF87a", b"GIF89a"):
         return "gif"
     raise ValueError("unknown image payload")
@@ -212,7 +256,7 @@ def decode_image_features(df: DataFrame) -> DataFrame:
                 fmt = sniff_format(raw)
                 if fmt == "png":
                     img = decode_rgb_png(raw)
-                elif fmt == "webp":
+                elif fmt in ("webp", "webp_lossy"):
                     img = decode_webp(raw)
                 elif fmt == "gif":
                     img = decode_gif(raw)
