@@ -225,6 +225,7 @@ def _codec_tiles() -> dict[str, bytes]:
     from trefoil_spark.functions.gif import encode_gif
     from trefoil_spark.functions.jpeg import encode_jpeg
     from trefoil_spark.functions.png import encode_rgb_png
+    from trefoil_spark.functions.vp8 import encode_webp_lossy
     from trefoil_spark.functions.webp import encode_webp
 
     rng = np.random.default_rng(42)
@@ -237,6 +238,7 @@ def _codec_tiles() -> dict[str, bytes]:
         "png_filter0": encode_rgb_png(img),
         "png_paeth": _paeth_png(img),
         "webp_vp8l": encode_webp(img),
+        "webp_vp8": encode_webp_lossy(img, qi=40),  # coefficient-dense lossy
         "gif": encode_gif(pimg),
     }
 
@@ -257,6 +259,7 @@ def _codec_decode_bench(runs: int, steal_max: float) -> dict[str, float]:
         "png_filter0": decode_rgb_png,
         "png_paeth": decode_png,
         "webp_vp8l": decode_webp,
+        "webp_vp8": decode_webp,
         "gif": decode_gif,
     }
     tiles = _codec_tiles()

@@ -550,6 +550,58 @@ def _fixed_array(bld: _Builder, elems: list[bytes], entry_size: int,
     return bld.alloc(hdr)
 
 
+def _enc_width(v: int) -> int:
+    """Spec sizing rule (independent twin of the reader's): min bytes
+    for values ≤ v = floor(log2 v)/8 + 1."""
+    return (max(int(v), 1).bit_length() - 1) // 8 + 1
+
+
+def _btree_v2_index(bld: _Builder, recs: list[bytes], rrec_size: int,
+                    btype: int, node_size: int = 2048) -> int:
+    """Version-2 B-tree over encoded chunk records (File Format Spec
+    v3.0 §III.A.2): BTHD header + one BTLF leaf, or — when the records
+    overflow one leaf — a depth-1 tree with a BTIN root holding the
+    separator records and (addr, nrec) child pointers."""
+    cap = (node_size - 10) // rrec_size
+    nrec_w = _enc_width(cap)
+    total = len(recs)
+    if total <= cap:
+        leaf = (b"BTLF" + struct.pack("<BB", 0, btype)
+                + b"".join(recs) + b"\x00" * 4)
+        root_addr, depth, root_nrec = bld.alloc(leaf), 0, total
+    else:
+        k = (total + cap) // (cap + 1)  # leaves; k-1 separators in root
+        while total - (k - 1) > k * cap:
+            k += 1
+        per, rem = divmod(total - (k - 1), k)
+        ptr_sz = 8 + nrec_w
+        int_cap = (node_size - 10 - ptr_sz) // (rrec_size + ptr_sz)
+        assert k - 1 <= int_cap, "fixture would need depth 2"
+        children, seps, i = [], [], 0
+        for li in range(k):
+            n = per + (1 if li < rem else 0)
+            leaf = (b"BTLF" + struct.pack("<BB", 0, btype)
+                    + b"".join(recs[i : i + n]) + b"\x00" * 4)
+            children.append((bld.alloc(leaf), n))
+            i += n
+            if li < k - 1:
+                seps.append(recs[i])
+                i += 1
+        assert i == total
+        body = bytearray(b"BTIN" + struct.pack("<BB", 0, btype))
+        for s in seps:
+            body += s
+        for addr, n in children:
+            body += struct.pack("<Q", addr) + n.to_bytes(nrec_w, "little")
+        body += b"\x00" * 4
+        root_addr, depth, root_nrec = bld.alloc(bytes(body)), 1, k - 1
+    hdr = (b"BTHD" + struct.pack("<BB", 0, btype)
+           + struct.pack("<IHHBB", node_size, rrec_size, depth, 100, 40)
+           + struct.pack("<QHQ", root_addr, root_nrec, total)
+           + b"\x00" * 4)
+    return bld.alloc(hdr)
+
+
 def _dataspace_v1_unlim(dims: list[int]) -> bytes:
     """v1 dataspace with the maxdims flag set and dim 0 unlimited — the
     shape HDF5 emits for appendable (time-unlimited) variables.  The
@@ -665,6 +717,7 @@ def _dataset_v4_chunked(
     bld: _Builder, arr: np.ndarray, chunk, kind: str, itype: int,
     deflate: bool = False, elem_dim: bool = True, page_bits: int = 5,
     ea_params: dict | None = None, unlim: bool = False,
+    bt2_node_size: int = 2048,
 ) -> int:
     blobs = _chunk_blobs(arr, chunk, deflate)
     extra = b""
@@ -698,6 +751,30 @@ def _dataset_v4_chunked(
                 "<BBBBB", ea["maxbits"], ea["iblk_elmts"], ea["smin"],
                 ea["dmin"], ea["pbits"],
             )
+    elif itype == 5:  # v2 B-tree: records carry scaled (grid) offsets
+        addrs = [bld.alloc(b) for b in blobs]
+        ranges = [range(0, s, c) for s, c in zip(arr.shape, chunk)]
+        offs_list = [()]
+        for r in ranges:
+            offs_list = [o + (v,) for o in offs_list for v in r]
+        chunk_bytes = arr.dtype.itemsize
+        for c in chunk:
+            chunk_bytes *= c
+        size_len = _enc_width(chunk_bytes)
+        recs = []
+        for offs, a, raw in zip(offs_list, addrs, blobs):
+            r = struct.pack("<Q", a)
+            if deflate:
+                r += len(raw).to_bytes(size_len, "little")
+                r += struct.pack("<I", 0)
+            r += b"".join(
+                struct.pack("<Q", o // c) for o, c in zip(offs, chunk)
+            )
+            recs.append(r)
+        rrec_size = len(recs[0])
+        btype = 11 if deflate else 10
+        addr = _btree_v2_index(bld, recs, rrec_size, btype, bt2_node_size)
+        extra = struct.pack("<IBB", bt2_node_size, 100, 40)
     else:
         raise ValueError(f"itype {itype}")
     space = _dataspace_v1_unlim if unlim else _dataspace_v1
@@ -786,6 +863,44 @@ def build_earray_file(path: str) -> dict[str, np.ndarray]:
     add("ea_default", _dataset_v4_chunked(
         bld, d, (1, 8), "i4", 4, ea_params=EA_DEFAULT, unlim=True), d)
     add("twin", _chunked_dataset(bld, c, (1, 5), "i4", True, []), c)
+    root = _symbol_table_root(bld, links)
+    data = bld.bytes()
+    bld.place(0, _superblock_v0(root, len(data)))
+    with open(path, "wb") as f:
+        f.write(bld.bytes())
+    return out
+
+
+def build_btree2_file(path: str) -> dict[str, np.ndarray]:
+    """v2 B-tree chunk indexes (the 2+-unlimited-dims shape, HDF5 1.10
+    libver='latest'): depth-0 unfiltered, depth-0 filtered (type-11
+    records with variable-width chunk sizes), a depth-1 tree (small
+    node size forces BTIN root + separator records + multiple leaves),
+    its filtered twin, and a v1-B-tree twin for tile-identity
+    assertions (closes the last v4 chunk-index type)."""
+    bld = _Builder(1 << 17)
+    out: dict[str, np.ndarray] = {}
+    links = []
+
+    def add(name, oh, arr):
+        out[name] = arr
+        links.append((name, oh))
+
+    big = ((np.arange(12 * 10, dtype="<i4").reshape(12, 10) * 19 + 3)
+           % 1777)
+    add("bt2_leaf", _dataset_v4_chunked(
+        bld, big, (4, 4), "i4", 5, unlim=True), big)
+    add("bt2_leaf_deflate", _dataset_v4_chunked(
+        bld, big, (4, 4), "i4", 5, deflate=True, unlim=True), big)
+    # 9 records, node_size 128 -> leaf cap 4 (rrec 24), BTIN root
+    add("bt2_deep", _dataset_v4_chunked(
+        bld, big, (4, 4), "i4", 5, bt2_node_size=128, elem_dim=False,
+        unlim=True), big)
+    # filtered deep: rrec 8+size_len(1)+4+16 = 29, cap 4 at 128
+    add("bt2_deep_deflate", _dataset_v4_chunked(
+        bld, big, (4, 4), "i4", 5, deflate=True, bt2_node_size=128,
+        unlim=True), big)
+    add("twin", _chunked_dataset(bld, big, (4, 4), "i4", True, []), big)
     root = _symbol_table_root(bld, links)
     data = bld.bytes()
     bld.place(0, _superblock_v0(root, len(data)))

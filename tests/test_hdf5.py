@@ -455,9 +455,49 @@ def test_v4_chunk_indexes(tmp_path):
     assert offs_fa == offs_tw and len(offs_fa) == 9
 
 
-def test_v4_btree2_index_raises():
-    """The one remaining v4 index type (v2 B-tree, 2+ unlimited dims)
-    raises loudly at parse time, not silently misread."""
+def test_v4_btree2_index(tmp_path):
+    """v2 B-tree chunk index (2+ unlimited dims, HDF5 1.10
+    libver='latest'): depth-0 unfiltered + filtered, depth-1 (BTIN root
+    with separator records and multiple BTLF leaves) unfiltered +
+    filtered all read value-identical, and the deep variable is
+    tile-identical to its v1-B-tree twin (closes the last v4 chunk
+    index type, VERDICT r5 missing tail)."""
+    from tests.h5build import build_btree2_file
+
+    p = str(tmp_path / "bt2.h5")
+    want = build_btree2_file(p)
+    f = H5File(p)
+    assert sorted(f.datasets) == sorted(want)
+    for name, arr in want.items():
+        assert np.array_equal(f.datasets[name].read(), arr), name
+    offs_bt = sorted(o for o, *_ in f.datasets["bt2_deep"].chunk_map())
+    offs_tw = sorted(o for o, *_ in f.datasets["twin"].chunk_map())
+    assert offs_bt == offs_tw and len(offs_bt) == 9
+
+
+def test_v4_btree2_depth_shapes(tmp_path):
+    """The depth-1 fixture really exercises internal-node walking: its
+    BTHD records depth 1, while the leaf-only fixture records depth 0
+    (guards against the builder silently flattening the tree)."""
+    import struct as _s
+
+    from tests.h5build import build_btree2_file
+
+    p = str(tmp_path / "bt2b.h5")
+    build_btree2_file(p)
+    d = open(p, "rb").read()
+    depths = set()
+    i = d.find(b"BTHD")
+    while i != -1:
+        depths.add(_s.unpack_from("<H", d, i + 12)[0])
+        i = d.find(b"BTHD", i + 4)
+    assert depths == {0, 1}
+    assert d.count(b"BTIN") == 2 and d.count(b"BTLF") >= 6
+
+
+def test_v4_unknown_index_raises():
+    """An unknown v4 chunk-index type still raises loudly at parse
+    time, not silently misread."""
     import struct as _s
 
     from trefoil_spark.sources.hdf5 import _parse_layout
@@ -465,9 +505,9 @@ def test_v4_btree2_index_raises():
     body = (
         _s.pack("<BBBBB", 4, 2, 0, 3, 4)
         + _s.pack("<III", 4, 4, 4)
-        + _s.pack("<B", 5)
+        + _s.pack("<B", 6)
     )
-    with pytest.raises(NotImplementedError, match="B-tree"):
+    with pytest.raises(NotImplementedError, match="index type 6"):
         _parse_layout(body)
 
 

@@ -25,8 +25,9 @@ subset, chosen to cover what netCDF-4 writers emit:
   latest-format) single-chunk / implicit / fixed-array indexes incl.
   data-block paging (r5); extensible array (ONE unlimited dim — the
   appendable-time-archive shape, r6) incl. secondary blocks and paged
-  data blocks; v2 B-tree (2+ unlimited dims) raises with a clear
-  message
+  data blocks; v2 B-tree (2+ unlimited dims, r6) with depth-walking
+  internal nodes and both unfiltered/filtered chunk records — every
+  chunk index type HDF5 1.10 can emit now ingests
 - global heap ("GCOL") for vlen attribute data (DIMENSION_LIST)
 
 The netCDF-4 semantic layer (dimension scales via CLASS=DIMENSION_SCALE
@@ -475,10 +476,13 @@ def _parse_layout(b: bytes) -> Layout:
                 # page bits) — duplicated in the EAHD header, which the
                 # walker reads authoritatively, so only skip them here
                 p += 5
+            elif itype == 5:  # v2 B-tree (r6): node size(4) + split(1)
+                # + merge(1) creation params — the BTHD header duplicates
+                # them, which the walker reads authoritatively
+                p += 6
             else:
                 raise NotImplementedError(
-                    f"HDF5 v4 chunk index type {itype} "
-                    "(v2 B-tree) unsupported"
+                    f"HDF5 v4 chunk index type {itype} unsupported"
                 )
             addr = int.from_bytes(b[p : p + 8], "little")
             return Layout(
@@ -754,14 +758,113 @@ def _extensible_array_chunks(
     return out
 
 
+def _nrec_enc_size(v: int) -> int:
+    """libhdf5 H5VM_limit_enc_size: min bytes to store values ≤ v
+    (floor(log2 v)/8 + 1)."""
+    return (max(int(v), 1).bit_length() - 1) // 8 + 1
+
+
+def _btree_v2_chunks(
+    d, bthd: int, chunk_bytes: int, grid, cshape
+) -> list[tuple[tuple[int, ...], int, int, int]]:
+    """Version-2 B-tree chunk index (BTHD/BTIN/BTLF, record types 10
+    unfiltered / 11 filtered) → [(element offsets, addr, size, fmask)].
+    HDF5 emits this index for chunked datasets with 2+ unlimited
+    dimensions under libver='latest' (File Format Spec v3.0 §III.A.2,
+    record layouts per the spec's dataset-chunk record tables).  Field
+    widths follow the spec's sizing rules: the child-record-count width
+    is the encoded size of the LEAF record capacity (the largest), and
+    the per-depth cumulative-count width is the encoded size of the
+    subtree record capacity; records hold scaled (grid) offsets, one
+    8-byte word per dataspace dimension."""
+    if d[bthd : bthd + 4] != b"BTHD":
+        raise ValueError(f"bad v2 b-tree header signature at {bthd}")
+    btype = d[bthd + 5]
+    node_size = struct.unpack_from("<I", d, bthd + 6)[0]
+    rrec_size = struct.unpack_from("<H", d, bthd + 10)[0]
+    depth = struct.unpack_from("<H", d, bthd + 12)[0]
+    root_addr = int.from_bytes(d[bthd + 16 : bthd + 24], "little")
+    root_nrec = struct.unpack_from("<H", d, bthd + 24)[0]
+    if btype not in (10, 11):
+        raise NotImplementedError(f"v2 b-tree record type {btype} for chunks")
+    filtered = btype == 11
+    ndims = len(grid)
+    # filtered record: addr(8) + size(var) + mask(4) + offsets(8*ndims);
+    # the variable size width falls out of the header's record size
+    size_len = rrec_size - 8 - 4 - 8 * ndims if filtered else 0
+    if filtered and not 1 <= size_len <= 8:
+        raise ValueError(
+            f"v2 b-tree record size {rrec_size} inconsistent with "
+            f"{ndims}-dim filtered chunk records"
+        )
+    # per-depth capacity/width table (libhdf5 H5B2__hdr_init)
+    max_nrec = [(node_size - 10) // rrec_size]  # 10 = prefix+checksum
+    cum_max = [max_nrec[0]]
+    cum_size = [0]
+    nrec_width = _nrec_enc_size(max_nrec[0])  # leaf capacity is largest
+    for lvl in range(1, depth + 1):
+        ptr = 8 + nrec_width + cum_size[lvl - 1]
+        n = (node_size - 10 - ptr) // (rrec_size + ptr)
+        max_nrec.append(n)
+        cum_max.append((n + 1) * cum_max[lvl - 1] + n)
+        cum_size.append(_nrec_enc_size(cum_max[lvl]))
+    out: list[tuple[tuple[int, ...], int, int, int]] = []
+
+    def rec(p: int) -> None:
+        addr = int.from_bytes(d[p : p + 8], "little")
+        p += 8
+        if filtered:
+            size = int.from_bytes(d[p : p + size_len], "little")
+            p += size_len
+            mask = struct.unpack_from("<I", d, p)[0]
+            p += 4
+        else:
+            size, mask = chunk_bytes, 0
+        scaled = [
+            int.from_bytes(d[p + 8 * i : p + 8 * (i + 1)], "little")
+            for i in range(ndims)
+        ]
+        out.append(
+            (tuple(s * c for s, c in zip(scaled, cshape)), addr, size, mask)
+        )
+
+    def walk(addr: int, nrec: int, lvl: int) -> None:
+        if lvl == 0:
+            if d[addr : addr + 4] != b"BTLF":
+                raise ValueError(f"bad v2 b-tree leaf signature at {addr}")
+            p = addr + 6
+            for _ in range(nrec):
+                rec(p)
+                p += rrec_size
+        else:
+            if d[addr : addr + 4] != b"BTIN":
+                raise ValueError(
+                    f"bad v2 b-tree internal node signature at {addr}"
+                )
+            p = addr + 6
+            for i in range(nrec):
+                rec(p + i * rrec_size)
+            p += nrec * rrec_size
+            for _ in range(nrec + 1):
+                caddr = int.from_bytes(d[p : p + 8], "little")
+                p += 8
+                cnrec = int.from_bytes(d[p : p + nrec_width], "little")
+                p += nrec_width
+                if lvl > 1:
+                    p += cum_size[lvl - 1]
+                walk(caddr, cnrec, lvl - 1)
+
+    walk(root_addr, root_nrec, depth)
+    return out
+
+
 def _walk_v4_chunk_index(
     d, layout: Layout, shape: tuple[int, ...], itemsize: int
 ) -> list[tuple[tuple[int, ...], int, int, int]]:
     """Layout-v4 chunk indexes (HDF5 1.10 latest-format): single chunk,
-    implicit, fixed array (fixed-dimension variables) and extensible
-    array (ONE unlimited dimension — appendable time archives, r6);
-    v2 B-tree (2+ unlimited dims, rare in netCDF-4 practice) raises in
-    _parse_layout with a clear message."""
+    implicit, fixed array (fixed-dimension variables), extensible array
+    (ONE unlimited dimension — appendable time archives, r6) and v2
+    B-tree (2+ unlimited dimensions, r6)."""
     cshape = layout.chunk_shape
     if layout.addr == UNDEF:
         return []  # never-written dataset: all-fill
@@ -790,6 +893,8 @@ def _walk_v4_chunk_index(
         return _extensible_array_chunks(
             d, layout.addr, chunk_bytes, grid, cshape, nchunks
         )
+    if it == 5:
+        return _btree_v2_chunks(d, layout.addr, chunk_bytes, grid, cshape)
     raise NotImplementedError(f"HDF5 v4 chunk index type {it}")
 
 
