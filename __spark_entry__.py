@@ -1380,8 +1380,10 @@ def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal with REAL codecs (r3; r6 adds GIF + lossy VP8):
     deterministic RGB images are encoded to actual PNG (doc_id%4==0) /
     lossless WebP (==1) / GIF89a (==2) / lossy-VP8 WebP (==3, RFC 6386
-    key frame via functions/vp8.py) bytes with the engine's own
-    encoders, ride the binary column through a hash repartition, and are
+    key frame via functions/vp8.py; the %8==7 half wrapped in an
+    extended VP8X container with a raw ALPH alpha plane) bytes with the
+    engine's own encoders, ride the binary column through a hash
+    repartition, and are
     decoded back executor-side by magic-sniffed dispatch into exact
     per-channel pixel sums. The DuckDB oracle recomputes the lossless
     sums from the closed-form pixel generator and carries a 256-row
@@ -1855,7 +1857,9 @@ def _multimodal_decode_oracle() -> str:
         )
         SELECT s.doc_id,
                CASE s.doc_id % 4 WHEN 0 THEN 'png' WHEN 1 THEN 'webp'
-                    WHEN 2 THEN 'gif' ELSE 'webp_lossy' END AS fmt,
+                    WHEN 2 THEN 'gif'
+                    ELSE CASE WHEN s.doc_id % 8 = 7 THEN 'webp_x'
+                              ELSE 'webp_lossy' END END AS fmt,
                CAST(16 AS BIGINT) AS width, CAST(16 AS BIGINT) AS height,
                CASE WHEN s.doc_id % 4 = 3 THEN CAST(l.er AS BIGINT)
                     ELSE s.sum_r END AS sum_r,

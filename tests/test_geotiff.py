@@ -85,6 +85,10 @@ def _build_tiff(path, tags_list, segments):
     TYPE_PACK = {3: "<H", 4: "<I", 12: "<d"}
     entries = []
     for tag, ty, values in tags_list:
+        if ty in (1, 7):  # BYTE / UNDEFINED: values is a bytes payload
+            raw = bytes(values)
+            entries.append([tag, ty, len(raw), raw, None])
+            continue
         raw = b"".join(struct.pack(TYPE_PACK[ty], v) for v in values)
         entries.append([tag, ty, len(values), raw, None])
     entries.sort(key=lambda e: e[0])
@@ -241,7 +245,7 @@ def test_reader_tiled_deflate(tmp_path):
     assert np.array_equal(arr, data)
 
 
-def test_reader_rejects_jpeg_compression(tmp_path):
+def test_reader_rejects_oldstyle_jpeg_compression(tmp_path):
     p = str(tmp_path / "bad.tif")
     data = np.zeros((2, 2), dtype=np.float32)
     write_geotiff(p, data, 0, 0, 1, 1)
@@ -252,10 +256,128 @@ def test_reader_rejects_jpeg_compression(tmp_path):
     for i in range(n):
         tag = struct.unpack_from("<H", raw, 10 + i * 12)[0]
         if tag == 259:
-            struct.pack_into("<H", raw, 10 + i * 12 + 8, 7)  # JPEG-in-TIFF
+            struct.pack_into("<H", raw, 10 + i * 12 + 8, 6)  # old-style JPEG
     open(p, "wb").write(bytes(raw))
     with pytest.raises(ValueError, match="compression"):
         read_geotiff(p)
+
+
+def test_reader_packbits_strips(tmp_path):
+    # Hand-packed PackBits streams (TIFF 6.0 §9): literal runs, repeat
+    # runs, the n==128 no-op, and a 130-byte repeat that needs two runs.
+    rows = [
+        bytes([5]) * 132 + bytes([1, 2, 3]),
+        bytes(range(100)) + bytes([7]) * 35,
+        bytes([0]) * 135,
+    ]
+    data = np.frombuffer(b"".join(rows), dtype=np.uint8).reshape(3, 135)
+
+    def pack(row: bytes) -> bytes:
+        out = bytearray()
+        i = 0
+        while i < len(row):
+            j = i
+            while j + 1 < len(row) and row[j + 1] == row[j] and j - i < 127:
+                j += 1
+            if j > i:  # repeat run
+                out += bytes([257 - (j - i + 1), row[i]])
+                i = j + 1
+            else:  # literal run
+                k = i
+                while (
+                    k + 1 < len(row)
+                    and (k + 2 >= len(row) or row[k + 1] != row[k + 2])
+                    and k - i < 127
+                ):
+                    k += 1
+                out += bytes([k - i]) + row[i : k + 1]
+                i = k + 1
+        out += bytes([128])  # no-op filler the decoder must skip
+        return bytes(out)
+
+    segs = [pack(r) for r in rows]
+    p = str(tmp_path / "packbits.tif")
+    _build_tiff(
+        p,
+        [(256, 4, [135]), (257, 4, [3]), (258, 3, [8]), (259, 3, [32773]),
+         (262, 3, [1]), (277, 3, [1]), (278, 4, [1]), (339, 3, [1]),
+         (273, 4, [0] * 3), (279, 4, [len(s) for s in segs])],
+        segs,
+    )
+    arr, meta = read_geotiff(p)
+    assert np.array_equal(arr, data)
+
+
+def test_reader_jpeg_in_tiff_strips(tmp_path):
+    # New-style JPEG (compression 7): each strip is a complete JPEG
+    # stream from the engine's own T.81 encoder; the expectation is the
+    # independent decode of the same stream, so the TIFF layer is
+    # verified exactly (splice/assembly), not the lossy codec.
+    from trefoil_spark.functions.jpeg import decode_jpeg, encode_jpeg
+
+    rng = np.random.default_rng(41)
+    gray = rng.integers(0, 256, (16, 24), dtype=np.uint8)
+    segs, want = [], []
+    for i in range(2):
+        strip = gray[i * 8 : (i + 1) * 8]
+        seg = encode_jpeg(strip, quality=90)
+        segs.append(seg)
+        want.append(decode_jpeg(seg)[:, :, 0])
+    p = str(tmp_path / "jpeg.tif")
+    _build_tiff(
+        p,
+        [(256, 4, [24]), (257, 4, [16]), (258, 3, [8]), (259, 3, [7]),
+         (262, 3, [1]), (277, 3, [1]), (278, 4, [8]), (339, 3, [1]),
+         (273, 4, [0] * 2), (279, 4, [len(s) for s in segs])],
+        segs,
+    )
+    arr, meta = read_geotiff(p)
+    assert arr.dtype == np.uint8
+    assert np.array_equal(arr, np.vstack(want))
+
+
+def test_reader_jpeg_in_tiff_shared_tables(tmp_path):
+    # JPEGTables tag (347): shared DQT/DHT in an abbreviated SOI..EOI
+    # stream; strips carry abbreviated streams (tables stripped out).
+    # Expectation = decode of the unsplit full stream.
+    from trefoil_spark.functions.jpeg import decode_jpeg, encode_jpeg
+
+    rng = np.random.default_rng(42)
+    gray = rng.integers(0, 256, (8, 16), dtype=np.uint8)
+    full = encode_jpeg(gray, quality=85)
+    want = decode_jpeg(full)[:, :, 0]
+
+    # split: tables = SOI + (DQT|DHT segments) + EOI; strip = SOI + rest
+    import struct as _s
+
+    tables, rest = bytearray(b"\xff\xd8"), bytearray(b"\xff\xd8")
+    pos = 2
+    while pos < len(full):
+        assert full[pos] == 0xFF
+        marker = full[pos + 1]
+        if marker == 0xD9:  # EOI
+            rest += full[pos:]
+            break
+        if marker == 0xDA:  # SOS: entropy data runs to EOI
+            rest += full[pos:]
+            break
+        (ln,) = _s.unpack_from(">H", full, pos + 2)
+        seg = full[pos : pos + 2 + ln]
+        (tables if marker in (0xDB, 0xC4) else rest).extend(seg)
+        pos += 2 + ln
+    tables += b"\xff\xd9"
+
+    p = str(tmp_path / "jpegtables.tif")
+    _build_tiff(
+        p,
+        [(256, 4, [16]), (257, 4, [8]), (258, 3, [8]), (259, 3, [7]),
+         (262, 3, [1]), (277, 3, [1]), (278, 4, [8]), (339, 3, [1]),
+         (347, 7, bytes(tables)),
+         (273, 4, [0]), (279, 4, [len(rest)])],
+        [bytes(rest)],
+    )
+    arr, meta = read_geotiff(p)
+    assert np.array_equal(arr, want)
 
 
 def test_writer_deflate_roundtrip(tmp_path):

@@ -196,12 +196,15 @@ def test_multimodal_real_decode_roundtrip(spark, sf_dir):
         else:
             sums = synth_image(r["doc_id"]).astype(np.int64).sum(axis=(0, 1))
         assert (r["sum_r"], r["sum_g"], r["sum_b"]) == tuple(int(s) for s in sums)
-        assert r["fmt"] == {0: "png", 1: "webp", 2: "gif", 3: "webp_lossy"}[
+        want_fmt = {0: "png", 1: "webp", 2: "gif", 3: "webp_lossy"}[
             r["doc_id"] % 4
         ]
+        if r["doc_id"] % 8 == 7:  # VP8X + ALPH wrapped lossy payload
+            want_fmt = "webp_x"
+        assert r["fmt"] == want_fmt
         assert (r["width"], r["height"]) == (16, 16)
         fmts.add(r["fmt"])
-    assert fmts == {"png", "webp", "gif", "webp_lossy"}
+    assert fmts == {"png", "webp", "gif", "webp_lossy", "webp_x"}
 
 
 def test_html_extract_recovers_bytes(spark, sf_dir):

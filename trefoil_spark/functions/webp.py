@@ -693,38 +693,9 @@ def _inv_palette(
     return out
 
 
-def decode_webp(data: bytes) -> np.ndarray:
-    """Lossless WebP (VP8L) → (H,W,4) uint8 RGBA.
-
-    Decodes foreign (libwebp-emitted) streams, not just this module's
-    own encoder subset: all four transforms (predictor, cross-color,
-    subtract-green, color-indexing incl. pixel bundling), color cache,
-    meta prefix image, and 2D distance plane codes. The predictor
-    inverse is pixel-sequential Python (throughput caution at ingest
-    scale, same class as the PNG filter loops); everything else is
-    vectorized or table-driven."""
-    if data[:4] != b"RIFF" or data[8:12] != b"WEBP":
-        raise ValueError("not a WebP file")
-    pos = 12
-    payload = None
-    while pos + 8 <= len(data):
-        tag = data[pos:pos + 4]
-        (size,) = struct.unpack("<I", data[pos + 4:pos + 8])
-        if tag == b"VP8L":
-            payload = data[pos + 8:pos + 8 + size]
-            break
-        if tag == b"VP8 ":  # r6: lossy VP8 key frame (functions/vp8.py)
-            from .vp8 import decode_vp8
-
-            rgb = decode_vp8(data[pos + 8:pos + 8 + size])
-            return np.concatenate(
-                [rgb, np.full(rgb.shape[:2] + (1,), 255, np.uint8)], axis=-1
-            )
-        if tag == b"VP8X":
-            raise NotImplementedError("extended WebP")
-        pos += 8 + size + (size & 1)
-    if payload is None:
-        raise ValueError("no VP8L chunk")
+def _decode_vp8l_payload(payload: bytes) -> np.ndarray:
+    """VP8L chunk payload (with the 5-byte signature/dims header) →
+    (H,W,4) RGBA."""
     br = _LsbReader(payload)
     if br.read(8) != 0x2F:
         raise ValueError("bad VP8L signature")
@@ -733,7 +704,12 @@ def decode_webp(data: bytes) -> np.ndarray:
     br.read(1)  # alpha hint
     if br.read(3) != 0:
         raise ValueError("unknown VP8L version")
+    return _decode_vp8l_stream(br, w, h)
 
+
+def _decode_vp8l_stream(br: "_LsbReader", w: int, h: int) -> np.ndarray:
+    """Headless VP8L bitstream (dims known from context — the normal
+    header, or the VP8X canvas for compressed ALPH planes) → (H,W,4)."""
     cur_w = w  # shrinks when color-indexing bundles pixels
     transforms: list[tuple[int, object]] = []
     seen: set[int] = set()
@@ -799,3 +775,170 @@ def decode_webp(data: bytes) -> np.ndarray:
             bits, tdata = payload_t
             img = _inv_predictor(img, width, h, bits, tdata)
     return img.reshape(h, w, 4)
+
+
+def _unfilter_alpha(plane: np.ndarray, method: int) -> np.ndarray:
+    """Invert the ALPH chunk's prediction filter (container spec
+    'Alpha filtering method': 0 none, 1 horizontal, 2 vertical,
+    3 gradient).  Row 0 of the vertical/gradient filters falls back to
+    horizontal, and the first pixel of each subsequent horizontal row
+    predicts from the first pixel of the row above, per the spec's
+    boundary conventions."""
+    if method == 0:
+        return plane
+    h, w = plane.shape
+    out = np.zeros_like(plane)
+    if method == 1:  # horizontal
+        for y in range(h):
+            pred = 0 if y == 0 else int(out[y - 1, 0])
+            row = out[y]
+            src = plane[y]
+            for x in range(w):
+                pred = (pred + int(src[x])) & 0xFF
+                row[x] = pred
+    elif method == 2:  # vertical (row 0: horizontal)
+        _unfilter_row0_horizontal(plane, out)
+        for y in range(1, h):
+            out[y] = out[y - 1] + plane[y]  # uint8 wraps mod 256
+    elif method == 3:  # gradient (row 0: horizontal)
+        _unfilter_row0_horizontal(plane, out)
+        for y in range(1, h):
+            left = int(out[y - 1, 0])
+            top_left = left
+            src = plane[y]
+            row = out[y]
+            prev = out[y - 1]
+            for x in range(w):
+                top = int(prev[x])
+                g = left + top - top_left
+                g = 0 if g < 0 else (255 if g > 255 else g)
+                left = (int(src[x]) + g) & 0xFF
+                top_left = top
+                row[x] = left
+    else:
+        raise ValueError(f"ALPH filtering method {method}")
+    return out
+
+
+def _unfilter_row0_horizontal(plane: np.ndarray, out: np.ndarray) -> None:
+    pred = 0
+    src = plane[0]
+    row = out[0]
+    for x in range(plane.shape[1]):
+        pred = (pred + int(src[x])) & 0xFF
+        row[x] = pred
+
+
+def _decode_alph(payload: bytes, w: int, h: int) -> np.ndarray:
+    """ALPH chunk → (H,W) uint8 alpha plane.  Compression 0 is a raw
+    row-major plane; compression 1 is a headless VP8L stream of the
+    VP8X canvas dims with alpha in the GREEN channel (container spec
+    §Alpha).  The optional prediction filter is inverted afterwards;
+    level-reduction preprocessing is lossy and needs no inversion."""
+    if not payload:
+        raise ValueError("empty ALPH chunk")
+    b0 = payload[0]
+    compression = b0 & 0x3
+    filtering = (b0 >> 2) & 0x3
+    data = payload[1:]
+    if compression == 0:
+        if len(data) < w * h:
+            raise ValueError("ALPH raw plane shorter than canvas")
+        plane = np.frombuffer(data[: w * h], dtype=np.uint8).reshape(h, w)
+    elif compression == 1:
+        img = _decode_vp8l_stream(_LsbReader(data), w, h)
+        plane = img[:, :, 1]  # alpha rides the green channel
+    else:
+        raise ValueError(f"ALPH compression method {compression}")
+    return _unfilter_alpha(plane.copy(), filtering)
+
+
+def _walk_chunks(data: bytes, pos: int):
+    while pos + 8 <= len(data):
+        tag = data[pos:pos + 4]
+        (size,) = struct.unpack("<I", data[pos + 4:pos + 8])
+        yield tag, data[pos + 8:pos + 8 + size]
+        pos += 8 + size + (size & 1)
+
+
+def decode_webp(data: bytes) -> np.ndarray:
+    """WebP → (H,W,4) uint8 RGBA.
+
+    Simple containers: VP8L lossless (all four transforms, color cache,
+    meta prefix image, 2D distance codes — foreign libwebp streams, not
+    just the own-encoder subset) and lossy VP8 key frames (functions/
+    vp8.py, RFC 6386).  Extended containers (VP8X, r6): still images
+    with an ALPH alpha plane (raw or headless-VP8L compressed, all four
+    prediction filters) over either base codec, and animated WebP
+    (ANIM/ANMF) decoded as the first frame composited onto the canvas —
+    the same first-frame semantics as the GIF decoder.  ICCP/EXIF/XMP
+    metadata chunks are skipped."""
+    if data[:4] != b"RIFF" or data[8:12] != b"WEBP":
+        raise ValueError("not a WebP file")
+    from .vp8 import decode_vp8
+
+    canvas_wh = None
+    alph = None
+    for tag, chunk in _walk_chunks(data, 12):
+        if tag == b"VP8X":
+            if len(chunk) < 10:
+                raise ValueError("short VP8X chunk")
+            cw = int.from_bytes(chunk[4:7], "little") + 1
+            ch = int.from_bytes(chunk[7:10], "little") + 1
+            canvas_wh = (cw, ch)
+        elif tag == b"ALPH":
+            alph = chunk
+        elif tag == b"VP8L":
+            return _decode_vp8l_payload(chunk)  # carries its own alpha
+        elif tag == b"VP8 ":
+            rgb = decode_vp8(chunk)
+            h, w = rgb.shape[:2]
+            if alph is not None:
+                if canvas_wh is None:
+                    raise ValueError("ALPH chunk without VP8X header")
+                a = _decode_alph(alph, canvas_wh[0], canvas_wh[1])
+                a = a[:h, :w, None]
+            else:
+                a = np.full((h, w, 1), 255, np.uint8)
+            return np.concatenate([rgb, a], axis=-1)
+        elif tag == b"ANMF":
+            if canvas_wh is None:
+                raise ValueError("ANMF chunk without VP8X header")
+            if len(chunk) < 16:
+                raise ValueError("short ANMF chunk")
+            fx = int.from_bytes(chunk[0:3], "little") * 2
+            fy = int.from_bytes(chunk[3:6], "little") * 2
+            fw = int.from_bytes(chunk[6:9], "little") + 1
+            fh = int.from_bytes(chunk[9:12], "little") + 1
+            # frame data = its own chunk list (ALPH? + VP8/VP8L);
+            # re-wrap as a standalone simple/alpha WebP and recurse
+            fa = None
+            for t2, c2 in _walk_chunks(chunk, 16):
+                if t2 == b"ALPH":
+                    fa = (t2, c2)
+                elif t2 in (b"VP8 ", b"VP8L"):
+                    parts = []
+                    if fa is not None:
+                        vp8x = (b"\x10\x00\x00\x00"
+                                + (fw - 1).to_bytes(3, "little")
+                                + (fh - 1).to_bytes(3, "little"))
+                        parts.append(b"VP8X" + struct.pack("<I", len(vp8x))
+                                     + vp8x)
+                        pad = b"\x00" if len(fa[1]) & 1 else b""
+                        parts.append(b"ALPH"
+                                     + struct.pack("<I", len(fa[1]))
+                                     + fa[1] + pad)
+                    pad = b"\x00" if len(c2) & 1 else b""
+                    parts.append(t2 + struct.pack("<I", len(c2)) + c2 + pad)
+                    body = b"WEBP" + b"".join(parts)
+                    frame = decode_webp(
+                        b"RIFF" + struct.pack("<I", len(body)) + body
+                    )
+                    cw, ch = canvas_wh
+                    canvas = np.zeros((ch, cw, 4), np.uint8)
+                    vh = min(frame.shape[0], ch - fy)
+                    vw = min(frame.shape[1], cw - fx)
+                    canvas[fy:fy + vh, fx:fx + vw] = frame[:vh, :vw]
+                    return canvas
+            raise ValueError("ANMF frame without image data")
+    raise ValueError("no image chunk (VP8/VP8L) in WebP container")

@@ -191,14 +191,56 @@ def lossy_expectation_table(qi: int = LOSSY_QI) -> list:
     return rows
 
 
+def _wrap_vp8x_alpha(simple_webp: bytes, v: int) -> bytes:
+    """Re-wrap a simple lossy WebP as an extended (VP8X) container with
+    a raw ALPH alpha plane — alpha pixel i = (v*13 + i) % 256.  The
+    decode features sum RGB only, so the expectation table still
+    covers these rows; the wrap drives the container/ALPH path through
+    the driver gate."""
+    import struct as _s
+
+    pos = 12
+    vp8 = None
+    while pos + 8 <= len(simple_webp):
+        tag = simple_webp[pos : pos + 4]
+        (size,) = _s.unpack("<I", simple_webp[pos + 4 : pos + 8])
+        if tag == b"VP8 ":
+            vp8 = simple_webp[pos + 8 : pos + 8 + size]
+            break
+        pos += 8 + size + (size & 1)
+    if vp8 is None:
+        raise ValueError("no VP8 chunk to wrap")
+    alpha = ((v * 13 + np.arange(IMG_SIDE * IMG_SIDE, dtype=np.int64))
+             % 256).astype(np.uint8).tobytes()
+
+    def chunk(tag, payload):
+        pad = b"\x00" if len(payload) & 1 else b""
+        return tag + _s.pack("<I", len(payload)) + payload + pad
+
+    body = (
+        b"WEBP"
+        + chunk(
+            b"VP8X",
+            bytes([0x10, 0, 0, 0])
+            + (IMG_SIDE - 1).to_bytes(3, "little")
+            + (IMG_SIDE - 1).to_bytes(3, "little"),
+        )
+        + chunk(b"ALPH", bytes([0]) + alpha)
+        + chunk(b"VP8 ", vp8)
+    )
+    return b"RIFF" + _s.pack("<I", len(body)) + body
+
+
 def attach_real_images(df: DataFrame) -> DataFrame:
     """doc_id → actual encoded image bytes in the ``media`` column:
     doc_id%4==0 → truecolor PNG, ==1 → lossless WebP (VP8L), ==2 →
-    GIF89a, ==3 → lossy WebP (VP8 key frame, functions/vp8.py). The
-    three lossless codecs carry the closed-form synth_image (byte-exact
-    round trip — a 16×16 image has ≤256 pixels so the GIF palette is
-    exact); the lossy leg carries a FLAT image keyed by doc_id%256 so
-    its decode is covered by lossy_expectation_table()."""
+    GIF89a, ==3 → lossy WebP (VP8 key frame, functions/vp8.py; the
+    doc_id%8==7 half rides an extended VP8X container with a raw ALPH
+    alpha plane).  The three lossless codecs carry the closed-form
+    synth_image (byte-exact round trip — a 16×16 image has ≤256 pixels
+    so the GIF palette is exact); the lossy legs carry a FLAT image
+    keyed by doc_id%256 so their decode is covered by
+    lossy_expectation_table()."""
     from ..functions.gif import encode_gif
     from ..functions.png import encode_rgb_png
     from ..functions.vp8 import encode_webp_lossy
@@ -219,6 +261,8 @@ def attach_real_images(df: DataFrame) -> DataFrame:
                             lossy_flat_image(v), qi=LOSSY_QI
                         )
                     payload = lossy_cache[v]
+                    if d % 8 == 7:
+                        payload = _wrap_vp8x_alpha(payload, v)
                 else:
                     payload = encoders[d % 4](synth_image(d))
                 rows.append((d, payload))
@@ -233,7 +277,10 @@ def sniff_format(payload: bytes) -> str:
     if payload[:2] == b"\xff\xd8":
         return "jpg"
     if payload[:4] == b"RIFF" and payload[8:12] == b"WEBP":
-        return "webp_lossy" if payload[12:16] == b"VP8 " else "webp"
+        first = payload[12:16]
+        if first == b"VP8 ":
+            return "webp_lossy"
+        return "webp_x" if first == b"VP8X" else "webp"
     if payload[:6] in (b"GIF87a", b"GIF89a"):
         return "gif"
     raise ValueError("unknown image payload")
@@ -256,7 +303,7 @@ def decode_image_features(df: DataFrame) -> DataFrame:
                 fmt = sniff_format(raw)
                 if fmt == "png":
                     img = decode_rgb_png(raw)
-                elif fmt in ("webp", "webp_lossy"):
+                elif fmt in ("webp", "webp_lossy", "webp_x"):
                     img = decode_webp(raw)
                 elif fmt == "gif":
                     img = decode_gif(raw)

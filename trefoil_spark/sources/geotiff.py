@@ -34,12 +34,15 @@ T_SAMPLE_FORMAT = 339
 T_MODEL_PIXEL_SCALE, T_MODEL_TIEPOINT = 33550, 33922
 T_GEO_KEYS, T_GEO_ASCII = 34735, 34737
 T_GDAL_NODATA = 42113
+T_JPEG_TABLES = 347
 
 # TIFF field types
 TY_SHORT, TY_LONG, TY_RATIONAL, TY_ASCII, TY_DOUBLE = 3, 4, 5, 2, 12
 TY_LONG8, TY_SLONG8, TY_IFD8 = 16, 17, 18  # BigTIFF 64-bit types
 _TYPE_SIZE = {TY_SHORT: 2, TY_LONG: 4, TY_ASCII: 1, TY_DOUBLE: 8,
-              TY_LONG8: 8, TY_SLONG8: 8, TY_IFD8: 8}
+              TY_LONG8: 8, TY_SLONG8: 8, TY_IFD8: 8,
+              1: 1, 6: 1, 7: 1,  # BYTE / SBYTE / UNDEFINED (JPEGTables)
+              TY_RATIONAL: 8, 10: 8, 11: 4}
 
 _EPSG_GEOKEYS = {
     "EPSG:4326": [
@@ -266,13 +269,63 @@ def _lzw_decode(data: bytes) -> bytes:
     return bytes(out)
 
 
-def _decompress(raw: bytes, compression: int) -> bytes:
+def _packbits_decode(data: bytes) -> bytes:
+    """TIFF 6.0 §9 PackBits RLE: n<128 → copy n+1 literals, n>128 →
+    repeat next byte 257-n times, n==128 → no-op."""
+    out = bytearray()
+    i = 0
+    ln = len(data)
+    while i < ln:
+        n = data[i]
+        i += 1
+        if n < 128:
+            if i + n + 1 > ln:
+                raise ValueError("truncated PackBits literal run")
+            out += data[i : i + n + 1]
+            i += n + 1
+        elif n > 128:
+            if i >= ln:
+                raise ValueError("truncated PackBits repeat run")
+            out += bytes([data[i]]) * (257 - n)
+            i += 1
+    return bytes(out)
+
+
+def _decompress(
+    raw: bytes,
+    compression: int,
+    jpeg_tables: bytes | None = None,
+    spp: int = 1,
+) -> bytes:
     if compression == 1:
         return raw
     if compression in (8, 32946):  # Adobe / old-style deflate
         return zlib.decompress(raw)
     if compression == 5:
         return _lzw_decode(raw)
+    if compression == 32773:
+        return _packbits_decode(raw)
+    if compression == 7:
+        # new-style JPEG (TIFF TechNote 2): each segment is a JPEG
+        # stream; a JPEGTables tag (347) holds shared DQT/DHT segments
+        # as an abbreviated SOI..EOI stream to splice in after the
+        # segment's SOI.  Decoded with the engine's own T.81 codec;
+        # the SOF dims equal the tile/strip dims, so the pixel bytes
+        # drop straight into the segment assembly path.  decode_jpeg
+        # always yields (H,W,3); spp==1 segments keep channel 0 (the
+        # grayscale path replicates, so any channel is exact).
+        from ..functions.jpeg import decode_jpeg
+
+        seg = raw
+        if jpeg_tables and len(jpeg_tables) > 4:
+            tbl = bytes(jpeg_tables)
+            seg = b"\xff\xd8" + tbl[2:-2] + raw[2:]
+        rgb = decode_jpeg(seg)
+        if spp == 1:
+            return np.ascontiguousarray(rgb[:, :, 0]).tobytes()
+        if spp == 3:
+            return np.ascontiguousarray(rgb).tobytes()
+        raise ValueError(f"JPEG-in-TIFF with {spp} samples/pixel")
     raise ValueError(f"unsupported TIFF compression {compression}")
 
 
@@ -316,8 +369,10 @@ def read_geotiff(path: str):
     chunky multi-band (RGB aerial imagery etc.).
 
     Real-world coverage: classic AND BigTIFF; striped OR tiled layout;
-    uncompressed, DEFLATE (8/32946) or LZW (5) compression; predictor
-    1/2/3 (per-channel horizontal and floating-point differencing);
+    uncompressed, DEFLATE (8/32946), LZW (5), PackBits (32773) or
+    new-style JPEG (7, incl. shared JPEGTables — decoded with the
+    engine's own T.81 codec) compression; predictor 1/2/3 (per-channel
+    horizontal and floating-point differencing);
     u8/u16/u32/i8/i16/i32/f32/f64 samples; planar configuration 1.
     meta: {x0, y0, dx, dy, crs, nodata, bands} (GDAL geotransform
     convention)."""
@@ -382,8 +437,9 @@ def read_geotiff(path: str):
         ntx = (w + tw - 1) // tw
         nty = (h + tl - 1) // tl
         arr = np.zeros((nty * tl, ntx * tw, spp), dtype=dtype)
+        jt = tags.get(T_JPEG_TABLES)
         for i, (o, c) in enumerate(zip(offsets, counts)):
-            seg = _decompress(buf[o : o + c], compression)
+            seg = _decompress(buf[o : o + c], compression, jt, spp)
             blk = _unpredict(seg, tl, tw, dtype, predictor, spp).reshape(tl, tw, spp)
             ty, tx = divmod(i, ntx)
             arr[ty * tl : (ty + 1) * tl, tx * tw : (tx + 1) * tw] = blk
@@ -392,9 +448,10 @@ def read_geotiff(path: str):
         rps = tags.get(T_ROWS_PER_STRIP, [h])[0]
         offsets, counts = tags[T_STRIP_OFFSETS], tags[T_STRIP_COUNTS]
         parts = []
+        jt = tags.get(T_JPEG_TABLES)
         for i, (o, c) in enumerate(zip(offsets, counts)):
             rows = min(rps, h - i * rps)
-            seg = _decompress(buf[o : o + c], compression)
+            seg = _decompress(buf[o : o + c], compression, jt, spp)
             parts.append(
                 _unpredict(seg, rows, w, dtype, predictor, spp).reshape(rows, w, spp)
             )
