@@ -1331,11 +1331,13 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_audio_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Multimodal audio with a REAL codec: deterministic int16 waveforms
-    are encoded to actual RIFF/WAVE PCM bytes (own codec), repartitioned,
-    and decoded back executor-side into exact integer amplitude stats.
-    The oracle aggregates the closed-form waveform — a hash match proves
-    the WAV bytes round-trip through the shuffle."""
+    """Multimodal audio with REAL codecs: deterministic int16 waveforms
+    are encoded to actual RIFF/WAVE PCM (even doc_ids) or native FLAC
+    (odd doc_ids — r6, RFC 9639 codec incl. MD5 verification) bytes,
+    repartitioned, and decoded back executor-side by magic-sniffed
+    dispatch into exact integer amplitude stats. Both codecs are
+    lossless, so one closed-form oracle covers the pair — a hash match
+    proves both containers round-trip through the shuffle."""
     from trefoil_spark.operators.multimodal import (
         attach_real_audio,
         decode_audio_features,
@@ -1345,7 +1347,7 @@ def q_audio_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     media = attach_real_audio(docs).repartition(16, "doc_id")
     out = decode_audio_features(media)
     return out.select(
-        "doc_id",
+        "doc_id", "fmt",
         F.col("sample_rate").cast("bigint").alias("sample_rate"),
         F.col("n_samples").cast("bigint").alias("n_samples"),
         "sum_amp", "sum_abs",
@@ -1807,7 +1809,9 @@ def oracle_sql() -> dict[str, str]:
                 SELECT doc_id, ((doc_id * 9176 + i * 37) % 65536) - 32768 AS s
                 FROM documents, (SELECT UNNEST(range(1024)) AS i)
             )
-            SELECT doc_id, CAST(16000 AS BIGINT) AS sample_rate,
+            SELECT doc_id,
+                   CASE doc_id % 2 WHEN 0 THEN 'wav' ELSE 'flac' END AS fmt,
+                   CAST(16000 AS BIGINT) AS sample_rate,
                    CAST(1024 AS BIGINT) AS n_samples,
                    CAST(SUM(s) AS BIGINT) AS sum_amp,
                    CAST(SUM(ABS(s)) AS BIGINT) AS sum_abs

@@ -344,43 +344,63 @@ def synth_audio(doc_id: int) -> np.ndarray:
 
 
 def attach_real_audio(df: DataFrame) -> DataFrame:
-    """doc_id → actual RIFF/WAVE PCM bytes in the ``media`` column."""
+    """doc_id → actual encoded audio bytes in the ``media`` column:
+    even doc_ids ride RIFF/WAVE PCM, odd ones native FLAC (r6,
+    functions/flac.py — lossless, so both legs decode to the identical
+    closed-form waveform and one oracle covers the pair)."""
+    from ..functions.flac import encode_flac
     from ..functions.wav import encode_wav
 
     def gen(batches):
         for pdf in batches:
-            rows = [
-                (int(d), encode_wav(synth_audio(int(d)), AUDIO_RATE))
-                for d in pdf["doc_id"]
-            ]
+            rows = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                wave = synth_audio(d)
+                payload = (
+                    encode_wav(wave, AUDIO_RATE)
+                    if d % 2 == 0
+                    else encode_flac(wave, AUDIO_RATE)
+                )
+                rows.append((d, payload))
             yield pd.DataFrame(rows, columns=["doc_id", "media"])
 
     return df.mapInPandas(gen, schema="doc_id bigint, media binary")
 
 
 def decode_audio_features(df: DataFrame) -> DataFrame:
-    """media binary → REAL WAV decode → exact integer amplitude stats
-    (sum + sum of |s|: order-free, codec-exact)."""
+    """media binary → REAL decode (magic-sniffed WAV/FLAC dispatch) →
+    exact integer amplitude stats (sum + sum of |s|: order-free,
+    codec-exact)."""
+    from ..functions.flac import decode_flac
     from ..functions.wav import decode_wav
 
     def gen(batches):
         for pdf in batches:
             rows = []
             for doc_id, payload in zip(pdf["doc_id"], pdf["media"]):
-                samples, rate = decode_wav(bytes(payload))
+                raw = bytes(payload)
+                if raw[:4] == b"fLaC":
+                    fmt = "flac"
+                    samples, rate = decode_flac(raw, verify_md5=True)
+                elif raw[:4] == b"RIFF":
+                    fmt = "wav"
+                    samples, rate = decode_wav(raw)
+                else:
+                    raise ValueError("unknown audio payload")
                 s = samples[:, 0].astype(np.int64)
                 rows.append(
-                    (int(doc_id), rate, len(s), int(s.sum()),
+                    (int(doc_id), fmt, rate, len(s), int(s.sum()),
                      int(np.abs(s).sum()))
                 )
             yield pd.DataFrame(
                 rows,
-                columns=["doc_id", "sample_rate", "n_samples", "sum_amp",
-                         "sum_abs"],
+                columns=["doc_id", "fmt", "sample_rate", "n_samples",
+                         "sum_amp", "sum_abs"],
             )
 
     return df.mapInPandas(
         gen,
-        schema="doc_id bigint, sample_rate int, n_samples int, "
-        "sum_amp bigint, sum_abs bigint",
+        schema="doc_id bigint, fmt string, sample_rate int, "
+        "n_samples int, sum_amp bigint, sum_abs bigint",
     )
