@@ -269,8 +269,10 @@ def test_wav_compressed_still_raises():
 
     from trefoil_spark.functions.wav import decode_wav
 
-    with pytest.raises(NotImplementedError, match="format 2"):
-        decode_wav(_wav_bytes(2, 1, 8000, 4, b"\x00\x00"))
+    # format 2 (MS ADPCM) and 0x11 (IMA) decode as of r6; perceptual
+    # codecs (0x55 = MPEG layer 3) still raise.
+    with pytest.raises(NotImplementedError, match="format 85"):
+        decode_wav(_wav_bytes(0x55, 1, 8000, 0, b"\x00\x00"))
 
 
 def test_jpeg_16bit_and_packed_dqt():

@@ -3,8 +3,14 @@
 Upgrades the audio half of the multimodal surface from stub to real for
 PCM payloads (the public RIFF/WAVE format). Encode: PCM-16. Decode (r5,
 foreign-capable): PCM 8/16/24/32, IEEE float 32/64, A-law / μ-law
-(G.711 closed forms), WAVE_FORMAT_EXTENSIBLE dispatch. Compressed audio
-(MP3/AAC/Opus/ADPCM) remains ffmpeg-bound and raises.
+(G.711 closed forms), WAVE_FORMAT_EXTENSIBLE dispatch; (r6) the two
+classic ADPCM families — Microsoft ADPCM (format 2) and IMA/DVI ADPCM
+(format 0x11), both block-based with per-block predictor resync, plus
+conforming encoder twins. The ADPCM constants (IMA 89-entry step table
++ 8-entry index table; MS 7 coefficient pairs + 16-entry adaptation
+table) are the published values from the IMA Digital Audio Pack and the
+Microsoft WAVE format spec — public, format-normative tables. Truly
+perceptual codecs (MP3/AAC/Opus) remain ffmpeg-bound and raise.
 """
 
 from __future__ import annotations
@@ -60,15 +66,211 @@ def _alaw_table() -> np.ndarray:
     return np.where(v & 0x80, mag, -mag).astype(np.int16)
 
 
+# --------------------------------------------------------------- ADPCM
+# IMA Digital Audio Pack step / index tables (format-normative).
+_IMA_STEPS = np.array([
+    7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31, 34, 37,
+    41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130, 143, 157, 173,
+    190, 209, 230, 253, 279, 307, 337, 371, 408, 449, 494, 544, 598, 658,
+    724, 796, 876, 963, 1060, 1166, 1282, 1411, 1552, 1707, 1878, 2066,
+    2272, 2499, 2749, 3024, 3327, 3660, 4026, 4428, 4871, 5358, 5894,
+    6484, 7132, 7845, 8630, 9493, 10442, 11487, 12635, 13899, 15289,
+    16818, 18500, 20350, 22385, 24623, 27086, 29794, 32767], np.int32)
+_IMA_INDEX = np.array([-1, -1, -1, -1, 2, 4, 6, 8], np.int32)
+
+# Microsoft ADPCM coefficient pairs and idelta adaptation table
+# (format-normative, WAVE spec).
+_MS_COEF = [(256, 0), (512, -256), (0, 0), (192, 64), (240, 0),
+            (460, -208), (392, -232)]
+_MS_ADAPT = [230, 230, 230, 230, 307, 409, 512, 614,
+             768, 614, 512, 409, 307, 230, 230, 230]
+
+
+def _clamp16(v: int) -> int:
+    return -32768 if v < -32768 else (32767 if v > 32767 else v)
+
+
+def _ima_decode_channel(pred: int, index: int, nibbles) -> list:
+    """IMA quantizer recursion over a nibble sequence (spec arithmetic:
+    diff = (step>>3) + per-bit step fractions; index walk clamped)."""
+    out = []
+    steps, idxt = _IMA_STEPS, _IMA_INDEX
+    for n in nibbles:
+        step = int(steps[index])
+        diff = step >> 3
+        if n & 1:
+            diff += step >> 2
+        if n & 2:
+            diff += step >> 1
+        if n & 4:
+            diff += step
+        pred = _clamp16(pred - diff if n & 8 else pred + diff)
+        index += int(idxt[n & 7])
+        index = 0 if index < 0 else (88 if index > 88 else index)
+        out.append(pred)
+    return out
+
+
+def _decode_ima_adpcm(pcm: bytes, ch: int, block_align: int) -> np.ndarray:
+    """IMA/DVI ADPCM (format 0x11): per block and channel a 4-byte
+    header (int16 predictor = first output sample, uint8 step index,
+    reserved), then nibble words interleaved in 4-byte groups per
+    channel; low nibble first."""
+    frames = []
+    for b0 in range(0, len(pcm) - block_align + 1, block_align):
+        blk = pcm[b0 : b0 + block_align]
+        preds, idxs, chans = [], [], []
+        for c in range(ch):
+            p, i, _r = struct.unpack_from("<hBB", blk, c * 4)
+            if i > 88:
+                raise ValueError("IMA ADPCM step index out of range")
+            preds.append(p)
+            idxs.append(i)
+            chans.append([p])  # header predictor IS the first sample
+        data = blk[4 * ch :]
+        # nibble payload: groups of 4 bytes (8 nibbles) per channel
+        for g0 in range(0, len(data) - 4 * ch + 1, 4 * ch):
+            for c in range(ch):
+                quad = data[g0 + 4 * c : g0 + 4 * c + 4]
+                nibs = []
+                for byte in quad:
+                    nibs.append(byte & 0xF)
+                    nibs.append(byte >> 4)
+                dec = _ima_decode_channel(chans[c][-1], idxs[c], nibs)
+                # index state persists; recompute it exactly
+                idx = idxs[c]
+                for n in nibs:
+                    idx += int(_IMA_INDEX[n & 7])
+                    idx = 0 if idx < 0 else (88 if idx > 88 else idx)
+                idxs[c] = idx
+                chans[c].extend(dec)
+        n = min(len(x) for x in chans)
+        frames.append(np.stack([np.array(x[:n], np.int16) for x in chans], -1))
+    if not frames:
+        raise ValueError("IMA ADPCM: no complete block")
+    return np.concatenate(frames, axis=0)
+
+
+def _decode_ms_adpcm(pcm: bytes, ch: int, block_align: int) -> np.ndarray:
+    """Microsoft ADPCM (format 2): per block, per-channel uint8
+    predictor index, int16 idelta, int16 sample1, int16 sample2; the two
+    header samples are emitted (sample2 first), then one nibble per
+    channel alternating, high nibble first."""
+    frames = []
+    for b0 in range(0, len(pcm) - block_align + 1, block_align):
+        blk = pcm[b0 : b0 + block_align]
+        pos = 0
+        pidx, idelta, s1, s2 = [], [], [], []
+        for c in range(ch):
+            p = blk[pos]
+            pos += 1
+            if p >= len(_MS_COEF):
+                raise ValueError("MS ADPCM predictor index out of range")
+            pidx.append(p)
+        for store in (idelta, s1, s2):
+            for c in range(ch):
+                store.append(struct.unpack_from("<h", blk, pos)[0])
+                pos += 2
+        chans = [[s2[c], s1[c]] for c in range(ch)]
+        nibbles = []
+        for byte in blk[pos:]:
+            nibbles.append(byte >> 4)
+            nibbles.append(byte & 0xF)
+        for i, n in enumerate(nibbles):
+            c = i % ch
+            c1, c2 = _MS_COEF[pidx[c]]
+            pred = (chans[c][-1] * c1 + chans[c][-2] * c2) >> 8
+            signed = n - 16 if n & 8 else n
+            samp = _clamp16(pred + idelta[c] * signed)
+            chans[c].append(samp)
+            idelta[c] = max(16, (_MS_ADAPT[n] * idelta[c]) >> 8)
+        n = min(len(x) for x in chans)
+        frames.append(np.stack([np.array(x[:n], np.int16) for x in chans], -1))
+    if not frames:
+        raise ValueError("MS ADPCM: no complete block")
+    return np.concatenate(frames, axis=0)
+
+
+def encode_wav_ima_adpcm(
+    samples: np.ndarray, sample_rate: int = 16000, block_align: int | None = None
+) -> bytes:
+    """int16 (n,) or (n, ch) → IMA ADPCM WAV bytes (encoder twin: greedy
+    nibble search through the same quantizer recursion the decoder
+    runs, so decode is the exact inverse of the quantized path)."""
+    arr = np.asarray(samples, dtype=np.int64)
+    if arr.ndim == 1:
+        arr = arr[:, None]
+    n, ch = arr.shape
+    if block_align is None:
+        block_align = 4 * ch + 128 * ch  # 256 samples+1 per block per ch
+    data_nibble_bytes = block_align - 4 * ch
+    spb = 1 + (data_nibble_bytes // ch) * 2  # samples per block per channel
+    out = bytearray()
+    idxs = [0] * ch
+    for b0 in range(0, n, spb):
+        blk = arr[b0 : b0 + spb]
+        if len(blk) < spb:  # zero-pad the tail block
+            pad = np.zeros((spb - len(blk), ch), np.int64)
+            blk = np.concatenate([blk, pad])
+        for c in range(ch):
+            out += struct.pack("<hBB", int(blk[0, c]), idxs[c], 0)
+        nibs_per_ch: list[list[int]] = [[] for _ in range(ch)]
+        for c in range(ch):
+            pred, idx = int(blk[0, c]), idxs[c]
+            for i in range(1, spb):
+                target = int(blk[i, c])
+                step = int(_IMA_STEPS[idx])
+                diff = target - pred
+                nib = 8 if diff < 0 else 0
+                diff = abs(diff)
+                if diff >= step:
+                    nib |= 4
+                    diff -= step
+                if diff >= step >> 1:
+                    nib |= 2
+                    diff -= step >> 1
+                if diff >= step >> 2:
+                    nib |= 1
+                pred = _ima_decode_channel(pred, idx, [nib])[0]
+                idx += int(_IMA_INDEX[nib & 7])
+                idx = 0 if idx < 0 else (88 if idx > 88 else idx)
+                nibs_per_ch[c].append(nib)
+            idxs[c] = idx
+        # pack: 4-byte groups per channel, low nibble first
+        per_ch_bytes = [
+            bytes(
+                (nibs[i] | (nibs[i + 1] << 4))
+                for i in range(0, len(nibs) - 1, 2)
+            )
+            for nibs in nibs_per_ch
+        ]
+        for g0 in range(0, len(per_ch_bytes[0]), 4):
+            for c in range(ch):
+                out += per_ch_bytes[c][g0 : g0 + 4]
+    byte_rate = (sample_rate * block_align + spb - 1) // spb
+    fmt = struct.pack(
+        "<HHIIHHHH", 0x11, ch, sample_rate, byte_rate, block_align, 4, 2, spb
+    )
+    body = (
+        b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(out)) + bytes(out)
+    )
+    if len(out) & 1:
+        body += b"\x00"
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
 def decode_wav(data: bytes) -> tuple[np.ndarray, int]:
     """WAV bytes → ((n, ch) array, sample_rate).
 
     PCM 8/16/24/32-bit (format 1; 8-bit is unsigned per spec, returned
     re-centred as int16<<8; 24/32-bit return int32), IEEE float 32/64
     (format 3, returned float), A-law / μ-law (formats 6/7 → int16 via
-    the G.711 closed forms), and WAVE_FORMAT_EXTENSIBLE (format 0xFFFE,
-    dispatched on the fmt SubFormat GUID). Truly compressed codecs
-    (MP3/ADPCM/...) raise."""
+    the G.711 closed forms), Microsoft ADPCM (format 2) and IMA/DVI
+    ADPCM (format 0x11) block decode, and WAVE_FORMAT_EXTENSIBLE
+    (format 0xFFFE, dispatched on the fmt SubFormat GUID). Perceptual
+    codecs (MP3/AAC/...) raise."""
     if data[:4] != b"RIFF" or data[8:12] != b"WAVE":
         raise ValueError("not a RIFF/WAVE file")
     pos = 12
@@ -82,7 +284,7 @@ def decode_wav(data: bytes) -> tuple[np.ndarray, int]:
         (size,) = struct.unpack("<I", data[pos + 4:pos + 8])
         body = data[pos + 8:pos + 8 + size]
         if tag == b"fmt ":
-            fmt_code, ch, sample_rate, _br, _ba, bits = struct.unpack(
+            fmt_code, ch, sample_rate, _br, block_align, bits = struct.unpack(
                 "<HHIIHH", body[:16]
             )
             if fmt_code == 0xFFFE:  # EXTENSIBLE: real format in SubFormat
@@ -124,6 +326,10 @@ def decode_wav(data: bytes) -> tuple[np.ndarray, int]:
         arr = _alaw_table()[np.frombuffer(pcm, dtype=np.uint8)]
     elif fmt_code == 7:  # μ-law
         arr = _mulaw_table()[np.frombuffer(pcm, dtype=np.uint8)]
+    elif fmt_code == 2:  # Microsoft ADPCM (block-decoded, already 2-D)
+        return _decode_ms_adpcm(pcm, ch, block_align), sample_rate
+    elif fmt_code == 0x11:  # IMA/DVI ADPCM
+        return _decode_ima_adpcm(pcm, ch, block_align), sample_rate
     else:
         raise NotImplementedError(f"compressed WAV (format {fmt_code})")
     return arr.reshape(-1, ch), sample_rate
