@@ -1379,11 +1379,13 @@ def q_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Multimodal with REAL codecs (r3; r6 adds GIF + lossy VP8):
-    deterministic RGB images are encoded to actual PNG (doc_id%4==0) /
-    lossless WebP (==1) / GIF89a (==2) / lossy-VP8 WebP (==3, RFC 6386
-    key frame via functions/vp8.py; the %8==7 half wrapped in an
-    extended VP8X container with a raw ALPH alpha plane) bytes with the
+    """Multimodal with REAL codecs (r3; r6 adds GIF, lossy VP8, BMP,
+    ICO): deterministic RGB images are encoded to actual PNG
+    (doc_id%8==0) / 24-bit BMP (==4) / lossless WebP (==1) / ICO
+    favicon (==5, 32-bit BMP entry + AND mask) / GIF89a (%4==2) /
+    lossy-VP8 WebP (%4==3, RFC 6386 key frame via functions/vp8.py;
+    the %8==7 half wrapped in an extended VP8X container with a raw
+    ALPH alpha plane) bytes with the
     engine's own encoders, ride the binary column through a hash
     repartition, and are
     decoded back executor-side by magic-sniffed dispatch into exact
@@ -1834,8 +1836,9 @@ def oracle_sql() -> dict[str, str]:
 
 
 def _multimodal_decode_oracle() -> str:
-    """Oracle for multimodal_decode. Lossless legs (doc_id%4 in 0,1,2)
-    are closed-form sums of the synth_image generator; the lossy-VP8 leg
+    """Oracle for multimodal_decode. Lossless legs (doc_id%4 in 0,1,2:
+    png/bmp/webp/ico/gif) are closed-form sums of the synth_image
+    generator; the lossy-VP8 leg
     (==3) joins a 256-row VALUES expectation table produced by the
     engine's own reference encode→decode of the flat sources
     (operators/multimodal.py lossy_expectation_table) — the driver hash
@@ -1860,10 +1863,11 @@ def _multimodal_decode_oracle() -> str:
             VALUES {values}
         )
         SELECT s.doc_id,
-               CASE s.doc_id % 4 WHEN 0 THEN 'png' WHEN 1 THEN 'webp'
-                    WHEN 2 THEN 'gif'
-                    ELSE CASE WHEN s.doc_id % 8 = 7 THEN 'webp_x'
-                              ELSE 'webp_lossy' END END AS fmt,
+               CASE s.doc_id % 8 WHEN 0 THEN 'png' WHEN 4 THEN 'bmp'
+                    WHEN 1 THEN 'webp' WHEN 5 THEN 'ico'
+                    WHEN 2 THEN 'gif' WHEN 6 THEN 'gif'
+                    WHEN 7 THEN 'webp_x'
+                    ELSE 'webp_lossy' END AS fmt,
                CAST(16 AS BIGINT) AS width, CAST(16 AS BIGINT) AS height,
                CASE WHEN s.doc_id % 4 = 3 THEN CAST(l.er AS BIGINT)
                     ELSE s.sum_r END AS sum_r,

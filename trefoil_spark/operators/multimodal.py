@@ -232,21 +232,21 @@ def _wrap_vp8x_alpha(simple_webp: bytes, v: int) -> bytes:
 
 
 def attach_real_images(df: DataFrame) -> DataFrame:
-    """doc_id → actual encoded image bytes in the ``media`` column:
-    doc_id%4==0 → truecolor PNG, ==1 → lossless WebP (VP8L), ==2 →
-    GIF89a, ==3 → lossy WebP (VP8 key frame, functions/vp8.py; the
-    doc_id%8==7 half rides an extended VP8X container with a raw ALPH
-    alpha plane).  The three lossless codecs carry the closed-form
-    synth_image (byte-exact round trip — a 16×16 image has ≤256 pixels
-    so the GIF palette is exact); the lossy legs carry a FLAT image
-    keyed by doc_id%256 so their decode is covered by
-    lossy_expectation_table()."""
+    """doc_id → actual encoded image bytes in the ``media`` column,
+    split by doc_id%8: 0 → truecolor PNG, 4 → 24-bit BMP (r6), 1 →
+    lossless WebP (VP8L), 5 → ICO favicon container (r6, 32-bit BMP
+    entry with AND mask), 2/6 → GIF89a, 3/7 → lossy WebP (VP8 key
+    frame, functions/vp8.py; the %8==7 half rides an extended VP8X
+    container with a raw ALPH alpha plane).  The five lossless codecs
+    carry the closed-form synth_image (byte-exact round trip — a 16×16
+    image has ≤256 pixels so the GIF palette is exact); the lossy legs
+    carry a FLAT image keyed by doc_id%256 so their decode is covered
+    by lossy_expectation_table()."""
+    from ..functions.bmp import encode_bmp, encode_ico
     from ..functions.gif import encode_gif
     from ..functions.png import encode_rgb_png
     from ..functions.vp8 import encode_webp_lossy
     from ..functions.webp import encode_webp
-
-    encoders = (encode_rgb_png, encode_webp, encode_gif)
 
     def gen(batches):
         lossy_cache: dict[int, bytes] = {}
@@ -254,7 +254,8 @@ def attach_real_images(df: DataFrame) -> DataFrame:
             rows = []
             for doc_id in pdf["doc_id"]:
                 d = int(doc_id)
-                if d % 4 == 3:
+                m = d % 4
+                if m == 3:
                     v = d % 256
                     if v not in lossy_cache:
                         lossy_cache[v] = encode_webp_lossy(
@@ -263,8 +264,14 @@ def attach_real_images(df: DataFrame) -> DataFrame:
                     payload = lossy_cache[v]
                     if d % 8 == 7:
                         payload = _wrap_vp8x_alpha(payload, v)
+                elif m == 0:
+                    enc = encode_rgb_png if d % 8 == 0 else encode_bmp
+                    payload = enc(synth_image(d))
+                elif m == 1:
+                    enc = encode_webp if d % 8 == 1 else encode_ico
+                    payload = enc(synth_image(d))
                 else:
-                    payload = encoders[d % 4](synth_image(d))
+                    payload = encode_gif(synth_image(d))
                 rows.append((d, payload))
             yield pd.DataFrame(rows, columns=["doc_id", "media"])
 
@@ -283,6 +290,10 @@ def sniff_format(payload: bytes) -> str:
         return "webp_x" if first == b"VP8X" else "webp"
     if payload[:6] in (b"GIF87a", b"GIF89a"):
         return "gif"
+    if payload[:2] == b"BM":
+        return "bmp"
+    if payload[:4] == b"\x00\x00\x01\x00":  # ICONDIR (reserved=0, type=1)
+        return "ico"
     raise ValueError("unknown image payload")
 
 
@@ -290,6 +301,7 @@ def decode_image_features(df: DataFrame) -> DataFrame:
     """media binary → REAL decode (magic-sniffed codec dispatch) →
     (fmt, width, height, per-channel integer pixel sums). Exact bigint
     features: order-free and lossless-codec-exact."""
+    from ..functions.bmp import decode_bmp, decode_ico
     from ..functions.gif import decode_gif
     from ..functions.jpeg import decode_jpeg
     from ..functions.png import decode_rgb_png
@@ -307,6 +319,10 @@ def decode_image_features(df: DataFrame) -> DataFrame:
                     img = decode_webp(raw)
                 elif fmt == "gif":
                     img = decode_gif(raw)
+                elif fmt == "bmp":
+                    img = decode_bmp(raw)
+                elif fmt == "ico":
+                    img = decode_ico(raw)
                 else:
                     img = decode_jpeg(raw)
                 sums = img[..., :3].astype(np.int64).sum(axis=(0, 1))
