@@ -218,20 +218,27 @@ def _paeth_png(img) -> bytes:
 
 def _codec_tiles() -> dict[str, bytes]:
     """Deterministic worst-case decode payloads, one per own codec:
-    a dense uniform-noise 256² RGB tile (JPEG/PNG/WebP) and its
-    256-color palette-noise twin (GIF is palette-bound by format)."""
+    a dense uniform-noise 256² RGB tile (JPEG/PNG/WebP/BMP/ICO), its
+    256-color palette-noise twin (GIF is palette-bound by format), and
+    a 65536-sample noise waveform (FLAC/ADPCM — the audio work unit
+    matching one tile's sample count)."""
     import numpy as np
 
+    from trefoil_spark.functions.bmp import encode_bmp_rle8, encode_ico
+    from trefoil_spark.functions.flac import encode_flac
     from trefoil_spark.functions.gif import encode_gif
     from trefoil_spark.functions.jpeg import encode_jpeg
     from trefoil_spark.functions.png import encode_rgb_png
     from trefoil_spark.functions.vp8 import encode_webp_lossy
+    from trefoil_spark.functions.wav import encode_wav_ima_adpcm
     from trefoil_spark.functions.webp import encode_webp
 
     rng = np.random.default_rng(42)
     img = rng.integers(0, 256, (256, 256, 3), dtype=np.uint8)
     pal = np.unique(rng.integers(0, 256, (256, 3), dtype=np.uint8), axis=0)
-    pimg = pal[rng.integers(0, len(pal), (256, 256))]
+    pidx = rng.integers(0, len(pal), (256, 256)).astype(np.uint8)
+    pimg = pal[pidx]
+    wave = rng.integers(-32768, 32768, 65536).astype(np.int16)
     return {
         "jpeg_baseline": encode_jpeg(img, 90),
         "jpeg_progressive": encode_jpeg(img, 90, progressive=True),
@@ -240,6 +247,10 @@ def _codec_tiles() -> dict[str, bytes]:
         "webp_vp8l": encode_webp(img),
         "webp_vp8": encode_webp_lossy(img, qi=40),  # coefficient-dense lossy
         "gif": encode_gif(pimg),
+        "bmp_rle8": encode_bmp_rle8(pidx, pal),  # noise = worst RLE case
+        "ico": encode_ico(img),
+        "flac": encode_flac(wave, 16000),
+        "wav_adpcm_ima": encode_wav_ima_adpcm(wave, 16000),
     }
 
 
@@ -248,9 +259,12 @@ def _codec_decode_bench(runs: int, steal_max: float) -> dict[str, float]:
     steal-gated like the suite (VERDICT r5 item 7: regressions in the
     pure-Python decoders must show in the driver's cross-round diff,
     not only in prose)."""
+    from trefoil_spark.functions.bmp import decode_bmp, decode_ico
+    from trefoil_spark.functions.flac import decode_flac
     from trefoil_spark.functions.gif import decode_gif
     from trefoil_spark.functions.jpeg import decode_jpeg
     from trefoil_spark.functions.png import decode_png, decode_rgb_png
+    from trefoil_spark.functions.wav import decode_wav
     from trefoil_spark.functions.webp import decode_webp
 
     decoders = {
@@ -261,6 +275,10 @@ def _codec_decode_bench(runs: int, steal_max: float) -> dict[str, float]:
         "webp_vp8l": decode_webp,
         "webp_vp8": decode_webp,
         "gif": decode_gif,
+        "bmp_rle8": decode_bmp,
+        "ico": decode_ico,
+        "flac": decode_flac,
+        "wav_adpcm_ima": decode_wav,
     }
     tiles = _codec_tiles()
     out = {}

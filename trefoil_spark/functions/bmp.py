@@ -81,30 +81,33 @@ def _decode_rle(data: bytes, w: int, h: int, bpp: int,
                 top_down: bool) -> np.ndarray:
     """BI_RLE8 / BI_RLE4: (count, value) runs; escape 0 → EOL / EOB /
     delta(dx, dy) / absolute mode (word-aligned). Rows are stored
-    bottom-up; delta moves toward higher stored rows."""
-    idx = np.zeros((h, w), np.uint8)
+    bottom-up; delta moves toward higher stored rows.
+
+    Hot loop is plain bytearray slicing — per-run numpy allocation made
+    the worst case (noise input, all runs length 1-2) slower than the
+    JPEG decoder."""
+    rows = [bytearray(w) for _ in range(h)]
     x = y = pos = 0
     end = False
-    while pos + 1 < len(data) and not end:
+    n_data = len(data)
+    while pos + 1 < n_data and not end:
         cnt, val = data[pos], data[pos + 1]
         pos += 2
         if cnt > 0:  # encoded run
-            if bpp == 8:
-                run = np.full(cnt, val, np.uint8)
-            else:
-                run = np.empty(cnt, np.uint8)
-                run[0::2] = val >> 4
-                run[1::2] = val & 0xF
-            n = min(cnt, w - x)
-            if y < h:
-                idx[y, x : x + n] = run[:n]
+            if y < h and x < w:
+                n = min(cnt, w - x)
+                if bpp == 8:
+                    rows[y][x : x + n] = bytes((val,)) * n
+                else:
+                    pat = bytes((val >> 4, val & 0xF)) * ((n + 2) // 2)
+                    rows[y][x : x + n] = pat[:n]
             x += cnt
         elif val == 0:  # end of line
             x, y = 0, y + 1
         elif val == 1:  # end of bitmap
             end = True
         elif val == 2:  # delta
-            if pos + 1 >= len(data):
+            if pos + 1 >= n_data:
                 raise ValueError("BMP RLE delta truncated")
             x += data[pos]
             y += data[pos + 1]
@@ -116,21 +119,20 @@ def _decode_rle(data: bytes, w: int, h: int, bpp: int,
             if len(chunk) < nbytes:
                 raise ValueError("BMP RLE absolute run truncated")
             pos += nbytes
-            if bpp == 8:
-                lit = np.frombuffer(chunk, np.uint8)[:val]
-            else:
-                b = np.frombuffer(chunk, np.uint8)
-                lit = np.empty(len(b) * 2, np.uint8)
-                lit[0::2] = b >> 4
-                lit[1::2] = b & 0xF
-                lit = lit[:val]
-            n = min(val, w - x)
-            if y < h:
-                idx[y, x : x + n] = lit[:n]
+            if y < h and x < w:
+                n = min(val, w - x)
+                if bpp == 8:
+                    rows[y][x : x + n] = chunk[:n]
+                else:
+                    lit = bytearray()
+                    for b in chunk:
+                        lit.append(b >> 4)
+                        lit.append(b & 0xF)
+                    rows[y][x : x + n] = lit[:n]
             x += val
+    idx = np.frombuffer(b"".join(rows), np.uint8).reshape(h, w)
     # stored bottom-up (RLE is never top-down per spec)
-    out = idx[::-1]
-    return out if not top_down else idx
+    return idx if top_down else idx[::-1]
 
 
 def _parse_dib(data: bytes, pos: int):
