@@ -1378,9 +1378,12 @@ def q_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+VIDEO_DOC_OFFSET = 1_000_000
+
+
 def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal with REAL codecs (r3; r6 adds GIF, lossy VP8, BMP,
-    ICO): deterministic RGB images are encoded to actual PNG
+    ICO, and VIDEO): deterministic RGB images are encoded to actual PNG
     (doc_id%8==0) / 24-bit BMP (==4) / lossless WebP (==1) / ICO
     favicon (==5, 32-bit BMP entry + AND mask) / GIF89a (%4==2) /
     lossy-VP8 WebP (%4==3, RFC 6386 key frame via functions/vp8.py;
@@ -1394,21 +1397,42 @@ def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     expectation table (engine-computed reference decode of the flat
     lossy sources) for the VP8 leg — a hash match proves byte-exact
     round trips for the lossless codecs and deterministic,
-    reference-identical decode for the lossy one."""
+    reference-identical decode for the lossy one.
+
+    r6 VIDEO section (rows at doc_id + 1,000,000, keeping the driver's
+    50-row window): each doc also rides a real RIFF/AVI container
+    (functions/avi.py) — even docs 4 uncompressed BI_RGB DIB frames of
+    the closed-form generator (fmt 'avi_dib', lossless-exact), odd docs
+    4 MJPEG frames (in-house T.81, no-DHT MJPEG convention; fmt
+    'avi_mjpeg') of flat sources covered by a second 256-row
+    expectation table summed over the frame walk. Pixel sums are over
+    ALL frames; frame count / fps assertions live in pytest
+    (tests/test_multimodal_video.py)."""
     from trefoil_spark.operators.multimodal import (
         attach_real_images,
+        attach_real_video,
         decode_image_features,
+        decode_video_features,
     )
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
     media = attach_real_images(docs).repartition(16, "doc_id")
     out = decode_image_features(media)
-    return out.select(
+    images = out.select(
         "doc_id", "fmt",
         F.col("width").cast("bigint").alias("width"),
         F.col("height").cast("bigint").alias("height"),
         "sum_r", "sum_g", "sum_b",
-    ).orderBy("doc_id")
+    )
+    vmedia = attach_real_video(docs).repartition(16, "doc_id")
+    videos = decode_video_features(vmedia).select(
+        (F.col("doc_id") + F.lit(VIDEO_DOC_OFFSET)).alias("doc_id"),
+        F.concat(F.lit("avi_"), F.col("codec")).alias("fmt"),
+        F.col("width").cast("bigint").alias("width"),
+        F.col("height").cast("bigint").alias("height"),
+        "sum_r", "sum_g", "sum_b",
+    )
+    return images.unionByName(videos).orderBy("doc_id")
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -1843,12 +1867,64 @@ def _multimodal_decode_oracle() -> str:
     engine's own reference encode→decode of the flat sources
     (operators/multimodal.py lossy_expectation_table) — the driver hash
     then gates that executor-side decode is deterministic and identical
-    to this reference evaluation."""
-    from trefoil_spark.operators.multimodal import lossy_expectation_table
+    to this reference evaluation.
+
+    r6 video section (doc_id + 1,000,000): the DIB leg is the same
+    closed-form generator summed over the 4-frame walk (lossless —
+    byte-exact); the MJPEG leg joins a second 256-row VALUES table
+    (mjpeg_expectation_table — the engine's reference JPEG
+    encode→decode of the flat sources) keyed by (doc_id + frame) % 256
+    and sums it over the frames."""
+    from trefoil_spark.operators.multimodal import (
+        VIDEO_FRAMES,
+        lossy_expectation_table,
+        mjpeg_expectation_table,
+    )
 
     values = ",\n                ".join(
         f"({v}, {r}, {g}, {b})" for v, r, g, b in lossy_expectation_table()
     )
+    mj_values = ",\n                ".join(
+        f"({v}, {r}, {g}, {b})" for v, r, g, b in mjpeg_expectation_table()
+    )
+    video_sql = f"""
+        , fr AS (
+            SELECT doc_id, f
+            FROM documents, (SELECT UNNEST(range({VIDEO_FRAMES})) AS f)
+        ), vpx AS (
+            SELECT doc_id, f, i
+            FROM fr, (SELECT UNNEST(range(256)) AS i)
+        ), dib AS (
+            SELECT doc_id,
+                   CAST(SUM(((doc_id + f) * 31 + i) % 256) AS BIGINT) AS sum_r,
+                   CAST(SUM(((doc_id + f) * 57 + i) % 256) AS BIGINT) AS sum_g,
+                   CAST(SUM(((doc_id + f) * 89 + i) % 256) AS BIGINT) AS sum_b
+            FROM vpx GROUP BY doc_id
+        ), mj(v, er, eg, eb) AS (
+            VALUES {mj_values}
+        ), mjs AS (
+            SELECT fr.doc_id,
+                   CAST(SUM(m.er) AS BIGINT) AS sum_r,
+                   CAST(SUM(m.eg) AS BIGINT) AS sum_g,
+                   CAST(SUM(m.eb) AS BIGINT) AS sum_b
+            FROM fr JOIN mj m ON m.v = (fr.doc_id % 256 + fr.f) % 256
+            GROUP BY fr.doc_id
+        ), video AS (
+            SELECT d.doc_id + 1000000 AS doc_id,
+                   CASE d.doc_id % 2 WHEN 0 THEN 'avi_dib'
+                        ELSE 'avi_mjpeg' END AS fmt,
+                   CAST(16 AS BIGINT) AS width, CAST(16 AS BIGINT) AS height,
+                   CASE WHEN d.doc_id % 2 = 0 THEN dib.sum_r
+                        ELSE mjs.sum_r END AS sum_r,
+                   CASE WHEN d.doc_id % 2 = 0 THEN dib.sum_g
+                        ELSE mjs.sum_g END AS sum_g,
+                   CASE WHEN d.doc_id % 2 = 0 THEN dib.sum_b
+                        ELSE mjs.sum_b END AS sum_b
+            FROM documents d
+            LEFT JOIN dib ON dib.doc_id = d.doc_id
+            LEFT JOIN mjs ON mjs.doc_id = d.doc_id
+        )
+    """
     return f"""
         WITH px AS (
             SELECT doc_id, i
@@ -1861,7 +1937,8 @@ def _multimodal_decode_oracle() -> str:
             FROM px GROUP BY doc_id
         ), lossy(v, er, eg, eb) AS (
             VALUES {values}
-        )
+        ){video_sql}
+        SELECT * FROM (
         SELECT s.doc_id,
                CASE s.doc_id % 8 WHEN 0 THEN 'png' WHEN 4 THEN 'bmp'
                     WHEN 1 THEN 'webp' WHEN 5 THEN 'ico'
@@ -1876,7 +1953,9 @@ def _multimodal_decode_oracle() -> str:
                CASE WHEN s.doc_id % 4 = 3 THEN CAST(l.eb AS BIGINT)
                     ELSE s.sum_b END AS sum_b
         FROM s JOIN lossy l ON l.v = s.doc_id % 256
-        ORDER BY s.doc_id
+        UNION ALL
+        SELECT doc_id, fmt, width, height, sum_r, sum_g, sum_b FROM video
+        ) ORDER BY doc_id
     """
 
 

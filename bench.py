@@ -224,6 +224,7 @@ def _codec_tiles() -> dict[str, bytes]:
     matching one tile's sample count)."""
     import numpy as np
 
+    from trefoil_spark.functions.avi import encode_avi_mjpeg
     from trefoil_spark.functions.bmp import encode_bmp_rle8, encode_ico
     from trefoil_spark.functions.flac import encode_flac
     from trefoil_spark.functions.gif import encode_gif
@@ -251,6 +252,16 @@ def _codec_tiles() -> dict[str, bytes]:
         "ico": encode_ico(img),
         "flac": encode_flac(wave, 16000),
         "wav_adpcm_ima": encode_wav_ima_adpcm(wave, 16000),
+        # video: 4 noise frames of 128² = one 256² tile's pixel count,
+        # so the row shares the suite's per-tile unit
+        "avi_mjpeg": encode_avi_mjpeg(
+            [
+                rng.integers(0, 256, (128, 128, 3), dtype=np.uint8)
+                for _ in range(4)
+            ],
+            fps=10,
+            quality=90,
+        ),
     }
 
 
@@ -259,6 +270,7 @@ def _codec_decode_bench(runs: int, steal_max: float) -> dict[str, float]:
     steal-gated like the suite (VERDICT r5 item 7: regressions in the
     pure-Python decoders must show in the driver's cross-round diff,
     not only in prose)."""
+    from trefoil_spark.functions.avi import decode_avi
     from trefoil_spark.functions.bmp import decode_bmp, decode_ico
     from trefoil_spark.functions.flac import decode_flac
     from trefoil_spark.functions.gif import decode_gif
@@ -279,6 +291,7 @@ def _codec_decode_bench(runs: int, steal_max: float) -> dict[str, float]:
         "ico": decode_ico,
         "flac": decode_flac,
         "wav_adpcm_ima": decode_wav,
+        "avi_mjpeg": decode_avi,
     }
     tiles = _codec_tiles()
     out = {}

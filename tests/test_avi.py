@@ -1,0 +1,138 @@
+"""AVI container (MJPEG + BI_RGB DIB): encoder-twin round trips, a
+hand-built foreign container (rec-wrapped interleave, 00db ids, junk
+chunks), and the MJPEG no-DHT convention."""
+
+import struct
+
+import numpy as np
+import pytest
+
+from trefoil_spark.functions.avi import (
+    decode_avi,
+    encode_avi_dib,
+    encode_avi_mjpeg,
+)
+
+
+def frames_rgb(n=3, h=16, w=16, seed=0):
+    rng = np.random.default_rng(seed)
+    return [rng.integers(0, 256, (h, w, 3)).astype(np.uint8) for _ in range(n)]
+
+
+def test_dib_roundtrip_lossless():
+    fr = frames_rgb(4)
+    out, fps = decode_avi(encode_avi_dib(fr, fps=25))
+    assert fps == 25.0
+    assert len(out) == 4
+    for a, b in zip(fr, out):
+        assert np.array_equal(a, b)
+
+
+def test_dib_odd_width_padding():
+    fr = [np.arange(3 * 3 * 3, dtype=np.uint8).reshape(3, 3, 3)]
+    out, _ = decode_avi(encode_avi_dib(fr))
+    assert np.array_equal(out[0], fr[0])
+
+
+def test_mjpeg_roundtrip_matches_jpeg_reference():
+    from trefoil_spark.functions.jpeg import decode_jpeg, encode_jpeg
+
+    fr = frames_rgb(3, seed=1)
+    out, fps = decode_avi(encode_avi_mjpeg(fr, fps=10, quality=90))
+    assert fps == 10.0
+    for f, got in zip(fr, out):
+        ref = decode_jpeg(encode_jpeg(f, 90))
+        assert np.array_equal(got, ref)
+
+
+def strip_dht(jfif: bytes) -> bytes:
+    """Remove every DHT segment (the MJPEG convention)."""
+    out = bytearray(jfif[:2])
+    pos = 2
+    while pos < len(jfif):
+        marker = jfif[pos + 1]
+        if marker == 0xD9:
+            out += jfif[pos:]
+            break
+        ln = struct.unpack(">H", jfif[pos + 2 : pos + 4])[0]
+        seg = jfif[pos : pos + 2 + ln]
+        if marker != 0xC4:
+            out += seg
+        pos += 2 + ln
+        if marker == 0xDA:  # entropy data follows SOS until EOI
+            out += jfif[pos:]
+            break
+    return bytes(out)
+
+
+def test_mjpeg_no_dht_uses_annex_k_defaults():
+    """Frames with DHT stripped decode identically — the encoder writes
+    Annex-K tables, so the default fallback must reproduce them."""
+    from trefoil_spark.functions.jpeg import decode_jpeg, encode_jpeg
+
+    f = frames_rgb(1, seed=2)[0]
+    full = encode_jpeg(f, 85)
+    bare = strip_dht(full)
+    assert len(bare) < len(full)
+    assert np.array_equal(decode_jpeg(bare), decode_jpeg(full))
+
+
+def test_foreign_container_rec_wrapped_00db():
+    """Hand-built AVI: audio strl before video strl (video is stream 1,
+    so frames are '01db'), movi wrapped in a LIST('rec '), a JUNK chunk
+    ignored, 2x1 BI_RGB frames with literal expected pixels."""
+    def chunk2(cc, payload):
+        pad = b"\x00" if len(payload) & 1 else b""
+        return cc + struct.pack("<I", len(payload)) + payload + pad
+
+    def lst(cc, payload):
+        return chunk2(b"LIST", cc + payload)
+
+    strh_auds = struct.pack("<4s4sIHHIIIIIIIIHHHH", b"auds", b"\0\0\0\0",
+                            0, 0, 0, 0, 1, 8000, 0, 0, 0, 0, 0, 0, 0, 0, 0)
+    strh_vids = struct.pack("<4s4sIHHIIIIIIIIHHHH", b"vids", b"DIB ",
+                            0, 0, 0, 0, 1, 5, 0, 2, 0, 0, 0, 0, 0, 2, 1)
+    strf_vids = struct.pack("<IiihhIIiiII", 40, 2, 1, 1, 24, 0, 8,
+                            0, 0, 0, 0)
+    hdrl = lst(
+        b"hdrl",
+        chunk2(b"avih", bytes(56))
+        + lst(b"strl", chunk2(b"strh", strh_auds)
+              + chunk2(b"strf", bytes(16)))
+        + lst(b"strl", chunk2(b"strh", strh_vids)
+              + chunk2(b"strf", strf_vids)),
+    )
+    # 2x1 frames: BGR bottom-up, stride 8 (2*3 → pad to 8)
+    f0 = bytes([10, 20, 30, 40, 50, 60, 0, 0])
+    f1 = bytes([1, 2, 3, 4, 5, 6, 0, 0])
+    movi = lst(b"movi",
+               lst(b"rec ", chunk2(b"01db", f0))
+               + chunk2(b"JUNK", b"zz")
+               + chunk2(b"01db", f1))
+    body = hdrl + movi
+    avi = b"RIFF" + struct.pack("<I", len(body) + 4) + b"AVI " + body
+    out, fps = decode_avi(avi)
+    assert fps == 5.0
+    assert len(out) == 2
+    assert out[0][0, 0].tolist() == [30, 20, 10]
+    assert out[0][0, 1].tolist() == [60, 50, 40]
+    assert out[1][0, 0].tolist() == [3, 2, 1]
+
+
+def test_malformed():
+    with pytest.raises(ValueError, match="not a RIFF/AVI"):
+        decode_avi(b"RIFF\x04\x00\x00\x00WAVE")
+    # unknown codec fourcc raises NotImplementedError naming it
+    fr = frames_rgb(1)
+    data = bytearray(encode_avi_dib(fr))
+    # compression field lives in the strf BITMAPINFOHEADER; patch it
+    i = data.find(b"strf")
+    struct.pack_into("<I", data, i + 8 + 16, 0x34363248)  # 'H264'
+    with pytest.raises(NotImplementedError, match="H264"):
+        decode_avi(bytes(data))
+    with pytest.raises(ValueError, match="no frames"):
+        f = frames_rgb(1)
+        avi = bytearray(encode_avi_dib(f))
+        j = avi.find(b"00dc")
+        avi[j:j+4] = b"99dc"  # frames belong to a nonexistent stream
+        decode_avi(bytes(avi))

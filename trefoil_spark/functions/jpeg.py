@@ -845,9 +845,25 @@ def _decode_jpeg(data: bytes) -> np.ndarray:
                     restart_interval, adobe_transform,
                 )
             ns = payload[0]
+            if not hts:
+                # MJPEG quirk (r6): AVI '00dc' frames commonly omit DHT
+                # entirely and assume the T.81 Annex-K defaults (the
+                # OpenDML/MJPEG convention). Install them only when NO
+                # table was declared — a partial DHT that fails to
+                # cover a scan reference is corrupt, not MJPEG.
+                for key, spec in (
+                    (0x00, DC_LUMA_SPEC), (0x01, DC_CHROMA_SPEC),
+                    (0x10, AC_LUMA_SPEC), (0x11, AC_CHROMA_SPEC),
+                ):
+                    hts[key] = _decode_tree(spec)
             for i in range(ns):
                 cid, tabs = payload[1 + 2 * i], payload[2 + 2 * i]
-                scan_tabs[cid] = (hts[tabs >> 4], hts[0x10 | (tabs & 0x0F)])
+                dc_key, ac_key = tabs >> 4, 0x10 | (tabs & 0x0F)
+                if dc_key not in hts or ac_key not in hts:
+                    raise ValueError(
+                        "JPEG: scan references undefined Huffman table"
+                    )
+                scan_tabs[cid] = (hts[dc_key], hts[ac_key])
             pos += ln
             break
         pos += ln

@@ -10,10 +10,14 @@ and WebP codecs (functions/png.py, jpeg.py, webp.py), and
 compressed bytes through shuffles and decode them executor-side
 (driver-checked: `multimodal_decode`). AUDIO decode is REAL for PCM:
 own WAV codec (functions/wav.py, driver-checked: `audio_decode`).
-COMPRESSED audio (MP3/AAC) and VIDEO decode remain stubbed (ffmpeg-bound
-— clearly marked): ``decoder='fake'`` produces a deterministic
-pseudo-decode so that plumbing is still tested end-to-end;
-``decoder='real'`` raises NotImplementedError where ffmpeg would go.
+VIDEO decode is REAL as of round 6 for the two codec-free AVI flavors:
+own RIFF/AVI container parser (functions/avi.py) with MJPG (in-house
+T.81 frames) and uncompressed BI_RGB DIB payloads, driver-checked via
+`video_decode`. COMPRESSED audio (MP3/AAC) and compressed video
+(H.264/VP9/AV1) remain stubbed (ffmpeg-bound — clearly marked):
+``decoder='fake'`` produces a deterministic pseudo-decode so that
+plumbing is still tested end-to-end; ``decoder='real'`` on such
+payloads raises NotImplementedError where ffmpeg would go.
 
 Schema convention:
     media: binary                      -- opaque payload
@@ -114,20 +118,31 @@ def extract_features(
 
 
 def frame_sample(df: DataFrame, every_n: int = 2, decoder: str = "fake") -> DataFrame:
-    """Video-style frame sampling plumbing: one row per sampled frame.
+    """Video-style frame sampling: one row per sampled frame.
 
-    With the fake decoder each 'frame' is a deterministic slice of the
-    pseudo-decode; the row-explosion shape (doc_id, frame_idx, frame
-    binary) is the real contract a video pipeline needs."""
+    ``decoder='real'`` (r6) decodes the ``media`` column as an actual
+    AVI container (functions/avi.py — MJPG / BI_RGB payloads) and emits
+    every ``every_n``-th frame's raw RGB bytes; ``media_meta`` is not
+    consulted (the container is self-describing). Truly compressed
+    video inside the container still raises NotImplementedError from
+    the codec dispatch (ffmpeg-bound). With the fake decoder each
+    'frame' is a deterministic slice of the pseudo-decode; either way
+    the row-explosion shape (doc_id, frame_idx, frame binary) is the
+    real contract a video pipeline needs."""
 
     def gen(batches):
+        from ..functions.avi import decode_avi
+
         for pdf in batches:
             rows = []
             for doc_id, payload, meta in zip(
                 pdf["doc_id"], pdf["media"], pdf["media_meta"]
             ):
                 if decoder == "real":
-                    raise NotImplementedError("real video decode not available here")
+                    frames, _fps = decode_avi(bytes(payload))
+                    for f in range(0, len(frames), every_n):
+                        rows.append((int(doc_id), f, frames[f].tobytes()))
+                    continue
                 n = max(int(meta["n_frames"]), 1)
                 img = _fake_decode(bytes(payload), meta["width"], meta["height"])
                 for f in range(0, n, every_n):
@@ -419,4 +434,109 @@ def decode_audio_features(df: DataFrame) -> DataFrame:
         gen,
         schema="doc_id bigint, fmt string, sample_rate int, "
         "n_samples int, sum_amp bigint, sum_abs bigint",
+    )
+
+
+# ---------------------------------------------------------------------------
+# REAL video decode (r6): own AVI container (functions/avi.py) carrying
+# MJPG (in-house T.81 frames, incl. the no-DHT MJPEG convention) and
+# uncompressed BI_RGB DIB payloads. Truly compressed video (H.264/VP9)
+# remains honestly ffmpeg-stubbed (decoder='real' in frame_sample on
+# non-AVI payloads raises).
+# ---------------------------------------------------------------------------
+
+VIDEO_FRAMES = 4
+VIDEO_FPS = 10
+MJPEG_QUALITY = 90
+
+
+def mjpeg_expectation_table(quality: int = MJPEG_QUALITY) -> list:
+    """(v, sum_r, sum_g, sum_b) for one decoded MJPEG frame of each of
+    the 256 flat sources, computed by the engine's own JPEG
+    encode→decode round trip. The DuckDB oracle carries it as a VALUES
+    table: a driver hash match then proves executor-side AVI/MJPEG
+    decode is deterministic and identical to this reference
+    evaluation."""
+    from ..functions.jpeg import decode_jpeg, encode_jpeg
+
+    rows = []
+    for v in range(256):
+        dec = decode_jpeg(encode_jpeg(lossy_flat_image(v), quality))
+        if dec.ndim == 2:
+            dec = np.stack([dec] * 3, -1)
+        s = dec[..., :3].astype(np.int64).sum(axis=(0, 1))
+        rows.append((v, int(s[0]), int(s[1]), int(s[2])))
+    return rows
+
+
+def attach_real_video(df: DataFrame) -> DataFrame:
+    """doc_id → actual AVI container bytes in the ``media`` column:
+    even doc_ids carry VIDEO_FRAMES uncompressed BI_RGB DIB frames of
+    the closed-form synth_image generator (lossless — the SQL oracle
+    recomputes the sums directly); odd doc_ids carry VIDEO_FRAMES MJPEG
+    frames of the flat sources keyed by (doc_id + frame) % 256, so
+    their decode is covered by mjpeg_expectation_table()."""
+    from ..functions.avi import encode_avi_dib, encode_avi_mjpeg
+
+    def gen(batches):
+        mj_cache: dict[int, bytes] = {}
+        for pdf in batches:
+            rows = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                if d % 2 == 0:
+                    payload = encode_avi_dib(
+                        [synth_image(d + f) for f in range(VIDEO_FRAMES)],
+                        fps=VIDEO_FPS,
+                    )
+                else:
+                    v = d % 256
+                    if v not in mj_cache:
+                        mj_cache[v] = encode_avi_mjpeg(
+                            [
+                                lossy_flat_image((v + f) % 256)
+                                for f in range(VIDEO_FRAMES)
+                            ],
+                            fps=VIDEO_FPS,
+                            quality=MJPEG_QUALITY,
+                        )
+                    payload = mj_cache[v]
+                rows.append((d, payload))
+            yield pd.DataFrame(rows, columns=["doc_id", "media"])
+
+    return df.mapInPandas(gen, schema="doc_id bigint, media binary")
+
+
+def decode_video_features(df: DataFrame) -> DataFrame:
+    """media binary (AVI) → REAL container+codec decode → per-doc
+    (codec, width, height, n_frames, fps×100, per-channel integer pixel
+    sums over ALL frames). Exact bigints: order-free, lossless-exact on
+    the DIB leg and expectation-table-exact on the MJPEG leg."""
+    from ..functions.avi import decode_avi, probe_avi
+
+    def gen(batches):
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["media"]):
+                raw = bytes(payload)
+                meta = probe_avi(raw)
+                frames, fps = decode_avi(raw)
+                arr = np.stack(frames).astype(np.int64)
+                s = arr[..., :3].sum(axis=(0, 1, 2))
+                rows.append(
+                    (int(doc_id), meta["codec"], arr.shape[2], arr.shape[1],
+                     len(frames), int(round(fps * 100)),
+                     int(s[0]), int(s[1]), int(s[2]))
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "codec", "width", "height", "n_frames",
+                         "fps_x100", "sum_r", "sum_g", "sum_b"],
+            )
+
+    return df.mapInPandas(
+        gen,
+        schema="doc_id bigint, codec string, width int, height int, "
+        "n_frames int, fps_x100 int, sum_r bigint, sum_g bigint, "
+        "sum_b bigint",
     )
