@@ -1383,9 +1383,11 @@ VIDEO_DOC_OFFSET = 1_000_000
 
 def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal with REAL codecs (r3; r6 adds GIF, lossy VP8, BMP,
-    ICO, and VIDEO): deterministic RGB images are encoded to actual PNG
+    ICO, TIFF, and VIDEO): deterministic RGB images are encoded to
+    actual PNG
     (doc_id%8==0) / 24-bit BMP (==4) / lossless WebP (==1) / ICO
-    favicon (==5, 32-bit BMP entry + AND mask) / GIF89a (%4==2) /
+    favicon (==5, 32-bit BMP entry + AND mask) / GIF89a (==2) /
+    striped DEFLATE RGB TIFF (==6, the geotiff encoder twin) /
     lossy-VP8 WebP (%4==3, RFC 6386 key frame via functions/vp8.py;
     the %8==7 half wrapped in an extended VP8X container with a raw
     ALPH alpha plane) bytes with the
@@ -1942,7 +1944,7 @@ def _multimodal_decode_oracle() -> str:
         SELECT s.doc_id,
                CASE s.doc_id % 8 WHEN 0 THEN 'png' WHEN 4 THEN 'bmp'
                     WHEN 1 THEN 'webp' WHEN 5 THEN 'ico'
-                    WHEN 2 THEN 'gif' WHEN 6 THEN 'gif'
+                    WHEN 2 THEN 'gif' WHEN 6 THEN 'tiff'
                     WHEN 7 THEN 'webp_x'
                     ELSE 'webp_lossy' END AS fmt,
                CAST(16 AS BIGINT) AS width, CAST(16 AS BIGINT) AS height,

@@ -136,3 +136,41 @@ def test_malformed():
         j = avi.find(b"00dc")
         avi[j:j+4] = b"99dc"  # frames belong to a nonexistent stream
         decode_avi(bytes(avi))
+
+
+def test_interleaved_audio_roundtrip():
+    from trefoil_spark.functions.avi import decode_avi_audio
+
+    rng = np.random.default_rng(5)
+    wave = rng.integers(-32768, 32768, 1000).astype(np.int16)
+    for enc in (
+        lambda: encode_avi_dib(frames_rgb(4), fps=10, audio=wave,
+                               audio_rate=8000),
+        lambda: encode_avi_mjpeg(frames_rgb(4), fps=10, audio=wave,
+                                 audio_rate=8000),
+    ):
+        avi = enc()
+        # video still decodes with the audio stream interleaved
+        out, fps = decode_avi(avi)
+        assert len(out) == 4 and fps == 10.0
+        samples, rate = decode_avi_audio(avi)
+        assert rate == 8000
+        assert samples.shape == (1000, 1)
+        assert np.array_equal(samples[:, 0], wave)
+
+
+def test_audio_missing_or_non_pcm():
+    from trefoil_spark.functions.avi import decode_avi_audio
+
+    plain = encode_avi_dib(frames_rgb(1))
+    with pytest.raises(ValueError, match="no audio"):
+        decode_avi_audio(plain)
+    withaud = bytearray(
+        encode_avi_dib(frames_rgb(1), audio=np.zeros(10, np.int16))
+    )
+    # patch the WAVEFORMATEX tag to 0x55 (MP3) — must raise, named
+    i = withaud.find(b"auds")
+    j = withaud.find(b"strf", i)
+    struct.pack_into("<H", withaud, j + 8, 0x55)
+    with pytest.raises(NotImplementedError, match="tag=85"):
+        decode_avi_audio(bytes(withaud))

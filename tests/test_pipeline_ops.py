@@ -164,7 +164,7 @@ def test_text_fingerprint_order_sensitivity(spark, sf_dir):
 
 
 def test_multimodal_real_decode_roundtrip(spark, sf_dir):
-    """Real PNG/BMP/WebP/ICO/GIF/lossy-VP8 bytes through a repartition,
+    """Real PNG/BMP/WebP/ICO/GIF/TIFF/lossy-VP8 bytes through a repartition,
     decoded with the own codecs: lossless per-channel sums equal the
     closed-form generator; lossy sums equal the engine's reference
     decode of the same flat source (determinism, not exactness)."""
@@ -198,13 +198,14 @@ def test_multimodal_real_decode_roundtrip(spark, sf_dir):
         assert (r["sum_r"], r["sum_g"], r["sum_b"]) == tuple(int(s) for s in sums)
         want_fmt = {
             0: "png", 1: "webp", 2: "gif", 3: "webp_lossy",
-            4: "bmp", 5: "ico", 6: "gif",
+            4: "bmp", 5: "ico", 6: "tiff",  # r6: DEFLATE RGB TIFF leg
             7: "webp_x",  # VP8X + ALPH wrapped lossy payload
         }[r["doc_id"] % 8]
         assert r["fmt"] == want_fmt
         assert (r["width"], r["height"]) == (16, 16)
         fmts.add(r["fmt"])
-    assert fmts == {"png", "bmp", "webp", "ico", "gif", "webp_lossy", "webp_x"}
+    assert fmts == {"png", "bmp", "webp", "ico", "gif", "tiff",
+                    "webp_lossy", "webp_x"}
 
 
 def test_html_extract_recovers_bytes(spark, sf_dir):

@@ -63,13 +63,19 @@ def _dib_decode(payload: bytes, w: int, h: int) -> np.ndarray:
 
 
 def _strh(handler: bytes, scale: int, rate: int, length: int,
-          bufsize: int, w: int, h: int) -> bytes:
+          bufsize: int, w: int, h: int, ftype: bytes = b"vids",
+          sample_size: int = 0) -> bytes:
     return struct.pack(
         "<4s4sIHHIIIIIIIIHHHH",
-        b"vids", handler, 0, 0, 0, 0,
-        scale, rate, 0, length, bufsize, 10000, 0,
+        ftype, handler, 0, 0, 0, 0,
+        scale, rate, 0, length, bufsize, 10000, sample_size,
         0, 0, w, h,
     )
+
+
+def _strf_wfx(channels: int, rate: int, bits: int) -> bytes:
+    block = channels * (bits // 8)
+    return struct.pack("<HHIIHH", 1, channels, rate, rate * block, block, bits)
 
 
 def _strf_bmih(w: int, h: int, compression: int, size_image: int) -> bytes:
@@ -78,7 +84,7 @@ def _strf_bmih(w: int, h: int, compression: int, size_image: int) -> bytes:
 
 
 def _encode_avi(frames, fps: int, handler: bytes, compression: int,
-                encode_frame) -> bytes:
+                encode_frame, audio=None, audio_rate: int = 16000) -> bytes:
     if not frames:
         raise ValueError("AVI needs at least one frame")
     h, w = frames[0].shape[:2]
@@ -88,42 +94,74 @@ def _encode_avi(frames, fps: int, handler: bytes, compression: int,
             raise ValueError("AVI frames must share dimensions")
         payloads.append(encode_frame(np.asarray(f, np.uint8)))
     bufsize = max(len(p) for p in payloads)
+    n_streams = 1 if audio is None else 2
     avih = struct.pack(
         "<IIIIIIIIIIIIII",
         1_000_000 // fps, bufsize * fps, 0, 0x10,  # AVIF_HASINDEX
-        len(payloads), 0, 1, bufsize, w, h, 0, 0, 0, 0,
+        len(payloads), 0, n_streams, bufsize, w, h, 0, 0, 0, 0,
     )
     strl = _list(
         b"strl",
         _chunk(b"strh", _strh(handler, 1, fps, len(payloads), bufsize, w, h))
         + _chunk(b"strf", _strf_bmih(w, h, compression, len(payloads[0]))),
     )
+    # interleave: one PCM block per video frame (the standard AV cadence)
+    blocks = []
+    if audio is not None:
+        wave = np.asarray(audio, np.int16).reshape(-1)
+        per = -(-len(wave) // len(payloads))  # ceil split
+        blocks = [
+            wave[i * per : (i + 1) * per].tobytes()
+            for i in range(len(payloads))
+        ]
+        strl += _list(
+            b"strl",
+            _chunk(
+                b"strh",
+                _strh(b"\x00\x00\x00\x00", 1, audio_rate, len(wave),
+                      max(len(b) for b in blocks), 0, 0,
+                      ftype=b"auds", sample_size=2),
+            )
+            + _chunk(b"strf", _strf_wfx(1, audio_rate, 16)),
+        )
     hdrl = _list(b"hdrl", _chunk(b"avih", avih) + strl)
     movi_body = b"movi"
     idx = b""
-    for p in payloads:
+    for i, p in enumerate(payloads):
         # idx1 offsets are relative to the 'movi' fourcc position
         idx += b"00dc" + struct.pack("<III", 0x10, len(movi_body), len(p))
         movi_body += _chunk(b"00dc", p)
+        if blocks and blocks[i]:
+            idx += b"01wb" + struct.pack(
+                "<III", 0x10, len(movi_body), len(blocks[i])
+            )
+            movi_body += _chunk(b"01wb", blocks[i])
     body = hdrl + _chunk(b"LIST", movi_body) + _chunk(b"idx1", idx)
     return b"RIFF" + struct.pack("<I", len(body) + 4) + b"AVI " + body
 
 
-def encode_avi_mjpeg(frames, fps: int = 10, quality: int = 90) -> bytes:
+def encode_avi_mjpeg(frames, fps: int = 10, quality: int = 90,
+                     audio=None, audio_rate: int = 16000) -> bytes:
     """list of (h, w, 3) uint8 RGB → MJPEG AVI bytes (encoder twin;
-    each frame is an in-house JFIF)."""
+    each frame is an in-house JFIF). Optional ``audio`` (int16 mono
+    wave) rides as an interleaved 16-bit PCM 'auds' stream, one '01wb'
+    block per frame."""
     from .jpeg import encode_jpeg
 
     return _encode_avi(
         frames, fps, b"MJPG", 0x47504A4D,  # 'MJPG' little-endian fourcc
         lambda f: encode_jpeg(f, quality),
+        audio=audio, audio_rate=audio_rate,
     )
 
 
-def encode_avi_dib(frames, fps: int = 10) -> bytes:
+def encode_avi_dib(frames, fps: int = 10, audio=None,
+                   audio_rate: int = 16000) -> bytes:
     """list of (h, w, 3) uint8 RGB → uncompressed BI_RGB AVI bytes
-    (lossless encoder twin)."""
-    return _encode_avi(frames, fps, b"DIB ", 0, _dib_frame)
+    (lossless encoder twin). Optional interleaved PCM audio as in
+    encode_avi_mjpeg."""
+    return _encode_avi(frames, fps, b"DIB ", 0, _dib_frame,
+                       audio=audio, audio_rate=audio_rate)
 
 
 def _walk_chunks(data: bytes, pos: int, end: int):
@@ -160,28 +198,86 @@ def probe_avi(data: bytes) -> dict:
     raise ValueError("AVI has no video ('vids') stream")
 
 
-def _parse_hdrl(data, pos, end):
-    """Walk LIST('hdrl') and return (stream_idx, w, h, compression, fps)
-    for the first 'vids' stream, or None if there is none."""
+def _iter_strl(data, pos, end):
+    """Walk LIST('hdrl') yielding (stream_idx, ftype, scale, rate,
+    strf_payload) per LIST('strl')."""
     sidx = -1
     for cc, p, sz in _walk_chunks(data, pos, end):
         if cc == b"LIST" and data[p : p + 4] == b"strl":
             sidx += 1
             ftype = None
             scale = rate = 1
-            comp = bw = bh = None
-            for c2, p2, _s2 in _walk_chunks(data, p + 4, p + sz):
+            strf = None
+            for c2, p2, s2 in _walk_chunks(data, p + 4, p + sz):
                 if c2 == b"strh":
                     ftype = data[p2 : p2 + 4]
                     scale, rate = struct.unpack("<II", data[p2 + 20 : p2 + 28])
-                elif c2 == b"strf" and ftype == b"vids":
-                    _hsz, bw, bh = struct.unpack("<Iii", data[p2 : p2 + 12])
-                    (comp,) = struct.unpack("<I", data[p2 + 16 : p2 + 20])
-            if ftype == b"vids":
-                if bw is None:
-                    raise ValueError("AVI video stream missing strf")
-                return sidx, bw, abs(bh), comp, (rate / scale if scale else 0.0)
+                elif c2 == b"strf":
+                    strf = data[p2 : p2 + s2]
+            yield sidx, ftype, scale, rate, strf
+
+
+def _parse_hdrl(data, pos, end):
+    """Walk LIST('hdrl') and return (stream_idx, w, h, compression, fps)
+    for the first 'vids' stream, or None if there is none."""
+    for sidx, ftype, scale, rate, strf in _iter_strl(data, pos, end):
+        if ftype == b"vids":
+            if strf is None or len(strf) < 20:
+                raise ValueError("AVI video stream missing strf")
+            _hsz, bw, bh = struct.unpack("<Iii", strf[:12])
+            (comp,) = struct.unpack("<I", strf[16:20])
+            return sidx, bw, abs(bh), comp, (rate / scale if scale else 0.0)
     return None
+
+
+def decode_avi_audio(data: bytes) -> tuple[np.ndarray, int]:
+    """AVI bytes → (int16 samples shaped (n, channels), sample_rate)
+    from the first 'auds' stream (PCM WAVEFORMATEX only — anything
+    else raises NotImplementedError naming the format tag)."""
+    if data[:4] != b"RIFF" or data[8:12] != b"AVI ":
+        raise ValueError("not a RIFF/AVI file")
+    riff_end = 8 + struct.unpack("<I", data[4:8])[0]
+    stream_no = None
+    channels = rate = bits = None
+    chunks: list[bytes] = []
+
+    def scan_movi(pos, end):
+        want = b"%02dwb" % stream_no
+        for cc, p, sz in _walk_chunks(data, pos, end):
+            if cc == b"LIST" and data[p : p + 4] == b"rec ":
+                scan_movi(p + 4, p + sz)
+            elif cc == want and sz > 0:
+                chunks.append(data[p : p + sz])
+
+    for cc, p, sz in _walk_chunks(data, 12, riff_end):
+        if cc != b"LIST":
+            continue
+        kind = data[p : p + 4]
+        if kind == b"hdrl":
+            for sidx, ftype, _sc, _rt, strf in _iter_strl(data, p + 4, p + sz):
+                if ftype == b"auds" and stream_no is None:
+                    if strf is None or len(strf) < 16:
+                        raise ValueError("AVI audio stream missing strf")
+                    tag, channels, rate, _br, _ba, bits = struct.unpack(
+                        "<HHIIHH", strf[:16]
+                    )
+                    if tag != 1 or bits != 16:
+                        raise NotImplementedError(
+                            f"AVI audio format tag={tag} bits={bits} "
+                            "(only 16-bit PCM here)"
+                        )
+                    stream_no = sidx
+        elif kind == b"movi":
+            if stream_no is None:
+                raise ValueError("AVI has no audio ('auds') stream")
+            scan_movi(p + 4, p + sz)
+    if stream_no is None:
+        raise ValueError("AVI has no audio ('auds') stream")
+    raw = b"".join(chunks)
+    samples = np.frombuffer(raw, "<i2")
+    if channels > 1:
+        samples = samples[: len(samples) - len(samples) % channels]
+    return samples.reshape(-1, channels), rate
 
 
 def decode_avi(data: bytes) -> tuple[list[np.ndarray], float]:

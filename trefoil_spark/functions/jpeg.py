@@ -1236,3 +1236,89 @@ def _decode_progressive(
             full = np.repeat(np.repeat(full, vmax // vi, axis=0), hmax // hi, axis=1)
         chans.append(full[:h, :w])
     return _color_out(chans, adobe_transform)
+
+
+# ---------------------------------------------------------------------------
+# EXIF orientation (r6). Crawl JPEGs from phone cameras routinely carry
+# a rotated sensor image plus an APP1 Exif orientation tag; a pipeline
+# that ignores it feeds sideways pixels to training. Public layout:
+# APP1 payload = "Exif\0\0" + a little TIFF file (II/MM byte order,
+# IFD0 entries of 12 bytes); tag 0x0112 SHORT holds orientation 1-8
+# (TIFF 6.0 / JEITA CP-3451 semantics).
+# ---------------------------------------------------------------------------
+
+
+def exif_orientation(data: bytes) -> int:
+    """JPEG bytes → EXIF orientation 1-8 (1 = normal; also returned
+    when there is no APP1/Exif segment or no orientation tag). Both
+    TIFF byte orders are handled; a malformed Exif block degrades to 1
+    rather than failing the decode."""
+    if data[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG (no SOI)")
+    pos = 2
+    while pos + 4 <= len(data):
+        if data[pos] != 0xFF:
+            break
+        marker = data[pos + 1]
+        if marker in (0xD9, 0xDA):  # EOI / SOS: no more table segments
+            break
+        ln = struct.unpack(">H", data[pos + 2 : pos + 4])[0]
+        if marker == 0xE1 and data[pos + 4 : pos + 10] == b"Exif\x00\x00":
+            tiff = data[pos + 10 : pos + 2 + ln]
+            try:
+                return _tiff_orientation(tiff)
+            except (IndexError, struct.error, ValueError):
+                return 1
+        pos += 2 + ln
+    return 1
+
+
+def _tiff_orientation(tiff: bytes) -> int:
+    if tiff[:2] == b"II":
+        e = "<"
+    elif tiff[:2] == b"MM":
+        e = ">"
+    else:
+        return 1
+    if struct.unpack(e + "H", tiff[2:4])[0] != 42:
+        return 1
+    (ifd,) = struct.unpack(e + "I", tiff[4:8])
+    (n,) = struct.unpack(e + "H", tiff[ifd : ifd + 2])
+    for i in range(n):
+        base = ifd + 2 + 12 * i
+        tag, ty, cnt = struct.unpack(e + "HHI", tiff[base : base + 8])
+        if tag == 0x0112 and ty == 3 and cnt >= 1:
+            o = struct.unpack(e + "H", tiff[base + 8 : base + 10])[0]
+            return o if 1 <= o <= 8 else 1
+    return 1
+
+
+def apply_exif_orientation(img: np.ndarray, orientation: int) -> np.ndarray:
+    """Undo EXIF orientation 1-8 → upright pixels (TIFF 6.0 semantics:
+    the tag says where the stored row 0 / column 0 sit in the scene)."""
+    if orientation == 1:
+        return img
+    if orientation == 2:
+        return img[:, ::-1]
+    if orientation == 3:
+        return img[::-1, ::-1]
+    if orientation == 4:
+        return img[::-1]
+    t = img.swapaxes(0, 1)
+    if orientation == 5:
+        return t
+    if orientation == 6:
+        return t[:, ::-1]
+    if orientation == 7:
+        return t[::-1, ::-1]
+    if orientation == 8:
+        return t[::-1]
+    raise ValueError(f"EXIF orientation must be 1-8, got {orientation}")
+
+
+def decode_jpeg_oriented(data: bytes) -> np.ndarray:
+    """decode_jpeg + EXIF orientation correction: always returns the
+    scene upright regardless of how the camera stored the sensor rows."""
+    return np.ascontiguousarray(
+        apply_exif_orientation(decode_jpeg(data), exif_orientation(data))
+    )

@@ -250,9 +250,10 @@ def attach_real_images(df: DataFrame) -> DataFrame:
     """doc_id → actual encoded image bytes in the ``media`` column,
     split by doc_id%8: 0 → truecolor PNG, 4 → 24-bit BMP (r6), 1 →
     lossless WebP (VP8L), 5 → ICO favicon container (r6, 32-bit BMP
-    entry with AND mask), 2/6 → GIF89a, 3/7 → lossy WebP (VP8 key
+    entry with AND mask), 2 → GIF89a, 6 → striped DEFLATE RGB TIFF
+    (r6, sources/geotiff.py encoder twin), 3/7 → lossy WebP (VP8 key
     frame, functions/vp8.py; the %8==7 half rides an extended VP8X
-    container with a raw ALPH alpha plane).  The five lossless codecs
+    container with a raw ALPH alpha plane).  The six lossless codecs
     carry the closed-form synth_image (byte-exact round trip — a 16×16
     image has ≤256 pixels so the GIF palette is exact); the lossy legs
     carry a FLAT image keyed by doc_id%256 so their decode is covered
@@ -262,6 +263,7 @@ def attach_real_images(df: DataFrame) -> DataFrame:
     from ..functions.png import encode_rgb_png
     from ..functions.vp8 import encode_webp_lossy
     from ..functions.webp import encode_webp
+    from ..sources.geotiff import encode_geotiff
 
     def gen(batches):
         lossy_cache: dict[int, bytes] = {}
@@ -285,6 +287,10 @@ def attach_real_images(df: DataFrame) -> DataFrame:
                 elif m == 1:
                     enc = encode_webp if d % 8 == 1 else encode_ico
                     payload = enc(synth_image(d))
+                elif d % 8 == 6:
+                    payload = encode_geotiff(
+                        synth_image(d), compress="deflate"
+                    )
                 else:
                     payload = encode_gif(synth_image(d))
                 rows.append((d, payload))
@@ -309,6 +315,9 @@ def sniff_format(payload: bytes) -> str:
         return "bmp"
     if payload[:4] == b"\x00\x00\x01\x00":  # ICONDIR (reserved=0, type=1)
         return "ico"
+    if payload[:4] in (b"II*\x00", b"II+\x00", b"MM\x00*", b"MM\x00+"):
+        return "tiff"  # classic/BigTIFF, either byte order (decode is
+        # little-endian only and raises loudly on MM)
     raise ValueError("unknown image payload")
 
 
@@ -321,6 +330,7 @@ def decode_image_features(df: DataFrame) -> DataFrame:
     from ..functions.jpeg import decode_jpeg
     from ..functions.png import decode_rgb_png
     from ..functions.webp import decode_webp
+    from ..sources.geotiff import decode_tiff
 
     def gen(batches):
         for pdf in batches:
@@ -338,6 +348,10 @@ def decode_image_features(df: DataFrame) -> DataFrame:
                     img = decode_bmp(raw)
                 elif fmt == "ico":
                     img = decode_ico(raw)
+                elif fmt == "tiff":
+                    img = np.asarray(decode_tiff(raw)[0])
+                    if img.ndim == 2:
+                        img = np.stack([img] * 3, -1)
                 else:
                     img = decode_jpeg(raw)
                 sums = img[..., :3].astype(np.int64).sum(axis=(0, 1))
@@ -539,4 +553,97 @@ def decode_video_features(df: DataFrame) -> DataFrame:
         schema="doc_id bigint, codec string, width int, height int, "
         "n_frames int, fps_x100 int, sum_r bigint, sum_g bigint, "
         "sum_b bigint",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Container-metadata probe (r6): filter media by resolution / duration /
+# codec BEFORE any decode. At 100 TB the probe pass is scan-bound
+# (header reads only — functions/mediainfo.py), so the expensive decode
+# stage runs on survivors, not the whole crawl.
+# ---------------------------------------------------------------------------
+
+def attach_mixed_media(df: DataFrame) -> DataFrame:
+    """doc_id → deterministic container-twin payloads cycling by
+    doc_id%4: AVI (real frames) / MP4 stub / WebM stub / MP3 frame
+    stream — the shape of an unfiltered crawl media column."""
+    from ..functions.avi import encode_avi_dib
+    from ..functions.mediainfo import build_mp3, mux_mkv, mux_mp4
+
+    def gen(batches):
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                m = d % 4
+                if m == 0:
+                    payload = encode_avi_dib(
+                        [synth_image(d)] * 2, fps=VIDEO_FPS
+                    )
+                elif m == 1:
+                    payload = mux_mp4(
+                        [{"kind": "video", "codec": "avc1",
+                          "width": 320 + d % 1600, "height": 240 + d % 900},
+                         {"kind": "audio", "codec": "mp4a",
+                          "sample_rate": 48000, "channels": 2}],
+                        duration_ms=1000 + d % 60000,
+                    )
+                elif m == 2:
+                    payload = mux_mkv(
+                        [{"kind": "video", "codec": "V_VP9",
+                          "width": 426 + d % 1280, "height": 240 + d % 720}],
+                        duration_ms=500 + d % 30000, webm=True,
+                    )
+                else:
+                    payload = build_mp3(
+                        n_frames=4 + d % 16, kbps=128, rate=44100,
+                        mono=bool(d % 8 == 3), id3_bytes=d % 64,
+                    )
+                rows.append((d, payload))
+            yield pd.DataFrame(rows, columns=["doc_id", "media"])
+
+    return df.mapInPandas(gen, schema="doc_id bigint, media binary")
+
+
+def probe_media_features(df: DataFrame) -> DataFrame:
+    """media binary → header-only container probe → one row per doc
+    with first-video-track geometry and first-audio-track layout.
+    No decode happens: this is the cheap pre-filter stage."""
+    from ..functions.mediainfo import probe_media
+
+    def gen(batches):
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["media"]):
+                meta = probe_media(bytes(payload))
+                tracks = meta.get("tracks", [])
+                vid = next(
+                    (t for t in tracks if t.get("kind") == "video"), {}
+                )
+                aud = next(
+                    (t for t in tracks if t.get("kind") == "audio"), {}
+                )
+                if meta["container"] == "mp3":
+                    aud = meta
+                    codec = "mp3"
+                else:
+                    codec = vid.get("codec") or aud.get("codec")
+                rows.append((
+                    int(doc_id), meta["container"], codec,
+                    vid.get("width"), vid.get("height"),
+                    aud.get("sample_rate"), aud.get("channels"),
+                    meta.get("duration_ms"), len(tracks) or 1,
+                ))
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "container", "codec", "width", "height",
+                         "sample_rate", "channels", "duration_ms",
+                         "n_tracks"],
+            )
+
+    return df.mapInPandas(
+        gen,
+        schema="doc_id bigint, container string, codec string, "
+        "width int, height int, sample_rate int, channels int, "
+        "duration_ms bigint, n_tracks int",
     )

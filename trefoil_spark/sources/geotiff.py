@@ -70,6 +70,25 @@ def write_geotiff(
     compress: str | None = None,
     bigtiff: bool = False,
 ) -> None:
+    """encode_geotiff to a file; see that function for coverage."""
+    with open(path, "wb") as f:
+        f.write(
+            encode_geotiff(data, x0, y0, dx, dy, crs=crs, nodata=nodata,
+                           compress=compress, bigtiff=bigtiff)
+        )
+
+
+def encode_geotiff(
+    data: np.ndarray,
+    x0: float = 0.0,
+    y0: float = 0.0,
+    dx: float = 1.0,
+    dy: float = 1.0,
+    crs: str = "EPSG:4326",
+    nodata: float | None = None,
+    compress: str | None = None,
+    bigtiff: bool = False,
+) -> bytes:
     """(H, W) float32|uint8 array → striped GeoTIFF, optionally
     per-strip DEFLATE (``compress='deflate'``, TIFF compression 8).
     ``bigtiff=True`` writes the BigTIFF (magic 43, 64-bit offset)
@@ -197,8 +216,7 @@ def write_geotiff(
     out += ext
     for s in strips:
         out += s
-    with open(path, "wb") as f:
-        f.write(bytes(out))
+    return bytes(out)
 
 
 T_PREDICTOR = 317
@@ -365,8 +383,15 @@ def _unpredict(
 
 
 def read_geotiff(path: str):
-    """GeoTIFF → (array, meta dict); (H, W) single-band or (H, W, bands)
-    chunky multi-band (RGB aerial imagery etc.).
+    """GeoTIFF file → (array, meta dict); see decode_tiff."""
+    with open(path, "rb") as f:
+        buf = f.read()
+    return decode_tiff(buf)
+
+
+def decode_tiff(buf: bytes):
+    """TIFF/GeoTIFF bytes → (array, meta dict); (H, W) single-band or
+    (H, W, bands) chunky multi-band (RGB aerial imagery etc.).
 
     Real-world coverage: classic AND BigTIFF; striped OR tiled layout;
     uncompressed, DEFLATE (8/32946), LZW (5), PackBits (32773) or
@@ -376,8 +401,6 @@ def read_geotiff(path: str):
     u8/u16/u32/i8/i16/i32/f32/f64 samples; planar configuration 1.
     meta: {x0, y0, dx, dy, crs, nodata, bands} (GDAL geotransform
     convention)."""
-    with open(path, "rb") as f:
-        buf = f.read()
     order, magic = struct.unpack("<2sH", buf[:4])
     if order != b"II" or magic not in (42, 43):
         raise ValueError("expected little-endian TIFF (classic 42 or BigTIFF 43)")
