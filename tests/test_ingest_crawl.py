@@ -1,0 +1,133 @@
+"""Crawl-ingestion sources (r6): WARC records (incl. per-record gzip
+members) and WebDataset tar shards, twin-built plus hand-mangled
+foreign layouts, then the distributed one-task-per-shard scans."""
+
+import io
+import tarfile
+
+import numpy as np
+import pytest
+
+from trefoil_spark.sources.warc import (
+    iter_warc_records,
+    parse_http_response,
+    warc_to_documents,
+    write_warc,
+)
+from trefoil_spark.sources.webdataset import (
+    group_samples,
+    iter_tar_members,
+    webdataset_to_samples,
+    write_tar_shard,
+)
+
+RECS = [
+    ("warcinfo", "urn:warcinfo", b"software: twin"),
+    ("response", "http://example.com/a", "<html>alpha &amp; A</html>".encode()),
+    ("request", "http://example.com/a", b"GET /a HTTP/1.1\r\n\r\n"),
+    ("response", "http://example.com/b", "<html>béta</html>".encode()),
+]
+
+
+@pytest.mark.parametrize("gz", [False, True])
+def test_warc_roundtrip(gz):
+    data = write_warc(RECS, gzip_members=gz)
+    got = list(iter_warc_records(data))
+    assert len(got) == 4
+    assert [h["warc-type"] for h, _ in got] == [
+        "warcinfo", "response", "request", "response"
+    ]
+    status, http, body = parse_http_response(got[1][1])
+    assert status == 200
+    assert http["content-type"] == "text/html"
+    assert body == RECS[1][2]
+
+
+def test_warc_malformed():
+    with pytest.raises(ValueError, match="version line"):
+        list(iter_warc_records(b"NOPE/1.0\r\n\r\n"))
+    data = bytearray(write_warc(RECS[:2], gzip_members=False))
+    # truncate the final payload: must raise, not silently shorten
+    with pytest.raises(ValueError, match="overruns"):
+        list(iter_warc_records(bytes(data[:-20])))
+    with pytest.raises(ValueError, match="chunked"):
+        parse_http_response(
+            b"HTTP/1.1 200 OK\r\nTransfer-Encoding: chunked\r\n\r\n0\r\n"
+        )
+
+
+def test_tar_shard_roundtrip_and_foreign():
+    samples = {
+        "s/000": {"jpg": b"\xff\xd8fakejpeg", "txt": b"a caption",
+                  "json": b"{}"},
+        "s/001": {"jpg": b"\xff\xd8other", "txt": "café".encode()},
+    }
+    shard = write_tar_shard(samples)
+    got = group_samples(iter_tar_members(shard))
+    assert got == samples
+    # foreign shard built by the stdlib with GNU format + long name
+    buf = io.BytesIO()
+    longkey = "deep/" + "x" * 140  # >100 chars forces a GNU 'L' entry
+    with tarfile.open(fileobj=buf, mode="w", format=tarfile.GNU_FORMAT) as tf:
+        for name, payload in [
+            (longkey + ".txt", b"long-name payload"),
+            ("plain.txt", b"p"),
+        ]:
+            info = tarfile.TarInfo(name=name)
+            info.size = len(payload)
+            tf.addfile(info, io.BytesIO(payload))
+    members = dict(iter_tar_members(buf.getvalue()))
+    assert members[longkey + ".txt"] == b"long-name payload"
+    assert members["plain.txt"] == b"p"
+    # key split: only the LAST extension is the field
+    assert "a/b.c" in group_samples([("a/b.c.jpg", b"z")])
+
+
+def test_warc_to_documents_spark(spark, tmp_path):
+    shards = []
+    for s in range(3):
+        recs = []
+        for i in range(4):
+            recs.append(
+                ("response", f"http://ex.com/{s}/{i}",
+                 f"<html>doc {s}-{i}</html>".encode())
+            )
+            recs.append(("request", f"http://ex.com/{s}/{i}", b"GET"))
+        p = tmp_path / f"shard{s}.warc.gz"
+        p.write_bytes(write_warc(recs))
+        shards.append(str(p))
+    df = warc_to_documents(spark, shards)
+    rows = df.collect()
+    assert len(rows) == 12  # responses only
+    assert len({r["doc_id"] for r in rows}) == 12  # stable distinct ids
+    urls = {r["url"] for r in rows}
+    assert "http://ex.com/2/3" in urls
+    one = next(r for r in rows if r["url"] == "http://ex.com/0/1")
+    assert one["status"] == 200 and one["text"] == "<html>doc 0-1</html>"
+    # determinism across re-ingest (cluster-size independence stand-in)
+    again = {r["doc_id"] for r in warc_to_documents(spark, shards).collect()}
+    assert again == {r["doc_id"] for r in rows}
+
+
+def test_webdataset_to_samples_spark(spark, tmp_path):
+    rng = np.random.default_rng(9)
+    paths = []
+    for s in range(2):
+        samples = {
+            f"{s:03d}/{i:04d}": {
+                "jpg": rng.integers(0, 256, 64, dtype=np.uint8).tobytes(),
+                "txt": f"caption {s}-{i}".encode(),
+            }
+            for i in range(5)
+        }
+        if s == 0:  # one sample missing its caption: null field, no crash
+            del samples["000/0000"]["txt"]
+        p = tmp_path / f"wds-{s}.tar"
+        p.write_bytes(write_tar_shard(samples))
+        paths.append(str(p))
+    df = webdataset_to_samples(spark, paths, fields=("jpg", "txt"))
+    rows = {r["key"]: r for r in df.collect()}
+    assert len(rows) == 10
+    assert rows["001/0003"]["txt"] == b"caption 1-3"
+    assert rows["000/0000"]["txt"] is None
+    assert len(bytes(rows["000/0001"]["jpg"])) == 64

@@ -152,3 +152,191 @@ def extract_text_col(html_col) -> Column:
     no_style = F.regexp_replace(no_script, r"(?s)<style.*?</style>", "")
     body = F.regexp_extract(no_style, r"(?s)<body[^>]*>(.*)</body>", 1)
     return F.regexp_replace(body, r"(?s)<[^>]*>", "")
+
+
+# ---------------------------------------------------------------------------
+# Gopher-style quality rules (r6). The public web-curation rule set
+# from Rae et al. 2021 ("Scaling Language Models: ... Gopher", §A1.1):
+# documents are dropped on word-count bounds, mean-word-length bounds,
+# symbol-to-word ratio, bullet/ellipsis line fractions, alphabetic-word
+# fraction, stopword presence, and repetition ratios. Everything below
+# is pure Catalyst (split/filter/aggregate higher-order expressions —
+# whole-stage codegen, zero Python) with exact DuckDB twins for the
+# oracle. The repetition rules are O(L²)/O(G²) in a doc's OWN line /
+# bigram count — per-row bounded work that scales linearly in corpus
+# size, the right trade at 100 TB (no shuffle, no explode).
+# ---------------------------------------------------------------------------
+
+GOPHER_SYMBOLS = ("#", "...")
+GRAM_KEY = 1_000_000  # tie-break encoding: cnt*KEY + gram_length
+
+
+def gopher_exprs(text_col: str = "text") -> dict[str, Column]:
+    """Quality-rule features as exact rational/integer expressions."""
+    toks = tokens_col(text_col)
+    n_tok = F.size(toks)
+    n_chars = F.length(F.col(text_col))
+    hash_cnt = n_chars - F.length(F.regexp_replace(F.col(text_col), "#", ""))
+    dots_cnt = (
+        n_chars
+        - F.length(F.regexp_replace(F.col(text_col), r"\.\.\.", ""))
+    ) / 3
+    lines = F.split(F.col(text_col), "\n")
+    n_lines = F.size(lines)
+    bullet = F.size(F.expr(
+        f"filter(split({text_col}, '\\n'), l -> l rlike '^\\\\s*[-*•]')"
+    ))
+    ellipsis = F.size(F.expr(
+        f"filter(split({text_col}, '\\n'), l -> l rlike '\\\\.\\\\.\\\\.$')"
+    ))
+    alpha = F.size(F.expr(
+        f"filter(split({text_col}, ' '), t -> t rlike '[A-Za-z]')"
+    ))
+    dup_line_chars = F.expr(
+        f"aggregate(transform(split({text_col}, '\\n'), l -> "
+        f"IF(size(filter(split({text_col}, '\\n'), x -> x = l)) > 1, "
+        "CAST(length(l) AS BIGINT), 0L)), 0L, (acc, v) -> acc + v)"
+    )
+    line_chars = F.expr(
+        f"aggregate(transform(split({text_col}, '\\n'), "
+        "l -> CAST(length(l) AS BIGINT)), 0L, (acc, v) -> acc + v)"
+    )
+    # top-bigram char fraction: chars covered by the most frequent
+    # space-joined token bigram. Tie-break = longer gram, encoded as an
+    # integer key cnt*GRAM_KEY + len so Spark and DuckDB provably pick
+    # the SAME (count, length) pair (gram length < GRAM_KEY assumed —
+    # a single bigram a million chars long is outside any real corpus).
+    # guard: Spark's sequence(1, 0) is DESCENDING [1, 0], not empty, so
+    # a single-token doc must short-circuit to an empty gram list
+    grams = (
+        f"IF(size(split({text_col}, ' ')) < 2, array(), "
+        f"transform(sequence(1, size(split({text_col}, ' ')) - 1), "
+        f"i -> concat(element_at(split({text_col}, ' '), i), ' ', "
+        f"element_at(split({text_col}, ' '), i + 1))))"
+    )
+    top2_key = F.expr(
+        f"array_max(transform(array_distinct({grams}), "
+        f"g -> CAST(size(filter({grams}, x -> x = g)) AS BIGINT) "
+        f"* {GRAM_KEY}L + length(g)))"
+    )
+    top2_chars = (
+        (top2_key / F.lit(GRAM_KEY)).cast("bigint")
+        * (top2_key % F.lit(GRAM_KEY))
+    )
+    d = F.lit(1.0)
+    return {
+        "n_tokens": n_tok,
+        "mean_word_len": (
+            (n_chars - (n_tok - F.lit(1))).cast("double") / n_tok
+        ),
+        "symbol_word_ratio": (hash_cnt + dots_cnt).cast("double") * d / n_tok,
+        "bullet_line_frac": bullet.cast("double") / n_lines,
+        "ellipsis_line_frac": ellipsis.cast("double") / n_lines,
+        "alpha_word_frac": alpha.cast("double") / n_tok,
+        "dup_line_frac": (
+            (n_lines - F.size(F.array_distinct(lines))).cast("double")
+            / n_lines
+        ),
+        "dup_line_char_frac": (
+            dup_line_chars.cast("double")
+            / F.greatest(line_chars, F.lit(1))
+        ),
+        "top_2gram_char_frac": (
+            F.coalesce(top2_chars, F.lit(0)).cast("double")
+            / F.greatest(n_chars, F.lit(1))
+        ),
+    }
+
+
+def gopher_pass_col(text_col: str = "text") -> Column:
+    """The combined keep/drop verdict with Gopher's published
+    thresholds (word count 50-100k, mean word length 3-10, symbol
+    ratio <0.1, bullet lines <90%, ellipsis lines <30%, alpha words
+    >80%, dup lines <30%, dup line chars <20%, top-bigram chars
+    <20%)."""
+    e = gopher_exprs(text_col)
+    return (
+        (e["n_tokens"] >= 50) & (e["n_tokens"] <= 100_000)
+        & (e["mean_word_len"] >= 3) & (e["mean_word_len"] <= 10)
+        & (e["symbol_word_ratio"] < 0.1)
+        & (e["bullet_line_frac"] < 0.9)
+        & (e["ellipsis_line_frac"] < 0.3)
+        & (e["alpha_word_frac"] > 0.8)
+        & (e["dup_line_frac"] < 0.3)
+        & (e["dup_line_char_frac"] < 0.2)
+        & (e["top_2gram_char_frac"] < 0.2)
+    )
+
+
+def gopher_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """All Gopher features + verdict in one codegen pass."""
+    e = gopher_exprs(text_col)
+    return df.select(
+        "*", *[c.alias(n) for n, c in e.items()]
+    ).withColumn("gopher_pass", gopher_pass_col(text_col))
+
+
+def gopher_sql_duckdb(text_col: str = "text") -> dict[str, str]:
+    """Exact DuckDB twins of gopher_exprs (list lambdas mirror the
+    Catalyst higher-order functions; same tie-break for the bigram)."""
+    toks = f"string_split({text_col}, ' ')"
+    lines = f"string_split({text_col}, chr(10))"
+    n_tok = f"len({toks})"
+    n_chars = f"length({text_col})"
+    grams = (
+        f"list_transform(range(1, len({toks})), "
+        f"i -> {toks}[i] || ' ' || {toks}[i + 1])"
+    )
+    cnt = f"len(list_filter({grams}, x -> x = g))"
+    top2_key = (
+        f"list_max(list_transform(list_distinct({grams}), "
+        f"g -> CAST({cnt} AS BIGINT) * {GRAM_KEY} + length(g)))"
+    )
+    top2_chars = (
+        f"(CAST({top2_key} AS BIGINT) // {GRAM_KEY}) * "
+        f"(CAST({top2_key} AS BIGINT) % {GRAM_KEY})"
+    )
+    dup_chars = (
+        f"list_sum(list_transform({lines}, l -> CASE WHEN "
+        f"len(list_filter({lines}, x -> x = l)) > 1 "
+        "THEN CAST(length(l) AS BIGINT) ELSE CAST(0 AS BIGINT) END))"
+    )
+    line_chars = f"list_sum(list_transform({lines}, l -> length(l)))"
+    return {
+        "n_tokens": f"CAST({n_tok} AS INT)",
+        "mean_word_len": (
+            f"CAST({n_chars} - ({n_tok} - 1) AS DOUBLE) / {n_tok}"
+        ),
+        "symbol_word_ratio": (
+            f"(CAST({n_chars} - length(replace({text_col}, '#', '')) "
+            f"AS DOUBLE) + CAST({n_chars} - "
+            f"length(replace({text_col}, '...', '')) AS DOUBLE) / 3) "
+            f"/ {n_tok}"
+        ),
+        "bullet_line_frac": (
+            f"CAST(len(list_filter({lines}, "
+            "l -> regexp_matches(l, '^\\s*[-*•]'))) AS DOUBLE) / "
+            f"len({lines})"
+        ),
+        "ellipsis_line_frac": (
+            f"CAST(len(list_filter({lines}, "
+            "l -> regexp_matches(l, '\\.\\.\\.$'))) AS DOUBLE) / "
+            f"len({lines})"
+        ),
+        "alpha_word_frac": (
+            f"CAST(len(list_filter({toks}, "
+            "t -> regexp_matches(t, '[A-Za-z]'))) AS DOUBLE) / "
+            f"{n_tok}"
+        ),
+        "dup_line_frac": (
+            f"CAST(len({lines}) - len(list_distinct({lines})) "
+            f"AS DOUBLE) / len({lines})"
+        ),
+        "dup_line_char_frac": (
+            f"CAST({dup_chars} AS DOUBLE) / greatest({line_chars}, 1)"
+        ),
+        "top_2gram_char_frac": (
+            f"CAST(COALESCE({top2_chars}, 0) AS DOUBLE) / "
+            f"greatest({n_chars}, 1)"
+        ),
+    }
