@@ -131,3 +131,41 @@ def test_webdataset_to_samples_spark(spark, tmp_path):
     assert rows["001/0003"]["txt"] == b"caption 1-3"
     assert rows["000/0000"]["txt"] is None
     assert len(bytes(rows["000/0001"]["jpg"])) == 64
+
+
+def test_curate_from_warc_end_to_end(spark, tmp_path):
+    """WARC → extract → Gopher gate → exact dedup, one pipeline: the
+    clean doc survives once (duplicate dropped, smallest doc_id wins),
+    spam and non-HTML records never make it through."""
+    from trefoil_spark.operators.curation import curate_from_warc
+
+    good = " ".join(f"alpha{i} bridge{i} castle{i}" for i in range(20))
+    spam = "- buy\n- now\n- cheap\n- pills"
+    page = "<html><head><title>t</title></head><body><p>{}</p></body></html>"
+    recs0 = [
+        ("response", "http://ex.com/keep", page.format(good).encode()),
+        ("response", "http://ex.com/spam", page.format(spam).encode()),
+        ("request", "http://ex.com/keep", b"GET"),
+    ]
+    recs1 = [
+        ("response", "http://ex.com/dup", page.format(good).encode()),
+    ]
+    p0 = tmp_path / "c0.warc.gz"
+    p1 = tmp_path / "c1.warc.gz"
+    p0.write_bytes(write_warc(recs0))
+    p1.write_bytes(write_warc(recs1))
+    out = curate_from_warc(spark, [str(p0), str(p1)]).collect()
+    assert len(out) == 1
+    row = out[0]
+    # tag strip leaves the body text exactly (page template has no
+    # other body content)
+    assert row["text"] == good
+    assert row["n_chars"] == len(good)
+    # winner is the smaller doc_id of the two identical documents
+    from trefoil_spark.sources.warc import warc_to_documents
+    ids = {
+        r["url"]: r["doc_id"]
+        for r in warc_to_documents(spark, [str(p0), str(p1)]).collect()
+    }
+    assert row["doc_id"] == min(ids["http://ex.com/keep"],
+                                ids["http://ex.com/dup"])

@@ -129,3 +129,27 @@ def test_probe_media_features_spark(spark):
     assert by[3]["container"] == "mp3" and by[3]["channels"] == 1
     assert by[7]["container"] == "mp3" and by[7]["channels"] == 2
     assert by[7]["duration_ms"] == (4 + 7 % 16) * 1152 * 1000 // 44100
+
+
+def test_id3_text_tags():
+    data = build_mp3(
+        n_frames=3, tags={"title": "Tésting", "artist": "Some Band",
+                          "album": "LP"}, id3_bytes=40,
+    )
+    meta = probe_mp3(data)
+    assert meta["tags"] == {"title": "Tésting", "artist": "Some Band",
+                            "album": "LP"}
+    assert meta["n_frames"] == 3
+    # hand-built v2.4 synchsafe frame with UTF-16 text
+    body = b"\x01" + "Naïve".encode("utf-16")  # BOM included
+    frame = b"TIT2" + bytes([0, 0, 0, len(body)]) + b"\x00\x00" + body
+    sz = len(frame)
+    hdr = b"ID3\x04\x00\x00" + bytes(
+        [(sz >> 21) & 0x7F, (sz >> 14) & 0x7F, (sz >> 7) & 0x7F, sz & 0x7F]
+    )
+    data24 = hdr + frame + build_mp3(n_frames=2)
+    meta = probe_mp3(data24)
+    assert meta["tags"] == {"title": "Naïve"}
+    # v2.2 is skipped, not misparsed
+    v22 = b"ID3\x02\x00\x00\x00\x00\x00\x0a" + b"\x00" * 10 + build_mp3(2)
+    assert probe_mp3(v22)["tags"] == {}

@@ -397,15 +397,67 @@ _RATES = {3: (44100, 48000, 32000), 2: (22050, 24000, 16000),
           0: (11025, 12000, 8000)}  # version bits → rates
 
 
+_ID3_TEXT = {"TIT2": "title", "TPE1": "artist", "TALB": "album",
+             "TYER": "year", "TDRC": "year", "TCON": "genre"}
+
+
+def _id3_tags(data: bytes, tag_end: int) -> dict:
+    """ID3v2.3/2.4 text frames → {title/artist/album/year/genre}.
+    v2.4 sizes are synchsafe, v2.3 plain big-endian; v2.2 (3-byte ids)
+    is skipped rather than misparsed."""
+    ver = data[3]
+    tags: dict = {}
+    if ver not in (3, 4):
+        return tags
+    pos = 10
+    if data[5] & 0x40:  # extended header present: skip it
+        (ehsz,) = struct.unpack(">I", data[10:14])
+        pos += ehsz if ver == 3 else (
+            (data[10] & 0x7F) << 21 | (data[11] & 0x7F) << 14
+            | (data[12] & 0x7F) << 7 | (data[13] & 0x7F)
+        )
+    while pos + 10 <= tag_end:
+        fid = data[pos : pos + 4]
+        if fid == b"\x00\x00\x00\x00":
+            break  # padding
+        if ver == 4:
+            size = ((data[pos + 4] & 0x7F) << 21
+                    | (data[pos + 5] & 0x7F) << 14
+                    | (data[pos + 6] & 0x7F) << 7
+                    | (data[pos + 7] & 0x7F))
+        else:
+            (size,) = struct.unpack(">I", data[pos + 4 : pos + 8])
+        body = data[pos + 10 : pos + 10 + size]
+        name = _ID3_TEXT.get(fid.decode("latin-1", "replace"))
+        if name and body:
+            enc, text = body[0], body[1:]
+            try:
+                if enc == 0:
+                    val = text.decode("latin-1")
+                elif enc == 1:
+                    val = text.decode("utf-16")
+                elif enc == 2:
+                    val = text.decode("utf-16-be")
+                else:
+                    val = text.decode("utf-8")
+                tags.setdefault(name, val.rstrip("\x00"))
+            except UnicodeDecodeError:
+                pass
+        pos += 10 + size
+    return tags
+
+
 def probe_mp3(data: bytes) -> dict:
     """MP3 bytes → {"container": "mp3", "sample_rate", "channels",
-    "bitrate_kbps" (first frame), "n_frames", "duration_ms"} via an
-    ID3v2 skip + full frame-header walk (headers only, no decode;
-    Layer III, MPEG-1 and MPEG-2/2.5)."""
+    "bitrate_kbps" (first frame), "n_frames", "duration_ms", "tags"}
+    via an ID3v2 text-frame parse + full frame-header walk (headers
+    only, no decode; Layer III, MPEG-1 and MPEG-2/2.5)."""
     pos = 0
+    tags: dict = {}
     if data[:3] == b"ID3":
         sz = ((data[6] & 0x7F) << 21 | (data[7] & 0x7F) << 14
               | (data[8] & 0x7F) << 7 | (data[9] & 0x7F))
+        tags = _id3_tags(data, 10 + sz)
         pos = 10 + sz
     n_frames = 0
     sample_rate = channels = bitrate0 = None
@@ -452,22 +504,32 @@ def probe_mp3(data: bytes) -> dict:
         "channels": channels, "bitrate_kbps": bitrate0,
         "n_frames": n_frames,
         "duration_ms": int(total_samples * 1000 // sample_rate),
+        "tags": tags,
     }
 
 
 def build_mp3(n_frames: int = 10, kbps: int = 128, rate: int = 44100,
-              mono: bool = False, id3_bytes: int = 0) -> bytes:
+              mono: bool = False, id3_bytes: int = 0,
+              tags: dict | None = None) -> bytes:
     """MP3 twin: valid MPEG-1 Layer III frame headers with zero-fill
-    payloads (probe-parseable, not decodable audio), optional ID3v2."""
+    payloads (probe-parseable, not decodable audio), optional ID3v2
+    (v2.3 text frames from ``tags`` {title/artist/album/...} followed
+    by ``id3_bytes`` of padding)."""
     bridx = _BITRATES_V1L3.index(kbps)
     sridx = _RATES[3].index(rate)
     out = bytearray()
-    if id3_bytes:
-        sz = id3_bytes
-        out += b"ID3\x04\x00\x00" + bytes(
+    if id3_bytes or tags:
+        frames_b = bytearray()
+        rev = {v: k for k, v in _ID3_TEXT.items() if k != "TDRC"}
+        for name, val in (tags or {}).items():
+            body = b"\x03" + val.encode("utf-8")  # enc 3 = UTF-8
+            frames_b += (rev[name].encode() + struct.pack(">I", len(body))
+                         + b"\x00\x00" + body)
+        sz = len(frames_b) + id3_bytes
+        out += b"ID3\x03\x00\x00" + bytes(
             [(sz >> 21) & 0x7F, (sz >> 14) & 0x7F, (sz >> 7) & 0x7F,
              sz & 0x7F]
-        ) + b"\x00" * sz
+        ) + frames_b + b"\x00" * id3_bytes
     for _ in range(n_frames):
         frame_len = 144 * kbps * 1000 // rate
         hdr = bytes([

@@ -1,0 +1,66 @@
+"""End-to-end webtext curation pipeline (r6): WARC shards → extracted
+text → Gopher quality gate → exact dedup → curated documents table.
+
+This is the composition a training-data pipeline actually runs, wired
+from the engine's own stages so the whole thing is ONE Catalyst plan
+until the dedup shuffle:
+
+  1. ingest    — sources/warc.py, one task per shard, records streamed;
+  2. extract   — operators/textstats.extract_text_col (script/style
+                 strip → body → tag strip), pure regexp expressions;
+  3. quality   — operators/textstats.gopher_pass_col (Rae 2021 rules),
+                 pure higher-order expressions;
+  4. dedup     — exact content dedup: md5-group, keep the smallest
+                 doc_id (deterministic winner), one hash shuffle.
+
+Scale shape: stages 1-3 are narrow (no shuffle at all — filter
+pushdown happens before the single exchange), stage 4 is one
+hash-partitioned aggregation on the content digest. At 100 TB the
+plan is: scan → project/filter (codegen) → exchange(md5) → agg.
+Nothing driver-side grows with data.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..sources.warc import warc_to_documents
+from .textstats import extract_text_col, gopher_pass_col
+
+__all__ = ["curate_from_warc", "curate_documents"]
+
+
+def curate_documents(docs: DataFrame, html_col: str = "html") -> DataFrame:
+    """documents with raw HTML → curated (doc_id, url, text, n_chars):
+    extract → Gopher gate → exact dedup keeping the smallest doc_id
+    per distinct content digest."""
+    extracted = docs.withColumn(
+        "text", extract_text_col(html_col)
+    ).drop(html_col)
+    kept = extracted.filter(gopher_pass_col("text"))
+    # exact dedup: one shuffle on the digest; min() winner keeps the
+    # row deterministic under any partitioning
+    digested = kept.withColumn("digest", F.md5(F.encode("text", "UTF-8")))
+    winners = digested.groupBy("digest").agg(
+        F.min("doc_id").alias("doc_id")
+    )
+    # winners has ~the same cardinality as the deduped corpus, so this
+    # stays a shuffle join (never broadcast); both sides already hash
+    # on digest from the aggregation, so AQE reuses the exchange
+    deduped = digested.join(winners, on=["digest", "doc_id"], how="inner")
+    return deduped.select(
+        "doc_id", "url", "text", F.length("text").alias("n_chars")
+    )
+
+
+def curate_from_warc(spark, paths) -> DataFrame:
+    """WARC shard paths → curated documents DataFrame. HTTP-level
+    filters (status 200, HTML content type) run before extraction so
+    non-page records never reach the expensive expressions."""
+    raw = warc_to_documents(spark, paths).withColumnRenamed("text", "html")
+    pages = raw.filter(
+        (F.col("status") == 200)
+        & F.col("content_type").startswith("text/html")
+    )
+    return curate_documents(pages, "html")

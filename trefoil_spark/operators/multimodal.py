@@ -121,10 +121,12 @@ def frame_sample(df: DataFrame, every_n: int = 2, decoder: str = "fake") -> Data
     """Video-style frame sampling: one row per sampled frame.
 
     ``decoder='real'`` (r6) decodes the ``media`` column as an actual
-    AVI container (functions/avi.py — MJPG / BI_RGB payloads) and emits
+    video payload — an AVI container (functions/avi.py — MJPG / BI_RGB
+    streams) or an animated GIF (functions/gif.py — full disposal-
+    method compositing; the web's accidental video format) — and emits
     every ``every_n``-th frame's raw RGB bytes; ``media_meta`` is not
-    consulted (the container is self-describing). Truly compressed
-    video inside the container still raises NotImplementedError from
+    consulted (the payloads are self-describing). Truly compressed
+    video inside a container still raises NotImplementedError from
     the codec dispatch (ffmpeg-bound). With the fake decoder each
     'frame' is a deterministic slice of the pseudo-decode; either way
     the row-explosion shape (doc_id, frame_idx, frame binary) is the
@@ -132,6 +134,7 @@ def frame_sample(df: DataFrame, every_n: int = 2, decoder: str = "fake") -> Data
 
     def gen(batches):
         from ..functions.avi import decode_avi
+        from ..functions.gif import decode_gif_frames
 
         for pdf in batches:
             rows = []
@@ -139,9 +142,21 @@ def frame_sample(df: DataFrame, every_n: int = 2, decoder: str = "fake") -> Data
                 pdf["doc_id"], pdf["media"], pdf["media_meta"]
             ):
                 if decoder == "real":
-                    frames, _fps = decode_avi(bytes(payload))
+                    raw = bytes(payload)
+                    if raw[:6] in (b"GIF87a", b"GIF89a"):
+                        # RGBA composites → drop alpha for the frame
+                        # contract (GIF transparency is already
+                        # composited into the canvas walk)
+                        frames = [
+                            fr[..., :3] for fr in decode_gif_frames(raw)
+                        ]
+                    else:
+                        frames, _fps = decode_avi(raw)
                     for f in range(0, len(frames), every_n):
-                        rows.append((int(doc_id), f, frames[f].tobytes()))
+                        rows.append(
+                            (int(doc_id), f,
+                             np.ascontiguousarray(frames[f]).tobytes())
+                        )
                     continue
                 n = max(int(meta["n_frames"]), 1)
                 img = _fake_decode(bytes(payload), meta["width"], meta["height"])
