@@ -340,3 +340,95 @@ def gopher_sql_duckdb(text_col: str = "text") -> dict[str, str]:
             f"greatest({n_chars}, 1)"
         ),
     }
+
+
+# ---------------------------------------------------------------------------
+# BPE-style token counting + URL ops (r6). The token-count regex is the
+# public GPT-2 pre-tokenizer pattern (contractions / letter runs /
+# digit runs / punctuation runs / whitespace), minus the negative
+# lookahead, which RE2 (DuckDB) does not support — both engines then
+# use ordered-alternation leftmost-first matching, so counts agree
+# exactly. This approximates real-tokenizer token counts well enough
+# for corpus budgeting without shipping a merges table.
+# ---------------------------------------------------------------------------
+
+BPE_PATTERN = (
+    r"'(?:s|t|re|ve|m|ll|d)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+"
+)
+
+
+def bpe_token_count_col(text_col: str = "text") -> Column:
+    """Pre-tokenizer piece count (the unit LLM data budgets use).
+    Column-form regexp arg sidesteps SQL string-literal escaping of the
+    quote/backslashes in the pattern."""
+    return F.size(
+        F.regexp_extract_all(
+            F.col(text_col), F.lit(BPE_PATTERN), F.lit(0)
+        )
+    )
+
+
+def bpe_token_count_sql_duckdb(text_col: str = "text") -> str:
+    pat = BPE_PATTERN.replace("'", "''")
+    return (
+        f"CAST(len(regexp_extract_all({text_col}, "
+        f"'{pat}')) AS INT)"
+    )
+
+
+_URL_HOST_RE = "^[a-zA-Z][a-zA-Z0-9+.-]*://(?:[^/?#@]*@)?([^/:?#]+)"
+_URL_PATH_RE = "^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*(/[^?#]*)"
+
+# second-level labels that act like TLD extensions (public-suffix
+# heuristic: good enough for grouping crawl URLs by site without
+# shipping the full PSL)
+_SLD_EXT = ("co", "com", "org", "net", "ac", "gov", "edu")
+
+
+def url_host_col(url_col: str = "url") -> Column:
+    """scheme://[user@]HOST[:port]/... → host (same regex as the
+    DuckDB twin; empty string when the URL does not parse)."""
+    return F.regexp_extract(F.col(url_col), _URL_HOST_RE, 1)
+
+
+def url_path_col(url_col: str = "url") -> Column:
+    return F.regexp_extract(F.col(url_col), _URL_PATH_RE, 1)
+
+
+def url_domain_col(url_col: str = "url") -> Column:
+    """Registrable-domain heuristic: last two host labels, or last
+    three when the middle one is a known SLD extension ('bbc.co.uk' →
+    'bbc.co.uk', 'a.b.example.com' → 'example.com')."""
+    host = url_host_col(url_col)
+    parts = F.split(host, r"\.")
+    n = F.size(parts)
+    sld = F.element_at(parts, -2)
+    three = (n >= 3) & sld.isin(*_SLD_EXT)
+    last2 = F.concat_ws(".", F.element_at(parts, -2), F.element_at(parts, -1))
+    last3 = F.concat_ws(
+        ".", F.element_at(parts, -3), F.element_at(parts, -2),
+        F.element_at(parts, -1)
+    )
+    return F.when(n <= 2, host).when(three, last3).otherwise(last2)
+
+
+def url_sql_duckdb(url_col: str = "url") -> dict[str, str]:
+    """Exact DuckDB twins of the URL ops."""
+    host = f"coalesce(regexp_extract({url_col}, '{_URL_HOST_RE}', 1), '')"
+    parts = f"string_split({host}, '.')"
+    n = f"len({parts})"
+    sld_list = ", ".join(f"'{s}'" for s in _SLD_EXT)
+    last2 = f"({parts}[-2] || '.' || {parts}[-1])"
+    last3 = f"({parts}[-3] || '.' || {parts}[-2] || '.' || {parts}[-1])"
+    return {
+        "host": host,
+        "path": (
+            f"coalesce(regexp_extract({url_col}, "
+            f"'{_URL_PATH_RE}', 1), '')"
+        ),
+        "domain": (
+            f"CASE WHEN {n} <= 2 THEN {host} "
+            f"WHEN {n} >= 3 AND {parts}[-2] IN ({sld_list}) THEN {last3} "
+            f"ELSE {last2} END"
+        ),
+    }
