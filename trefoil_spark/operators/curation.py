@@ -54,13 +54,56 @@ def curate_documents(docs: DataFrame, html_col: str = "html") -> DataFrame:
     )
 
 
-def curate_from_warc(spark, paths) -> DataFrame:
+def curate_from_warc(spark, paths, include_pdf: bool = True) -> DataFrame:
     """WARC shard paths → curated documents DataFrame. HTTP-level
-    filters (status 200, HTML content type) run before extraction so
-    non-page records never reach the expensive expressions."""
+    filters (status 200, HTML or PDF content type) run before
+    extraction so non-page records never reach the expensive stages.
+    HTML pages stay in the pure-Catalyst path; application/pdf bodies
+    (r6) go through the own PDF text extractor (functions/pdf.py) in
+    an Arrow-batched stage, then rejoin the same Gopher gate + dedup."""
     raw = warc_to_documents(spark, paths).withColumnRenamed("text", "html")
     pages = raw.filter(
         (F.col("status") == 200)
         & F.col("content_type").startswith("text/html")
     )
-    return curate_documents(pages, "html")
+    docs = curate_documents(pages, "html")
+    if not include_pdf:
+        return docs
+    from ..sources.warc import warc_to_records
+
+    recs = warc_to_records(spark, paths).filter(
+        (F.col("status") == 200)
+        & F.col("content_type").startswith("application/pdf")
+    )
+
+    def gen(batches):
+        import pandas as pd
+
+        from ..functions.pdf import extract_pdf_text
+
+        for pdf in batches:
+            rows = []
+            for doc_id, url, body in zip(
+                pdf["doc_id"], pdf["url"], pdf["body"]
+            ):
+                try:
+                    text, _meta = extract_pdf_text(bytes(body))
+                except ValueError:
+                    continue  # mislabeled content type: drop, don't fail
+                rows.append((int(doc_id), url, text))
+            yield pd.DataFrame(rows, columns=["doc_id", "url", "text"])
+
+    pdf_texts = recs.mapInPandas(
+        gen, schema="doc_id bigint, url string, text string"
+    )
+    pdf_kept = pdf_texts.filter(gopher_pass_col("text"))
+    pdf_digested = pdf_kept.withColumn(
+        "digest", F.md5(F.encode("text", "UTF-8"))
+    )
+    pdf_winners = pdf_digested.groupBy("digest").agg(
+        F.min("doc_id").alias("doc_id")
+    )
+    pdf_docs = pdf_digested.join(
+        pdf_winners, on=["digest", "doc_id"], how="inner"
+    ).select("doc_id", "url", "text", F.length("text").alias("n_chars"))
+    return docs.unionByName(pdf_docs)

@@ -30,7 +30,7 @@ import zlib
 
 __all__ = [
     "iter_warc_records", "parse_http_response", "write_warc",
-    "warc_to_documents",
+    "warc_to_documents", "warc_to_records",
 ]
 
 
@@ -139,13 +139,13 @@ def write_warc(records: list, gzip_members: bool = True) -> bytes:
     return bytes(out)
 
 
-def warc_to_documents(spark, paths):
-    """WARC shard paths → DataFrame(doc_id, url, status, content_type,
-    text) — one Spark task per shard (binaryFile source keeps whole
-    files together), records streamed inside the task via mapInPandas,
-    HTML bodies decoded as UTF-8 (errors replaced). doc_id is a
-    deterministic 63-bit hash of (shard, record index) so re-ingest is
-    stable across cluster sizes."""
+def _warc_scan(spark, paths, binary: bool):
+    """Shared distributed scan: one Spark task per shard (binaryFile
+    source keeps whole files together), records streamed inside the
+    task via mapInPandas. doc_id is a deterministic 63-bit hash of
+    (shard, record index) so re-ingest is stable across cluster
+    sizes. ``binary`` keeps the raw body bytes (PDF / media records);
+    otherwise bodies decode as UTF-8 with replacement."""
     import hashlib
 
     import pandas as pd
@@ -155,6 +155,7 @@ def warc_to_documents(spark, paths):
     files = spark.read.format("binaryFile").load(paths).select(
         "path", "content"
     )
+    body_col, body_type = ("body", "binary") if binary else ("text", "string")
 
     def gen(batches):
         for pdf in batches:
@@ -173,15 +174,28 @@ def warc_to_documents(spark, paths):
                     rows.append((
                         doc_id, hdrs.get("warc-target-uri", ""), status,
                         http.get("content-type", ""),
-                        body.decode("utf-8", "replace"),
+                        body if binary else body.decode("utf-8", "replace"),
                     ))
             yield pd.DataFrame(
                 rows,
-                columns=["doc_id", "url", "status", "content_type", "text"],
+                columns=["doc_id", "url", "status", "content_type",
+                         body_col],
             )
 
     return files.mapInPandas(
         gen,
         schema="doc_id bigint, url string, status int, "
-        "content_type string, text string",
+        f"content_type string, {body_col} {body_type}",
     )
+
+
+def warc_to_documents(spark, paths):
+    """WARC shard paths → DataFrame(doc_id, url, status, content_type,
+    text) with UTF-8-decoded bodies (the webtext view)."""
+    return _warc_scan(spark, paths, binary=False)
+
+
+def warc_to_records(spark, paths):
+    """WARC shard paths → DataFrame(doc_id, url, status, content_type,
+    body binary) — raw bodies for PDF / media payloads."""
+    return _warc_scan(spark, paths, binary=True)
