@@ -1332,12 +1332,13 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_audio_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal audio with REAL codecs: deterministic int16 waveforms
-    are encoded to actual RIFF/WAVE PCM (even doc_ids) or native FLAC
-    (odd doc_ids — r6, RFC 9639 codec incl. MD5 verification) bytes,
+    are encoded by doc_id%4 to actual RIFF/WAVE PCM (0/2), native FLAC
+    (1 — RFC 9639 codec incl. MD5 verification), or big-endian AIFF
+    (3 — r6, 80-bit extended sample rate parsed exactly) bytes,
     repartitioned, and decoded back executor-side by magic-sniffed
-    dispatch into exact integer amplitude stats. Both codecs are
-    lossless, so one closed-form oracle covers the pair — a hash match
-    proves both containers round-trip through the shuffle."""
+    dispatch into exact integer amplitude stats. All three codecs are
+    lossless, so one closed-form oracle covers the trio — a hash match
+    proves every container round-trips through the shuffle."""
     from trefoil_spark.operators.multimodal import (
         attach_real_audio,
         decode_audio_features,
@@ -1838,7 +1839,8 @@ def oracle_sql() -> dict[str, str]:
                 FROM documents, (SELECT UNNEST(range(1024)) AS i)
             )
             SELECT doc_id,
-                   CASE doc_id % 2 WHEN 0 THEN 'wav' ELSE 'flac' END AS fmt,
+                   CASE doc_id % 4 WHEN 1 THEN 'flac' WHEN 3 THEN 'aiff'
+                        ELSE 'wav' END AS fmt,
                    CAST(16000 AS BIGINT) AS sample_rate,
                    CAST(1024 AS BIGINT) AS n_samples,
                    CAST(SUM(s) AS BIGINT) AS sum_amp,

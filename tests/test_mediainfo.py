@@ -153,3 +153,22 @@ def test_id3_text_tags():
     # v2.2 is skipped, not misparsed
     v22 = b"ID3\x02\x00\x00\x00\x00\x00\x0a" + b"\x00" * 10 + build_mp3(2)
     assert probe_mp3(v22)["tags"] == {}
+
+
+def test_ogg_probe():
+    from trefoil_spark.functions.mediainfo import mux_ogg, probe_ogg
+
+    m = probe_ogg(mux_ogg("vorbis", 2, 44100, n_samples=44100 * 3))
+    assert m["container"] == "ogg"
+    assert m["duration_ms"] == 3000
+    t = m["tracks"][0]
+    assert (t["codec"], t["sample_rate"], t["channels"]) == (
+        "vorbis", 44100, 2
+    )
+    m = probe_ogg(mux_ogg("opus", 1, 48000, n_samples=96000))
+    assert m["tracks"][0]["codec"] == "opus"
+    assert m["duration_ms"] == 2000
+    assert probe_media(mux_ogg("opus", 1))["container"] == "ogg"
+    import pytest as _pt
+    with _pt.raises(ValueError, match="Ogg"):
+        probe_ogg(b"RIFF" + b"\x00" * 30)

@@ -29,8 +29,8 @@ from __future__ import annotations
 import struct
 
 __all__ = [
-    "probe_media", "probe_mp4", "probe_mkv", "probe_mp3",
-    "mux_mp4", "mux_mkv", "build_mp3",
+    "probe_media", "probe_mp4", "probe_mkv", "probe_mp3", "probe_ogg",
+    "mux_mp4", "mux_mkv", "build_mp3", "mux_ogg",
 ]
 
 
@@ -563,8 +563,100 @@ def probe_media(data: bytes) -> dict:
         return probe_mp4(data)
     if data[:4] == _EBML_MAGIC:
         return probe_mkv(data)
+    if data[:4] == b"OggS":
+        return probe_ogg(data)
     if data[:3] == b"ID3" or (
         len(data) > 1 and data[0] == 0xFF and (data[1] & 0xE0) == 0xE0
     ):
         return probe_mp3(data)
     raise ValueError("unknown media container")
+
+
+# ---------------------------------------------------------------------------
+# Ogg (RFC 3533 pages; Vorbis / Opus identification headers)
+# ---------------------------------------------------------------------------
+
+def probe_ogg(data: bytes) -> dict:
+    """Ogg bytes → {"container": "ogg", "duration_ms", "tracks": [
+    {"kind": "audio", "codec", "sample_rate", "channels"}]} from the
+    BOS page of each logical stream; duration from the last page's
+    granule position (Vorbis/Opus granules are PCM sample counts)."""
+    if data[:4] != b"OggS":
+        raise ValueError("not an Ogg stream")
+    tracks: dict[int, dict] = {}
+    last_granule: dict[int, int] = {}
+    pos = 0
+    while pos + 27 <= len(data):
+        if data[pos : pos + 4] != b"OggS":
+            break  # trailing garbage after the last page
+        (granule,) = struct.unpack("<q", data[pos + 6 : pos + 14])
+        (serial,) = struct.unpack("<I", data[pos + 14 : pos + 18])
+        flags = data[pos + 5]
+        nsegs = data[pos + 26]
+        seg_table = data[pos + 27 : pos + 27 + nsegs]
+        body_start = pos + 27 + nsegs
+        body_len = sum(seg_table)
+        body = data[body_start : body_start + body_len]
+        if flags & 0x02:  # BOS: identification header
+            tr = {"kind": "audio", "codec": None, "sample_rate": None,
+                  "channels": None}
+            if body[:7] == b"\x01vorbis":
+                tr["codec"] = "vorbis"
+                tr["channels"] = body[11]
+                (tr["sample_rate"],) = struct.unpack("<I", body[12:16])
+            elif body[:8] == b"OpusHead":
+                tr["codec"] = "opus"
+                tr["channels"] = body[9]
+                # granules always run at 48 kHz for Opus
+                tr["sample_rate"] = 48000
+            elif body[:7] == b"\x80theora":
+                tr = {"kind": "video", "codec": "theora",
+                      "sample_rate": None, "channels": None}
+            else:
+                tr["codec"] = body[:8].rstrip(b"\x00").decode(
+                    "latin-1", "replace"
+                )
+            tracks[serial] = tr
+        if granule >= 0:
+            last_granule[serial] = granule
+        pos = body_start + body_len
+    if not tracks:
+        raise ValueError("Ogg stream has no BOS page")
+    duration_ms = None
+    for serial, tr in tracks.items():
+        rate = tr.get("sample_rate")
+        if rate and serial in last_granule:
+            ms = int(last_granule[serial] * 1000 // rate)
+            duration_ms = max(duration_ms or 0, ms)
+    return {"container": "ogg", "duration_ms": duration_ms,
+            "tracks": list(tracks.values())}
+
+
+def mux_ogg(codec: str = "vorbis", channels: int = 2, rate: int = 44100,
+            n_samples: int = 0) -> bytes:
+    """Ogg twin: a BOS page with a Vorbis/Opus ident header plus one
+    EOS data page whose granule position encodes ``n_samples``."""
+    def page(serial, seqno, body, flags, granule):
+        segs = []
+        rem = len(body)
+        while rem >= 255:
+            segs.append(255)
+            rem -= 255
+        segs.append(rem)
+        hdr = (b"OggS\x00" + bytes([flags])
+               + struct.pack("<qI", granule, serial)
+               + struct.pack("<II", seqno, 0)
+               + bytes([len(segs)]) + bytes(segs))
+        return hdr + body
+
+    if codec == "vorbis":
+        ident = (b"\x01vorbis" + struct.pack("<IB", 0, channels)
+                 + struct.pack("<IiiI", rate, 0, 0, 0) + b"\x01")
+    elif codec == "opus":
+        ident = (b"OpusHead\x01" + bytes([channels])
+                 + struct.pack("<HIhB", 312, rate, 0, 0))
+    else:
+        raise ValueError("twin supports vorbis/opus")
+    bos = page(1, 0, ident, 0x02, 0)
+    eos = page(1, 1, b"\x00" * 10, 0x04, n_samples)
+    return bos + eos

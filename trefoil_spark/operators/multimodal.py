@@ -404,10 +404,12 @@ def synth_audio(doc_id: int) -> np.ndarray:
 
 
 def attach_real_audio(df: DataFrame) -> DataFrame:
-    """doc_id → actual encoded audio bytes in the ``media`` column:
-    even doc_ids ride RIFF/WAVE PCM, odd ones native FLAC (r6,
-    functions/flac.py — lossless, so both legs decode to the identical
-    closed-form waveform and one oracle covers the pair)."""
+    """doc_id → actual encoded audio bytes in the ``media`` column by
+    doc_id%4: 0/2 ride RIFF/WAVE PCM, 1 native FLAC (functions/
+    flac.py), 3 big-endian AIFF (r6, functions/aiff.py) — all three
+    lossless, so every leg decodes to the identical closed-form
+    waveform and one oracle covers the trio."""
+    from ..functions.aiff import encode_aiff
     from ..functions.flac import encode_flac
     from ..functions.wav import encode_wav
 
@@ -417,11 +419,13 @@ def attach_real_audio(df: DataFrame) -> DataFrame:
             for d in pdf["doc_id"]:
                 d = int(d)
                 wave = synth_audio(d)
-                payload = (
-                    encode_wav(wave, AUDIO_RATE)
-                    if d % 2 == 0
-                    else encode_flac(wave, AUDIO_RATE)
-                )
+                m = d % 4
+                if m == 1:
+                    payload = encode_flac(wave, AUDIO_RATE)
+                elif m == 3:
+                    payload = encode_aiff(wave, AUDIO_RATE, bits=16)
+                else:
+                    payload = encode_wav(wave, AUDIO_RATE)
                 rows.append((d, payload))
             yield pd.DataFrame(rows, columns=["doc_id", "media"])
 
@@ -429,9 +433,10 @@ def attach_real_audio(df: DataFrame) -> DataFrame:
 
 
 def decode_audio_features(df: DataFrame) -> DataFrame:
-    """media binary → REAL decode (magic-sniffed WAV/FLAC dispatch) →
-    exact integer amplitude stats (sum + sum of |s|: order-free,
-    codec-exact)."""
+    """media binary → REAL decode (magic-sniffed WAV/FLAC/AIFF
+    dispatch) → exact integer amplitude stats (sum + sum of |s|:
+    order-free, codec-exact)."""
+    from ..functions.aiff import decode_aiff
     from ..functions.flac import decode_flac
     from ..functions.wav import decode_wav
 
@@ -446,6 +451,9 @@ def decode_audio_features(df: DataFrame) -> DataFrame:
                 elif raw[:4] == b"RIFF":
                     fmt = "wav"
                     samples, rate = decode_wav(raw)
+                elif raw[:4] == b"FORM":
+                    fmt = "aiff"
+                    samples, rate = decode_aiff(raw)
                 else:
                     raise ValueError("unknown audio payload")
                 s = samples[:, 0].astype(np.int64)
