@@ -321,3 +321,149 @@ def decode_png(data: bytes) -> np.ndarray:
             return np.dstack([rgb, alphas[idx]])
         return rgb
     return samples
+
+
+# ---------------------------------------------------------------------------
+# APNG (r6): the animated-PNG extension (public spec, now part of the
+# W3C PNG 3 draft) — acTL declares the animation, each frame is an
+# fcTL control chunk followed by IDAT (first frame, when animated) or
+# fdAT chunks (sequence-numbered IDAT payloads). Frames composite onto
+# an RGBA canvas with dispose ops 0/1/2 (none/background/previous) and
+# blend ops 0/1 (source/over). Web crawls are full of these — an
+# animated PNG is a video the image pipeline can actually decode.
+# ---------------------------------------------------------------------------
+
+
+def _to_rgba(arr: np.ndarray) -> np.ndarray:
+    if arr.dtype == np.uint16:
+        arr = (arr >> 8).astype(np.uint8)
+    if arr.ndim == 2:
+        arr = np.stack([arr] * 3, -1)
+    if arr.shape[2] == 2:  # gray + alpha
+        g = arr[..., 0]
+        arr = np.stack([g, g, g, arr[..., 1]], -1)
+    if arr.shape[2] == 3:
+        arr = np.concatenate(
+            [arr, np.full(arr.shape[:2] + (1,), 255, np.uint8)], -1
+        )
+    return arr
+
+
+def decode_apng_frames(data: bytes) -> list[np.ndarray]:
+    """APNG bytes → list of (H, W, 4) uint8 RGBA canvases, one per
+    animation frame, composited per fcTL dispose/blend semantics. A
+    plain (non-animated) PNG yields its single image. The static
+    default image (IDAT with no preceding fcTL) is, per spec, NOT part
+    of the animation."""
+    if data[:8] != _SIGNATURE:
+        raise ValueError("not a PNG file")
+    pos = 8
+    ihdr = None
+    shared = b""  # PLTE/tRNS reused by every frame
+    animated = False
+    frames: list[tuple[bytes, list[bytes]]] = []  # (fcTL payload, data)
+    default_idat: list[bytes] = []
+    cur: list[bytes] | None = None
+    while pos + 8 <= len(data):
+        (length,) = struct.unpack(">I", data[pos : pos + 4])
+        tag = data[pos + 4 : pos + 8]
+        payload = data[pos + 8 : pos + 8 + length]
+        pos += 12 + length
+        if tag == b"IHDR":
+            ihdr = payload
+        elif tag in (b"PLTE", b"tRNS"):
+            shared += _chunk(tag, payload)
+        elif tag == b"acTL":
+            animated = True
+        elif tag == b"fcTL":
+            cur = []
+            frames.append((payload, cur))
+        elif tag == b"IDAT":
+            if cur is not None:
+                cur.append(payload)
+            else:
+                default_idat.append(payload)
+        elif tag == b"fdAT":
+            if cur is None:
+                raise ValueError("APNG fdAT before any fcTL")
+            cur.append(payload[4:])  # strip sequence number
+        elif tag == b"IEND":
+            break
+    if ihdr is None:
+        raise ValueError("PNG missing IHDR")
+    W, H = struct.unpack(">II", ihdr[:8])
+    if not animated or not frames:
+        return [_to_rgba(decode_png(data))]
+
+    def sub_png(w, h, chunks):
+        sub_ihdr = struct.pack(">II", w, h) + ihdr[8:]
+        return (_SIGNATURE + _chunk(b"IHDR", sub_ihdr) + shared
+                + _chunk(b"IDAT", b"".join(chunks)) + _chunk(b"IEND", b""))
+
+    canvas = np.zeros((H, W, 4), np.uint8)
+    out: list[np.ndarray] = []
+    prev_snapshot = None
+    for fctl, chunks in frames:
+        _seq, w, h, x, y = struct.unpack(">IIIII", fctl[:20])
+        dispose, blend = fctl[24], fctl[25]
+        if x + w > W or y + h > H:
+            raise ValueError("APNG frame region outside canvas")
+        img = _to_rgba(decode_png(sub_png(w, h, chunks)))
+        if dispose == 2:
+            prev_snapshot = canvas[y : y + h, x : x + w].copy()
+        region = canvas[y : y + h, x : x + w]
+        if blend == 0:  # SOURCE: replace
+            region[:] = img
+        else:  # OVER: alpha composite (integer math, PNG spec formula)
+            a = img[..., 3:4].astype(np.uint16)
+            inv = 255 - a
+            region[..., :3] = (
+                (img[..., :3].astype(np.uint16) * a
+                 + region[..., :3].astype(np.uint16) * inv) // 255
+            ).astype(np.uint8)
+            region[..., 3:4] = (
+                a + region[..., 3:4].astype(np.uint16) * inv // 255
+            ).astype(np.uint8)
+        out.append(canvas.copy())
+        if dispose == 1:  # background: clear region to transparent
+            canvas[y : y + h, x : x + w] = 0
+        elif dispose == 2 and prev_snapshot is not None:
+            canvas[y : y + h, x : x + w] = prev_snapshot
+    return out
+
+
+def encode_apng(frames, delay_den: int = 10) -> bytes:
+    """Twin writer: list of (H, W, 3) uint8 RGB full-canvas frames →
+    APNG bytes (truecolor, filter 0, source blend, dispose none;
+    1/delay_den s per frame)."""
+    if not frames:
+        raise ValueError("APNG needs at least one frame")
+    h, w = frames[0].shape[:2]
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    out = bytearray(_SIGNATURE + _chunk(b"IHDR", ihdr))
+    out += _chunk(b"acTL", struct.pack(">II", len(frames), 0))
+    seq = 0
+
+    def fctl(width, height):
+        nonlocal seq
+        p = struct.pack(">IIIIIHHBB", seq, width, height, 0, 0,
+                        1, delay_den, 0, 0)
+        seq += 1
+        return _chunk(b"fcTL", p)
+
+    for i, f in enumerate(frames):
+        if f.shape[:2] != (h, w):
+            raise ValueError("APNG twin frames must share the canvas size")
+        rows = np.concatenate(
+            [np.zeros((h, 1), np.uint8),
+             np.asarray(f, np.uint8).reshape(h, w * 3)], axis=1
+        ).tobytes()
+        comp = zlib.compress(rows, 6)
+        out += fctl(w, h)
+        if i == 0:
+            out += _chunk(b"IDAT", comp)
+        else:
+            out += _chunk(b"fdAT", struct.pack(">I", seq) + comp)
+            seq += 1
+    out += _chunk(b"IEND", b"")
+    return bytes(out)

@@ -135,6 +135,7 @@ def frame_sample(df: DataFrame, every_n: int = 2, decoder: str = "fake") -> Data
     def gen(batches):
         from ..functions.avi import decode_avi
         from ..functions.gif import decode_gif_frames
+        from ..functions.png import decode_apng_frames
 
         for pdf in batches:
             rows = []
@@ -149,6 +150,10 @@ def frame_sample(df: DataFrame, every_n: int = 2, decoder: str = "fake") -> Data
                         # composited into the canvas walk)
                         frames = [
                             fr[..., :3] for fr in decode_gif_frames(raw)
+                        ]
+                    elif raw[:8] == b"\x89PNG\r\n\x1a\n":
+                        frames = [
+                            fr[..., :3] for fr in decode_apng_frames(raw)
                         ]
                     else:
                         frames, _fps = decode_avi(raw)
