@@ -904,41 +904,170 @@ def decode_webp(data: bytes) -> np.ndarray:
         elif tag == b"ANMF":
             if canvas_wh is None:
                 raise ValueError("ANMF chunk without VP8X header")
-            if len(chunk) < 16:
-                raise ValueError("short ANMF chunk")
-            fx = int.from_bytes(chunk[0:3], "little") * 2
-            fy = int.from_bytes(chunk[3:6], "little") * 2
-            fw = int.from_bytes(chunk[6:9], "little") + 1
-            fh = int.from_bytes(chunk[9:12], "little") + 1
-            # frame data = its own chunk list (ALPH? + VP8/VP8L);
-            # re-wrap as a standalone simple/alpha WebP and recurse
-            fa = None
-            for t2, c2 in _walk_chunks(chunk, 16):
-                if t2 == b"ALPH":
-                    fa = (t2, c2)
-                elif t2 in (b"VP8 ", b"VP8L"):
-                    parts = []
-                    if fa is not None:
-                        vp8x = (b"\x10\x00\x00\x00"
-                                + (fw - 1).to_bytes(3, "little")
-                                + (fh - 1).to_bytes(3, "little"))
-                        parts.append(b"VP8X" + struct.pack("<I", len(vp8x))
-                                     + vp8x)
-                        pad = b"\x00" if len(fa[1]) & 1 else b""
-                        parts.append(b"ALPH"
-                                     + struct.pack("<I", len(fa[1]))
-                                     + fa[1] + pad)
-                    pad = b"\x00" if len(c2) & 1 else b""
-                    parts.append(t2 + struct.pack("<I", len(c2)) + c2 + pad)
-                    body = b"WEBP" + b"".join(parts)
-                    frame = decode_webp(
-                        b"RIFF" + struct.pack("<I", len(body)) + body
-                    )
-                    cw, ch = canvas_wh
-                    canvas = np.zeros((ch, cw, 4), np.uint8)
-                    vh = min(frame.shape[0], ch - fy)
-                    vw = min(frame.shape[1], cw - fx)
-                    canvas[fy:fy + vh, fx:fx + vw] = frame[:vh, :vw]
-                    return canvas
-            raise ValueError("ANMF frame without image data")
+            fx, fy, fw, fh, _dur, _dispose, _blend, frame = (
+                _decode_anmf(chunk)
+            )
+            cw, ch = canvas_wh
+            canvas = np.zeros((ch, cw, 4), np.uint8)
+            vh = min(frame.shape[0], ch - fy)
+            vw = min(frame.shape[1], cw - fx)
+            canvas[fy:fy + vh, fx:fx + vw] = frame[:vh, :vw]
+            return canvas
     raise ValueError("no image chunk (VP8/VP8L) in WebP container")
+
+
+def _rewrap_simple(tag: bytes, payload: bytes, alph: bytes | None,
+                   fw: int, fh: int) -> bytes:
+    """Re-wrap an ANMF frame's bare image (+optional ALPH) chunks as a
+    standalone simple/extended WebP file so decode_webp can recurse."""
+    parts = []
+    if alph is not None:
+        vp8x = (b"\x10\x00\x00\x00"
+                + (fw - 1).to_bytes(3, "little")
+                + (fh - 1).to_bytes(3, "little"))
+        parts.append(b"VP8X" + struct.pack("<I", len(vp8x)) + vp8x)
+        pad = b"\x00" if len(alph) & 1 else b""
+        parts.append(b"ALPH" + struct.pack("<I", len(alph)) + alph + pad)
+    pad = b"\x00" if len(payload) & 1 else b""
+    parts.append(tag + struct.pack("<I", len(payload)) + payload + pad)
+    body = b"WEBP" + b"".join(parts)
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def _decode_anmf(chunk: bytes):
+    """ANMF payload → (fx, fy, fw, fh, duration_ms, dispose, blend,
+    (fh,fw,4) RGBA frame).  Container spec: X/Y are stored in 2-pixel
+    units; the flags byte packs blending in bit 1 (0 = alpha-blend,
+    1 = overwrite) and disposal in bit 0 (0 = none, 1 = dispose to
+    the ANIM background color)."""
+    if len(chunk) < 16:
+        raise ValueError("short ANMF chunk")
+    fx = int.from_bytes(chunk[0:3], "little") * 2
+    fy = int.from_bytes(chunk[3:6], "little") * 2
+    fw = int.from_bytes(chunk[6:9], "little") + 1
+    fh = int.from_bytes(chunk[9:12], "little") + 1
+    duration = int.from_bytes(chunk[12:15], "little")
+    flags = chunk[15]
+    blend = (flags >> 1) & 1
+    dispose = flags & 1
+    alph = None
+    for t2, c2 in _walk_chunks(chunk, 16):
+        if t2 == b"ALPH":
+            alph = c2
+        elif t2 in (b"VP8 ", b"VP8L"):
+            frame = decode_webp(_rewrap_simple(t2, c2, alph, fw, fh))
+            return fx, fy, fw, fh, duration, dispose, blend, frame
+    raise ValueError("ANMF frame without image data")
+
+
+def decode_webp_frames(data: bytes) -> list[np.ndarray]:
+    """Animated WebP → list of (H, W, 4) uint8 RGBA canvases, one per
+    ANMF frame, composited per the container spec's dispose/blend
+    semantics: the canvas starts fully transparent; blending method 0
+    alpha-blends the frame over the canvas with the spec's
+    straight-alpha formula, method 1 overwrites the rectangle; disposal
+    method 1 fills the frame rectangle with the ANIM background color
+    (stored BGRA) after the frame is rendered.  A non-animated WebP
+    (simple VP8/VP8L or still VP8X) yields its single image."""
+    if data[:4] != b"RIFF" or data[8:12] != b"WEBP":
+        raise ValueError("not a WebP file")
+    canvas_wh = None
+    bg = np.zeros(4, np.uint8)
+    anmf_chunks: list[bytes] = []
+    animated = False
+    for tag, chunk in _walk_chunks(data, 12):
+        if tag == b"VP8X":
+            if len(chunk) < 10:
+                raise ValueError("short VP8X chunk")
+            cw = int.from_bytes(chunk[4:7], "little") + 1
+            ch = int.from_bytes(chunk[7:10], "little") + 1
+            canvas_wh = (cw, ch)
+        elif tag == b"ANIM":
+            if len(chunk) < 6:
+                raise ValueError("short ANIM chunk")
+            animated = True
+            # background color is stored [B, G, R, A]
+            bg = np.array([chunk[2], chunk[1], chunk[0], chunk[3]],
+                          np.uint8)
+        elif tag == b"ANMF":
+            anmf_chunks.append(chunk)
+    if not animated or not anmf_chunks:
+        return [decode_webp(data)]
+    if canvas_wh is None:
+        raise ValueError("ANIM chunk without VP8X header")
+    cw, ch = canvas_wh
+    canvas = np.zeros((ch, cw, 4), np.uint8)
+    out: list[np.ndarray] = []
+    for chunk in anmf_chunks:
+        fx, fy, fw, fh, _dur, dispose, blend, frame = _decode_anmf(chunk)
+        if fx + fw > cw or fy + fh > ch:
+            raise ValueError("ANMF frame region outside canvas")
+        vh = min(frame.shape[0], fh)
+        vw = min(frame.shape[1], fw)
+        src = frame[:vh, :vw]
+        region = canvas[fy:fy + vh, fx:fx + vw]
+        if blend == 1:  # do not blend: overwrite
+            region[:] = src
+        else:  # alpha-blend: straight-alpha spec formula
+            sa = src[..., 3:4].astype(np.float64) / 255.0
+            da = region[..., 3:4].astype(np.float64) / 255.0
+            oa = sa + da * (1.0 - sa)
+            rgb = (src[..., :3] * sa + region[..., :3] * da * (1.0 - sa))
+            safe = np.where(oa > 0.0, oa, 1.0)
+            region[..., :3] = np.clip(
+                np.rint(rgb / safe), 0, 255
+            ).astype(np.uint8)
+            region[..., 3:4] = np.clip(
+                np.rint(oa * 255.0), 0, 255
+            ).astype(np.uint8)
+        out.append(canvas.copy())
+        if dispose == 1:
+            canvas[fy:fy + fh, fx:fx + fw] = bg
+    return out
+
+
+def encode_webp_anim(frames, offsets=None, duration_ms: int = 100,
+                     dispose: int = 0, blend: int = 1,
+                     background=(0, 0, 0, 0)) -> bytes:
+    """Twin writer: list of (h, w, 3|4) uint8 frames → animated WebP
+    (VP8X + ANIM + one VP8L ANMF per frame).  offsets, if given, is a
+    list of (x, y) canvas positions per frame (must be even, per the
+    2-pixel storage units); the canvas is the union extent.  Every
+    frame shares the same dispose/blend flags."""
+    if not frames:
+        raise ValueError("animated WebP twin needs at least one frame")
+    if offsets is None:
+        offsets = [(0, 0)] * len(frames)
+    cw = max(x + f.shape[1] for (x, y), f in zip(offsets, frames))
+    ch = max(y + f.shape[0] for (x, y), f in zip(offsets, frames))
+
+    def chunk(tag, payload):
+        pad = b"\x00" if len(payload) & 1 else b""
+        return tag + struct.pack("<I", len(payload)) + payload + pad
+
+    vp8x = (b"\x12\x00\x00\x00"  # animation + alpha flags
+            + (cw - 1).to_bytes(3, "little")
+            + (ch - 1).to_bytes(3, "little"))
+    r, g, b, a = background
+    anim = bytes([b, g, r, a]) + struct.pack("<H", 0)  # BGRA + loop 0
+    parts = [chunk(b"VP8X", vp8x), chunk(b"ANIM", anim)]
+    for (x, y), f in zip(offsets, frames):
+        if x % 2 or y % 2:
+            raise ValueError("ANMF offsets are stored in 2-pixel units")
+        h, w = f.shape[:2]
+        simple = encode_webp(np.asarray(f, np.uint8))
+        vp8l = None
+        for t2, c2 in _walk_chunks(simple, 12):
+            if t2 == b"VP8L":
+                vp8l = c2
+        if vp8l is None:
+            raise ValueError("encoder twin produced no VP8L chunk")
+        head = ((x // 2).to_bytes(3, "little")
+                + (y // 2).to_bytes(3, "little")
+                + (w - 1).to_bytes(3, "little")
+                + (h - 1).to_bytes(3, "little")
+                + int(duration_ms).to_bytes(3, "little")
+                + bytes([((blend & 1) << 1) | (dispose & 1)]))
+        parts.append(chunk(b"ANMF", head + chunk(b"VP8L", vp8l)))
+    body = b"WEBP" + b"".join(parts)
+    return b"RIFF" + struct.pack("<I", len(body)) + body

@@ -136,6 +136,7 @@ def frame_sample(df: DataFrame, every_n: int = 2, decoder: str = "fake") -> Data
         from ..functions.avi import decode_avi
         from ..functions.gif import decode_gif_frames
         from ..functions.png import decode_apng_frames
+        from ..functions.webp import decode_webp_frames
 
         for pdf in batches:
             rows = []
@@ -154,6 +155,10 @@ def frame_sample(df: DataFrame, every_n: int = 2, decoder: str = "fake") -> Data
                     elif raw[:8] == b"\x89PNG\r\n\x1a\n":
                         frames = [
                             fr[..., :3] for fr in decode_apng_frames(raw)
+                        ]
+                    elif raw[:4] == b"RIFF" and raw[8:12] == b"WEBP":
+                        frames = [
+                            fr[..., :3] for fr in decode_webp_frames(raw)
                         ]
                     else:
                         frames, _fps = decode_avi(raw)
