@@ -1,0 +1,247 @@
+"""Corpus cleaning operators (r6): C4 line/page rules and PII
+redaction vs their exact DuckDB twins; decontamination and paragraph
+dedup vs plain-Python oracles on adversarial corpora."""
+
+import re
+
+import duckdb
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from trefoil_spark.operators.cleaning import (
+    _PII_RULES,
+    c4_clean,
+    c4_clean_col,
+    c4_page_pass_col,
+    c4_sql_duckdb,
+    decontaminate,
+    dedup_paragraphs,
+    pii_sql_duckdb,
+    redact_pii_col,
+)
+
+C4_DOCS = [
+    # clean: 4 prose lines, all terminal, >=5 words
+    ("The quick brown fox jumps over dogs.\n"
+     "Every good sentence has many fine words.\n"
+     "Here is another line with plenty words!\n"
+     "Does this page have enough good lines?"),
+    # short lines + no terminal punctuation: everything dropped
+    "nav\nhome\nabout us\ncontact page here now",
+    # javascript line dropped, others kept — but only 2 survive: page fails
+    ("Please enable javascript to view this site.\n"
+     "This perfectly reasonable sentence stays in place.\n"
+     "Another perfectly reasonable sentence stays put."),
+    # curly brace: page dropped outright
+    "function f() { return 1; }\nA real sentence with enough words here.",
+    # lorem ipsum page dropped
+    ("Lorem Ipsum is simply dummy text of printing.\n"
+     "A real sentence with plenty of words here.\n"
+     "Another real sentence with plenty of words."),
+    # whitespace-mess: lines trimmed before the rules
+    ("   Padded line with enough words to stay.   \n"
+     "\t Tabbed line with enough words to stay. \n"
+     "  Third padded line with enough words too.  "),
+]
+
+PII_DOCS = [
+    "mail me at jane.doe+spam@example.co.uk or call +1 (555) 123-4567.",
+    "server at 192.168.0.1 and 8.8.8.8; port 443 stays.",
+    "no pii here at all, just words and 42.",
+    "overlap: bob@host.com 10.0.0.255 0800-555-7788 end",
+]
+
+
+def test_c4_matches_duckdb_twin(spark):
+    twins = c4_sql_duckdb()
+    con = duckdb.connect()
+    con.register("docs", pd.DataFrame(
+        {"doc_id": range(len(C4_DOCS)), "text": C4_DOCS}
+    ))
+    want = con.execute(
+        f"SELECT doc_id, {twins['cleaned']} AS cleaned, "
+        f"{twins['page_pass']} AS page_pass FROM docs ORDER BY doc_id"
+    ).fetchdf()
+    df = spark.createDataFrame(
+        [(i, d) for i, d in enumerate(C4_DOCS)], "doc_id bigint, text string"
+    )
+    got = df.select(
+        "doc_id",
+        c4_clean_col().alias("cleaned"),
+        c4_page_pass_col().alias("page_pass"),
+    ).orderBy("doc_id").toPandas()
+    assert got["cleaned"].tolist() == want["cleaned"].tolist()
+    assert got["page_pass"].tolist() == want["page_pass"].tolist()
+
+
+def test_c4_semantics(spark):
+    df = spark.createDataFrame(
+        [(i, d) for i, d in enumerate(C4_DOCS)], "doc_id bigint, text string"
+    )
+    out = {r["doc_id"]: r["text"] for r in c4_clean(df).collect()}
+    assert sorted(out) == [0, 5]          # only the clean + padded pages
+    assert len(out[0].split("\n")) == 4   # all four lines retained
+    # trimming happened and all three padded lines survived
+    assert out[5].split("\n") == [
+        "Padded line with enough words to stay.",
+        "Tabbed line with enough words to stay.",
+        "Third padded line with enough words too.",
+    ]
+
+
+def test_pii_matches_duckdb_twin(spark):
+    con = duckdb.connect()
+    con.register("docs", pd.DataFrame(
+        {"doc_id": range(len(PII_DOCS)), "text": PII_DOCS}
+    ))
+    want = con.execute(
+        f"SELECT doc_id, {pii_sql_duckdb()} AS red FROM docs "
+        "ORDER BY doc_id"
+    ).fetchdf()["red"].tolist()
+    df = spark.createDataFrame(
+        [(i, d) for i, d in enumerate(PII_DOCS)], "doc_id bigint, text string"
+    )
+    got = df.select(
+        "doc_id", redact_pii_col().alias("red")
+    ).orderBy("doc_id").toPandas()["red"].tolist()
+    assert got == want
+
+
+def test_pii_semantics(spark):
+    df = spark.createDataFrame(
+        [(i, d) for i, d in enumerate(PII_DOCS)], "doc_id bigint, text string"
+    )
+    red = {r["doc_id"]: r["red"] for r in df.select(
+        "doc_id", redact_pii_col().alias("red")).collect()}
+    assert "<EMAIL>" in red[0] and "<PHONE>" in red[0]
+    assert "jane" not in red[0] and "555" not in red[0]
+    assert red[1].count("<IP>") == 2 and "port 443 stays" in red[1]
+    assert red[2] == PII_DOCS[2]
+    assert ("<EMAIL>" in red[3] and "<IP>" in red[3]
+            and "<PHONE>" in red[3])
+
+
+def _py_ngrams(text, n):
+    toks = [t for t in re.split(r"\s+", text.lower()) if t]
+    return {" ".join(toks[i:i + n]) for i in range(len(toks) - n + 1)}
+
+
+def test_decontaminate(spark):
+    docs = [
+        (0, "alpha beta gamma delta epsilon zeta eta theta"),
+        (1, "one two three four five six seven eight nine"),
+        (2, "totally unrelated words with no overlap present"),
+        (3, "short doc"),  # shorter than n: never contaminated
+    ]
+    evals = [(100, "xx three four five six yy"),  # hits doc 1 (n=4)
+             (101, "alpha beta gamma delta tail words here")]  # hits doc 0
+    n = 4
+    doc_df = spark.createDataFrame(docs, "doc_id bigint, text string")
+    eval_df = spark.createDataFrame(evals, "doc_id bigint, text string")
+    kept = sorted(
+        r["doc_id"] for r in decontaminate(doc_df, eval_df, n=n).collect()
+    )
+    # python oracle
+    eval_grams = set().union(*(_py_ngrams(t, n) for _, t in evals))
+    want = sorted(i for i, t in docs if not (_py_ngrams(t, n) & eval_grams))
+    assert kept == want == [2, 3]
+
+
+def test_decontaminate_plan_is_broadcast(spark):
+    """The corpus side must reach the joins without an exchange: eval
+    grams and the contaminated-id set are broadcast."""
+    doc_df = spark.createDataFrame(
+        [(0, "a b c d e f")], "doc_id bigint, text string")
+    eval_df = spark.createDataFrame(
+        [(1, "x y z w v u")], "doc_id bigint, text string")
+    plan = decontaminate(doc_df, eval_df, n=4)._jdf.queryExecution(
+    ).executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_dedup_paragraphs(spark):
+    p1 = "shared paragraph of text"
+    docs = [
+        (0, f"unique zero intro\n\n{p1}\n\nunique zero outro"),
+        (1, f"{p1}\n\nunique one body"),
+        (2, f"{p1}"),                       # only the duplicate: dropped
+        (3, "untouched document body"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id bigint, text string")
+    out = {r["doc_id"]: r["text"] for r in dedup_paragraphs(df).collect()}
+    # first occurrence = smallest (doc_id, para_idx): doc 0 keeps p1
+    assert out[0] == f"unique zero intro\n\n{p1}\n\nunique zero outro"
+    assert out[1] == "unique one body"
+    assert 2 not in out
+    assert out[3] == "untouched document body"
+
+
+def test_dedup_paragraphs_within_doc(spark):
+    """A paragraph repeated inside ONE document also collapses to its
+    first occurrence."""
+    df = spark.createDataFrame(
+        [(7, "same para\n\nmiddle bit\n\nsame para")],
+        "doc_id bigint, text string",
+    )
+    out = dedup_paragraphs(df).collect()[0]["text"]
+    assert out == "same para\n\nmiddle bit"
+
+
+def _lines(prefix, n, start=0):
+    return [
+        f"{prefix}{i}a {prefix}{i}b {prefix}{i}c {prefix}{i}d "
+        f"{prefix}{i}e {prefix}{i}f." for i in range(start, start + n)
+    ]
+
+
+def test_curate_training_corpus_end_to_end(spark):
+    """extract → Gopher → C4 → PII → exact dedup → line dedup →
+    decontamination, one composition: the clean doc survives once, the
+    PII-variant duplicate collapses onto it, the overlapping doc loses
+    its shared lines, the contaminated doc and the spam doc drop."""
+    from trefoil_spark.operators.curation import curate_training_corpus
+
+    base = _lines("alpha", 9)
+    base.insert(2, "Contact alphamail at jane@ex.com for details today.")
+    dup = list(base)
+    dup[2] = "Contact alphamail at bob@other.org for details today."
+    overlap = base[:2] + _lines("omega", 8)
+    contaminated = _lines("sigma", 10)
+    spam = "\n".join(["- buy now"] * 12)
+    page = "<html><head><title>t</title></head><body>{}</body></html>"
+    docs = spark.createDataFrame(
+        [
+            (0, "http://ex.com/keep", page.format("\n".join(base))),
+            (1, "http://ex.com/dup", page.format("\n".join(dup))),
+            (2, "http://ex.com/overlap", page.format("\n".join(overlap))),
+            (3, "http://ex.com/contam", page.format("\n".join(contaminated))),
+            (4, "http://ex.com/spam", page.format(spam)),
+        ],
+        "doc_id bigint, url string, html string",
+    )
+    # eval doc shares one 5-gram with doc 3's first line (tokens keep
+    # their punctuation, so the terminal period rides along)
+    eval_df = spark.createDataFrame(
+        [(100, "filler sigma0a sigma0b sigma0c sigma0d sigma0e tail")],
+        "doc_id bigint, text string",
+    )
+    out = {
+        r["doc_id"]: r
+        for r in curate_training_corpus(
+            docs, eval_df=eval_df, ngram_n=5
+        ).collect()
+    }
+    assert sorted(out) == [0, 2]
+    # doc 0: all ten lines, email redacted
+    keep_lines = out[0]["text"].split("\n")
+    assert len(keep_lines) == 10
+    assert keep_lines[2] == "Contact alphamail at <EMAIL> for details today."
+    assert out[0]["n_chars"] == len(out[0]["text"])
+    # doc 2: the two lines shared with doc 0 are gone (first occurrence
+    # wins), its own eight remain
+    ov_lines = out[2]["text"].split("\n")
+    assert len(ov_lines) == 8
+    assert all(l.startswith("omega") for l in ov_lines)
+    assert out[2]["url"] == "http://ex.com/overlap"

@@ -1,0 +1,266 @@
+"""Webtext corpus cleaning operators (r6): C4 line rules, PII
+redaction, benchmark decontamination, cross-corpus paragraph dedup.
+
+All four are published-pipeline standards a 100 TB training-data run
+applies between extraction and tokenization:
+
+  * C4 line/page rules — Raffel et al. 2020 (JMLR 21(140)) §2.2: keep
+    lines that end in terminal punctuation and have >= 5 words, drop
+    lines containing "javascript", drop pages containing "{" or
+    "lorem ipsum" or with < 3 retained lines.
+  * PII redaction — the standard email/IPv4/phone regex scrub (e.g.
+    BigScience ROOTS, The Pile preprocessing).
+  * Decontamination — drop training docs sharing any 13-gram with an
+    evaluation set (GPT-3 appendix C; Brown et al. 2020).
+  * Paragraph dedup — exact cross-corpus paragraph removal keeping the
+    first occurrence (RefinedWeb, Penedo et al. 2023; C4 does the same
+    at three-sentence granularity).
+
+Scale shapes (the 100 TB plan):
+  * c4/pii: pure per-row Catalyst expressions — narrow, codegen, no
+    shuffle, no Python.
+  * decontaminate: doc n-grams are exploded NARROW (flatMap, no
+    shuffle), semi-joined against the BROADCAST eval n-gram set, the
+    (small) contaminated-id set is distinct()ed and broadcast back as
+    an anti-join. The corpus is never shuffled; the only exchanges are
+    on the tiny contaminated-id set.
+  * dedup_paragraphs: one hash shuffle on the paragraph digest to pick
+    winners (min (doc_id, para_idx) — deterministic under any
+    partitioning), one shuffle back to reassemble documents. Both are
+    keyed on digest/doc_id, so AQE coalesces; nothing driver-side.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+__all__ = [
+    "c4_clean_col",
+    "c4_page_pass_col",
+    "c4_clean",
+    "redact_pii_col",
+    "pii_sql_duckdb",
+    "decontaminate",
+    "dedup_paragraphs",
+]
+
+# terminal punctuation per C4: period, exclamation, question, end quote
+_TERMINAL = ('.', '!', '?', '"')
+
+
+def _ws_trim(line: Column) -> Column:
+    # trim() strips only 0x20 in both engines; strip tabs too, the
+    # same way on both sides of the twin
+    return F.regexp_replace(line, r"^[ \t]+|[ \t]+$", "")
+
+
+def _line_keep(line: Column) -> Column:
+    """C4 line rule on a trimmed line: terminal punctuation, >= 5
+    words, no 'javascript' (case-insensitive)."""
+    ends_ok = F.substring(line, -1, 1).isin(*_TERMINAL)
+    words_ok = F.size(F.split(line, " +")) >= 5
+    no_js = ~F.lower(line).contains("javascript")
+    return (F.length(line) > 0) & ends_ok & words_ok & no_js
+
+
+def c4_clean_col(text_col: str = "text") -> Column:
+    """Text → text with only the C4-retained lines (terminal
+    punctuation, >= 5 words, no 'javascript'), each line trimmed,
+    rejoined with newlines. Pure higher-order expressions — narrow,
+    codegen, no Python."""
+    lines = F.split(F.col(text_col), "\n")
+    kept = F.filter(
+        F.transform(lines, _ws_trim), _line_keep
+    )
+    return F.array_join(kept, "\n")
+
+
+def c4_page_pass_col(text_col: str = "text",
+                     cleaned_col: str | None = None) -> Column:
+    """C4 page rule: drop pages whose ORIGINAL text contains '{' or
+    'lorem ipsum' (case-insensitive), or that retain < 3 lines after
+    the line rules. cleaned_col may name a column already produced by
+    c4_clean_col to avoid recomputing the line pass."""
+    raw = F.col(text_col)
+    cleaned = (F.col(cleaned_col) if cleaned_col is not None
+               else c4_clean_col(text_col))
+    n_kept = F.when(
+        F.length(cleaned) == 0, F.lit(0)
+    ).otherwise(F.size(F.split(cleaned, "\n")))
+    return (
+        ~raw.contains("{")
+        & ~F.lower(raw).contains("lorem ipsum")
+        & (n_kept >= 3)
+    )
+
+
+def c4_clean(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Apply the full C4 pass: line filtering rewrites text_col, page
+    filtering drops rows. One narrow codegen stage."""
+    out = df.withColumn("__c4_text", c4_clean_col(text_col))
+    out = out.filter(c4_page_pass_col(text_col, "__c4_text"))
+    return out.withColumn(text_col, F.col("__c4_text")).drop("__c4_text")
+
+
+def c4_sql_duckdb(text_col: str = "text") -> dict[str, str]:
+    """DuckDB twins of c4_clean_col / c4_page_pass_col (list lambdas
+    mirror the Catalyst higher-order functions; same trim/word-split
+    semantics)."""
+    lines = f"string_split({text_col}, chr(10))"
+    keep = (
+        "x -> length(x) > 0 "
+        "AND list_contains(['.', '!', '?', '\"'], x[-1]) "
+        "AND len(list_filter(string_split_regex(x, ' +'), "
+        "w -> length(w) > 0)) >= 5 "
+        "AND NOT contains(lower(x), 'javascript')"
+    )
+    trim = "regexp_replace(l, '^[ \t]+|[ \t]+$', '', 'g')"
+    cleaned = (
+        f"list_aggregate(list_filter(list_transform({lines}, "
+        f"l -> {trim}), {keep}), 'string_agg', chr(10))"
+    )
+    cleaned = f"coalesce({cleaned}, '')"
+    n_kept = (
+        f"CASE WHEN length({cleaned}) = 0 THEN 0 "
+        f"ELSE len(string_split({cleaned}, chr(10))) END"
+    )
+    page_pass = (
+        f"NOT contains({text_col}, '{{') "
+        f"AND NOT contains(lower({text_col}), 'lorem ipsum') "
+        f"AND {n_kept} >= 3"
+    )
+    return {"cleaned": cleaned, "page_pass": page_pass}
+
+
+# ---------------------------------------------------------------------------
+# PII redaction — regexes restricted to the syntax subset Java regex
+# (Spark) and RE2 (DuckDB) interpret identically, so the DuckDB twin is
+# string-equal by construction.
+# ---------------------------------------------------------------------------
+
+_PII_RULES = [
+    # emails first: their digit runs must not be half-eaten by the
+    # phone rule
+    (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    # IPv4 before phones for the same reason
+    (r"\b([0-9]{1,3}\.){3}[0-9]{1,3}\b", "<IP>"),
+    # international-ish phone: 8+ digits allowing separators
+    (r"\+?[0-9][0-9()\[\] .-]{6,}[0-9]", "<PHONE>"),
+]
+
+
+def redact_pii_col(text_col: str = "text") -> Column:
+    """Chained regexp_replace scrubbing emails, IPv4 addresses and
+    phone-number-shaped digit runs to typed placeholder tokens. Narrow,
+    codegen, no Python; rule order prevents partial double-matching."""
+    out = F.col(text_col)
+    for pat, token in _PII_RULES:
+        out = F.regexp_replace(out, pat, token)
+    return out
+
+
+def pii_sql_duckdb(text_col: str = "text") -> str:
+    """The exact DuckDB twin of redact_pii_col (global-flag
+    regexp_replace, same patterns in the shared dialect subset)."""
+    out = text_col
+    for pat, token in _PII_RULES:
+        lit = pat.replace("'", "''")
+        out = f"regexp_replace({out}, '{lit}', '{token}', 'g')"
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Decontamination
+# ---------------------------------------------------------------------------
+
+def _ngram_hashes(text_col: Column, n: int) -> Column:
+    """Lowercased whitespace tokens → array of xxhash64(ngram string).
+    Documents shorter than n tokens yield an empty array (sequence()
+    would otherwise count DOWN for a negative span)."""
+    toks = F.filter(
+        F.split(F.lower(text_col), r"\s+"), lambda t: F.length(t) > 0
+    )
+    grams = F.transform(
+        F.sequence(F.lit(0), F.size(toks) - n),
+        lambda i: F.xxhash64(F.array_join(F.slice(toks, i + 1, n), " ")),
+    )
+    return F.when(F.size(toks) >= n, grams).otherwise(
+        F.array().cast("array<bigint>")
+    )
+
+
+def decontaminate(docs: DataFrame, eval_df: DataFrame, n: int = 13,
+                  id_col: str = "doc_id",
+                  text_col: str = "text") -> DataFrame:
+    """Drop training documents that share ANY n-gram (default 13, the
+    GPT-3 setting) with the evaluation set.
+
+    100 TB shape: the corpus side explodes its n-gram hashes NARROW
+    (flatMap — no shuffle of the corpus, ~n_tokens rows per doc that
+    stream straight into the join), semi-joins against the BROADCAST
+    eval n-gram set (eval suites are MBs, not TBs), and the resulting
+    contaminated-id set — small by construction — is distinct()ed and
+    anti-joined back. The full corpus is never shuffled or exploded
+    into a shuffle; both exchanges touch only the contaminated ids.
+    """
+    eval_grams = (
+        eval_df.select(
+            F.explode(_ngram_hashes(F.col(text_col), n)).alias("gram")
+        ).distinct()
+    )
+    doc_grams = docs.select(
+        id_col, F.explode(_ngram_hashes(F.col(text_col), n)).alias("gram")
+    )
+    contaminated = (
+        doc_grams.join(F.broadcast(eval_grams), "gram", "left_semi")
+        .select(id_col).distinct()
+    )
+    return docs.join(F.broadcast(contaminated), id_col, "left_anti")
+
+
+# ---------------------------------------------------------------------------
+# Cross-corpus paragraph dedup
+# ---------------------------------------------------------------------------
+
+def dedup_paragraphs(docs: DataFrame, id_col: str = "doc_id",
+                     text_col: str = "text",
+                     split_pat: str = r"\n{2,}",
+                     join_sep: str = "\n\n") -> DataFrame:
+    """Remove every repeated paragraph (split on blank lines by
+    default; pass split_pat=r"\\n+", join_sep="\\n" for RefinedWeb-
+    style exact LINE dedup) across the whole corpus, keeping the first
+    occurrence — first = smallest (doc_id, para_idx), deterministic
+    under any partitioning. Documents left with no paragraphs are
+    dropped.
+
+    Plan: posexplode (narrow) → one hash shuffle on md5(paragraph) to
+    pick winners → filter → one shuffle on doc_id to reassemble in
+    original order (sort_array on the (idx, para) struct). Nothing
+    scales with corpus size on the driver.
+    """
+    paras = docs.select(
+        id_col,
+        F.posexplode(F.split(F.col(text_col), split_pat))
+        .alias("para_idx", "para"),
+    ).filter(F.length(F.trim("para")) > 0)
+    digested = paras.withColumn("digest", F.md5(F.encode("para", "UTF-8")))
+    winners = digested.groupBy("digest").agg(
+        F.min(F.struct(id_col, "para_idx")).alias("w")
+    ).select(
+        "digest", F.col(f"w.{id_col}").alias("__wid"),
+        F.col("w.para_idx").alias("__widx"),
+    )
+    kept = digested.join(winners, "digest").filter(
+        (F.col(id_col) == F.col("__wid"))
+        & (F.col("para_idx") == F.col("__widx"))
+    )
+    return kept.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("para_idx", "para"))),
+                lambda s: s["para"],
+            ),
+            join_sep,
+        ).alias(text_col)
+    )
