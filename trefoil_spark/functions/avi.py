@@ -78,13 +78,16 @@ def _strf_wfx(channels: int, rate: int, bits: int) -> bytes:
     return struct.pack("<HHIIHH", 1, channels, rate, rate * block, block, bits)
 
 
-def _strf_bmih(w: int, h: int, compression: int, size_image: int) -> bytes:
-    return struct.pack("<IiihhIIiiII", 40, w, h, 1, 24, compression,
-                       size_image, 0, 0, 0, 0)
+def _strf_bmih(w: int, h: int, compression: int, size_image: int,
+               bit_count: int = 24, palette: bytes = b"") -> bytes:
+    n_colors = len(palette) // 4
+    return struct.pack("<IiihhIIiiII", 40, w, h, 1, bit_count, compression,
+                       size_image, 0, 0, n_colors, 0) + palette
 
 
 def _encode_avi(frames, fps: int, handler: bytes, compression: int,
-                encode_frame, audio=None, audio_rate: int = 16000) -> bytes:
+                encode_frame, audio=None, audio_rate: int = 16000,
+                bit_count: int = 24, palette: bytes = b"") -> bytes:
     if not frames:
         raise ValueError("AVI needs at least one frame")
     h, w = frames[0].shape[:2]
@@ -103,7 +106,8 @@ def _encode_avi(frames, fps: int, handler: bytes, compression: int,
     strl = _list(
         b"strl",
         _chunk(b"strh", _strh(handler, 1, fps, len(payloads), bufsize, w, h))
-        + _chunk(b"strf", _strf_bmih(w, h, compression, len(payloads[0]))),
+        + _chunk(b"strf", _strf_bmih(w, h, compression, len(payloads[0]),
+                                     bit_count, palette)),
     )
     # interleave: one PCM block per video frame (the standard AV cadence)
     blocks = []
@@ -164,6 +168,22 @@ def encode_avi_dib(frames, fps: int = 10, audio=None,
                        audio=audio, audio_rate=audio_rate)
 
 
+def encode_avi_rle8(frames, palette: np.ndarray, fps: int = 10) -> bytes:
+    """list of (h, w) uint8 palette-index frames + shared (n, 3) RGB
+    palette → BI_RLE8 ('Microsoft RLE') AVI bytes — the classic
+    palettized screen-capture codec. Lossless encoder twin; run packing
+    shared with the BMP BI_RLE8 writer."""
+    from .bmp import _rle8_pack
+
+    palette = np.asarray(palette, np.uint8)
+    pal = np.zeros((len(palette), 4), np.uint8)
+    pal[:, :3] = palette[:, ::-1]  # stored BGRX
+    return _encode_avi(
+        frames, fps, b"MRLE", 1, lambda f: _rle8_pack(f),
+        bit_count=8, palette=pal.tobytes(),
+    )
+
+
 def _walk_chunks(data: bytes, pos: int, end: int):
     """Yield (fourcc, payload_start, payload_size); handles word pad."""
     while pos + 8 <= end:
@@ -175,7 +195,8 @@ def _walk_chunks(data: bytes, pos: int, end: int):
         pos += 8 + size + (size & 1)
 
 
-_CODEC_NAMES = {0: "dib", 0x47504A4D: "mjpeg", 0x67706A6D: "mjpeg"}
+_CODEC_NAMES = {0: "dib", 1: "rle8",
+                0x47504A4D: "mjpeg", 0x67706A6D: "mjpeg"}
 
 
 def probe_avi(data: bytes) -> dict:
@@ -190,7 +211,7 @@ def probe_avi(data: bytes) -> dict:
             found = _parse_hdrl(data, p + 4, p + sz)
             if found is None:
                 break
-            _sidx, w, h, comp, fps = found
+            _sidx, w, h, comp, fps, _strf = found
             codec = _CODEC_NAMES.get(
                 comp, struct.pack("<I", comp).decode("latin-1")
             )
@@ -218,15 +239,18 @@ def _iter_strl(data, pos, end):
 
 
 def _parse_hdrl(data, pos, end):
-    """Walk LIST('hdrl') and return (stream_idx, w, h, compression, fps)
-    for the first 'vids' stream, or None if there is none."""
+    """Walk LIST('hdrl') and return (stream_idx, w, h, compression,
+    fps, strf) for the first 'vids' stream, or None if there is
+    none. strf rides along so palettized codecs can read the RGBQUAD
+    table that follows the 40-byte BITMAPINFOHEADER."""
     for sidx, ftype, scale, rate, strf in _iter_strl(data, pos, end):
         if ftype == b"vids":
             if strf is None or len(strf) < 20:
                 raise ValueError("AVI video stream missing strf")
             _hsz, bw, bh = struct.unpack("<Iii", strf[:12])
             (comp,) = struct.unpack("<I", strf[16:20])
-            return sidx, bw, abs(bh), comp, (rate / scale if scale else 0.0)
+            return (sidx, bw, abs(bh), comp,
+                    (rate / scale if scale else 0.0), strf)
     return None
 
 
@@ -283,8 +307,9 @@ def decode_avi_audio(data: bytes) -> tuple[np.ndarray, int]:
 def decode_avi(data: bytes) -> tuple[list[np.ndarray], float]:
     """AVI bytes → (list of (h, w, 3) uint8 RGB frames, fps).
 
-    Decodes the first 'vids' stream; MJPG and BI_RGB payloads only —
-    anything else raises NotImplementedError naming the fourcc."""
+    Decodes the first 'vids' stream; MJPG, BI_RGB and BI_RLE8
+    ('Microsoft RLE', palettized) payloads only — anything else raises
+    NotImplementedError naming the fourcc."""
     from .jpeg import decode_jpeg
 
     if data[:4] != b"RIFF" or data[8:12] != b"AVI ":
@@ -293,19 +318,36 @@ def decode_avi(data: bytes) -> tuple[list[np.ndarray], float]:
     compression = None
     fps = 0.0
     stream_no = None
+    strf = b""
     frames: list[np.ndarray] = []
 
     def parse_hdrl(pos, end):
-        nonlocal w, h, compression, fps, stream_no
+        nonlocal w, h, compression, fps, stream_no, strf
         if stream_no is not None:
             return
         found = _parse_hdrl(data, pos, end)
         if found is not None:
-            stream_no, w, h, compression, fps = found
+            stream_no, w, h, compression, fps, strf = found
+
+    def rle8_palette() -> np.ndarray:
+        (n_colors,) = struct.unpack("<I", strf[32:36])
+        if n_colors == 0:
+            n_colors = 256
+        quads = np.frombuffer(
+            strf[40:40 + 4 * n_colors], np.uint8
+        ).reshape(-1, 4)
+        pal = np.zeros((256, 3), np.uint8)
+        pal[: len(quads)] = quads[:, 2::-1]  # BGRX → RGB
+        return pal
 
     def decode_frame(payload: bytes) -> np.ndarray:
         if compression == 0:  # BI_RGB DIB
             return _dib_decode(payload, w, h)
+        if compression == 1:  # BI_RLE8 (Microsoft RLE)
+            from .bmp import _decode_rle
+
+            idx = _decode_rle(payload, w, h, 8, top_down=False)
+            return rle8_palette()[idx]
         if compression in (0x47504A4D, 0x67706A6D):  # 'MJPG'/'mjpg'
             img = decode_jpeg(payload)
             if img.ndim == 2:
@@ -313,7 +355,7 @@ def decode_avi(data: bytes) -> tuple[list[np.ndarray], float]:
             return img
         cc = struct.pack("<I", compression or 0)
         raise NotImplementedError(
-            f"AVI codec {cc!r} needs ffmpeg (only MJPG/BI_RGB here)"
+            f"AVI codec {cc!r} needs ffmpeg (only MJPG/BI_RGB/RLE8 here)"
         )
 
     def parse_movi(pos, end):

@@ -284,11 +284,10 @@ def encode_bmp(img: np.ndarray) -> bytes:
     return hdr + dib + pix
 
 
-def encode_bmp_rle8(idx: np.ndarray, palette: np.ndarray) -> bytes:
-    """(h, w) uint8 indices + (n, 3) RGB palette → BI_RLE8 BMP twin
-    (simple run coding, EOL per row, EOB at end)."""
-    idx = np.asarray(idx, np.uint8)
-    palette = np.asarray(palette, np.uint8)
+def _rle8_pack(idx: np.ndarray) -> bytes:
+    """(h, w) uint8 indices → BI_RLE8 run-coded bytes (simple run
+    coding, bottom-up rows, EOL per row, EOB at end). Shared by the
+    BMP twin and the AVI BI_RLE8 twin."""
     h, w = idx.shape
     out = bytearray()
     for row in idx[::-1]:  # stored bottom-up
@@ -301,6 +300,16 @@ def encode_bmp_rle8(idx: np.ndarray, palette: np.ndarray) -> bytes:
             x += run
         out += b"\x00\x00"  # EOL
     out += b"\x00\x01"  # EOB
+    return bytes(out)
+
+
+def encode_bmp_rle8(idx: np.ndarray, palette: np.ndarray) -> bytes:
+    """(h, w) uint8 indices + (n, 3) RGB palette → BI_RLE8 BMP twin
+    (simple run coding, EOL per row, EOB at end)."""
+    idx = np.asarray(idx, np.uint8)
+    palette = np.asarray(palette, np.uint8)
+    h, w = idx.shape
+    out = _rle8_pack(idx)
     pal = np.zeros((len(palette), 4), np.uint8)
     pal[:, :3] = palette[:, ::-1]
     dib = struct.pack("<IiihhIIiiII", 40, w, h, 1, 8, BI_RLE8,
