@@ -262,7 +262,44 @@ def _codec_tiles() -> dict[str, bytes]:
             fps=10,
             quality=90,
         ),
+        # animated formats (r6): 4×128² frames = one tile of pixels,
+        # full dispose/blend compositing walk included in the cost
+        "apng": _apng_tile(rng),
+        "webp_anim": _webp_anim_tile(rng),
+        "avi_rle8": _avi_rle8_tile(rng, pal),
     }
+
+
+def _apng_tile(rng):
+    import numpy as np
+
+    from trefoil_spark.functions.png import encode_apng
+
+    return encode_apng(
+        [rng.integers(0, 256, (128, 128, 3), dtype=np.uint8)
+         for _ in range(4)]
+    )
+
+
+def _webp_anim_tile(rng):
+    import numpy as np
+
+    from trefoil_spark.functions.webp import encode_webp_anim
+
+    return encode_webp_anim(
+        [rng.integers(0, 256, (128, 128, 3), dtype=np.uint8)
+         for _ in range(4)]
+    )
+
+
+def _avi_rle8_tile(rng, pal):
+    from trefoil_spark.functions.avi import encode_avi_rle8
+
+    return encode_avi_rle8(
+        [rng.integers(0, len(pal), (128, 128)).astype("uint8")
+         for _ in range(4)],
+        pal,
+    )
 
 
 def _codec_decode_bench(runs: int, steal_max: float) -> dict[str, float]:
@@ -292,6 +329,13 @@ def _codec_decode_bench(runs: int, steal_max: float) -> dict[str, float]:
         "flac": decode_flac,
         "wav_adpcm_ima": decode_wav,
         "avi_mjpeg": decode_avi,
+        "apng": __import__(
+            "trefoil_spark.functions.png", fromlist=["decode_apng_frames"]
+        ).decode_apng_frames,
+        "webp_anim": __import__(
+            "trefoil_spark.functions.webp", fromlist=["decode_webp_frames"]
+        ).decode_webp_frames,
+        "avi_rle8": decode_avi,
     }
     tiles = _codec_tiles()
     out = {}
