@@ -1,0 +1,148 @@
+"""Sequence packing + domain capping (r6) — the last mile of a
+training-data pipeline: curated documents → fixed-length training
+sequences, and per-domain document caps for mixture control.
+
+Sequence packing (pack_sequences): concatenate all documents in
+doc_id order (an <eos> token after each), then cut the global token
+stream into consecutive seq_len-token sequences. The published
+pretraining setup (GPT-2/3 style packing).
+
+100 TB shape — the global cumulative offset is the crux. A naive
+`sum() over (order by doc_id)` window has an EMPTY partition clause:
+Spark funnels the whole corpus through ONE task. Instead the classic
+two-phase scan, all DataFrame ops:
+
+  1. narrow: n_tokens per doc;
+  2. bucket docs by doc_id range; per-bucket token sums (one SMALL
+     shuffle — rows = buckets, not docs);
+  3. exclusive prefix over the bucket sums (a window over the tiny
+     bucket table — single partition of #buckets rows, fine);
+  4. broadcast the bucket offsets back; within-bucket running sum via
+     a window PARTITIONED by bucket (parallel across buckets);
+  5. each doc explodes into the (few) sequences it overlaps — narrow,
+     fragment rows ~ corpus tokens / seq_len extra rows only at
+     boundaries;
+  6. one shuffle on seq_id to assemble fragments in offset order.
+
+Domain capping (cap_per_domain): keep at most `cap` documents per
+registrable host — one shuffle on the host key; ties broken by doc_id
+so the kept set is deterministic under any partitioning. Hot domains
+are bounded by the cap itself (the window sorts one domain's rows in
+one task, but emits at most the sort — the standard top-k-per-key
+trade; for pathological hosts pre-filter with a count and hash-sample,
+as dedup's hot-key guard does).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+__all__ = ["pack_sequences", "cap_per_domain", "domain_col"]
+
+EOS = "<eos>"
+
+
+def pack_sequences(docs: DataFrame, seq_len: int,
+                   id_col: str = "doc_id", text_col: str = "text",
+                   bucket_size: int = 4096,
+                   drop_last: bool = True) -> DataFrame:
+    """documents → (seq_id, tokens array<string>, n_tokens, n_docs)
+    fixed-length training sequences in doc_id order, one <eos> after
+    each document. drop_last drops the trailing partial sequence (the
+    standard choice); bucket_size is the doc-count per scan bucket
+    (tune so #buckets ~ cluster cores x a few)."""
+    toks = F.filter(
+        F.split(F.col(text_col), r"\s+"), lambda t: F.length(t) > 0
+    )
+    base = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.concat(toks, F.array(F.lit(EOS))).alias("toks"),
+    ).withColumn("n_toks", F.size("toks"))
+    base = base.withColumn(
+        "bucket", F.floor(F.col("doc_id") / bucket_size)
+    )
+    # phase 2+3: bucket sums, then exclusive prefix over the tiny
+    # bucket table (rows = #buckets)
+    bsums = base.groupBy("bucket").agg(F.sum("n_toks").alias("bsum"))
+    w_prefix = Window.orderBy("bucket").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    boffsets = bsums.withColumn(
+        "boffset", F.coalesce(F.sum("bsum").over(w_prefix), F.lit(0))
+    ).select("bucket", "boffset")
+    # phase 4: within-bucket exclusive running sum, parallel per bucket
+    w_doc = Window.partitionBy("bucket").orderBy("doc_id").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    placed = (
+        base.join(F.broadcast(boffsets), "bucket")
+        .withColumn(
+            "offset",
+            F.col("boffset")
+            + F.coalesce(F.sum("n_toks").over(w_doc), F.lit(0)),
+        )
+    )
+    # phase 5: explode each doc into the sequences it overlaps; slice
+    # its token array per overlap — narrow (generator, no shuffle)
+    first_seq = F.floor(F.col("offset") / seq_len)
+    last_seq = F.floor((F.col("offset") + F.col("n_toks") - 1) / seq_len)
+    frags = placed.select(
+        "doc_id", "toks", "n_toks", "offset",
+        F.explode(F.sequence(first_seq, last_seq)).alias("seq_id"),
+    ).select(
+        "doc_id", "seq_id",
+        F.greatest(
+            F.col("seq_id") * seq_len - F.col("offset"), F.lit(0)
+        ).alias("lo"),
+        F.least(
+            (F.col("seq_id") + 1) * seq_len - F.col("offset"),
+            F.col("n_toks").cast("bigint"),
+        ).alias("hi"),
+        "toks", "offset",
+    ).select(
+        "doc_id", "seq_id",
+        (F.col("offset") + F.col("lo")).alias("frag_pos"),
+        F.slice(
+            "toks", (F.col("lo") + 1).cast("int"),
+            (F.col("hi") - F.col("lo")).cast("int"),
+        ).alias("frag"),
+    )
+    # phase 6: assemble fragments per sequence in stream order
+    out = frags.groupBy("seq_id").agg(
+        F.flatten(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("frag_pos", "frag"))),
+                lambda s: s["frag"],
+            )
+        ).alias("tokens"),
+        F.count("*").alias("n_docs"),
+    ).withColumn("n_tokens", F.size("tokens"))
+    if drop_last:
+        out = out.filter(F.col("n_tokens") == seq_len)
+    return out.select("seq_id", "tokens", "n_tokens",
+                      F.col("n_docs").cast("int").alias("n_docs"))
+
+
+def domain_col(url_col: str = "url") -> F.Column:
+    """URL → lowercased host (scheme/userinfo/port/path stripped) —
+    the mixture key. Pure regexp, shared Java/RE2 dialect."""
+    host = F.regexp_extract(
+        F.col(url_col), r"^[a-zA-Z][a-zA-Z0-9+.-]*://(?:[^/@]*@)?([^/:?#]+)", 1
+    )
+    return F.lower(host)
+
+
+def cap_per_domain(docs: DataFrame, cap: int,
+                   url_col: str = "url",
+                   id_col: str = "doc_id") -> DataFrame:
+    """Keep at most `cap` documents per host, smallest doc_id first
+    (deterministic). One shuffle on the host key."""
+    w = Window.partitionBy("__domain").orderBy(id_col)
+    return (
+        docs.withColumn("__domain", domain_col(url_col))
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= cap)
+        .drop("__rn", "__domain")
+    )
