@@ -245,3 +245,71 @@ def test_curate_training_corpus_end_to_end(spark):
     assert len(ov_lines) == 8
     assert all(l.startswith("omega") for l in ov_lines)
     assert out[2]["url"] == "http://ex.com/overlap"
+
+
+# ---------------------------------------------------------------------------
+# Exact-substring dedup (r6)
+# ---------------------------------------------------------------------------
+
+def _py_covered(a, b, k):
+    """Independent oracle: brute-force window set intersection."""
+    wins = {a[i:i + k] for i in range(len(a) - k + 1)}
+    covered = [False] * len(b)
+    for j in range(len(b) - k + 1):
+        if b[j:j + k] in wins:
+            for t in range(j, j + k):
+                covered[t] = True
+    return "".join(c for c, cov in zip(b, covered) if not cov)
+
+
+def test_covered_spans_matches_bruteforce():
+    import random
+
+    from trefoil_spark.operators.dedup import (
+        _covered_spans,
+        _remove_spans,
+    )
+
+    rng = random.Random(5)
+    alphabet = "ab"
+    for _ in range(60):
+        a = "".join(rng.choice(alphabet) for _ in range(80))
+        b = "".join(rng.choice(alphabet) for _ in range(80))
+        # plant a shared run to make hits likely
+        if rng.random() < 0.7:
+            run = a[10:30]
+            p = rng.randrange(0, 50)
+            b = b[:p] + run + b[p + len(run):]
+        for k in (4, 7, 13):
+            got = _remove_spans(b, _covered_spans(a, b, k))
+            assert got == _py_covered(a, b, k), (a, b, k)
+
+
+def test_dedup_substrings_spark(spark):
+    from trefoil_spark.operators.dedup import dedup_substrings
+
+    shared = ("the quick brown fox jumps over the lazy dog while "
+              "seventy sailors sing sea shanties by the shore")
+    docs = [
+        (0, f"intro zero {shared} outro zero"),
+        (1, f"intro one {shared} outro one"),
+        (2, "a completely different document with its own words"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id bigint, text string")
+    out = {
+        r["doc_id"]: r["text"]
+        for r in dedup_substrings(
+            df, min_len=30, num_hashes=16, bands=4, rows_per_band=4
+        ).collect()
+    }
+    assert sorted(out) == [0, 1, 2]
+    # first occurrence untouched
+    assert out[0] == docs[0][1]
+    # the shared span is gone from doc 1 (coverage extends into the
+    # shared " outro " context that follows it in both docs)
+    assert shared not in out[1]
+    assert out[1].startswith("intro one")
+    # expected exactly: remove covered chars per the window rule
+    assert out[1] == _py_covered(docs[0][1], docs[1][1], 30)
+    # untouched doc passes through bit-identical
+    assert out[2] == docs[2][1]

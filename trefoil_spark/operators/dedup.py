@@ -383,3 +383,160 @@ def embedding_near_duplicates(
         .select("id_a", "id_b")
         .distinct()
     )
+
+
+# ---------------------------------------------------------------------------
+# Exact-substring dedup (r6) — Lee et al. 2022, "Deduplicating Training
+# Data Makes Language Models Better". The paper's ExactSubstr builds a
+# corpus-wide suffix array; at 100 TB the distributed design here is the
+# CANDIDATE-BOUNDED variant: MinHash LSH proposes document pairs (work
+# bounded by the banded-join + hot-key caps above), each pair is scanned
+# with a verified Rabin-Karp window intersection — exact at min_len
+# granularity, since every duplicated span of length >= min_len is the
+# union of its shared min_len-grams — and covered spans are removed from
+# the HIGHER doc_id, so the first occurrence always survives. Spans from
+# ALL of a document's pairs are merged before removal (one shuffle on
+# doc_id). Within-document repeats and cross-pairs the LSH never
+# proposes are out of scope (documented recall trade, same contract as
+# the near-dup operators).
+# ---------------------------------------------------------------------------
+
+_RK_BASE = 257
+_RK_MOD = (1 << 61) - 1
+
+
+def _covered_spans(text_a: str, text_b: str, k: int) -> list:
+    """Merged [start, end) char spans of text_b covered by k-length
+    windows that also occur in text_a (Rabin-Karp with literal
+    verification — no collision false positives)."""
+    if len(text_a) < k or len(text_b) < k:
+        return []
+    pow_k = pow(_RK_BASE, k - 1, _RK_MOD)
+    positions: dict = {}
+    h = 0
+    for i, c in enumerate(text_a[:k]):
+        h = (h * _RK_BASE + ord(c)) % _RK_MOD
+    positions.setdefault(h, []).append(0)
+    for i in range(1, len(text_a) - k + 1):
+        h = ((h - ord(text_a[i - 1]) * pow_k) * _RK_BASE
+             + ord(text_a[i + k - 1])) % _RK_MOD
+        positions.setdefault(h, []).append(i)
+    spans = []
+    h = 0
+    for c in text_b[:k]:
+        h = (h * _RK_BASE + ord(c)) % _RK_MOD
+    for j in range(len(text_b) - k + 1):
+        if j:
+            h = ((h - ord(text_b[j - 1]) * pow_k) * _RK_BASE
+                 + ord(text_b[j + k - 1])) % _RK_MOD
+        hits = positions.get(h)
+        if hits:
+            win = text_b[j:j + k]
+            if any(text_a[i:i + k] == win for i in hits):
+                if spans and j <= spans[-1][1]:
+                    spans[-1][1] = j + k
+                else:
+                    spans.append([j, j + k])
+    return [(s, e) for s, e in spans]
+
+
+def _remove_spans(text: str, spans: list) -> str:
+    """Drop merged-span characters (spans may arrive unmerged and
+    overlapping across pairs)."""
+    spans = sorted(spans)
+    merged = []
+    for s, e in spans:
+        if merged and s <= merged[-1][1]:
+            merged[-1][1] = max(merged[-1][1], e)
+        else:
+            merged.append([s, e])
+    out = []
+    pos = 0
+    for s, e in merged:
+        out.append(text[pos:s])
+        pos = e
+    out.append(text[pos:])
+    return "".join(out)
+
+
+def dedup_substrings(
+    docs: DataFrame,
+    min_len: int = 50,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 16,
+    bands: int = 4,
+    rows_per_band: int = 4,
+    max_bucket: int | None = DEFAULT_MAX_BUCKET,
+) -> DataFrame:
+    """Remove cross-document duplicated spans >= min_len chars from
+    every occurrence but the first (smallest doc_id). Returns the full
+    corpus with text rewritten where spans were removed.
+
+    Plan: LSH candidate pairs (banded self-join, hot-key capped) →
+    texts attached by two id joins → Arrow-batched pair scan emitting
+    (doc_id, start, end) span rows → one doc_id shuffle merging a
+    document's spans → removal. Only candidate-pair texts ever reach
+    Python; untouched documents pass through the final left join
+    unmodified."""
+    import pandas as pd
+
+    sigs = minhash_signatures(
+        docs.select(id_col, text_col), text_col, num_hashes=num_hashes
+    )
+    pairs = lsh_candidate_pairs(
+        sigs, id_col, bands=bands, rows_per_band=rows_per_band,
+        max_bucket=max_bucket,
+    )
+    texts = docs.select(
+        F.col(id_col).alias("_tid"), F.col(text_col).alias("_ttext")
+    )
+    with_texts = (
+        pairs.join(texts, pairs["id_a"] == texts["_tid"])
+        .select("id_a", "id_b", F.col("_ttext").alias("text_a"))
+        .join(texts, F.col("id_b") == texts["_tid"])
+        .select("id_a", "id_b", "text_a", F.col("_ttext").alias("text_b"))
+    )
+
+    def scan(batches):
+        for pdf in batches:
+            rows = []
+            for _, r in pdf.iterrows():
+                for s, e in _covered_spans(r["text_a"], r["text_b"],
+                                           min_len):
+                    rows.append((int(r["id_b"]), s, e))
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "start", "end"]
+            ).astype({"doc_id": "int64", "start": "int64", "end": "int64"})
+
+    spans = with_texts.mapInPandas(
+        scan, schema="doc_id bigint, start bigint, end bigint"
+    )
+    merged = spans.groupBy("doc_id").agg(
+        F.collect_list(F.struct("start", "end")).alias("_spans")
+    ).withColumnRenamed("doc_id", "_sid")
+
+    joined = docs.join(
+        merged, docs[id_col] == merged["_sid"], "left"
+    ).drop("_sid")
+
+    def rewrite(batches):
+        for pdf in batches:
+            out_text = []
+            for _, r in pdf.iterrows():
+                sp = r["_spans"]
+                if sp is None or (hasattr(sp, "__len__") and len(sp) == 0):
+                    out_text.append(r[text_col])
+                else:
+                    out_text.append(_remove_spans(
+                        r[text_col],
+                        [(int(x["start"]), int(x["end"])) for x in sp],
+                    ))
+            res = pdf.drop(columns=["_spans"])
+            res[text_col] = out_text
+            yield res
+
+    schema = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in docs.schema.fields
+    )
+    return joined.mapInPandas(rewrite, schema=schema)
