@@ -70,3 +70,102 @@ class TestWavTruncation:
         out, sr = decode_wav(encode_wav(sig, 8000))
         assert sr == 8000
         np.testing.assert_array_equal(np.asarray(out).ravel(), sig)
+
+
+class TestAnimatedWebpMalformed:
+    def _anim(self, vp8x_payload, anim_payload, anmf_payload):
+        def chunk(tag, payload):
+            pad = b"\x00" if len(payload) & 1 else b""
+            return tag + struct.pack("<I", len(payload)) + payload + pad
+
+        body = b"WEBP"
+        if vp8x_payload is not None:
+            body += chunk(b"VP8X", vp8x_payload)
+        if anim_payload is not None:
+            body += chunk(b"ANIM", anim_payload)
+        if anmf_payload is not None:
+            body += chunk(b"ANMF", anmf_payload)
+        return b"RIFF" + struct.pack("<I", len(body)) + body
+
+    def test_short_anim_chunk(self):
+        from trefoil_spark.functions.webp import decode_webp_frames
+
+        vp8x = b"\x12\x00\x00\x00" + b"\x03\x00\x00" + b"\x03\x00\x00"
+        with pytest.raises(ValueError, match="short ANIM"):
+            decode_webp_frames(self._anim(vp8x, b"\x00\x00", None))
+
+    def test_anim_without_vp8x(self):
+        from trefoil_spark.functions.webp import decode_webp_frames
+
+        anim = b"\x00" * 6
+        anmf = b"\x00" * 16 + b"VP8L\x00\x00\x00\x00"
+        with pytest.raises(ValueError, match="without VP8X"):
+            decode_webp_frames(self._anim(None, anim, anmf))
+
+    def test_anmf_without_image_data(self):
+        from trefoil_spark.functions.webp import decode_webp_frames
+
+        vp8x = b"\x12\x00\x00\x00" + b"\x03\x00\x00" + b"\x03\x00\x00"
+        anim = b"\x00" * 6
+        anmf = (b"\x00\x00\x00" * 2
+                + b"\x03\x00\x00" + b"\x03\x00\x00"
+                + b"\x28\x00\x00" + b"\x00")
+        with pytest.raises(ValueError, match="without image data"):
+            decode_webp_frames(self._anim(vp8x, anim, anmf))
+
+    def test_short_anmf_header(self):
+        from trefoil_spark.functions.webp import decode_webp_frames
+
+        vp8x = b"\x12\x00\x00\x00" + b"\x03\x00\x00" + b"\x03\x00\x00"
+        with pytest.raises(ValueError, match="short ANMF"):
+            decode_webp_frames(self._anim(vp8x, b"\x00" * 6, b"\x00" * 8))
+
+
+class TestAifcMalformed:
+    def test_ima4_payload_short_for_frame_count(self):
+        from trefoil_spark.functions.aiff import _f80_encode, decode_aiff
+
+        comm = struct.pack(">hIh", 1, 1000, 16) + _f80_encode(8000) \
+            + b"ima4\x00\x00"
+        body = b"\x00" * 34  # one packet = 64 samples << 1000 declared
+
+        def chunk(cc, payload):
+            pad = b"\x00" if len(payload) & 1 else b""
+            return cc + struct.pack(">I", len(payload)) + payload + pad
+
+        form = (b"AIFC" + chunk(b"COMM", comm)
+                + chunk(b"SSND", struct.pack(">II", 0, 0) + body))
+        data = b"FORM" + struct.pack(">I", len(form)) + form
+        with pytest.raises(ValueError, match="shorter than frame count"):
+            decode_aiff(data)
+
+    def test_sowt_wrong_width(self):
+        from trefoil_spark.functions.aiff import _f80_encode, decode_aiff
+
+        comm = struct.pack(">hIh", 1, 4, 8) + _f80_encode(8000) \
+            + b"sowt\x00\x00"
+
+        def chunk(cc, payload):
+            pad = b"\x00" if len(payload) & 1 else b""
+            return cc + struct.pack(">I", len(payload)) + payload + pad
+
+        form = (b"AIFC" + chunk(b"COMM", comm)
+                + chunk(b"SSND", struct.pack(">II", 0, 0) + b"\x00" * 8))
+        data = b"FORM" + struct.pack(">I", len(form)) + form
+        with pytest.raises(NotImplementedError, match="sowt at 8 bits"):
+            decode_aiff(data)
+
+
+class TestAviRle8Malformed:
+    def test_truncated_rle_absolute_run(self):
+        from trefoil_spark.functions.avi import decode_avi, encode_avi_rle8
+
+        pal = np.zeros((256, 3), np.uint8)
+        data = bytearray(encode_avi_rle8([np.zeros((4, 4), np.uint8)], pal))
+        i = data.find(b"00dc")
+        (old_sz,) = struct.unpack("<I", data[i + 4:i + 8])
+        crafted = bytes([0, 8, 1, 2])  # absolute run of 8, only 2 bytes
+        out = (data[:i + 4] + struct.pack("<I", len(crafted)) + crafted
+               + data[i + 8 + old_sz + (old_sz & 1):])
+        with pytest.raises(ValueError, match="absolute run truncated"):
+            decode_avi(bytes(out))
