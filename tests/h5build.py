@@ -985,3 +985,61 @@ def build_big_nc4(
         f.write(meta)
     _os.truncate(path, eof)
     return len(entries)
+
+
+def _attr_v3(name: str, value: int) -> bytes:
+    """Version-3 attribute message (what dense storage holds in the
+    fractal heap): i4 scalar, no name padding."""
+    nm = name.encode() + b"\x00"
+    dt = _datatype("i4")
+    ds = struct.pack("<BBB5x", 1, 0, 0)  # scalar
+    out = struct.pack("<BBHHHB", 3, 0, len(nm), len(dt), len(ds), 0)
+    return out + nm + dt + ds + struct.pack("<i", value)
+
+
+def build_dense_attrs_file(path: str, n_attrs: int = 40,
+                           node_size: int = 128) -> dict[str, int]:
+    """Root group whose attributes live in dense storage (fractal heap
+    + type-8 v2 name B-tree).  With the default tiny node size the
+    name index overflows one leaf and the builder emits a DEPTH-1 tree
+    (BTIN root + separator records) — the structure HDF5 writes for
+    very large attribute sets, which the reader walks with the shared
+    capacity/width math.  Returns {name: value}."""
+    bld = _Builder(1 << 18)
+    OFFB, LENB = 2, 2
+    hid_len = 1 + OFFB + LENB
+    want = {f"attr{i:03d}": i * 7 - 3 for i in range(n_attrs)}
+    db = bytearray(b"FHDB" + struct.pack("<B", 0) + b"\x00" * 8
+                   + b"\x00" * OFFB)
+    recs = []
+    for nm, val in want.items():
+        msg = _attr_v3(nm, val)
+        heap_id = (b"\x00" + struct.pack("<H", len(db))
+                   + struct.pack("<H", len(msg)))
+        db += msg
+        # type-8 record: heap id + message flags(1) + corder(4) + hash(4)
+        recs.append(heap_id + b"\x00" + struct.pack("<I", 0)
+                    + struct.pack("<I", 0))
+    start_bs = 4096
+    assert len(db) <= start_bs, "fixture heap overflows one direct block"
+    db += b"\x00" * (start_bs - len(db))
+    db_addr = bld.alloc(bytes(db))
+    frhp = bytearray(142)
+    frhp[0:4] = b"FRHP"
+    frhp[5:7] = struct.pack("<H", hid_len)
+    frhp[110:112] = struct.pack("<H", 4)
+    frhp[112:120] = struct.pack("<Q", start_bs)
+    frhp[120:128] = struct.pack("<Q", start_bs)
+    frhp[128:130] = struct.pack("<H", 16)
+    frhp[130:132] = struct.pack("<H", 1)
+    frhp[132:140] = struct.pack("<Q", db_addr)
+    frhp_addr = bld.alloc(bytes(frhp))
+    rec_size = hid_len + 9
+    bthd_addr = _btree_v2_index(bld, recs, rec_size, 8, node_size)
+    ai = struct.pack("<BB", 0, 0) + struct.pack("<QQ", frhp_addr, bthd_addr)
+    root = bld.alloc(_v1_header([(0x0015, ai)]))
+    data = bld.bytes()
+    bld.place(0, _superblock_v0(root, len(data)))
+    with open(path, "wb") as f:
+        f.write(bld.bytes())
+    return want

@@ -533,3 +533,28 @@ def test_v4_extensible_array(tmp_path):
     offs_ea = sorted(o for o, *_ in f.datasets["ea_paged"].chunk_map())
     offs_tw = sorted(o for o, *_ in f.datasets["twin"].chunk_map())
     assert offs_ea == offs_tw and len(offs_ea) == 26
+
+
+def test_dense_attrs_depth1_btree(tmp_path):
+    """r6: dense attribute storage whose name index overflows one leaf
+    — the reader must walk the BTIN root with the shared capacity/width
+    math instead of raising. Depth-0 control alongside."""
+    import struct as _s
+
+    from tests.h5build import build_dense_attrs_file
+    from trefoil_spark.sources.hdf5 import H5File
+
+    p1 = str(tmp_path / "deep.h5")
+    want1 = build_dense_attrs_file(p1, n_attrs=40, node_size=128)
+    d = open(p1, "rb").read()
+    i = d.find(b"BTHD")
+    assert _s.unpack_from("<H", d, i + 12)[0] == 1  # really depth 1
+    assert b"BTIN" in d
+    assert H5File(p1).attrs == want1
+
+    p0 = str(tmp_path / "flat.h5")
+    want0 = build_dense_attrs_file(p0, n_attrs=6, node_size=128)
+    d0 = open(p0, "rb").read()
+    assert _s.unpack_from("<H", d0, d0.find(b"BTHD") + 12)[0] == 0
+    assert b"BTIN" not in d0
+    assert H5File(p0).attrs == want0

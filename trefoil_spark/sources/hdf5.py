@@ -357,21 +357,67 @@ def _fractal_heap_fetch(d: bytes, fheap: int):
     return fetch, heap_id_len
 
 
+def _btree_v2_capacity(node_size: int, rec_size: int, depth: int):
+    """Per-depth node-capacity/pointer-width table (libhdf5
+    H5B2__hdr_init): returns (nrec_width, cum_size[]) where nrec_width
+    is the encoded width of a child's record count (sized by the LEAF
+    capacity, the largest) and cum_size[lvl] the width of the
+    cumulative-subtree count stored in pointers below depth lvl+1."""
+    max_nrec = [(node_size - 10) // rec_size]  # 10 = prefix + checksum
+    cum_max = [max_nrec[0]]
+    cum_size = [0]
+    nrec_width = _nrec_enc_size(max_nrec[0])
+    for lvl in range(1, depth + 1):
+        ptr = 8 + nrec_width + cum_size[lvl - 1]
+        n = (node_size - 10 - ptr) // (rec_size + ptr)
+        max_nrec.append(n)
+        cum_max.append((n + 1) * cum_max[lvl - 1] + n)
+        cum_size.append(_nrec_enc_size(cum_max[lvl]))
+    return nrec_width, cum_size
+
+
 def _btree_v2_records(d: bytes, bthd: int) -> list[bytes]:
-    """All records of a v2 B-tree (depth 0 leaves; depth ≥ 1 raises —
-    netCDF attribute name indexes stay shallow)."""
+    """All records (raw bytes, tree order) of a v2 B-tree at any depth
+    — internal (BTIN) nodes walked with the same capacity/width math as
+    the chunk index (File Format Spec v3.0 §III.A.2); r6: depth ≥ 1
+    (dense attribute sets past one leaf) no longer raises."""
     if d[bthd : bthd + 4] != b"BTHD":
         raise ValueError("bad v2 b-tree header signature")
+    node_size = struct.unpack_from("<I", d, bthd + 6)[0]
     rec_size = struct.unpack_from("<H", d, bthd + 10)[0]
     depth = struct.unpack_from("<H", d, bthd + 12)[0]
     root = int.from_bytes(d[bthd + 16 : bthd + 24], "little")
-    nrec = struct.unpack_from("<H", d, bthd + 24)[0]
-    if depth != 0:
-        raise NotImplementedError("v2 b-tree depth > 0 (very large attribute sets)")
-    if d[root : root + 4] != b"BTLF":
-        raise ValueError("bad v2 b-tree leaf signature")
-    p = root + 6  # sig + version + type
-    return [d[p + i * rec_size : p + (i + 1) * rec_size] for i in range(nrec)]
+    root_nrec = struct.unpack_from("<H", d, bthd + 24)[0]
+    nrec_width, cum_size = _btree_v2_capacity(node_size, rec_size, depth)
+    out: list[bytes] = []
+
+    def walk(addr: int, nrec: int, lvl: int) -> None:
+        if lvl == 0:
+            if d[addr : addr + 4] != b"BTLF":
+                raise ValueError("bad v2 b-tree leaf signature")
+            p = addr + 6  # sig + version + type
+            for i in range(nrec):
+                out.append(d[p + i * rec_size : p + (i + 1) * rec_size])
+            return
+        if d[addr : addr + 4] != b"BTIN":
+            raise ValueError("bad v2 b-tree internal node signature")
+        p = addr + 6
+        recs = [d[p + i * rec_size : p + (i + 1) * rec_size]
+                for i in range(nrec)]
+        p += nrec * rec_size
+        for i in range(nrec + 1):
+            caddr = int.from_bytes(d[p : p + 8], "little")
+            p += 8
+            cnrec = int.from_bytes(d[p : p + nrec_width], "little")
+            p += nrec_width
+            if lvl > 1:
+                p += cum_size[lvl - 1]
+            walk(caddr, cnrec, lvl - 1)
+            if i < nrec:
+                out.append(recs[i])
+
+    walk(root, root_nrec, depth)
+    return out
 
 
 def _dense_attributes(d: bytes, b: bytes) -> dict:
@@ -797,17 +843,9 @@ def _btree_v2_chunks(
             f"v2 b-tree record size {rrec_size} inconsistent with "
             f"{ndims}-dim filtered chunk records"
         )
-    # per-depth capacity/width table (libhdf5 H5B2__hdr_init)
-    max_nrec = [(node_size - 10) // rrec_size]  # 10 = prefix+checksum
-    cum_max = [max_nrec[0]]
-    cum_size = [0]
-    nrec_width = _nrec_enc_size(max_nrec[0])  # leaf capacity is largest
-    for lvl in range(1, depth + 1):
-        ptr = 8 + nrec_width + cum_size[lvl - 1]
-        n = (node_size - 10 - ptr) // (rrec_size + ptr)
-        max_nrec.append(n)
-        cum_max.append((n + 1) * cum_max[lvl - 1] + n)
-        cum_size.append(_nrec_enc_size(cum_max[lvl]))
+    # per-depth capacity/width table (libhdf5 H5B2__hdr_init) — shared
+    # with the attribute-name walker
+    nrec_width, cum_size = _btree_v2_capacity(node_size, rrec_size, depth)
     out: list[tuple[tuple[int, ...], int, int, int]] = []
 
     def rec(p: int) -> None:
