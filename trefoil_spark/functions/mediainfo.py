@@ -660,3 +660,213 @@ def mux_ogg(codec: str = "vorbis", channels: int = 2, rate: int = 44100,
     bos = page(1, 0, ident, 0x02, 0)
     eos = page(1, 1, b"\x00" * 10, 0x04, n_samples)
     return bos + eos
+
+
+# ---------------------------------------------------------------------------
+# MP4 video decode (r6): the sample-table walk. Photo-JPEG ('jpeg') and
+# Motion-JPEG A ('mjpa') tracks hold one interchange-format JPEG per
+# sample (QuickTime File Format spec), so with the sample tables
+# resolved every frame decodes through the in-house T.81 decoder.
+# Anything else (avc1/hev1/vp09...) raises naming the codec — real
+# inter-frame video stays honestly ffmpeg-bound.
+# ---------------------------------------------------------------------------
+
+_MP4_JPEG_CODECS = (b"jpeg", b"mjpa")
+
+
+def _stbl_tables(data: bytes, stbl: tuple) -> dict:
+    """Parse the sample tables a sequential decode needs: stsd fourcc,
+    stts (timing), stsc (sample→chunk), stsz (sizes), stco/co64
+    (chunk offsets)."""
+    t: dict = {}
+    sp, se = stbl
+    stsd = _find(data, sp, se, b"stsd")
+    if stsd is None:
+        raise ValueError("MP4 stbl has no stsd")
+    for st, p2, _e2 in _boxes(data, stsd[0] + 8, stsd[1]):
+        t["codec"] = st
+        break
+    stts = _find(data, sp, se, b"stts")
+    if stts is not None:
+        p, _ = stts
+        (n,) = struct.unpack(">I", data[p + 4 : p + 8])
+        t["stts"] = [
+            struct.unpack(">II", data[p + 8 + 8 * i : p + 16 + 8 * i])
+            for i in range(n)
+        ]
+    p, _ = _find(data, sp, se, b"stsz") or (None, None)
+    if p is None:
+        raise ValueError("MP4 stbl has no stsz")
+    fixed, count = struct.unpack(">II", data[p + 4 : p + 12])
+    t["sizes"] = (
+        [fixed] * count
+        if fixed
+        else [
+            struct.unpack(">I", data[p + 12 + 4 * i : p + 16 + 4 * i])[0]
+            for i in range(count)
+        ]
+    )
+    stco = _find(data, sp, se, b"stco")
+    if stco is not None:
+        p, _ = stco
+        (n,) = struct.unpack(">I", data[p + 4 : p + 8])
+        t["offsets"] = [
+            struct.unpack(">I", data[p + 8 + 4 * i : p + 12 + 4 * i])[0]
+            for i in range(n)
+        ]
+    else:
+        co64 = _find(data, sp, se, b"co64")
+        if co64 is None:
+            raise ValueError("MP4 stbl has no stco/co64")
+        p, _ = co64
+        (n,) = struct.unpack(">I", data[p + 4 : p + 8])
+        t["offsets"] = [
+            struct.unpack(">Q", data[p + 8 + 8 * i : p + 16 + 8 * i])[0]
+            for i in range(n)
+        ]
+    stsc = _find(data, sp, se, b"stsc")
+    if stsc is None:
+        raise ValueError("MP4 stbl has no stsc")
+    p, _ = stsc
+    (n,) = struct.unpack(">I", data[p + 4 : p + 8])
+    t["stsc"] = [
+        struct.unpack(">III", data[p + 8 + 12 * i : p + 20 + 12 * i])
+        for i in range(n)
+    ]
+    return t
+
+
+def _samples_per_chunk(stsc, n_chunks: int) -> list[int]:
+    """Expand the run-length stsc table to one entry per chunk."""
+    out = []
+    for i, (first, per, _desc) in enumerate(stsc):
+        last = stsc[i + 1][0] - 1 if i + 1 < len(stsc) else n_chunks
+        out.extend([per] * (last - first + 1))
+    if len(out) != n_chunks:
+        raise ValueError("MP4 stsc does not cover every chunk")
+    return out
+
+
+def decode_mp4_video(data: bytes):
+    """MP4/QuickTime bytes → (list of (h, w, 3) uint8 RGB frames, fps)
+    for the first video track. MJPEG flavors only (see module note)."""
+    import numpy as np
+
+    from .jpeg import decode_jpeg
+
+    moov = _find(data, 0, len(data), b"moov")
+    if moov is None:
+        raise ValueError("MP4 has no moov box")
+    for t, p, e in _boxes(data, *moov):
+        if t != b"trak":
+            continue
+        mdia = _find(data, p, e, b"mdia")
+        if mdia is None:
+            continue
+        hdlr = _find(data, *mdia, b"hdlr")
+        if hdlr is None or data[hdlr[0] + 8 : hdlr[0] + 12] != b"vide":
+            continue
+        minf = _find(data, *mdia, b"minf")
+        stbl = _find(data, *minf, b"stbl") if minf else None
+        if stbl is None:
+            raise ValueError("MP4 video trak has no stbl")
+        tables = _stbl_tables(data, stbl)
+        if tables["codec"] not in _MP4_JPEG_CODECS:
+            raise NotImplementedError(
+                f"MP4 video codec {tables['codec'].decode('latin-1')!r} "
+                "needs ffmpeg (only jpeg/mjpa here)"
+            )
+        mdhd = _find(data, *mdia, b"mdhd")
+        fps = 0.0
+        if mdhd is not None and tables.get("stts"):
+            mp = mdhd[0]
+            ver = data[mp]
+            ts = struct.unpack(
+                ">I", data[mp + (20 if ver == 1 else 12) :][:4]
+            )[0]
+            delta = tables["stts"][0][1]
+            fps = ts / delta if delta else 0.0
+        sizes = tables["sizes"]
+        offsets = tables["offsets"]
+        per_chunk = _samples_per_chunk(tables["stsc"], len(offsets))
+        frames = []
+        si = 0
+        for ci, off in enumerate(offsets):
+            pos = off
+            for _ in range(per_chunk[ci]):
+                if si >= len(sizes):
+                    break
+                raw = data[pos : pos + sizes[si]]
+                img = decode_jpeg(raw)
+                if img.ndim == 2:
+                    img = np.stack([img] * 3, -1)
+                frames.append(img)
+                pos += sizes[si]
+                si += 1
+        if not frames:
+            raise ValueError("MP4 video track has no samples")
+        return frames, fps
+    raise ValueError("MP4 has no video track")
+
+
+def mux_mp4_mjpeg(frames, fps: int = 10, quality: int = 90) -> bytes:
+    """Twin writer: (h, w, 3) uint8 RGB frames → self-contained
+    photo-JPEG MP4 (mdat before moov so stco offsets are absolute;
+    full stts/stsc/stsz/stco sample tables; two chunks when there are
+    4+ samples so the stsc expansion is exercised)."""
+    import numpy as np
+
+    from .jpeg import encode_jpeg
+
+    def box(t: bytes, payload: bytes) -> bytes:
+        return struct.pack(">I", 8 + len(payload)) + t + payload
+
+    payloads = [encode_jpeg(np.asarray(f, np.uint8), quality)
+                for f in frames]
+    h, w = frames[0].shape[:2]
+    n = len(payloads)
+    ftyp = box(b"ftyp", b"isom" + struct.pack(">I", 0x200) + b"isomiso2")
+    # split samples into two chunks when possible
+    c1 = n if n < 4 else (n + 1) // 2
+    mdat_body = b"".join(payloads)
+    mdat_off = len(ftyp) + 8
+    off1 = mdat_off
+    off2 = mdat_off + sum(len(p) for p in payloads[:c1])
+    ts = int(fps)
+    mvhd = box(b"mvhd", b"\x00" * 4 + struct.pack(
+        ">IIII", 0, 0, ts, n) + b"\x00" * 80)
+    tkhd = box(b"tkhd", b"\x00\x00\x00\x07" + struct.pack(
+        ">IIIII", 0, 0, 1, 0, n) + b"\x00" * 52
+        + struct.pack(">II", w << 16, h << 16))
+    mdhd = box(b"mdhd", b"\x00" * 4 + struct.pack(
+        ">IIII", 0, 0, ts, n) + b"\x00" * 4)
+    hdlr = box(b"hdlr", b"\x00" * 8 + b"vide" + b"\x00" * 12 + b"mjpeg\x00")
+    entry = (b"\x00" * 6 + struct.pack(">H", 1)      # SampleEntry
+             + b"\x00" * 16
+             + struct.pack(">HH", w, h)
+             + struct.pack(">II", 0x480000, 0x480000)
+             + b"\x00" * 4 + struct.pack(">H", 1)
+             + b"\x00" * 32
+             + struct.pack(">Hh", 24, -1))
+    stsd = box(b"stsd", b"\x00" * 4 + struct.pack(">I", 1)
+               + box(b"jpeg", entry))
+    stts = box(b"stts", b"\x00" * 4 + struct.pack(">III", 1, n, 1))
+    if n < 4:
+        stsc = box(b"stsc", b"\x00" * 4 + struct.pack(">I", 1)
+                   + struct.pack(">III", 1, n, 1))
+        stco = box(b"stco", b"\x00" * 4 + struct.pack(">II", 1, off1))
+    else:
+        stsc = box(b"stsc", b"\x00" * 4 + struct.pack(">I", 2)
+                   + struct.pack(">III", 1, c1, 1)
+                   + struct.pack(">III", 2, n - c1, 1))
+        stco = box(b"stco", b"\x00" * 4 + struct.pack(">I", 2)
+                   + struct.pack(">II", off1, off2))
+    stsz = box(b"stsz", b"\x00" * 4 + struct.pack(">II", 0, n)
+               + b"".join(struct.pack(">I", len(p)) for p in payloads))
+    stbl = box(b"stbl", stsd + stts + stsc + stsz + stco)
+    minf = box(b"minf", box(b"vmhd", b"\x00\x00\x00\x01" + b"\x00" * 8)
+               + stbl)
+    mdia = box(b"mdia", mdhd + hdlr + minf)
+    trak = box(b"trak", tkhd + mdia)
+    moov = box(b"moov", mvhd + trak)
+    return ftyp + box(b"mdat", mdat_body) + moov

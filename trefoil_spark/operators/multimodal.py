@@ -160,6 +160,10 @@ def frame_sample(df: DataFrame, every_n: int = 2, decoder: str = "fake") -> Data
                         frames = [
                             fr[..., :3] for fr in decode_webp_frames(raw)
                         ]
+                    elif raw[4:8] == b"ftyp":
+                        from ..functions.mediainfo import decode_mp4_video
+
+                        frames, _fps = decode_mp4_video(raw)
                     else:
                         frames, _fps = decode_avi(raw)
                     for f in range(0, len(frames), every_n):
