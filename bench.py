@@ -37,6 +37,7 @@ HEADLINE = [
     "dedup_exact",
     "similarity_topk",
     "text_stats",
+    "corpus_clean",  # r6: webtext cleaning-stack throughput
     "salted_agg",
 ]
 
@@ -81,10 +82,53 @@ def _similarity_topk(spark, sf_dir):
     )
 
 
+def _corpus_clean(spark, sf_dir):
+    """Webtext cleaning-stack throughput (r6, new row — cross-round
+    suite totals before r6 lack it; compare per-query): deterministic
+    $SPARK_GRAFT_CLEAN_FACTOR x expansion of the documents table
+    (default 20 → 100k docs at sf0.1), reshaped into terminal-
+    punctuated 10-word lines (the synthetic corpus is single-line
+    unpunctuated, which C4 would drop wholesale), then C4 line/page
+    rules + PII scrub (narrow codegen) + corpus-wide exact line dedup
+    (digest shuffle over heavily-duplicated copies — the crawl shape)."""
+    from pyspark.sql import functions as F
+
+    from trefoil_spark.operators.cleaning import (
+        c4_clean,
+        dedup_paragraphs,
+        redact_pii_col,
+    )
+
+    factor = int(os.environ.get("SPARK_GRAFT_CLEAN_FACTOR", "20"))
+    # the sf0.1 documents table is ONE small parquet file = one input
+    # partition; without this the whole narrow cleaning chain runs on
+    # a single core (a bench-shape artifact — real corpora arrive in
+    # thousands of splits)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    lined = F.concat(
+        F.regexp_replace("text", r"((\S+ ){9}\S+) ", "$1.\n"), F.lit(".")
+    )
+    expanded = docs.select(
+        "doc_id", lined.alias("text"),
+        F.explode(F.sequence(F.lit(0), F.lit(factor - 1))).alias("_c"),
+    ).select(
+        (F.col("doc_id") * factor + F.col("_c")).alias("doc_id"), "text"
+    )
+    cleaned = c4_clean(expanded).withColumn("text", redact_pii_col("text"))
+    deduped = dedup_paragraphs(cleaned, split_pat=r"\n+", join_sep="\n")
+    return deduped.agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.length("text")).alias("n_chars"),
+    )
+
+
 _LOCAL = {
     "warp_3857": _warp_3857,
     "knn_join_cells": _knn_join_cells,
     "similarity_topk": _similarity_topk,
+    "corpus_clean": _corpus_clean,
 }
 
 

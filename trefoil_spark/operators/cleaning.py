@@ -234,27 +234,28 @@ def dedup_paragraphs(docs: DataFrame, id_col: str = "doc_id",
     under any partitioning. Documents left with no paragraphs are
     dropped.
 
-    Plan: posexplode (narrow) → one hash shuffle on md5(paragraph) to
-    pick winners → filter → one shuffle on doc_id to reassemble in
-    original order (sort_array on the (idx, para) struct). Nothing
-    scales with corpus size on the driver.
+    Plan: posexplode (narrow) → ONE hash shuffle on md5(paragraph)
+    where a row_number window keeps the first occurrence (no
+    winners-table join-back: the window partition IS the duplicate
+    group) → one shuffle on doc_id to reassemble in original order
+    (sort_array on the (idx, para) struct). Nothing scales with corpus
+    size on the driver. A pathologically hot digest (one paragraph
+    duplicated across a large corpus fraction) lands in one window
+    task; its rows are only (id, idx, digest) tuples plus one text
+    copy, the same bound as any top-1-per-key design.
     """
+    from pyspark.sql.window import Window
+
     paras = docs.select(
         id_col,
         F.posexplode(F.split(F.col(text_col), split_pat))
         .alias("para_idx", "para"),
     ).filter(F.length(F.trim("para")) > 0)
     digested = paras.withColumn("digest", F.md5(F.encode("para", "UTF-8")))
-    winners = digested.groupBy("digest").agg(
-        F.min(F.struct(id_col, "para_idx")).alias("w")
-    ).select(
-        "digest", F.col(f"w.{id_col}").alias("__wid"),
-        F.col("w.para_idx").alias("__widx"),
-    )
-    kept = digested.join(winners, "digest").filter(
-        (F.col(id_col) == F.col("__wid"))
-        & (F.col("para_idx") == F.col("__widx"))
-    )
+    w = Window.partitionBy("digest").orderBy(id_col, "para_idx")
+    kept = digested.withColumn(
+        "__rn", F.row_number().over(w)
+    ).filter(F.col("__rn") == 1)
     return kept.groupBy(id_col).agg(
         F.array_join(
             F.transform(
