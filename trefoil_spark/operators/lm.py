@@ -1,0 +1,115 @@
+"""Corpus n-gram language-model scoring (r6) — the CCNet-style
+quality signal (Wenzek et al. 2020 train a LM and keep low-perplexity
+documents; the same shape underlies most published quality filters).
+
+Two stages, both pure DataFrame ops with exact SQL twins:
+
+  * train_bigram_lm: token/bigram counts over the (reference) corpus →
+    add-one-smoothed conditional log-probs log p(w2|w1) =
+    ln((c(w1,w2)+1) / (c(w1)+V)). One explode (narrow) + two
+    aggregations; the model is a (w1, w2, logp) table whose size is
+    the corpus's distinct-bigram count, NOT its token count.
+  * score_perplexity: explode each scored doc's bigrams (narrow),
+    broadcast-join the model (reference models are MBs — CCNet ships
+    ~few-hundred-MB LMs, still broadcastable; shuffle-join if not),
+    unseen bigrams back off to ln(1/(c(w1)+V)) — and unseen w1 to
+    ln(1/V) — then one doc_id aggregation: ppl = exp(-mean logp).
+
+Float parity with DuckDB needs identical IEEE expression trees: all
+literals CAST AS DOUBLE, ln/exp natural, counts BIGINT (see
+.claude/skills/verify gotchas).
+
+100 TB shape: training is two shuffles keyed on w1/(w1,w2); scoring
+never shuffles the corpus (narrow explode → broadcast join → one
+keyed agg back to doc_id).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["tokens_col", "train_bigram_lm", "score_perplexity"]
+
+
+def tokens_col(text_col: str = "text"):
+    """Lowercased whitespace tokens (empty-safe)."""
+    return F.filter(
+        F.split(F.lower(F.col(text_col)), r"\s+"),
+        lambda t: F.length(t) > 0,
+    )
+
+
+def _bigrams(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    toks = tokens_col(text_col)
+    pairs = F.when(
+        F.size(toks) >= 2,
+        F.zip_with(
+            F.slice(toks, 1, F.size(toks) - 1),
+            F.slice(toks, 2, F.size(toks) - 1),
+            lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+        ),
+    ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
+    return df.select(
+        F.col(id_col).alias("doc_id"), F.explode(pairs).alias("bg")
+    ).select("doc_id", "bg.w1", "bg.w2")
+
+
+def train_bigram_lm(corpus: DataFrame, id_col: str = "doc_id",
+                    text_col: str = "text") -> tuple[DataFrame, DataFrame]:
+    """corpus → (model, meta): model is (w1, w2, logp) with add-one
+    smoothing; meta is a 1-row (vocab_size, unigram table rides in the
+    model join). Returns (model, unigrams) — unigrams (w1, c1) are
+    needed for the unseen-bigram backoff at scoring time."""
+    bg = _bigrams(corpus, id_col, text_col)
+    uni = bg.groupBy("w1").agg(F.count("*").alias("c1"))
+    vocab = corpus.select(
+        F.explode(tokens_col(text_col)).alias("w")
+    ).agg(F.count_distinct("w").alias("v"))
+    big = bg.groupBy("w1", "w2").agg(F.count("*").alias("c12"))
+    model = (
+        big.join(uni, "w1")
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            "w1", "w2",
+            F.log(
+                (F.col("c12") + F.lit(1).cast("double"))
+                / (F.col("c1") + F.col("v")).cast("double")
+            ).alias("logp"),
+        )
+    )
+    uni_v = uni.crossJoin(F.broadcast(vocab)).select("w1", "c1", "v")
+    return model, uni_v
+
+
+def score_perplexity(docs: DataFrame, model: DataFrame,
+                     unigrams: DataFrame, id_col: str = "doc_id",
+                     text_col: str = "text") -> DataFrame:
+    """docs → (doc_id, n_bigrams, ppl). Documents with no bigram get
+    NULL ppl (no evidence, not perfect score)."""
+    bg = _bigrams(docs, id_col, text_col)
+    vocab = unigrams.agg(F.max("v").alias("v_all"))  # 1 row
+    scored = (
+        bg.crossJoin(F.broadcast(vocab))
+        .join(F.broadcast(unigrams), "w1", "left")
+        .join(F.broadcast(model), ["w1", "w2"], "left")
+        .select(
+            "doc_id",
+            F.coalesce(
+                F.col("logp"),
+                # seen w1, unseen bigram: ln(1/(c1+V))
+                F.log(
+                    F.lit(1).cast("double")
+                    / (F.col("c1") + F.col("v")).cast("double")
+                ),
+                # unseen w1: uniform ln(1/V) over the trained vocab
+                F.log(
+                    F.lit(1).cast("double") / F.col("v_all").cast("double")
+                ),
+            ).alias("lp"),
+        )
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count("*").alias("n_bigrams"),
+        F.exp(-(F.sum("lp") / F.count("*"))).alias("ppl"),
+    )
