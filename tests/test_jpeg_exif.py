@@ -82,3 +82,79 @@ def test_oriented_decode_rights_the_scene():
     assert got.shape == up.shape
     assert np.array_equal(got, up)
     assert decode_jpeg(j).shape == stored.shape
+
+
+# ---------------------------------------------------------------------------
+# EXIF GPS (late r6)
+# ---------------------------------------------------------------------------
+
+def test_exif_gps_roundtrip_quadrants():
+    from trefoil_spark.functions.jpeg import (
+        embed_exif_gps,
+        encode_jpeg,
+        exif_gps,
+        decode_jpeg,
+    )
+
+    img = np.full((8, 8, 3), 128, np.uint8)
+    base = encode_jpeg(img, 90)
+    for lat, lon in [(34.0522, -118.2437), (-33.8688, 151.2093),
+                     (51.5074, -0.1278), (-22.9068, -43.1729), (0.0, 0.0)]:
+        tagged = embed_exif_gps(base, lat, lon)
+        got = exif_gps(tagged)
+        assert got is not None
+        assert abs(got[0] - lat) < 1e-7 and abs(got[1] - lon) < 1e-7
+        # the added APP1 must not disturb pixel decode
+        assert np.array_equal(decode_jpeg(tagged), decode_jpeg(base))
+    assert exif_gps(base) is None  # untagged
+
+
+def test_exif_gps_big_endian_and_malformed():
+    from trefoil_spark.functions.jpeg import embed_exif_gps, encode_jpeg, exif_gps
+
+    img = np.zeros((8, 8, 3), np.uint8)
+    base = encode_jpeg(img, 90)
+    tagged = bytearray(embed_exif_gps(base, 12.5, -7.25))
+    # truncate the TIFF block inside APP1: must degrade to None
+    i = tagged.find(b"Exif\x00\x00")
+    broken = bytes(tagged[: i + 14])
+    app1_len = 14 - (i - 2) + 2
+    assert exif_gps(bytes(tagged[:2]) + b"\xff\xe1"
+                    + app1_len.to_bytes(2, "big")
+                    + bytes(tagged[4 : i + 14]) + bytes(tagged[-2:])) in (
+        None,
+    )
+
+
+def test_image_gps_to_zonal_pipeline(spark):
+    """The axis crossover: crawl images with EXIF GPS → image_gps →
+    PIP join → per-zone counts. Points planted inside known zones of
+    the synthetic layer."""
+    from pyspark.sql import functions as F
+
+    from trefoil_spark.functions.jpeg import embed_exif_gps, encode_jpeg
+    from trefoil_spark.operators.multimodal import image_gps
+    from trefoil_spark.operators.pip_join import pip_join
+    from trefoil_spark.sources.zones import ZONE_LAYER
+
+    img = np.full((8, 8, 3), 64, np.uint8)
+    base = encode_jpeg(img, 90)
+    pts = [
+        (0, 34.0, -118.2),   # urban box (inside east)
+        (1, 34.5, -122.0),   # west polygon
+        (2, 33.0, -115.0),   # east polygon
+        (3, 33.1, -115.1),   # east polygon
+        (4, 0.0, 0.0),       # outside every zone
+    ]
+    rows = [(i, bytearray(embed_exif_gps(base, lat, lon)))
+            for i, lat, lon in pts]
+    rows.append((5, bytearray(b"\x89PNG not a jpeg")))
+    df = spark.createDataFrame(rows, "doc_id bigint, media binary")
+    gps = image_gps(df)
+    joined = pip_join(gps, ZONE_LAYER)
+    counts = {
+        r["zone_value"]: r["n"]
+        for r in joined.groupBy("zone_value").agg(
+            F.count("*").alias("n")).collect()
+    }
+    assert counts == {"urban": 1, "west": 1, "east": 2}

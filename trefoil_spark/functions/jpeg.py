@@ -1322,3 +1322,134 @@ def decode_jpeg_oriented(data: bytes) -> np.ndarray:
     return np.ascontiguousarray(
         apply_exif_orientation(decode_jpeg(data), exif_orientation(data))
     )
+
+
+# ---------------------------------------------------------------------------
+# EXIF GPS (late r6). Phone-camera crawl JPEGs carry a GPS IFD (tag
+# 0x8825 in IFD0 points at it; EXIF 2.3 §4.6.6): latitude/longitude as
+# degree/minute/second RATIONAL triplets plus N/S/E/W reference ASCII
+# tags. This is the geospatial handle on a web crawl — extracted
+# coordinates feed the engine's PIP join / zonal operators directly.
+# ---------------------------------------------------------------------------
+
+
+def _exif_tiff(data: bytes) -> bytes | None:
+    if data[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG (no SOI)")
+    pos = 2
+    while pos + 4 <= len(data):
+        if data[pos] != 0xFF:
+            break
+        marker = data[pos + 1]
+        if marker in (0xD9, 0xDA):
+            break
+        ln = struct.unpack(">H", data[pos + 2 : pos + 4])[0]
+        if marker == 0xE1 and data[pos + 4 : pos + 10] == b"Exif\x00\x00":
+            return data[pos + 10 : pos + 2 + ln]
+        pos += 2 + ln
+    return None
+
+
+def exif_gps(data: bytes):
+    """JPEG bytes → (lat, lon) decimal degrees from the EXIF GPS IFD,
+    or None when absent. Malformed GPS blocks degrade to None rather
+    than failing the decode (same contract as exif_orientation)."""
+    tiff = _exif_tiff(data)
+    if tiff is None:
+        return None
+    try:
+        return _tiff_gps(tiff)
+    except (IndexError, struct.error, ValueError, ZeroDivisionError):
+        return None
+
+
+def _tiff_gps(tiff: bytes):
+    if tiff[:2] == b"II":
+        e = "<"
+    elif tiff[:2] == b"MM":
+        e = ">"
+    else:
+        return None
+    if struct.unpack(e + "H", tiff[2:4])[0] != 42:
+        return None
+    (ifd,) = struct.unpack(e + "I", tiff[4:8])
+    (n,) = struct.unpack(e + "H", tiff[ifd : ifd + 2])
+    gps_ifd = None
+    for i in range(n):
+        base = ifd + 2 + 12 * i
+        tag, ty, cnt = struct.unpack(e + "HHI", tiff[base : base + 8])
+        if tag == 0x8825 and ty == 4:
+            (gps_ifd,) = struct.unpack(e + "I", tiff[base + 8 : base + 12])
+    if gps_ifd is None:
+        return None
+
+    def rational3(off: int):
+        vals = []
+        for k in range(3):
+            num, den = struct.unpack(e + "II", tiff[off + 8 * k :
+                                                    off + 8 * k + 8])
+            vals.append(num / den if den else 0.0)
+        return vals
+
+    (gn,) = struct.unpack(e + "H", tiff[gps_ifd : gps_ifd + 2])
+    lat = lon = None
+    lat_sign = lon_sign = 1.0
+    for i in range(gn):
+        base = gps_ifd + 2 + 12 * i
+        tag, ty, cnt = struct.unpack(e + "HHI", tiff[base : base + 8])
+        val = tiff[base + 8 : base + 12]
+        if tag == 0x0001 and ty == 2:  # GPSLatitudeRef
+            lat_sign = -1.0 if val[:1] == b"S" else 1.0
+        elif tag == 0x0003 and ty == 2:  # GPSLongitudeRef
+            lon_sign = -1.0 if val[:1] == b"W" else 1.0
+        elif tag == 0x0002 and ty == 5 and cnt == 3:  # GPSLatitude
+            (off,) = struct.unpack(e + "I", val)
+            d, m, s = rational3(off)
+            lat = d + m / 60.0 + s / 3600.0
+        elif tag == 0x0004 and ty == 5 and cnt == 3:  # GPSLongitude
+            (off,) = struct.unpack(e + "I", val)
+            d, m, s = rational3(off)
+            lon = d + m / 60.0 + s / 3600.0
+    if lat is None or lon is None:
+        return None
+    return lat_sign * lat, lon_sign * lon
+
+
+def embed_exif_gps(jpeg: bytes, lat: float, lon: float) -> bytes:
+    """Twin writer: insert an APP1/Exif segment with a GPS IFD (dms
+    RATIONAL triplets, 1e6 denominators on seconds) right after SOI.
+    Round-trips through exif_gps to ~1e-7 degrees."""
+    if jpeg[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG (no SOI)")
+
+    def dms(v: float):
+        v = abs(v)
+        d = int(v)
+        m = int((v - d) * 60)
+        s = (v - d - m / 60.0) * 3600.0
+        return [(d, 1), (m, 1), (int(round(s * 1_000_000)), 1_000_000)]
+
+    # TIFF: header(8) + IFD0 (1 entry + next ptr) + GPS IFD (4 entries
+    # + next ptr) + 2 rational triplets (24 bytes each)
+    ifd0 = 8
+    gps_ifd = ifd0 + 2 + 12 + 4
+    lat_off = gps_ifd + 2 + 4 * 12 + 4
+    lon_off = lat_off + 24
+    t = bytearray()
+    t += b"II" + struct.pack("<HI", 42, ifd0)
+    t += struct.pack("<H", 1)
+    t += struct.pack("<HHII", 0x8825, 4, 1, gps_ifd)
+    t += struct.pack("<I", 0)  # next IFD
+    t += struct.pack("<H", 4)
+    lat_ref = b"S\x00\x00\x00" if lat < 0 else b"N\x00\x00\x00"
+    lon_ref = b"W\x00\x00\x00" if lon < 0 else b"E\x00\x00\x00"
+    t += struct.pack("<HHI", 0x0001, 2, 2) + lat_ref
+    t += struct.pack("<HHII", 0x0002, 5, 3, lat_off)
+    t += struct.pack("<HHI", 0x0003, 2, 2) + lon_ref
+    t += struct.pack("<HHII", 0x0004, 5, 3, lon_off)
+    t += struct.pack("<I", 0)  # next IFD
+    for num, den in dms(lat) + dms(lon):
+        t += struct.pack("<II", num, den)
+    payload = b"Exif\x00\x00" + bytes(t)
+    app1 = b"\xff\xe1" + struct.pack(">H", len(payload) + 2) + payload
+    return jpeg[:2] + app1 + jpeg[2:]

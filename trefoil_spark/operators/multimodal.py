@@ -684,3 +684,29 @@ def probe_media_features(df: DataFrame) -> DataFrame:
         "width int, height int, sample_rate int, channels int, "
         "duration_ms bigint, n_tracks int",
     )
+
+
+def image_gps(df: DataFrame, payload_col: str = "media",
+              id_col: str = "doc_id") -> DataFrame:
+    """(id, jpeg binary) → (id, lat, lon) from the EXIF GPS IFD — the
+    geospatial handle on a crawled image corpus. Header-only parse (no
+    pixel decode) in an Arrow-batched stage; rows without a GPS IFD
+    (or non-JPEG payloads) are dropped. The output feeds pip_join /
+    zonal_statistics directly: crawl images → regions."""
+    def gen(batches):
+        from ..functions.jpeg import exif_gps
+
+        for pdf in batches:
+            rows = []
+            for did, payload in zip(pdf[id_col], pdf[payload_col]):
+                raw = bytes(payload)
+                if raw[:2] != b"\xff\xd8":
+                    continue
+                gps = exif_gps(raw)
+                if gps is not None:
+                    rows.append((int(did), float(gps[0]), float(gps[1])))
+            yield pd.DataFrame(rows, columns=[id_col, "lat", "lon"])
+
+    return df.mapInPandas(
+        gen, schema=f"{id_col} bigint, lat double, lon double"
+    )
