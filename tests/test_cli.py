@@ -314,3 +314,41 @@ def test_render_tif_to_rgb_geotiff(spark, tmp_path):
     assert abs(meta["dx"] - 0.05) < 1e-12  # geotransform scaled with the raster
     assert (meta["x0"], meta["y0"]) == (-120.0, 40.0)
     assert rgb.reshape(-1, 3).std(axis=0).max() > 10  # actually colorized
+
+
+def test_cli_curate_parquet_roundtrip(tmp_path, spark):
+    """`curate` over a parquet docs table: C4 + PII + line dedup +
+    decontamination + sequence packing, end to end through the CLI."""
+    docs = [
+        (0, "u0", "The quick brown fox jumps over dogs.\n"
+                   "Every good sentence has many fine words.\n"
+                   "Here is another line with plenty words!\n"
+                   "Contact me at jane@ex.com for more info."),
+        (1, "u1", "The quick brown fox jumps over dogs.\n"   # dup line
+                  "A different second line with plenty words.\n"
+                  "A different third line with plenty words!\n"
+                  "A different fourth line with plenty words."),
+        (2, "u2", "short\nnothing here"),                    # C4-dropped
+        (3, "u3", "Contaminated sentence alpha beta gamma delta here.\n"
+                  "Another fine line with plenty of words.\n"
+                  "Third fine line with plenty of words too."),
+    ]
+    src = str(tmp_path / "docs.parquet")
+    spark.createDataFrame(
+        docs, "doc_id bigint, url string, text string"
+    ).write.parquet(src)
+    ev = str(tmp_path / "eval.parquet")
+    spark.createDataFrame(
+        [(0, "contaminated sentence alpha beta gamma delta here.")],
+        "doc_id bigint, text string",
+    ).write.parquet(ev)
+    out = str(tmp_path / "curated.parquet")
+    assert main(["curate", src, out, "--eval-set", ev, "--ngram-n", "5",
+                 "--pack", "8"]) == 0
+    got = {r["doc_id"]: r for r in spark.read.parquet(out).collect()}
+    assert sorted(got) == [0, 1]            # 2 C4-dropped, 3 contaminated
+    assert "<EMAIL>" in got[0]["text"]
+    assert "quick brown fox" not in got[1]["text"]  # dup line removed
+    assert got[1]["url"] == "u1"
+    packed = spark.read.parquet(out + "_packed").collect()
+    assert packed and all(r["n_tokens"] == 8 for r in packed)

@@ -441,6 +441,52 @@ def cmd_bin_ts(args) -> int:
     return 0
 
 
+def cmd_curate(args) -> int:
+    """WARC shards (or an already-extracted parquet docs table with
+    doc_id/url/text) → the full cleaning stack → parquet. Optionally
+    decontaminates against an eval set and packs training sequences."""
+    from pyspark.sql import functions as F
+
+    from .operators.cleaning import (
+        c4_clean,
+        decontaminate,
+        dedup_paragraphs,
+        redact_pii_col,
+    )
+    from .operators.seqpack import pack_sequences
+
+    spark = _spark()
+    first = args.inputs[0]
+    if first.endswith((".warc", ".warc.gz")):
+        from .operators.curation import curate_from_warc
+
+        docs = curate_from_warc(spark, args.inputs)
+    else:
+        if len(args.inputs) != 1:
+            raise SystemExit("parquet mode takes exactly one input dir")
+        docs = spark.read.parquet(first)
+    docs = c4_clean(docs).withColumn("text", redact_pii_col("text"))
+    keep = [c for c in ("doc_id", "url") if c in docs.columns]
+    deduped = dedup_paragraphs(
+        docs.select(*keep, "text"), split_pat=r"\n+", join_sep="\n"
+    )
+    if "url" in docs.columns:
+        deduped = deduped.join(docs.select("doc_id", "url"), "doc_id")
+    if args.eval_set:
+        eval_df = spark.read.parquet(args.eval_set)
+        deduped = decontaminate(deduped, eval_df, n=args.ngram_n)
+    out = deduped.withColumn("n_chars", F.length("text"))
+    out.write.mode("overwrite").parquet(args.out)
+    n = spark.read.parquet(args.out).count()
+    print(f"wrote {args.out} ({n} docs)")
+    if args.pack:
+        packed = pack_sequences(out, args.pack)
+        packed.write.mode("overwrite").parquet(args.out + "_packed")
+        m = spark.read.parquet(args.out + "_packed").count()
+        print(f"wrote {args.out}_packed ({m} sequences of {args.pack})")
+    return 0
+
+
 def cmd_map(args) -> int:
     from .raster.maphtml import write_map_preview
     from .raster.render import StretchedRenderer
@@ -567,6 +613,23 @@ def build_parser() -> argparse.ArgumentParser:
     mp.add_argument("--colormap", required=True)
     mp.add_argument("--colorspace", default="hsv", choices=["hsv", "rgb"])
     mp.set_defaults(fn=cmd_map)
+
+    cu = sub.add_parser(
+        "curate",
+        help="webtext curation: WARC shards or a parquet docs table → "
+        "cleaned/deduped parquet (beyond-reference)",
+    )
+    cu.add_argument("inputs", nargs="+",
+                    help="WARC paths (*.warc/.warc.gz) or one parquet dir")
+    cu.add_argument("out", help="output parquet directory")
+    cu.add_argument("--eval-set", default=None,
+                    help="parquet with a text column; docs sharing any "
+                    "13-gram are dropped (decontamination)")
+    cu.add_argument("--ngram-n", type=int, default=13)
+    cu.add_argument("--pack", type=int, default=0, metavar="SEQ_LEN",
+                    help="also write <out>_packed: fixed-length "
+                    "training sequences of SEQ_LEN tokens")
+    cu.set_defaults(fn=cmd_curate)
 
     return p
 
