@@ -265,3 +265,40 @@ def dedup_paragraphs(docs: DataFrame, id_col: str = "doc_id",
             join_sep,
         ).alias(text_col)
     )
+
+
+# ---------------------------------------------------------------------------
+# Incremental pipeline ops (late r6): the shapes a RUNNING pipeline
+# needs — new crawl shards arrive against an existing curated corpus.
+# ---------------------------------------------------------------------------
+
+def dedup_incremental(new_docs: DataFrame, seen_digests: DataFrame,
+                      text_col: str = "text") -> DataFrame:
+    """Drop new documents whose content digest already exists in the
+    historical corpus. seen_digests is a (digest string) table — the
+    running pipeline's ledger, typically millions-to-billions of
+    32-char rows. Plan: one left_anti hash join on the digest; the new
+    shard also self-dedups first (min doc_id winner) so a batch can't
+    insert its own duplicates."""
+    digested = new_docs.withColumn(
+        "digest", F.md5(F.encode(text_col, "UTF-8"))
+    )
+    winners = digested.groupBy("digest").agg(
+        F.min("doc_id").alias("doc_id")
+    )
+    fresh = digested.join(winners, ["digest", "doc_id"], "inner")
+    return fresh.join(seen_digests, "digest", "left_anti").drop("digest")
+
+
+def sample_deterministic(docs: DataFrame, fraction: float,
+                         id_col: str = "doc_id",
+                         salt: str = "sample") -> DataFrame:
+    """Keep a deterministic ~fraction of documents: xxhash64(salt, id)
+    bucketed mod 1e6. Unlike rand()-based sampling the kept set is a
+    pure function of (salt, id) — re-runs, retries and different
+    partitionings all select the same rows, and a DuckDB oracle can
+    reproduce it. Narrow (no shuffle)."""
+    if not 0.0 <= fraction <= 1.0:
+        raise ValueError("fraction must be in [0, 1]")
+    bucket = F.pmod(F.xxhash64(F.lit(salt), F.col(id_col)), F.lit(1_000_000))
+    return docs.filter(bucket < int(round(fraction * 1_000_000)))
