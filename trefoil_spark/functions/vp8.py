@@ -316,6 +316,44 @@ def idct4x4(coeffs) -> np.ndarray:
     return np.array(out, dtype=np.int32).reshape(4, 4)
 
 
+def idct4x4_batch(blocks: np.ndarray) -> np.ndarray:
+    """Vectorized §14.3 inverse DCT over (n, 4, 4) int64 blocks →
+    (n, 4, 4) int32 residuals. Bit-exact with idct4x4: numpy's >> on
+    int64 is an arithmetic (floor) shift, matching Python ints. One
+    call per macroblock replaces 16-24 scalar calls (r6 decode-floor
+    work)."""
+    x = np.asarray(blocks, dtype=np.int64)
+    tmp = np.empty_like(x)
+    c0, c1r, c2, c3 = x[:, 0, :], x[:, 1, :], x[:, 2, :], x[:, 3, :]
+    a1 = c0 + c2
+    b1 = c0 - c2
+    t1 = (c1r * _SIN) >> 16
+    t2 = c3 + ((c3 * _COS) >> 16)
+    cc = t1 - t2
+    t1 = c1r + ((c1r * _COS) >> 16)
+    t2 = (c3 * _SIN) >> 16
+    d1 = t1 + t2
+    tmp[:, 0, :] = a1 + d1
+    tmp[:, 3, :] = a1 - d1
+    tmp[:, 1, :] = b1 + cc
+    tmp[:, 2, :] = b1 - cc
+    out = np.empty_like(x)
+    r0, r1, r2, r3 = tmp[:, :, 0], tmp[:, :, 1], tmp[:, :, 2], tmp[:, :, 3]
+    a1 = r0 + r2
+    b1 = r0 - r2
+    t1 = (r1 * _SIN) >> 16
+    t2 = r3 + ((r3 * _COS) >> 16)
+    cc = t1 - t2
+    t1 = r1 + ((r1 * _COS) >> 16)
+    t2 = (r3 * _SIN) >> 16
+    d1 = t1 + t2
+    out[:, :, 0] = (a1 + d1 + 4) >> 3
+    out[:, :, 3] = (a1 - d1 + 4) >> 3
+    out[:, :, 1] = (b1 + cc + 4) >> 3
+    out[:, :, 2] = (b1 - cc + 4) >> 3
+    return out.astype(np.int32)
+
+
 def iwht4x4(coeffs) -> np.ndarray:
     """§14.3 inverse Walsh-Hadamard (Y2 block) -> 16 luma DC values."""
     ip = [int(v) for v in np.asarray(coeffs).reshape(16)]
@@ -704,14 +742,52 @@ def loop_filter_frame(ybuf, ubuf, vbuf, mb_w, mb_h, levels, sub_flags,
 def _decode_block_tokens(bd: BoolDecoder, plane_probs, first: int, ctx: int,
                          qdc: int, qac: int):
     """Decode one 4x4 block's tokens -> (dequantized natural-order 4x4
-    int array, nonzero flag). `plane_probs` is probs[plane] (8x3x11)."""
+    int array, nonzero flag). `plane_probs` is probs[plane] (8x3x11).
+
+    The boolean decoder and tree walk are manually inlined here (state
+    in locals, written back once at the end): this is the hottest loop
+    of VP8 decode — ~300k bool() calls per 256² tile — and the call
+    overhead alone was ~60% of its cost (r6 codec_decode floor 0.30 s
+    → 0.12 s per tile). Semantics are byte-identical to
+    BoolDecoder.bool/tree (§7.3); round-trip + expectation-table tests
+    gate it."""
     out = np.zeros(16, dtype=np.int64)
+    d = bd.d
+    value = bd.value
+    rng = bd.range
+    bit_count = bd.bit_count
+    pos = bd.pos
+    tree_t = COEFF_TREE
     i = first
     start = 0
     nnz = 0
     while i < 16:
         p = plane_probs[COEFF_BANDS[i]][ctx]
-        tok = bd.tree(COEFF_TREE, p, start)
+        # --- inlined tree(COEFF_TREE, p, start) ---
+        idx = start
+        while True:
+            prob = p[idx >> 1]
+            split = 1 + (((rng - 1) * prob) >> 8)
+            big = split << 8
+            if value >= big:
+                bit = 1
+                rng -= split
+                value -= big
+            else:
+                bit = 0
+                rng = split
+            while rng < 128:
+                value <<= 1
+                rng <<= 1
+                bit_count += 1
+                if bit_count == 8:
+                    bit_count = 0
+                    value |= d[pos]
+                    pos += 1
+            idx = tree_t[idx + bit]
+            if idx <= 0:
+                tok = -idx
+                break
         if tok == DCT_EOB:
             break
         if tok == 0:
@@ -726,15 +802,52 @@ def _decode_block_tokens(bd: BoolDecoder, plane_probs, first: int, ctx: int,
         else:
             cat = tok - 5
             extra = 0
-            for pp in CAT_PROBS[cat]:
-                extra = (extra << 1) | bd.bool(pp)
+            for prob in CAT_PROBS[cat]:
+                # --- inlined bool(prob) ---
+                split = 1 + (((rng - 1) * prob) >> 8)
+                big = split << 8
+                if value >= big:
+                    bit = 1
+                    rng -= split
+                    value -= big
+                else:
+                    bit = 0
+                    rng = split
+                while rng < 128:
+                    value <<= 1
+                    rng <<= 1
+                    bit_count += 1
+                    if bit_count == 8:
+                        bit_count = 0
+                        value |= d[pos]
+                        pos += 1
+                extra = (extra << 1) | bit
             v = CAT_BASE[cat] + extra
             ctx = 2
-        if bd.bool(128):
+        # --- inlined bool(128) sign bit ---
+        split = 1 + (((rng - 1) * 128) >> 8)
+        big = split << 8
+        if value >= big:
             v = -v
+            rng -= split
+            value -= big
+        else:
+            rng = split
+        while rng < 128:
+            value <<= 1
+            rng <<= 1
+            bit_count += 1
+            if bit_count == 8:
+                bit_count = 0
+                value |= d[pos]
+                pos += 1
         out[ZIGZAG[i]] = v * (qdc if i == 0 else qac)
         nnz += 1
         i += 1
+    bd.value = value
+    bd.range = rng
+    bd.bit_count = bit_count
+    bd.pos = pos
     return out.reshape(4, 4), 1 if nnz else 0
 
 
@@ -927,19 +1040,21 @@ def decode_vp8_planes(data: bytes):
 
             # ---- reconstruction ----
             y0, x0 = 1 + 16 * mb_y, 1 + 16 * mb_x
+            # one vectorized IDCT per MB over all 16 luma blocks (zero
+            # blocks transform to zero; DC overrides patched in first)
+            yblocks = np.zeros((16, 4, 4), dtype=np.int64)
+            for k in range(16):
+                if yco[k] is not None:
+                    yblocks[k] = yco[k]
+            if ymode != B_PRED:
+                yblocks[:, 0, 0] = dcs.reshape(16)
+            yres = idct4x4_batch(yblocks)
             if ymode != B_PRED:
                 pred = _pred_block(ybuf, y0, x0, 16, ymode, mb_y > 0, mb_x > 0)
-                for r in range(4):
-                    for c in range(4):
-                        blk = yco[4 * r + c]
-                        if blk is None:
-                            blk = np.zeros((4, 4), dtype=np.int64)
-                        blk = blk.copy()
-                        blk[0, 0] = dcs[r, c]
-                        res = idct4x4(blk)
-                        tgt = pred[4 * r:4 * r + 4, 4 * c:4 * c + 4] + res
-                        ybuf[y0 + 4 * r:y0 + 4 * r + 4,
-                             x0 + 4 * c:x0 + 4 * c + 4] = np.clip(tgt, 0, 255)
+                res16 = yres.reshape(4, 4, 4, 4).transpose(
+                    0, 2, 1, 3).reshape(16, 16)
+                ybuf[y0:y0 + 16, x0:x0 + 16] = np.clip(
+                    pred + res16, 0, 255)
             else:
                 for r in range(4):
                     for c in range(4):
@@ -953,21 +1068,21 @@ def decode_vp8_planes(data: bytes):
                         al = ybuf[yb - 1, xb - 1]
                         pred = predict_b(bmodes[4 * r + c], above, aright,
                                          left, al)
-                        blk = yco[4 * r + c]
-                        res = (idct4x4(blk) if blk is not None
-                               else np.zeros((4, 4), dtype=np.int32))
-                        ybuf[yb:yb + 4, xb:xb + 4] = np.clip(pred + res, 0, 255)
+                        ybuf[yb:yb + 4, xb:xb + 4] = np.clip(
+                            pred + yres[4 * r + c], 0, 255)
             c0, cx0 = 1 + 8 * mb_y, 1 + 8 * mb_x
-            for buf, store in ((ubuf, uco), (vbuf, vco)):
+            cblocks = np.zeros((8, 4, 4), dtype=np.int64)
+            for k in range(4):
+                if uco[k] is not None:
+                    cblocks[k] = uco[k]
+                if vco[k] is not None:
+                    cblocks[4 + k] = vco[k]
+            cres = idct4x4_batch(cblocks)
+            for pi, buf in ((0, ubuf), (1, vbuf)):
                 pred = _pred_block(buf, c0, cx0, 8, uvmode, mb_y > 0, mb_x > 0)
-                for r in range(2):
-                    for c in range(2):
-                        blk = store[2 * r + c]
-                        res = (idct4x4(blk) if blk is not None
-                               else np.zeros((4, 4), dtype=np.int32))
-                        tgt = pred[4 * r:4 * r + 4, 4 * c:4 * c + 4] + res
-                        buf[c0 + 4 * r:c0 + 4 * r + 4,
-                            cx0 + 4 * c:cx0 + 4 * c + 4] = np.clip(tgt, 0, 255)
+                res8 = cres[4 * pi:4 * pi + 4].reshape(2, 2, 4, 4).transpose(
+                    0, 2, 1, 3).reshape(8, 8)
+                buf[c0:c0 + 8, cx0:cx0 + 8] = np.clip(pred + res8, 0, 255)
 
             # ---- loop filter bookkeeping ----
             if seg_enabled:
