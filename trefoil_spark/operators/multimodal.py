@@ -347,6 +347,9 @@ def sniff_format(payload: bytes) -> str:
     if payload[:4] in (b"II*\x00", b"II+\x00", b"MM\x00*", b"MM\x00+"):
         return "tiff"  # classic/BigTIFF, either byte order (decode is
         # little-endian only and raises loudly on MM)
+    head = payload[:256].lstrip()
+    if head[:5] == b"<?xml" or head[:4] == b"<svg":
+        return "svg"
     raise ValueError("unknown image payload")
 
 
@@ -381,6 +384,10 @@ def decode_image_features(df: DataFrame) -> DataFrame:
                     img = np.asarray(decode_tiff(raw)[0])
                     if img.ndim == 2:
                         img = np.stack([img] * 3, -1)
+                elif fmt == "svg":
+                    from ..functions.svg import decode_svg
+
+                    img = decode_svg(raw)
                 else:
                     img = decode_jpeg(raw)
                 sums = img[..., :3].astype(np.int64).sum(axis=(0, 1))
