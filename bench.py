@@ -311,7 +311,29 @@ def _codec_tiles() -> dict[str, bytes]:
         "apng": _apng_tile(rng),
         "webp_anim": _webp_anim_tile(rng),
         "avi_rle8": _avi_rle8_tile(rng, pal),
+        # vector: 100 random polygons rasterized onto a 256² canvas
+        "svg": _svg_tile(rng),
     }
+
+
+def _svg_tile(rng):
+    import numpy as np
+
+    parts = ['<svg xmlns="http://www.w3.org/2000/svg" '
+             'width="256" height="256">']
+    for _ in range(100):
+        n = int(rng.integers(3, 8))
+        cx, cy = rng.uniform(20, 236, 2)
+        ang = np.sort(rng.uniform(0, 2 * np.pi, n))
+        rad = rng.uniform(5, 20, n)
+        pts = " ".join(
+            f"{cx + r * np.cos(a):.2f},{cy + r * np.sin(a):.2f}"
+            for r, a in zip(rad, ang)
+        )
+        color = "#{:02x}{:02x}{:02x}".format(*rng.integers(0, 256, 3))
+        parts.append(f'<polygon points="{pts}" fill="{color}"/>')
+    parts.append("</svg>")
+    return "".join(parts).encode()
 
 
 def _apng_tile(rng):
@@ -380,6 +402,9 @@ def _codec_decode_bench(runs: int, steal_max: float) -> dict[str, float]:
             "trefoil_spark.functions.webp", fromlist=["decode_webp_frames"]
         ).decode_webp_frames,
         "avi_rle8": decode_avi,
+        "svg": __import__(
+            "trefoil_spark.functions.svg", fromlist=["decode_svg"]
+        ).decode_svg,
     }
     tiles = _codec_tiles()
     out = {}
