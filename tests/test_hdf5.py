@@ -558,3 +558,26 @@ def test_dense_attrs_depth1_btree(tmp_path):
     assert _s.unpack_from("<H", d0, d0.find(b"BTHD") + 12)[0] == 0
     assert b"BTIN" not in d0
     assert H5File(p0).attrs == want0
+
+
+def test_fractal_heap_tiny_object(tmp_path):
+    """r6: tiny heap IDs (type 2) carry their payload in the ID itself
+    — the fetch path must return it without touching any block, and a
+    malformed length must raise cleanly."""
+    import pytest as _pt
+
+    from tests.h5build import build_dense_attrs_file
+    from trefoil_spark.sources.hdf5 import _fractal_heap_fetch
+
+    p = str(tmp_path / "heap.h5")
+    build_dense_attrs_file(p, n_attrs=6, node_size=128)
+    d = open(p, "rb").read()
+    frhp = d.find(b"FRHP")
+    fetch, hid_len = _fractal_heap_fetch(d, frhp)
+    assert hid_len == 5
+    tiny = bytes([0x20 | (4 - 1)]) + b"abcd"
+    assert fetch(tiny) == b"abcd"
+    with _pt.raises(ValueError, match="overruns"):
+        fetch(bytes([0x20 | 0x0F]) + b"xy")
+    with _pt.raises(NotImplementedError, match="huge"):
+        fetch(bytes([0x10]) + b"\x00" * 4)

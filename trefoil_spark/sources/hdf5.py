@@ -343,8 +343,19 @@ def _fractal_heap_fetch(d: bytes, fheap: int):
 
     def fetch(heap_id: bytes) -> bytes:
         vt = heap_id[0]
-        if (vt >> 4) & 0x3 != 0:
-            raise NotImplementedError("huge/tiny fractal heap objects")
+        typ = (vt >> 4) & 0x3
+        if typ == 2:
+            # tiny object (r6): payload embedded in the ID itself —
+            # 'normal' form (heap IDs here are << 18 bytes): low
+            # nibble = length-1, data in the remaining ID bytes
+            ln = (vt & 0x0F) + 1
+            if 1 + ln > len(heap_id):
+                raise ValueError("tiny heap object overruns its ID")
+            return bytes(heap_id[1 : 1 + ln])
+        if typ != 0:
+            raise NotImplementedError(
+                "huge fractal heap objects (v2 b-tree indirection)"
+            )
         off = int.from_bytes(heap_id[1 : 1 + off_bytes], "little")
         ln = int.from_bytes(
             heap_id[1 + off_bytes : 1 + off_bytes + len_bytes], "little"
