@@ -69,3 +69,20 @@ def streaming_dedup(stream: DataFrame, id_col: str = "doc_id", text_col: str = "
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def streaming_clean(stream: "DataFrame", text_col: str = "text",
+                    id_col: str = "doc_id") -> "DataFrame":
+    """The cleaning stack on a stream (late r6): C4 line/page rules +
+    PII redaction are STATELESS per-row Catalyst expressions, so they
+    compose directly onto any streaming source; the cross-batch (and
+    cross-restart) exact dedup then rides the stateful operator above.
+    One micro-batch = narrow codegen → keyed state lookup; no
+    streaming-specific code paths in the cleaning expressions at all —
+    the same plan fragment a batch run uses."""
+    from ..operators.cleaning import c4_clean, redact_pii_col
+
+    cleaned = c4_clean(stream, text_col).withColumn(
+        text_col, redact_pii_col(text_col)
+    )
+    return streaming_dedup(cleaned, id_col=id_col, text_col=text_col)
