@@ -58,8 +58,16 @@ spark = get_spark(app_name=f"scaling_clean_{cores}",
                   master=f"local[{cores}]", shuffle_partitions=cores)
 spark.sparkContext.setLogLevel("ERROR")
 
+JOB = os.environ.get("SPARK_GRAFT_SCALING_JOB", "clean")
+
 def job():
     docs = spark.read.parquet(path)
+    if JOB == "pack":
+        from trefoil_spark.operators.seqpack import pack_sequences
+
+        packed = pack_sequences(docs, 2048)
+        return packed.agg(F.count("*").alias("n_seqs"),
+                          F.sum("n_docs").alias("n_doc_frags"))
     cleaned = c4_clean(docs).withColumn("text", redact_pii_col("text"))
     deduped = dedup_paragraphs(cleaned, split_pat=r"\n+", join_sep="\n")
     return deduped.agg(F.count("*").alias("n_docs"),
@@ -143,10 +151,14 @@ def main():
         print(json.dumps(results[f"({small},{big})"]))
     stamp = datetime.datetime.now(datetime.timezone.utc).isoformat(
         timespec="seconds")
+    jobname = os.environ.get("SPARK_GRAFT_SCALING_JOB", "clean")
+    desc = ("C4 + PII + corpus-wide line dedup"
+            if jobname == "clean" else
+            "pack_sequences seq_len=2048 (bucketed two-phase scan)")
     with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "a") as f:
         f.write(
-            f"\n### cleaning-stack scaling run ({stamp})\n\n"
-            f"Job: C4 + PII + corpus-wide line dedup over "
+            f"\n### {jobname}-stack scaling run ({stamp})\n\n"
+            f"Job: {desc} over "
             f"{results['(2,8)']['small']['rows']} lined docs "
             f"(factor {factor}); steal-gated min-of-clean protocol as "
             f"the flagship runs.\n\n"
