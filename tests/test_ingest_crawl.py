@@ -50,9 +50,19 @@ def test_warc_malformed():
     # truncate the final payload: must raise, not silently shorten
     with pytest.raises(ValueError, match="overruns"):
         list(iter_warc_records(bytes(data[:-20])))
-    with pytest.raises(ValueError, match="chunked"):
+    # chunked is unwound as of late r6; malformed chunking still raises
+    status, _hdrs, body = parse_http_response(
+        b"HTTP/1.1 200 OK\r\nTransfer-Encoding: chunked\r\n\r\n"
+        b"3\r\nabc\r\n0\r\n\r\n"
+    )
+    assert status == 200 and body == b"abc"
+    with pytest.raises(ValueError, match="chunk size"):
         parse_http_response(
-            b"HTTP/1.1 200 OK\r\nTransfer-Encoding: chunked\r\n\r\n0\r\n"
+            b"HTTP/1.1 200 OK\r\nTransfer-Encoding: chunked\r\n\r\nzz\r\n"
+        )
+    with pytest.raises(ValueError, match="overruns payload"):
+        parse_http_response(
+            b"HTTP/1.1 200 OK\r\nTransfer-Encoding: chunked\r\n\r\nff\r\nx"
         )
 
 
@@ -169,3 +179,66 @@ def test_curate_from_warc_end_to_end(spark, tmp_path):
     }
     assert row["doc_id"] == min(ids["http://ex.com/keep"],
                                 ids["http://ex.com/dup"])
+
+
+def _http_response(body, extra_headers=b""):
+    return (b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n"
+            + extra_headers
+            + b"Content-Length: " + str(len(body)).encode() + b"\r\n"
+            + b"\r\n" + body)
+
+
+def _raw_warc_record(uri, http):
+    return (b"WARC/1.0\r\nWARC-Type: response\r\n"
+            b"WARC-Target-URI: " + uri.encode() + b"\r\n"
+            b"Content-Length: " + str(len(http)).encode() + b"\r\n"
+            b"\r\n" + http + b"\r\n\r\n")
+
+
+def test_http_content_encoding_and_chunked(spark, tmp_path):
+    """Real-crawl HTTP variety: gzip body, raw-deflate body, chunked
+    body, chunked+gzip, and a corrupt-gzip record that must be SKIPPED
+    (never fail the shard task)."""
+    import zlib as _z
+
+    from trefoil_spark.sources.warc import warc_to_documents
+
+    html = b"<html><body>hello crawl body</body></html>"
+    co = _z.compressobj(6, _z.DEFLATED, 31)
+    gz = co.compress(html) + co.flush()
+    co = _z.compressobj(6, _z.DEFLATED, -15)
+    raw_deflate = co.compress(html) + co.flush()
+    chunked = (b"%x\r\n" % 10) + html[:10] + b"\r\n" \
+        + (b"%x\r\n" % (len(html) - 10)) + html[10:] + b"\r\n0\r\n\r\n"
+    co = _z.compressobj(6, _z.DEFLATED, 31)
+    gz2 = co.compress(html) + co.flush()
+    chunked_gz = (b"%x\r\n" % len(gz2)) + gz2 + b"\r\n0\r\n\r\n"
+
+    recs = b"".join([
+        _raw_warc_record("http://a/gz",
+                         _http_response(gz, b"Content-Encoding: gzip\r\n")),
+        _raw_warc_record("http://a/defl",
+                         _http_response(raw_deflate,
+                                        b"Content-Encoding: deflate\r\n")),
+        _raw_warc_record("http://a/chunk",
+                         _http_response(chunked,
+                                        b"Transfer-Encoding: chunked\r\n")),
+        _raw_warc_record("http://a/chunkgz",
+                         _http_response(chunked_gz,
+                                        b"Transfer-Encoding: chunked\r\n"
+                                        b"Content-Encoding: gzip\r\n")),
+        _raw_warc_record("http://a/broken",
+                         _http_response(b"\x1f\x8bnot really gzip",
+                                        b"Content-Encoding: gzip\r\n")),
+        _raw_warc_record("http://a/plain", _http_response(html)),
+    ])
+    p = tmp_path / "enc.warc"
+    p.write_bytes(recs)
+    out = {r["url"]: r["text"]
+           for r in warc_to_documents(spark, [str(p)]).collect()}
+    want = html.decode()
+    assert out == {
+        "http://a/gz": want, "http://a/defl": want,
+        "http://a/chunk": want, "http://a/chunkgz": want,
+        "http://a/plain": want,
+    }  # the broken record is skipped, everything else decodes

@@ -103,9 +103,50 @@ def parse_http_response(payload: bytes) -> tuple[int, dict, bytes]:
         headers[k.strip().decode("latin-1").lower()] = (
             v.strip().decode("latin-1")
         )
+    body = payload[sep + 4 :]
     if "chunked" in headers.get("transfer-encoding", ""):
-        raise ValueError("chunked transfer-encoding not unwound")
-    return status, headers, payload[sep + 4 :]
+        body = _dechunk(body)
+    ce = headers.get("content-encoding", "").lower().strip()
+    if ce in ("gzip", "x-gzip", "deflate"):
+        # real crawl responses are stored as sent: often compressed.
+        # wbits=47 auto-detects gzip/zlib wrappers; raw-deflate servers
+        # (the historical 'deflate' ambiguity) get a -15 fallback.
+        try:
+            body = zlib.decompress(body, wbits=47)
+        except zlib.error:
+            try:
+                body = zlib.decompress(body, wbits=-15)
+            except zlib.error as exc:
+                raise ValueError(
+                    f"undecodable {ce} HTTP body: {exc}"
+                ) from exc
+    elif ce and ce != "identity":
+        raise ValueError(f"unsupported content-encoding {ce!r}")
+    return status, headers, body
+
+
+def _dechunk(body: bytes) -> bytes:
+    """Unwind HTTP/1.1 chunked transfer-encoding (RFC 9112 §7.1)."""
+    out = bytearray()
+    pos = 0
+    while True:
+        eol = body.find(b"\r\n", pos)
+        if eol < 0:
+            raise ValueError("chunked body: missing size line")
+        size_tok = body[pos:eol].split(b";", 1)[0].strip()
+        try:
+            size = int(size_tok, 16)
+        except ValueError as exc:
+            raise ValueError(
+                f"chunked body: bad chunk size {size_tok!r}"
+            ) from exc
+        pos = eol + 2
+        if size == 0:
+            return bytes(out)  # trailers (if any) ignored
+        if pos + size > len(body):
+            raise ValueError("chunked body: chunk overruns payload")
+        out += body[pos : pos + size]
+        pos += size + 2  # skip chunk-terminating CRLF
 
 
 def write_warc(records: list, gzip_members: bool = True) -> bytes:
@@ -166,7 +207,13 @@ def _warc_scan(spark, paths, binary: bool):
                 ):
                     if hdrs.get("warc-type") != "response":
                         continue
-                    status, http, body = parse_http_response(payload)
+                    try:
+                        status, http, body = parse_http_response(payload)
+                    except ValueError:
+                        # one malformed record (truncated body, broken
+                        # content-encoding, bad chunking) must never
+                        # fail a shard task at crawl scale: skip it
+                        continue
                     key = f"{path}#{idx}".encode()
                     doc_id = int.from_bytes(
                         hashlib.sha256(key).digest()[:8], "big"
