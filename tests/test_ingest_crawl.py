@@ -242,3 +242,41 @@ def test_http_content_encoding_and_chunked(spark, tmp_path):
         "http://a/chunk": want, "http://a/chunkgz": want,
         "http://a/plain": want,
     }  # the broken record is skipped, everything else decodes
+
+
+def test_charset_decoding(spark, tmp_path):
+    """Content-Type charset honored: latin-1 and windows-1252 pages
+    decode correctly; a mislabeled charset falls back to UTF-8 with
+    replacement instead of failing."""
+    from trefoil_spark.sources.warc import warc_to_documents
+
+    latin = "café naïve".encode("latin-1")
+    cp = "curly “quotes”".encode("cp1252")
+    recs = b"".join([
+        _raw_warc_record(
+            "http://c/latin",
+            _http_response(
+                latin, b"").replace(
+                b"Content-Type: text/html",
+                b"Content-Type: text/html; charset=ISO-8859-1"),
+        ),
+        _raw_warc_record(
+            "http://c/cp1252",
+            _http_response(cp, b"").replace(
+                b"Content-Type: text/html",
+                b'Content-Type: text/html; charset="windows-1252"'),
+        ),
+        _raw_warc_record(
+            "http://c/mislabeled",
+            _http_response(b"\xff\xfe\xfd", b"").replace(
+                b"Content-Type: text/html",
+                b"Content-Type: text/html; charset=us-ascii"),
+        ),
+    ])
+    p = tmp_path / "cs.warc"
+    p.write_bytes(recs)
+    out = {r["url"]: r["text"]
+           for r in warc_to_documents(spark, [str(p)]).collect()}
+    assert out["http://c/latin"] == "café naïve"
+    assert out["http://c/cp1252"] == "curly “quotes”"
+    assert "�" in out["http://c/mislabeled"]  # replacement fallback

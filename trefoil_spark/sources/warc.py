@@ -180,6 +180,33 @@ def write_warc(records: list, gzip_members: bool = True) -> bytes:
     return bytes(out)
 
 
+_CHARSET_ALIASES = {
+    "utf-8": "utf-8", "utf8": "utf-8", "ascii": "ascii",
+    "us-ascii": "ascii", "iso-8859-1": "latin-1", "latin-1": "latin-1",
+    "latin1": "latin-1", "windows-1252": "cp1252", "cp1252": "cp1252",
+    "utf-16": "utf-16", "utf-16le": "utf-16-le", "utf-16be": "utf-16-be",
+}
+
+
+def _decode_body(body: bytes, content_type: str) -> str:
+    """HTTP body → text honoring the Content-Type charset= parameter
+    for the common web encodings; anything unknown (or any decode
+    error) falls back to UTF-8 with replacement — a 100 TB run never
+    fails on a mislabeled page."""
+    cs = ""
+    for part in content_type.split(";")[1:]:
+        k, _s, v = part.partition("=")
+        if k.strip().lower() == "charset":
+            cs = v.strip().strip('"\'').lower()
+    codec = _CHARSET_ALIASES.get(cs)
+    if codec:
+        try:
+            return body.decode(codec)
+        except (UnicodeDecodeError, LookupError):
+            pass
+    return body.decode("utf-8", "replace")
+
+
 def _warc_scan(spark, paths, binary: bool):
     """Shared distributed scan: one Spark task per shard (binaryFile
     source keeps whole files together), records streamed inside the
@@ -218,10 +245,11 @@ def _warc_scan(spark, paths, binary: bool):
                     doc_id = int.from_bytes(
                         hashlib.sha256(key).digest()[:8], "big"
                     ) >> 1
+                    ctype = http.get("content-type", "")
                     rows.append((
                         doc_id, hdrs.get("warc-target-uri", ""), status,
-                        http.get("content-type", ""),
-                        body if binary else body.decode("utf-8", "replace"),
+                        ctype,
+                        body if binary else _decode_body(body, ctype),
                     ))
             yield pd.DataFrame(
                 rows,
