@@ -16,8 +16,8 @@ Two stages, both pure DataFrame ops with exact SQL twins:
     ln(1/V) — then one doc_id aggregation: ppl = exp(-mean logp).
 
 Float parity with DuckDB needs identical IEEE expression trees: all
-literals CAST AS DOUBLE, ln/exp natural, counts BIGINT (see
-.claude/skills/verify gotchas).
+literals CAST AS DOUBLE (bare decimals parse as DECIMAL with
+engine-specific arithmetic), ln/exp natural, counts BIGINT.
 
 100 TB shape: training is two shuffles keyed on w1/(w1,w2); scoring
 never shuffles the corpus (narrow explode → broadcast join → one
