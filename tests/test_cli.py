@@ -352,3 +352,28 @@ def test_cli_curate_parquet_roundtrip(tmp_path, spark):
     assert got[1]["url"] == "u1"
     packed = spark.read.parquet(out + "_packed").collect()
     assert packed and all(r["n_tokens"] == 8 for r in packed)
+
+
+def test_cli_curate_warc_mode(tmp_path, spark):
+    """`curate` straight off WARC shards (ingest → extract → Gopher →
+    C4 → PII → line dedup)."""
+    from trefoil_spark.sources.warc import write_warc
+
+    lines = [
+        f"Alpha{i} bravo{i} charlie{i} delta{i} echo{i} foxtrot{i}."
+        for i in range(10)
+    ]
+    page = ("<html><head><title>t</title></head><body>"
+            + "\n".join(lines) + "</body></html>")
+    spam = "<html><body>- buy\n- now\n- cheap</body></html>"
+    p = tmp_path / "c.warc.gz"
+    p.write_bytes(write_warc([
+        ("response", "http://w/keep", page.encode()),
+        ("response", "http://w/spam", spam.encode()),
+    ]))
+    out = str(tmp_path / "out.parquet")
+    assert main(["curate", str(p), out]) == 0
+    rows = spark.read.parquet(out).collect()
+    assert len(rows) == 1
+    assert rows[0]["url"] == "http://w/keep"
+    assert rows[0]["text"].split("\n") == lines
