@@ -27,6 +27,7 @@ from pyspark.sql import functions as F
 
 from trefoil_spark.geometry import pip_sql_expr
 from trefoil_spark.operators.dedup import DEFAULT_MAX_BUCKET as _MAX_BUCKET
+from trefoil_spark.operators.dedup import scramble_sql_duckdb as _scr_sql
 from trefoil_spark.grid.bbox import BBox
 from trefoil_spark.operators.pip_join import pip_join
 from trefoil_spark.operators.zonal import zonal_statistics
@@ -386,13 +387,21 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash+LSH near-dup pairs (exact-Jaccard verified >= 0.5) UNITED
-    with the bigram-set Jaccard verify over planted candidate pairs —
-    the two stages of one near-dup pipeline in a single driver row
-    (method = 'minhash' | 'ngram'), freeing a registry slot for
-    dedup_embedding."""
-    from trefoil_spark.operators.dedup import jaccard_pairs, minhash_near_duplicates
+def q_dedup_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup strategies consolidated in ONE driver row (r7 frees two
+    registry slots for the curation-stack rows — VERDICT r6 item 1):
+
+    - method='minhash': MinHash+LSH candidate pairs, exact-Jaccard
+      verified >= 0.5, over the planted-duplicates fixture;
+    - method='ngram': bigram-set Jaccard verify over planted pairs;
+    - method='simhash': Hamming <= 3 pairs via 4x15-bit pigeonhole
+      bands over the raw documents table (pure-Catalyst 60-bit
+      bit-majority signature), inter = hamming, union_size = 0."""
+    from trefoil_spark.operators.dedup import (
+        jaccard_pairs,
+        minhash_near_duplicates,
+        simhash_near_duplicates,
+    )
 
     docs = _docs_with_dups(spark, sf_dir)
     mh = minhash_near_duplicates(docs, threshold=0.5).select(
@@ -411,7 +420,19 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("inter").cast("bigint").alias("inter"),
         F.col("union_size").cast("bigint").alias("union_size"),
     )
-    return mh.unionByName(ng).orderBy("method", "id_a", "id_b")
+    plain = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    sh = simhash_near_duplicates(plain, max_hamming=3).select(
+        F.lit("simhash").alias("method"),
+        "id_a", "id_b",
+        F.col("hamming").cast("bigint").alias("inter"),
+        F.lit(0).cast("bigint").alias("union_size"),
+    )
+    return (
+        mh.unionByName(ng).unionByName(sh)
+        .orderBy("method", "id_a", "id_b")
+    )
 
 
 _EMB_DUP_SHIFT = "CAST(0.01 AS DOUBLE)"
@@ -496,18 +517,6 @@ def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(recall_row("recall_normal", planted_normal))
         .unionByName(recall_row("recall_hot", planted_hot))
         .orderBy("section", "id_a", "id_b")
-    )
-
-
-def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup pairs (Hamming ≤ 3 via 4×15-bit pigeonhole bands);
-    signature is a pure-Catalyst 60-bit bit-majority fold — zero Python."""
-    from trefoil_spark.operators.dedup import simhash_near_duplicates
-
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
-    out = simhash_near_duplicates(docs, max_hamming=3)
-    return out.withColumn("hamming", F.col("hamming").cast("bigint")).orderBy(
-        "id_a", "id_b"
     )
 
 
@@ -1211,6 +1220,28 @@ def q_streaming_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("interval")
 
 
+def q_streaming_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming rows consolidated in ONE driver row (r7, frees a
+    registry slot — VERDICT r6 item 1): section='zonal' is the
+    stream-static PIP zonal pipeline, section='interval' the tumbling-
+    window agg, both drained AvailableNow and projected to exact
+    integers (key, count, val) so the batch DuckDB twins hash-gate
+    them unchanged."""
+    zonal = q_streaming_zonal(spark, sf_dir).select(
+        F.lit("zonal").alias("section"),
+        F.col("zone_value").cast("string").alias("key"),
+        F.col("count").cast("bigint").alias("count"),
+        F.col("value_sum").cast("bigint").alias("val"),
+    )
+    interval = q_streaming_interval(spark, sf_dir).select(
+        F.lit("interval").alias("section"),
+        F.col("interval").cast("string").alias("key"),
+        F.col("count").cast("bigint").alias("count"),
+        F.col("sum_cents").cast("bigint").alias("val"),
+    )
+    return zonal.unionByName(interval).orderBy("section", "key")
+
+
 def _cf360_sql(epoch_col_sql: str) -> dict[str, str]:
     """Shared Spark/DuckDB fragments: epoch seconds → CF 360_day calendar
     fields, 'days since 2024-01-01' (functions/cftime.py:68-80 integer
@@ -1475,9 +1506,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tile_classify_histogram": q_tile_classify_histogram,
         "text_stats": q_text_stats,
         "dedup_exact": q_dedup_exact,
-        "dedup_minhash": q_dedup_minhash,
+        "dedup_neardup": q_dedup_neardup,
         "dedup_embedding": q_dedup_embedding,
-        "dedup_simhash": q_dedup_simhash,
         "weighted_stats": q_weighted_stats,
         "mean_of_file_means": q_mean_of_file_means,
         "interval_stats": q_interval_stats,
@@ -1491,8 +1521,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pages_text_invariant": q_pages_text_invariant,
         "proj_roundtrip": q_proj_roundtrip,
         "checkpoint_resume": q_checkpoint_resume,
-        "streaming_zonal": q_streaming_zonal,
-        "streaming_interval": q_streaming_interval,
+        "streaming_agg": q_streaming_agg,
         "streaming_dedup": q_streaming_dedup,
         "cf_360day": q_cf_360day,
         "multimodal_features": q_multimodal_features,
@@ -1624,7 +1653,7 @@ def oracle_sql() -> dict[str, str]:
                    MIN(doc_id) AS keep_id
             FROM d GROUP BY text_hash HAVING COUNT(*) > 1 ORDER BY text_hash
         """,
-        "dedup_minhash": _dedup_minhash_oracle(),
+        "dedup_neardup": _dedup_neardup_oracle(),
         "dedup_clusters": _dedup_clusters_oracle(),
         "kmeans_train": """
             WITH emb AS (
@@ -1677,7 +1706,6 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(d) AS BIGINT) AS sum_dist
             FROM a2 GROUP BY k ORDER BY cid
         """,
-        "dedup_simhash": _dedup_simhash_oracle(),
         "dedup_embedding": _dedup_embedding_oracle(),
         "knn_join": _knn_strategies_oracle(),
         "similarity_ann": _similarity_ann_oracle(),
@@ -1807,26 +1835,34 @@ def oracle_sql() -> dict[str, str]:
             FROM g WHERE gap_us IS NOT NULL
             GROUP BY user_id ORDER BY user_id
         """,
-        "streaming_zonal": f"""
+        "streaming_agg": f"""
             WITH pages AS ({_PAGES_CTE}),
             z AS (
                 SELECT {zone_case} AS zone_value, LENGTH(text) AS n_chars
                 FROM pages
-            )
-            SELECT zone_value, CAST(COUNT(*) AS BIGINT) AS count,
-                   CAST(SUM(n_chars) AS BIGINT) AS value_sum
-            FROM z WHERE zone_value IS NOT NULL
-            GROUP BY zone_value ORDER BY zone_value
-        """,
-        "streaming_interval": """
-            WITH b AS (
+            ),
+            zonal AS (
+                SELECT 'zonal' AS section,
+                       CAST(zone_value AS VARCHAR) AS key,
+                       CAST(COUNT(*) AS BIGINT) AS count,
+                       CAST(SUM(n_chars) AS BIGINT) AS val
+                FROM z WHERE zone_value IS NOT NULL
+                GROUP BY zone_value
+            ),
+            b AS (
                 SELECT CAST(FLOOR(epoch(ts) / 21600) AS BIGINT) AS interval,
                        CAST(ROUND(value * 100) AS BIGINT) AS cents
                 FROM events
+            ),
+            iv AS (
+                SELECT 'interval' AS section,
+                       CAST(interval AS VARCHAR) AS key,
+                       CAST(COUNT(*) AS BIGINT) AS count,
+                       CAST(SUM(cents) AS BIGINT) AS val
+                FROM b GROUP BY interval
             )
-            SELECT interval, COUNT(*) AS count,
-                   CAST(SUM(cents) AS BIGINT) AS sum_cents
-            FROM b GROUP BY interval ORDER BY interval
+            SELECT * FROM zonal UNION ALL SELECT * FROM iv
+            ORDER BY section, key
         """,
         "cf_360day": _cf360_oracle(),
         "streaming_dedup": """
@@ -2015,7 +2051,7 @@ def _dedup_simhash_oracle() -> str:
             SELECT doc_id, simhash, chunk, key FROM (
                 SELECT *, ROW_NUMBER() OVER (
                     PARTITION BY chunk, key
-                    ORDER BY (doc_id * 2654435761) % 4294967296, doc_id
+                    ORDER BY {_scr_sql('doc_id')}, doc_id
                 ) AS _rn FROM c0
             ) WHERE _rn <= {_MAX_BUCKET}
         ),
@@ -2058,7 +2094,7 @@ def _minhash_pairs_ctes() -> str:
             SELECT doc_id, band, key FROM (
                 SELECT *, ROW_NUMBER() OVER (
                     PARTITION BY band, key
-                    ORDER BY (doc_id * 2654435761) % 4294967296, doc_id
+                    ORDER BY {_scr_sql('doc_id')}, doc_id
                 ) AS _rn FROM banded0
             ) WHERE _rn <= {_MAX_BUCKET}
         ),
@@ -2080,8 +2116,9 @@ def _minhash_pairs_ctes() -> str:
         )"""
 
 
-def _dedup_minhash_oracle() -> str:
-    """minhash + ngram stages united under method labels (r4 merged row)."""
+def _dedup_neardup_oracle() -> str:
+    """minhash + ngram (r4 merged row) + simhash (r7 merged row) stages
+    united under method labels."""
     return f"""
         SELECT 'minhash' AS method, * FROM (
             WITH {_minhash_pairs_ctes()}
@@ -2090,6 +2127,10 @@ def _dedup_minhash_oracle() -> str:
         ) AS mh
         UNION ALL
         SELECT 'ngram' AS method, * FROM ({_dedup_ngram_oracle()}) AS ng
+        UNION ALL
+        SELECT 'simhash' AS method, id_a, id_b, hamming AS inter,
+               CAST(0 AS BIGINT) AS union_size
+        FROM ({_dedup_simhash_oracle()}) AS sh
         ORDER BY method, id_a, id_b
     """
 
@@ -2142,7 +2183,7 @@ def _dedup_embedding_oracle() -> str:
             SELECT id, embedding, bucket FROM (
                 SELECT *, ROW_NUMBER() OVER (
                     PARTITION BY bucket
-                    ORDER BY (id * 2654435761) % 4294967296, id
+                    ORDER BY {_scr_sql('id')}, id
                 ) AS _rn FROM b0
             ) WHERE _rn <= {_EMB_RECALL_CAP}
         ),

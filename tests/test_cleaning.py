@@ -190,8 +190,9 @@ def test_dedup_paragraphs_within_doc(spark):
 
 
 def _lines(prefix, n, start=0):
+    # "the"/"and" in every line satisfy Gopher's >=2-stopword rule (r7)
     return [
-        f"{prefix}{i}a {prefix}{i}b {prefix}{i}c {prefix}{i}d "
+        f"{prefix}{i}a the {prefix}{i}b and {prefix}{i}c {prefix}{i}d "
         f"{prefix}{i}e {prefix}{i}f." for i in range(start, start + n)
     ]
 
@@ -224,7 +225,7 @@ def test_curate_training_corpus_end_to_end(spark):
     # eval doc shares one 5-gram with doc 3's first line (tokens keep
     # their punctuation, so the terminal period rides along)
     eval_df = spark.createDataFrame(
-        [(100, "filler sigma0a sigma0b sigma0c sigma0d sigma0e tail")],
+        [(100, "filler and sigma0c sigma0d sigma0e sigma0f. tail")],
         "doc_id bigint, text string",
     )
     out = {

@@ -360,7 +360,7 @@ def test_cli_curate_warc_mode(tmp_path, spark):
     from trefoil_spark.sources.warc import write_warc
 
     lines = [
-        f"Alpha{i} bravo{i} charlie{i} delta{i} echo{i} foxtrot{i}."
+        f"Alpha{i} bravo{i} the charlie{i} and delta{i} echo{i} foxtrot{i}."
         for i in range(10)
     ]
     page = ("<html><head><title>t</title></head><body>"

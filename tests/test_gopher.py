@@ -12,9 +12,9 @@ from trefoil_spark.operators.textstats import (
 )
 
 DOCS = [
-    # clean prose: 60 distinct words (passes the word-count gate with
-    # no repeated bigram)
-    (" ".join(f"alpha{i} bridge{i} castle{i}" for i in range(20))),
+    # clean prose: 60+ distinct words (passes the word-count gate with
+    # no repeated bigram; "the"/"of" satisfy the >=2-stopword rule)
+    ("the story of " + " ".join(f"alpha{i} bridge{i} castle{i}" for i in range(20))),
     # bullet spam
     "- item one\n- item two\n- item three\n* item four\nprose line",
     # duplicate lines + trailing ellipsis
@@ -23,6 +23,9 @@ DOCS = [
     "spam ham " * 30 + "# tag # tag ...",
     # unicode + single token
     "café",
+    # clean shape but ZERO Gopher stop words: fails only the
+    # >=2-stopword rule (Rae 2021 A1.1, added r7)
+    (" ".join(f"delta{i} echo{i} fox{i}" for i in range(20))),
 ]
 
 
@@ -67,3 +70,4 @@ def test_gopher_thresholds(spark):
     assert verdicts[2] is False     # dup lines + ellipses dropped
     assert verdicts[3] is False     # bigram repetition dropped
     assert verdicts[4] is False     # single token: word-count gate
+    assert verdicts[5] is False     # no stop words: A1.1 stopword rule

@@ -149,7 +149,7 @@ def test_curate_from_warc_end_to_end(spark, tmp_path):
     spam and non-HTML records never make it through."""
     from trefoil_spark.operators.curation import curate_from_warc
 
-    good = " ".join(f"alpha{i} bridge{i} castle{i}" for i in range(20))
+    good = " ".join(f"alpha{i} the bridge{i} of castle{i}" for i in range(20))
     spam = "- buy\n- now\n- cheap\n- pills"
     page = "<html><head><title>t</title></head><body><p>{}</p></body></html>"
     recs0 = [

@@ -121,3 +121,47 @@ def test_lm_scoring_plan_broadcasts(spark):
     assert plan.count("BroadcastHashJoin") >= 2
     assert "BroadcastNestedLoopJoin" in plan or plan.count(
         "BroadcastExchange") >= 3
+
+
+def test_score_join_strategy_plan_shape(spark):
+    """broadcast=True must put BroadcastHashJoin on the model joins;
+    broadcast=False (or an estimate above threshold) must not — the
+    declared shuffle-join fallback for LMs too big to broadcast."""
+    from trefoil_spark.operators.lm import score_perplexity, train_bigram_lm
+
+    corpus = spark.createDataFrame(
+        [(i, "the cat sat on the mat") for i in range(4)],
+        "doc_id bigint, text string",
+    )
+    model, uni = train_bigram_lm(corpus)
+    docs = spark.createDataFrame(
+        [(9, "the cat sat"), (10, "dogs bark loudly")],
+        "doc_id bigint, text string",
+    )
+
+    def plan(df):
+        return df._jdf.queryExecution().executedPlan().toString()
+
+    p_b = plan(score_perplexity(docs, model, uni, broadcast=True))
+    p_s = plan(score_perplexity(docs, model, uni, broadcast=False))
+    assert "BroadcastHashJoin" in p_b
+    # shuffle mode: the two LEFT model joins must be shuffle joins
+    # (SortMerge or ShuffledHash); only the 1-row vocab cross stays
+    # broadcast, and it is a BroadcastNestedLoopJoin, not a BHJ
+    assert "BroadcastHashJoin" not in p_s
+    assert ("SortMergeJoin" in p_s) or ("ShuffledHashJoin" in p_s)
+
+    # value parity across modes (and the tiny-model auto mode = broadcast)
+    def vals(df):
+        return {
+            r["doc_id"]: (r["n_bigrams"], round(r["ppl"], 12))
+            for r in df.collect()
+        }
+
+    assert vals(score_perplexity(docs, model, uni, broadcast=True)) == \
+        vals(score_perplexity(docs, model, uni, broadcast=False))
+    assert vals(score_perplexity(docs, model, uni)) == \
+        vals(score_perplexity(docs, model, uni, broadcast=True))
+    # the auto estimate flips to shuffle mode under a 1-byte threshold
+    p_auto = plan(score_perplexity(docs, model, uni, broadcast_threshold=1))
+    assert "BroadcastHashJoin" not in p_auto

@@ -169,3 +169,35 @@ class TestAviRle8Malformed:
                + data[i + 8 + old_sz + (old_sz & 1):])
         with pytest.raises(ValueError, match="absolute run truncated"):
             decode_avi(bytes(out))
+
+
+class TestWarcMalformedStatusLine:
+    def test_bare_status_line_is_value_error(self):
+        """ADVICE r6 (low): 'HTTP/1.1\\r\\n' with no status code used to
+        raise IndexError, escaping _warc_scan's per-record ValueError
+        guard and failing the whole shard task."""
+        import pytest
+
+        from trefoil_spark.sources.warc import parse_http_response
+
+        with pytest.raises(ValueError, match="malformed HTTP status line"):
+            parse_http_response(b"HTTP/1.1\r\nHost: x\r\n\r\nbody")
+
+    def test_bad_record_skipped_not_fatal(self, spark, tmp_path):
+        """A shard mixing one malformed-status record with a good one
+        yields the good one (per-record fault tolerance contract)."""
+        from trefoil_spark.sources.warc import warc_to_records, write_warc
+
+        good = write_warc(
+            [("response", "http://ex.com/ok", b"<html>fine</html>")],
+            gzip_members=False,
+        )
+        body = b"HTTP/1.1\r\nContent-Type: text/html\r\n\r\nnope"
+        bad = (b"WARC/1.0\r\nWARC-Type: response\r\n"
+               b"WARC-Target-URI: http://ex.com/bad\r\n"
+               b"Content-Length: " + str(len(body)).encode() + b"\r\n\r\n"
+               + body + b"\r\n\r\n")
+        p = tmp_path / "mix.warc"
+        p.write_bytes(bad + good)
+        rows = warc_to_records(spark, str(p)).collect()
+        assert [r["url"] for r in rows] == ["http://ex.com/ok"]

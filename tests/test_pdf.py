@@ -66,7 +66,7 @@ def test_warc_pdf_curation_leg(spark, tmp_path):
     from trefoil_spark.operators.curation import curate_from_warc
     from trefoil_spark.sources.warc import write_warc
 
-    good = " ".join(f"delta{i} echo{i} fox{i}" for i in range(20))
+    good = " ".join(f"delta{i} the echo{i} of fox{i}" for i in range(20))
     pdf_bytes = write_pdf([good])
     p = tmp_path / "pdf.warc"
     # write_warc stamps text/html on responses; build this record by

@@ -293,3 +293,46 @@ def test_embedding_neardup_hot_bucket_cap(spark):
                         key=lambda i: ((i * _SCRAMBLE_MULT) % _SCRAMBLE_MOD, i))[:50])
     hot_ids = {i for pair in hot_pairs for i in pair}
     assert hot_ids == sample
+
+
+def test_lsh_hot_key_guard_63bit_ids(spark):
+    """ADVICE r6 (high): the hot-key scramble used to compute
+    id*2654435761 in raw int64 — a 63-bit hashed doc_id (the WARC
+    source mints those) overflowed under Spark 4's default ANSI mode
+    and crashed every minhash/simhash/embedding dedup over crawl data.
+    The pmod(id, 2^31) pre-fold keeps the product < 2^63; this test
+    plants a degenerate bucket of 63-bit ids and checks (a) no
+    ARITHMETIC_OVERFLOW, (b) the cap holds, (c) the DuckDB twin
+    expression ranks the ids bit-identically."""
+    import duckdb
+
+    from trefoil_spark.operators.dedup import (
+        lsh_candidate_pairs,
+        minhash_signatures,
+        scramble_expr,
+        scramble_sql_duckdb,
+    )
+
+    base = (1 << 62) + (1 << 61)  # well past 2^63 / 2654435761
+    rows = [(base + i, "the same boilerplate text repeated verbatim")
+            for i in range(20)]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    sigs = minhash_signatures(df)
+    pairs = lsh_candidate_pairs(sigs, max_bucket=5).collect()  # was: crash
+    ids = {r["id_a"] for r in pairs} | {r["id_b"] for r in pairs}
+    assert len(ids) == 5  # cap held: only the 5 sampled ids pair up
+
+    # twin check: Spark scramble_expr == DuckDB scramble_sql_duckdb
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    test_ids = [0, 1, 7, (1 << 31) - 1, 1 << 31, (1 << 40) + 3,
+                (1 << 62) + 12345, (1 << 63) - 1]
+    sdf = spark.createDataFrame([(i,) for i in test_ids], "doc_id bigint")
+    got_spark = [r[0] for r in
+                 sdf.select(scramble_expr("doc_id")).collect()]
+    con = duckdb.connect()
+    con.register("t", pd.DataFrame({"doc_id": test_ids}))
+    got_duck = [r[0] for r in con.execute(
+        f"SELECT {scramble_sql_duckdb('doc_id')} FROM t").fetchall()]
+    assert got_spark == got_duck

@@ -131,3 +131,51 @@ def test_cap_per_domain(spark):
     # example.com keeps 0,1 (drops 2,4); other.org keeps 3,5
     assert kept == [0, 1, 3, 5]
     assert cap_per_domain(df, 2).columns == ["doc_id", "url", "text"]
+
+
+def test_pack_sparse_63bit_ids_bounded_buckets(spark):
+    """ADVICE r6 (medium): floor(id/bucket_size) bucketing degenerated
+    to one bucket per doc on sparse hashed 63-bit ids (the WARC source
+    shape) — a #docs-row prefix window and a #docs-row broadcast. The
+    span-derived equal-width buckets must stay ~n/bucket_size and the
+    pack must still match the python oracle."""
+    import hashlib
+
+    def hid(i):
+        return int.from_bytes(
+            hashlib.sha256(str(i).encode()).digest()[:8], "big") >> 1
+
+    docs = [(hid(i), f"w{i}a w{i}b w{i}c") for i in range(64)]
+    df = spark.createDataFrame(docs, "doc_id bigint, text string")
+    from trefoil_spark.operators.seqpack import pack_sequences as _ps
+
+    out = _ps(df, 4, bucket_size=16)
+    got = {r["seq_id"]: (list(r["tokens"]), r["n_docs"])
+           for r in out.collect()}
+    want = _py_pack(docs, 4)
+    assert {s: v[0] for s, v in got.items()} == {s: v[0] for s, v in want.items()}
+    # bucket-table bound: the same expression pack_sequences uses must
+    # land the 64 sparse ids in <= ceil(64/16)+1 buckets
+    lo = min(d for d, _ in docs)
+    hi = max(d for d, _ in docs)
+    width = max(1, (hi - lo) // 4 + 1)
+    n_buckets = df.select(
+        F.expr(f"doc_id div {width}").alias("b")).distinct().count()
+    assert n_buckets <= 5
+
+
+def test_cap_per_domain_two_phase_exact_and_salted(spark):
+    """One domain holds ~50%% of rows: the two-phase cap must (a) equal
+    the single-phase result exactly, (b) rank phase 1 within
+    (domain, salt) in the executed plan (no single-task mega-domain
+    sort)."""
+    rows = [(i, "https://mega.example/" + str(i), "t") for i in range(50)]
+    rows += [(100 + i, f"https://site{i}.org/", "t") for i in range(50)]
+    df = spark.createDataFrame(rows, "doc_id bigint, url string, text string")
+    two = sorted(r["doc_id"] for r in cap_per_domain(df, 3).collect())
+    one = sorted(r["doc_id"] for r in cap_per_domain(df, 3, salt=1).collect())
+    assert two == one
+    assert [d for d in two if d < 100] == [0, 1, 2]  # mega-domain capped
+    plan = cap_per_domain(df, 3)._jdf.queryExecution().executedPlan().toString()
+    wins = [l for l in plan.splitlines() if "windowspecdefinition" in l]
+    assert any("__salt" in l for l in wins), plan

@@ -100,6 +100,28 @@ def minhash_sql_duckdb(text_col: str = "text", num_hashes: int = 16, seed: int =
 
 _SCRAMBLE_MULT = 2654435761  # Knuth multiplicative hash constant
 _SCRAMBLE_MOD = 4294967296
+_SCRAMBLE_IDMOD = 2147483648  # 2^31: fold ids first so id*mult fits int64
+
+
+def scramble_expr(col):
+    """Knuth multiplicative scramble of an id column, int64-overflow-safe.
+
+    Ids are folded to [0, 2^31) with pmod BEFORE the multiply so the
+    product is at most (2^31-1)*2654435761 ≈ 5.7e18 < 2^63 — Spark 4.x
+    runs ANSI mode by default and a 63-bit hashed doc_id (the WARC
+    source mints those) would otherwise raise ARITHMETIC_OVERFLOW.
+    The DuckDB oracle twin is :func:`scramble_sql_duckdb` — identical
+    integer arithmetic, bit-identical ranks in both engines.
+    """
+    folded = F.pmod(F.col(col) if isinstance(col, str) else col, F.lit(_SCRAMBLE_IDMOD))
+    return (folded * F.lit(_SCRAMBLE_MULT)) % F.lit(_SCRAMBLE_MOD)
+
+
+def scramble_sql_duckdb(col: str) -> str:
+    """DuckDB twin of :func:`scramble_expr` (pmod spelled out: DuckDB's
+    % follows the dividend sign, Spark's pmod is always non-negative)."""
+    m = _SCRAMBLE_IDMOD
+    return f"((({col} % {m}) + {m}) % {m}) * {_SCRAMBLE_MULT} % {_SCRAMBLE_MOD}"
 
 
 def _cap_hot_keys(
@@ -116,15 +138,17 @@ def _cap_hot_keys(
     bound (<= cap² candidate pairs per key, the same bound the <=cap
     surviving keys already had) while recovering > 0 recall inside hot
     buckets.  The sample is a pure function of the ids — rows ranked by
-    the Knuth multiplicative scramble (id*2654435761) mod 2^32, ties by
-    id — so the DuckDB oracles replay it bit-identically (BIGINT
-    arithmetic in both engines; ids stay far below 2^63/2654435761).
-    Same single window shuffle as the old COUNT() guard."""
+    the Knuth multiplicative scramble (pmod(id, 2^31)*2654435761) mod
+    2^32, ties by id — so the DuckDB oracles replay it bit-identically
+    (BIGINT arithmetic in both engines; the 2^31 pre-fold keeps the
+    product under 2^63 for arbitrary 63-bit hashed ids — see
+    :func:`scramble_expr`).  Same single window shuffle as the old
+    COUNT() guard."""
     if cap is None:
         return df
     from pyspark.sql.window import Window as W
 
-    scramble = (F.col(order_col) * F.lit(_SCRAMBLE_MULT)) % F.lit(_SCRAMBLE_MOD)
+    scramble = scramble_expr(order_col)
     rn = F.row_number().over(
         W.partitionBy(*key_cols).orderBy(scramble, F.col(order_col))
     )

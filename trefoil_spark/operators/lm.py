@@ -10,8 +10,9 @@ Two stages, both pure DataFrame ops with exact SQL twins:
     aggregations; the model is a (w1, w2, logp) table whose size is
     the corpus's distinct-bigram count, NOT its token count.
   * score_perplexity: explode each scored doc's bigrams (narrow),
-    broadcast-join the model (reference models are MBs — CCNet ships
-    ~few-hundred-MB LMs, still broadcastable; shuffle-join if not),
+    join the model — broadcast when a sketched byte estimate fits the
+    threshold (reference models are MBs — CCNet ships ~few-hundred-MB
+    LMs, still broadcastable), shuffle-join otherwise (r7),
     unseen bigrams back off to ln(1/(c(w1)+V)) — and unseen w1 to
     ln(1/V) — then one doc_id aggregation: ppl = exp(-mean logp).
 
@@ -82,17 +83,45 @@ def train_bigram_lm(corpus: DataFrame, id_col: str = "doc_id",
     return model, uni_v
 
 
+BROADCAST_THRESHOLD = 256 * 1024 * 1024  # CCNet-size LMs stay broadcastable
+
+
+def _model_bytes(df: DataFrame, *str_cols: str) -> int:
+    """Sketched in-memory size: summed string chars + ~24 B/row fixed
+    overhead (struct + numeric columns). One bounded agg job."""
+    size = sum(F.sum(F.length(c)) for c in (F.col(s) for s in str_cols))
+    row = df.agg(
+        F.count(F.lit(1)).alias("n"), size.alias("chars")
+    ).first()
+    return int(row["chars"] or 0) + 24 * int(row["n"])
+
+
 def score_perplexity(docs: DataFrame, model: DataFrame,
                      unigrams: DataFrame, id_col: str = "doc_id",
-                     text_col: str = "text") -> DataFrame:
+                     text_col: str = "text",
+                     broadcast: bool | None = None,
+                     broadcast_threshold: int = BROADCAST_THRESHOLD) -> DataFrame:
     """docs → (doc_id, n_bigrams, ppl). Documents with no bigram get
-    NULL ppl (no evidence, not perfect score)."""
+    NULL ppl (no evidence, not perfect score).
+
+    Join strategy (r7, VERDICT r6 item 3): ``broadcast=None`` sketches
+    the model + unigram byte sizes (one bounded agg each — persist the
+    model first when scoring repeatedly) and broadcasts only when the
+    estimate fits ``broadcast_threshold``; above it, the joins fall
+    back to shuffle joins on w1/(w1, w2) — a reference LM over a huge
+    corpus can exceed any executor's memory, and the old unconditional
+    broadcast would OOM the driver. Pass True/False to skip the
+    estimate."""
+    if broadcast is None:
+        est = _model_bytes(model, "w1", "w2") + _model_bytes(unigrams, "w1")
+        broadcast = est <= broadcast_threshold
+    hint = F.broadcast if broadcast else (lambda d: d)
     bg = _bigrams(docs, id_col, text_col)
     vocab = unigrams.agg(F.max("v").alias("v_all"))  # 1 row
     scored = (
         bg.crossJoin(F.broadcast(vocab))
-        .join(F.broadcast(unigrams), "w1", "left")
-        .join(F.broadcast(model), ["w1", "w2"], "left")
+        .join(hint(unigrams), "w1", "left")
+        .join(hint(model), ["w1", "w2"], "left")
         .select(
             "doc_id",
             F.coalesce(

@@ -169,10 +169,15 @@ def extract_text_col(html_col) -> Column:
 
 GOPHER_SYMBOLS = ("#", "...")
 GRAM_KEY = 1_000_000  # tie-break encoding: cnt*KEY + gram_length
+# Rae 2021 A1.1: a document must contain at least 2 of these English
+# stop words (this is Gopher's own 8-word list, distinct from the
+# lang-ID STOPWORDS table above)
+GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
 
 
 def gopher_exprs(text_col: str = "text") -> dict[str, Column]:
     """Quality-rule features as exact rational/integer expressions."""
+    stop_list = ", ".join(f"'{w}'" for w in GOPHER_STOPWORDS)
     toks = tokens_col(text_col)
     n_tok = F.size(toks)
     n_chars = F.length(F.col(text_col))
@@ -245,6 +250,12 @@ def gopher_exprs(text_col: str = "text") -> dict[str, Column]:
             F.coalesce(top2_chars, F.lit(0)).cast("double")
             / F.greatest(n_chars, F.lit(1))
         ),
+        # distinct members of Gopher's 8-word stop list present in the
+        # doc (rule: >= 2). O(8) array_contains scans — per-row bounded
+        "stopword_hits": F.expr(
+            f"size(filter(array({stop_list}), "
+            f"w -> array_contains(split({text_col}, ' '), w)))"
+        ),
     }
 
 
@@ -253,7 +264,7 @@ def gopher_pass_col(text_col: str = "text") -> Column:
     thresholds (word count 50-100k, mean word length 3-10, symbol
     ratio <0.1, bullet lines <90%, ellipsis lines <30%, alpha words
     >80%, dup lines <30%, dup line chars <20%, top-bigram chars
-    <20%)."""
+    <20%, >= 2 of the 8 Gopher stop words present)."""
     e = gopher_exprs(text_col)
     return (
         (e["n_tokens"] >= 50) & (e["n_tokens"] <= 100_000)
@@ -265,6 +276,27 @@ def gopher_pass_col(text_col: str = "text") -> Column:
         & (e["dup_line_frac"] < 0.3)
         & (e["dup_line_char_frac"] < 0.2)
         & (e["top_2gram_char_frac"] < 0.2)
+        & (e["stopword_hits"] >= 2)
+    )
+
+
+def gopher_pass_sql_duckdb(text_col: str = "text") -> str:
+    """DuckDB twin of :func:`gopher_pass_col` — the identical threshold
+    conjunction over the :func:`gopher_sql_duckdb` expressions (all
+    thresholds integer-or-exact-decimal literals on exact rational
+    features, so the verdict is bit-identical across engines)."""
+    e = gopher_sql_duckdb(text_col)
+    return (
+        f"(({e['n_tokens']}) >= 50 AND ({e['n_tokens']}) <= 100000"
+        f" AND ({e['mean_word_len']}) >= 3 AND ({e['mean_word_len']}) <= 10"
+        f" AND ({e['symbol_word_ratio']}) < CAST(0.1 AS DOUBLE)"
+        f" AND ({e['bullet_line_frac']}) < CAST(0.9 AS DOUBLE)"
+        f" AND ({e['ellipsis_line_frac']}) < CAST(0.3 AS DOUBLE)"
+        f" AND ({e['alpha_word_frac']}) > CAST(0.8 AS DOUBLE)"
+        f" AND ({e['dup_line_frac']}) < CAST(0.3 AS DOUBLE)"
+        f" AND ({e['dup_line_char_frac']}) < CAST(0.2 AS DOUBLE)"
+        f" AND ({e['top_2gram_char_frac']}) < CAST(0.2 AS DOUBLE)"
+        f" AND ({e['stopword_hits']}) >= 2)"
     )
 
 
@@ -279,6 +311,7 @@ def gopher_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
 def gopher_sql_duckdb(text_col: str = "text") -> dict[str, str]:
     """Exact DuckDB twins of gopher_exprs (list lambdas mirror the
     Catalyst higher-order functions; same tie-break for the bigram)."""
+    stop_list = ", ".join(f"'{w}'" for w in GOPHER_STOPWORDS)
     toks = f"string_split({text_col}, ' ')"
     lines = f"string_split({text_col}, chr(10))"
     n_tok = f"len({toks})"
@@ -338,6 +371,10 @@ def gopher_sql_duckdb(text_col: str = "text") -> dict[str, str]:
         "top_2gram_char_frac": (
             f"CAST(COALESCE({top2_chars}, 0) AS DOUBLE) / "
             f"greatest({n_chars}, 1)"
+        ),
+        "stopword_hits": (
+            f"CAST(len(list_filter([{stop_list}], "
+            f"w -> list_contains({toks}, w))) AS INT)"
         ),
     }
 

@@ -96,7 +96,13 @@ def parse_http_response(payload: bytes) -> tuple[int, dict, bytes]:
     if sep < 0 or not payload[:5] == b"HTTP/":
         raise ValueError("not an HTTP response payload")
     lines = payload[:sep].split(b"\r\n")
-    status = int(lines[0].split()[1])
+    status_parts = lines[0].split()
+    if len(status_parts) < 2:
+        # a bare "HTTP/1.1\r\n" status line must stay a per-record
+        # ValueError (the _warc_scan fault guard), not an IndexError
+        # that fails the whole shard task
+        raise ValueError("malformed HTTP status line")
+    status = int(status_parts[1])
     headers = {}
     for line in lines[1:]:
         k, _s, v = line.partition(b":")
