@@ -1410,6 +1410,258 @@ def q_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+_CURATE_EVAL_MOD = 50  # doc_id % MOD == 7 -> eval-set member
+
+
+def _curate_reshape_spark() -> str:
+    """Spark SQL expr: synthetic single-line docs -> terminal-punctuated
+    10-token lines + a per-doc stopword/PII tail line. The synthetic
+    corpus is one unpunctuated line with no Gopher stop words, which C4
+    would drop wholesale and the A1.1 stopword rule would zero out; the
+    reshape makes the full published rule set meaningful while staying
+    string-equal replayable in DuckDB (_curate_reshape_duckdb)."""
+    toks = "split(text, ' ')"
+    lines = (
+        f"transform(sequence(0, (size({toks}) + 9) div 10 - 1), "
+        f"i -> concat(array_join(slice({toks}, i * 10 + 1, 10), ' '), ' .'))"
+    )
+    tail = (
+        "concat('of the data and that doc', CAST(doc_id AS STRING), "
+        "' mail u', CAST(doc_id AS STRING), '@ex.com .')"
+    )
+    return f"concat(array_join({lines}, '\n'), '\n', {tail})"
+
+
+def _curate_reshape_duckdb() -> str:
+    toks = "string_split(text, ' ')"
+    lines = (
+        f"list_transform(range(0, (len({toks}) + 9) // 10), "
+        f"i -> array_to_string(list_slice({toks}, i * 10 + 1, i * 10 + 10), ' ') "
+        f"|| ' .')"
+    )
+    tail = (
+        "'of the data and that doc' || CAST(doc_id AS VARCHAR) || "
+        "' mail u' || CAST(doc_id AS VARCHAR) || '@ex.com .'"
+    )
+    return f"array_to_string({lines}, chr(10)) || chr(10) || {tail}"
+
+
+def q_corpus_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full curation-stack composition as ONE hash-gated driver row
+    (r7, VERDICT r6 item 1 — previously DuckDB-twinned only in pytest):
+
+      reshape -> Gopher gate (incl. the A1.1 stopword rule) -> C4
+      line/page rules -> PII redaction -> exact dedup -> corpus-wide
+      line dedup -> 13-gram decontamination vs an in-corpus eval set
+      (doc_id %% 50 == 7 members of the reshaped corpus)
+
+    Output is the surviving curated text verbatim: the oracle replays
+    every stage in DuckDB (string-equal twins), so text bytes, n_chars
+    and the kept/dropped set are all hash-gated. Scale shape: narrow
+    Catalyst chain until the single digest shuffle, two line-dedup
+    shuffles, broadcast-only decontamination (operators/cleaning.py)."""
+    from trefoil_spark.operators.cleaning import (
+        c4_clean,
+        decontaminate,
+        dedup_paragraphs,
+        redact_pii_col,
+    )
+    from trefoil_spark.operators.textstats import gopher_pass_col
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    # persist = a hard plan barrier after fixture construction: without
+    # it CollapseProject inlines the reshape expression into every one
+    # of the ~50 text references inside the Gopher/C4 rule expressions
+    # (the rules are per-row O(G^2) in a doc's own bigram count, so an
+    # O(reshape) blowup per reference turns 500 docs into minutes). A
+    # real pipeline reads text as a parquet ATTRIBUTE — this barrier
+    # reproduces that shape; the oracle mirrors it with a MATERIALIZED
+    # CTE.
+    reshaped = docs.withColumn(
+        "text", F.expr(_curate_reshape_spark())
+    ).persist()
+    eval_df = reshaped.filter(F.col("doc_id") % _CURATE_EVAL_MOD == 7)
+    kept = reshaped.filter(gopher_pass_col("text"))
+    kept = c4_clean(kept)
+    kept = kept.withColumn("text", redact_pii_col("text"))
+    digested = kept.withColumn("digest", F.md5(F.encode("text", "UTF-8")))
+    winners = digested.groupBy("digest").agg(F.min("doc_id").alias("doc_id"))
+    deduped = digested.join(winners, ["digest", "doc_id"], "inner")
+    paras = dedup_paragraphs(
+        deduped.select("doc_id", "text"), split_pat=r"\n+", join_sep="\n"
+    )
+    out = decontaminate(paras, eval_df, n=13)
+    return out.select(
+        "doc_id", "text", F.length("text").cast("bigint").alias("n_chars")
+    ).orderBy("doc_id")
+
+
+def _corpus_curate_oracle() -> str:
+    from trefoil_spark.operators.cleaning import c4_sql_duckdb, pii_sql_duckdb
+    from trefoil_spark.operators.textstats import gopher_pass_sql_duckdb
+
+    c4 = c4_sql_duckdb("text")
+    grams13 = (
+        "list_transform(range(0, len(t) - 12), "
+        "i -> array_to_string(list_slice(t, i + 1, i + 13), ' '))"
+    )
+    lower_toks = (
+        "list_filter(string_split_regex(lower(text), '\\s+'), "
+        "x -> length(x) > 0)"
+    )
+    return f"""
+        WITH resh AS MATERIALIZED (
+            SELECT doc_id, {_curate_reshape_duckdb()} AS text
+            FROM documents
+        ),
+        ev AS (
+            SELECT doc_id, text FROM resh
+            WHERE doc_id % {_CURATE_EVAL_MOD} = 7
+        ),
+        g AS MATERIALIZED (
+            SELECT doc_id, text FROM resh
+            WHERE {gopher_pass_sql_duckdb("text")}
+        ),
+        c4 AS MATERIALIZED (
+            SELECT doc_id, {c4["cleaned"]} AS text FROM g
+            WHERE {c4["page_pass"]}
+        ),
+        pii AS MATERIALIZED (
+            SELECT doc_id, {pii_sql_duckdb("text")} AS text FROM c4
+        ),
+        ded AS MATERIALIZED (
+            SELECT doc_id, text FROM (
+                SELECT doc_id, text, ROW_NUMBER() OVER (
+                    PARTITION BY md5(text) ORDER BY doc_id) AS rn
+                FROM pii
+            ) WHERE rn = 1
+        ),
+        paras AS (
+            SELECT doc_id, para, para_idx FROM (
+                SELECT doc_id,
+                       unnest(string_split_regex(text, '\n+')) AS para,
+                       unnest(range(1, len(string_split_regex(text, '\n+')) + 1))
+                           AS para_idx
+                FROM ded
+            ) WHERE length(trim(para)) > 0
+        ),
+        pk AS (
+            SELECT doc_id, para_idx, para FROM (
+                SELECT *, ROW_NUMBER() OVER (
+                    PARTITION BY md5(para) ORDER BY doc_id, para_idx) AS rn
+                FROM paras
+            ) WHERE rn = 1
+        ),
+        joined AS MATERIALIZED (
+            SELECT doc_id,
+                   string_agg(para, chr(10) ORDER BY para_idx) AS text
+            FROM pk GROUP BY doc_id
+        ),
+        evg AS (
+            SELECT DISTINCT unnest({grams13}) AS gram
+            FROM (SELECT {lower_toks} AS t FROM ev)
+        ),
+        docg AS (
+            SELECT doc_id, unnest({grams13}) AS gram
+            FROM (SELECT doc_id, {lower_toks} AS t FROM joined)
+        ),
+        contaminated AS (
+            SELECT DISTINCT docg.doc_id FROM docg JOIN evg USING (gram)
+        )
+        SELECT doc_id, text, CAST(length(text) AS BIGINT) AS n_chars
+        FROM joined
+        WHERE doc_id NOT IN (SELECT doc_id FROM contaminated)
+        ORDER BY doc_id
+    """
+
+
+def q_lm_bpe_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram-LM perplexity (CCNet-style, Wenzek 2020) + BPE-regex token
+    counts as ONE hash-gated driver row (r7, VERDICT r6 item 1 — the
+    pytest 1e-12 SQL twin promoted to the driver). The LM trains on the
+    documents table and scores it; ppl is published as ROUND(ppl*100)
+    cents so the <=1e-12 cross-engine float slack cannot flip the hash
+    (boundary probability ~1e-4 across 500 rows). broadcast=True: the
+    model is tiny here; the size-guard path is plan-shape-tested in
+    pytest (test_lm.py)."""
+    from trefoil_spark.operators.lm import score_perplexity, train_bigram_lm
+    from trefoil_spark.operators.textstats import bpe_token_count_col
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    model, uni = train_bigram_lm(docs)
+    scored = score_perplexity(docs, model, uni, broadcast=True)
+    bpe = docs.select(
+        "doc_id", bpe_token_count_col("text").cast("bigint").alias("bpe_tokens")
+    )
+    return (
+        scored.join(bpe, "doc_id")
+        .select(
+            "doc_id",
+            F.col("n_bigrams").cast("bigint").alias("n_bigrams"),
+            F.round(F.col("ppl") * 100).cast("bigint").alias("ppl_c"),
+            "bpe_tokens",
+        )
+        .orderBy("doc_id")
+    )
+
+
+def _lm_bpe_score_oracle() -> str:
+    from trefoil_spark.operators.textstats import bpe_token_count_sql_duckdb
+
+    return f"""
+        WITH ctoks AS (
+            SELECT doc_id,
+                   list_filter(string_split_regex(lower(text), '\\s+'),
+                               t -> length(t) > 0) AS t
+            FROM documents
+        ),
+        cbg AS (
+            SELECT doc_id,
+                   unnest(list_transform(range(1, len(t)),
+                                         i -> {{'w1': t[i], 'w2': t[i+1]}})) AS s
+            FROM ctoks WHERE len(t) >= 2
+        ),
+        bgf AS (SELECT doc_id, s.w1 AS w1, s.w2 AS w2 FROM cbg),
+        uni AS (SELECT w1, CAST(COUNT(*) AS BIGINT) AS c1 FROM bgf GROUP BY w1),
+        vocab AS (
+            SELECT CAST(COUNT(DISTINCT w) AS BIGINT) AS v
+            FROM (SELECT unnest(t) AS w FROM ctoks)
+        ),
+        model AS (
+            SELECT w1, w2,
+                   ln((c12 + CAST(1 AS DOUBLE)) / CAST(c1 + v AS DOUBLE)) AS logp
+            FROM (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c12
+                  FROM bgf GROUP BY w1, w2)
+            JOIN uni USING (w1) CROSS JOIN vocab
+        ),
+        scored AS (
+            SELECT doc_id,
+                   coalesce(
+                       model.logp,
+                       ln(CAST(1 AS DOUBLE) / CAST(uni.c1 + vocab.v AS DOUBLE)),
+                       ln(CAST(1 AS DOUBLE) / CAST(vocab.v AS DOUBLE))
+                   ) AS lp
+            FROM bgf CROSS JOIN vocab
+            LEFT JOIN uni USING (w1)
+            LEFT JOIN model USING (w1, w2)
+        ),
+        ppl AS (
+            SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+                   CAST(ROUND(exp(-(SUM(lp) / COUNT(*))) * 100) AS BIGINT)
+                       AS ppl_c
+            FROM scored GROUP BY doc_id
+        )
+        SELECT ppl.doc_id, n_bigrams, ppl_c,
+               CAST({bpe_token_count_sql_duckdb("text")} AS BIGINT) AS bpe_tokens
+        FROM ppl JOIN documents ON ppl.doc_id = documents.doc_id
+        ORDER BY ppl.doc_id
+    """
+
+
 VIDEO_DOC_OFFSET = 1_000_000
 
 
@@ -1527,6 +1779,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_features": q_multimodal_features,
         "multimodal_decode": q_multimodal_decode,
         "html_extract": q_html_extract,
+        "corpus_curate": q_corpus_curate,
+        "lm_bpe_score": q_lm_bpe_score,
     }
 
 
@@ -1654,6 +1908,8 @@ def oracle_sql() -> dict[str, str]:
             FROM d GROUP BY text_hash HAVING COUNT(*) > 1 ORDER BY text_hash
         """,
         "dedup_neardup": _dedup_neardup_oracle(),
+        "corpus_curate": _corpus_curate_oracle(),
+        "lm_bpe_score": _lm_bpe_score_oracle(),
         "dedup_clusters": _dedup_clusters_oracle(),
         "kmeans_train": """
             WITH emb AS (

@@ -470,41 +470,89 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
 
     qs = headline_queries()
-    bw_probes: list[float] = [_bandwidth_probe()]
     # warmup (discarded): JVM JIT + Python worker pool spin-up
     for fn in qs.values():
         force(fn(spark, sf_dir))
 
-    # N interleaved round-robin passes (not N consecutive runs per query):
-    # co-tenant bursts last minutes, so consecutive runs of one query all
-    # land inside the same burst — interleaving spreads each query's runs
-    # across the suite's full wall span.  Per-query result is min-of-N
-    # (the suite has no warm/cold asymmetry after the discarded warmup
-    # loop, so min estimates the true cost).  Runs that saw >steal_max
-    # %steal are marked polluted and retried once at the end.
     steal_max = float(os.environ.get("SPARK_GRAFT_BENCH_STEAL_MAX", "3.0"))
-    per_run_loads: list[float] = []
-    samples: dict[str, list[tuple[float, float]]] = {n: [] for n in qs}
-    for _ in range(runs):
-        for name, fn in qs.items():
-            samples[name].append(_timed_force(fn, spark, sf_dir))
-            per_run_loads.append(os.getloadavg()[0])
-        bw_probes.append(_bandwidth_probe())
-    def _kept(s: list[tuple[float, float]]) -> tuple[float, float]:
-        return min(s, key=lambda ws: ws[0])
 
-    # if the FASTEST run of a query still saw steal above threshold, its
-    # number is suspect — retry (bounded) and keep the new min
-    retried = 0
-    for name, fn in qs.items():
-        attempts = 0
-        while _kept(samples[name])[1] > steal_max and attempts < 2:
-            samples[name].append(_timed_force(fn, spark, sf_dir))
-            attempts += 1
-            retried += 1
-    timings = {n: _kept(s)[0] for n, s in samples.items()}
-    kept_steal = {n: _kept(s)[1] for n, s in samples.items()}
-    polluted = sorted(n for n, st in kept_steal.items() if st > steal_max)
+    def _suite_attempt() -> dict:
+        """One full interleaved measurement window (N round-robin
+        passes, min-of-N per query, per-query steal retries, bandwidth
+        probes at pass boundaries)."""
+        bw_probes: list[float] = [_bandwidth_probe()]
+        per_run_loads: list[float] = []
+        samples: dict[str, list[tuple[float, float]]] = {n: [] for n in qs}
+        # N interleaved round-robin passes (not N consecutive runs per
+        # query): co-tenant bursts last minutes, so consecutive runs of
+        # one query all land inside the same burst — interleaving
+        # spreads each query's runs across the suite's full wall span.
+        # Per-query result is min-of-N (no warm/cold asymmetry after
+        # the discarded warmup loop).  Runs whose fastest sample saw
+        # >steal_max %steal are retried (bounded) at the end.
+        for _ in range(runs):
+            for name, fn in qs.items():
+                samples[name].append(_timed_force(fn, spark, sf_dir))
+                per_run_loads.append(os.getloadavg()[0])
+            bw_probes.append(_bandwidth_probe())
+
+        def _kept(s: list[tuple[float, float]]) -> tuple[float, float]:
+            return min(s, key=lambda ws: ws[0])
+
+        retried = 0
+        for name, fn in qs.items():
+            attempts = 0
+            while _kept(samples[name])[1] > steal_max and attempts < 2:
+                samples[name].append(_timed_force(fn, spark, sf_dir))
+                attempts += 1
+                retried += 1
+        timings = {n: _kept(s)[0] for n, s in samples.items()}
+        kept_steal = {n: _kept(s)[1] for n, s in samples.items()}
+        best_bw, worst_bw = max(bw_probes), min(bw_probes)
+        return {
+            "timings": timings,
+            "kept_steal": kept_steal,
+            "polluted": sorted(
+                n for n, st in kept_steal.items() if st > steal_max
+            ),
+            "per_run_loads": per_run_loads,
+            "bw_probes": bw_probes,
+            "retried": retried,
+            "bw_flagged": bool(worst_bw < 0.9 * best_bw),
+            "steal_flagged": bool(max(kept_steal.values()) > steal_max),
+        }
+
+    # Self-certifying window (r7, VERDICT r6 item 2): the r6 official
+    # record was captured in a window the bench's OWN gates flag
+    # (bandwidth drop 13.1% > 10%, steal 2.08%) while a clean window
+    # measured 22% faster on identical code.  Retry the whole suite
+    # (bounded) until a window passes BOTH gates; if none does, emit
+    # the best attempt explicitly marked polluted so the cross-round
+    # diff is machine-interpretable either way.
+    max_attempts = int(os.environ.get("SPARK_GRAFT_BENCH_ATTEMPTS", "3"))
+    retry_sleep = float(os.environ.get("SPARK_GRAFT_BENCH_RETRY_SLEEP", "30"))
+    attempts: list[dict] = []
+    for i in range(max_attempts):
+        att = _suite_attempt()
+        attempts.append(att)
+        if not att["bw_flagged"] and not att["steal_flagged"]:
+            break
+        if i + 1 < max_attempts:
+            time.sleep(retry_sleep)
+    best = min(
+        attempts,
+        key=lambda a: (
+            a["bw_flagged"] or a["steal_flagged"],
+            sum(a["timings"].values()),
+        ),
+    )
+    window_clean = not (best["bw_flagged"] or best["steal_flagged"])
+    timings = best["timings"]
+    kept_steal = best["kept_steal"]
+    polluted = best["polluted"]
+    per_run_loads = best["per_run_loads"]
+    bw_probes = best["bw_probes"]
+    retried = best["retried"]
 
     # throughput on the flagship join+agg pipeline at meaningful scale
     n_docs = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
@@ -513,6 +561,8 @@ def main() -> None:
     scaled_t = timings.get("zonal_scaled")
     out = {
         "metric": "headline suite wall time (sf dir), min of %d" % runs,
+        "window_quality": "clean" if window_clean else "polluted",
+        "window_attempts": len(attempts),
         "value": round(sum(timings.values()), 4),
         "unit": "sec",
         "queries": {k: round(v, 4) for k, v in timings.items()},

@@ -363,3 +363,59 @@ def test_sample_deterministic(spark):
     a2 = sorted(r["doc_id"]
                 for r in sample_deterministic(df, 0.25).collect())
     assert a2 == a
+
+
+def test_substring_recall_banding_resistant(spark):
+    """VERDICT r6 item 5: LSH bands recall candidates by whole-document
+    similarity, so a long shared span inside otherwise-DISJOINT
+    documents can miss every band — quantify that, and verify the r7
+    winnowing-anchor channel recovers it (guarantee: any shared run of
+    >= k + w - 1 = 9 whole tokens yields a candidate pair)."""
+    import random
+
+    from trefoil_spark.operators.dedup import (
+        anchor_candidate_pairs,
+        dedup_substrings,
+        lsh_candidate_pairs,
+        minhash_signatures,
+    )
+
+    rng = random.Random(11)
+    shared = " ".join(f"sharedtok{i}" for i in range(12))  # 12 tokens, >100 chars
+    pairs_planted = []
+    docs = []
+    for p in range(8):
+        # two docs per pair: disjoint vocabularies outside the span
+        a_words = [f"avoc{p}w{i}" for i in range(40)]
+        b_words = [f"bvoc{p}w{i}" for i in range(40)]
+        rng.shuffle(a_words), rng.shuffle(b_words)
+        a = " ".join(a_words[:20]) + " " + shared + " " + " ".join(a_words[20:])
+        b = " ".join(b_words[:20]) + " " + shared + " " + " ".join(b_words[20:])
+        docs += [(2 * p, a), (2 * p + 1, b)]
+        pairs_planted.append((2 * p, 2 * p + 1))
+    # NOTE: all pairs share the SAME span, so cross-pair candidates are
+    # expected too; recall is about the planted pairs being found.
+    df = spark.createDataFrame(docs, "doc_id bigint, text string")
+
+    lsh = {(r["id_a"], r["id_b"]) for r in
+           lsh_candidate_pairs(minhash_signatures(df)).collect()}
+    anchor = {(r["id_a"], r["id_b"]) for r in
+              anchor_candidate_pairs(df).collect()}
+    lsh_recall = sum(p in lsh for p in pairs_planted) / len(pairs_planted)
+    anchor_recall = sum(p in anchor for p in pairs_planted) / len(pairs_planted)
+    # the guarantee: winnowing catches every planted pair
+    assert anchor_recall == 1.0
+    # the measured gap this channel exists for (don't pin the exact
+    # value — minhash params could change — but it must not be perfect
+    # on banding-resistant docs, else the fixture isn't adversarial)
+    assert lsh_recall < 1.0
+    print(f"recall: lsh={lsh_recall:.2f} anchor={anchor_recall:.2f}")
+
+    # end-to-end: the span is removed from the later doc of each pair
+    out = {r["doc_id"]: r["text"]
+           for r in dedup_substrings(df, min_len=50).collect()}
+    keeper = min(i for i, _ in docs)
+    for a_id, b_id in pairs_planted:
+        if a_id == keeper:
+            assert shared in out[a_id]
+        assert shared not in out[b_id]

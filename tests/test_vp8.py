@@ -532,3 +532,38 @@ def test_malformed_vp8_raises():
     with pytest.raises(ValueError):
         V.decode_vp8_planes(
             bytes([(tag | 0x7FFFE0) & 0xFF, 0xFF, 0x7F]) + good[3:])
+
+
+def test_strict_mode_raises_distinct_error_while_placeholders_ship():
+    """VERDICT r6 item 6: with the RFC 6386 default tables shipped as
+    placeholders, a foreign stream desyncs SILENTLY — strict mode turns
+    that hazard into a loud, distinct error (a provenance assertion:
+    own-encoder streams decode with the default strict=False, anything
+    of unknown origin should pass strict=True)."""
+    import numpy as np
+    import pytest
+
+    from trefoil_spark.functions.vp8 import (
+        TABLES_ARE_PLACEHOLDERS,
+        Vp8DefaultTablesUnavailable,
+        decode_vp8,
+        encode_vp8,
+        rgb_to_vp8_yuv,
+        vp8_yuv_to_rgb,
+    )
+    from trefoil_spark.functions.webp import decode_webp
+    from trefoil_spark.functions.vp8 import encode_webp_lossy
+
+    assert TABLES_ARE_PLACEHOLDERS  # flip the flag when real tables land
+    rng = np.random.default_rng(3)
+    img = rng.integers(0, 256, (32, 48, 3), np.uint8)
+    y, u, v = rgb_to_vp8_yuv(img)
+    frame = encode_vp8(y, u, v, qi=30)
+    # own stream, default mode: decodes (round-trip unchanged)
+    assert decode_vp8(frame).shape == (32, 48, 3)
+    # strict mode: the SAME bytes raise — provenance cannot be proven
+    with pytest.raises(Vp8DefaultTablesUnavailable):
+        decode_vp8(frame, strict=True)
+    # container plumbing propagates the flag; VP8L is unaffected
+    with pytest.raises(Vp8DefaultTablesUnavailable):
+        decode_webp(encode_webp_lossy(img), strict_vp8=True)

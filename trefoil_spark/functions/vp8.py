@@ -139,6 +139,21 @@ COEFF_UPDATE_PROBS = [[[[255] * 11 for _ in range(3)] for _ in range(8)]
                       for _ in range(4)]
 KF_B_MODE_PROBS = [[[128] * 9 for _ in range(10)] for _ in range(10)]
 
+# Flip to False when the three real RFC 6386 tables land — strict-mode
+# decode keys off this, nothing else needs to change.
+TABLES_ARE_PLACEHOLDERS = True
+
+
+class Vp8DefaultTablesUnavailable(NotImplementedError):
+    """Raised by strict-mode decode while the three RFC 6386 default
+    probability tables ship as placeholders (r7, VERDICT r6 item 6): a
+    foreign (libvpx/libwebp) stream relying on the true defaults would
+    DESYNC SILENTLY into wrong pixels — placeholder tables and a
+    foreign stream are indistinguishable from the bytes alone, so
+    strict mode is a provenance assertion: pass strict=True wherever
+    the stream did NOT come from this module's own encoder (crawl
+    payloads), and the hazard becomes a loud, distinct error."""
+
 
 # ---------------------------------------------------------------------------
 # boolean coder (§7; decoder mirrors the RFC reference implementation,
@@ -856,9 +871,19 @@ def _decode_block_tokens(bd: BoolDecoder, plane_probs, first: int, ctx: int,
 # ---------------------------------------------------------------------------
 
 
-def decode_vp8_planes(data: bytes):
+def decode_vp8_planes(data: bytes, strict: bool = False):
     """VP8 key frame -> (y, u, v) uint8 planes (§9-15). See the module
-    docstring for the foreign-stream probability-table caveat."""
+    docstring for the foreign-stream probability-table caveat;
+    strict=True asserts the stream came from this module's own encoder
+    and raises Vp8DefaultTablesUnavailable otherwise-unprovable input
+    while the placeholder tables ship."""
+    if strict and TABLES_ARE_PLACEHOLDERS:
+        raise Vp8DefaultTablesUnavailable(
+            "VP8: RFC 6386 default probability tables unavailable — a "
+            "foreign stream would desync silently; decode only "
+            "own-encoder streams (strict=False) until the real tables "
+            "land (vp8.py TABLES_ARE_PLACEHOLDERS)"
+        )
     if len(data) < 10:
         raise ValueError("VP8: truncated frame header")
     tag = data[0] | (data[1] << 8) | (data[2] << 16)
@@ -1479,9 +1504,9 @@ def rgb_to_vp8_yuv(rgb) -> tuple:
     return to8(y), to8(down(u)), to8(down(v))
 
 
-def decode_vp8(data: bytes) -> np.ndarray:
+def decode_vp8(data: bytes, strict: bool = False) -> np.ndarray:
     """VP8 key frame -> (H,W,3) uint8 RGB."""
-    y, u, v = decode_vp8_planes(data)
+    y, u, v = decode_vp8_planes(data, strict=strict)
     return vp8_yuv_to_rgb(y, u, v)
 
 

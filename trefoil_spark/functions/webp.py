@@ -861,7 +861,7 @@ def _walk_chunks(data: bytes, pos: int):
         pos += 8 + size + (size & 1)
 
 
-def decode_webp(data: bytes) -> np.ndarray:
+def decode_webp(data: bytes, strict_vp8: bool = False) -> np.ndarray:
     """WebP → (H,W,4) uint8 RGBA.
 
     Simple containers: VP8L lossless (all four transforms, color cache,
@@ -872,7 +872,10 @@ def decode_webp(data: bytes) -> np.ndarray:
     prediction filters) over either base codec, and animated WebP
     (ANIM/ANMF) decoded as the first frame composited onto the canvas —
     the same first-frame semantics as the GIF decoder.  ICCP/EXIF/XMP
-    metadata chunks are skipped."""
+    metadata chunks are skipped.  strict_vp8=True propagates the
+    lossy-VP8 provenance assertion (vp8.Vp8DefaultTablesUnavailable for
+    streams that cannot be trusted against placeholder tables); VP8L
+    lossless is unaffected — it has no default-table dependency."""
     if data[:4] != b"RIFF" or data[8:12] != b"WEBP":
         raise ValueError("not a WebP file")
     from .vp8 import decode_vp8
@@ -891,7 +894,7 @@ def decode_webp(data: bytes) -> np.ndarray:
         elif tag == b"VP8L":
             return _decode_vp8l_payload(chunk)  # carries its own alpha
         elif tag == b"VP8 ":
-            rgb = decode_vp8(chunk)
+            rgb = decode_vp8(chunk, strict=strict_vp8)
             h, w = rgb.shape[:2]
             if alph is not None:
                 if canvas_wh is None:

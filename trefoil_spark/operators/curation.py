@@ -29,7 +29,38 @@ from ..sources.warc import warc_to_documents
 from .textstats import extract_text_col, gopher_pass_col
 
 __all__ = ["curate_from_warc", "curate_documents",
-           "curate_training_corpus"]
+           "curate_training_corpus", "probe_warc_media"]
+
+
+def probe_warc_media(spark, paths) -> DataFrame:
+    """The media pre-filter stage of the crawl pipeline (r7, VERDICT r6
+    item 8): every non-page payload (image/audio/video content types,
+    plus octet-stream) gets a HEADER-ONLY route verdict — 'decode' (an
+    in-house decoder exists), 'probe_only' (compressed codec: keep
+    container/codec/geometry metadata, never decode — the honest answer
+    for H.264/VP9/MP3/foreign-VP8 without ffmpeg) or 'skip'. At 100 TB
+    this runs before ANY decoder: bytes touched per payload are
+    O(header), so the stage is scan-bound. Returns (doc_id, url,
+    content_type, kind, container, codec, route)."""
+    from ..sources.warc import warc_to_records
+    from .multimodal import route_media_records
+
+    recs = warc_to_records(spark, paths).filter(
+        (F.col("status") == 200)
+        & (
+            F.col("content_type").startswith("image/")
+            | F.col("content_type").startswith("audio/")
+            | F.col("content_type").startswith("video/")
+            | F.col("content_type").startswith("application/octet-stream")
+        )
+    )
+    routed = route_media_records(recs.select("doc_id", "body"))
+    return routed.join(
+        recs.select("doc_id", "url", "content_type"), "doc_id"
+    ).select(
+        "doc_id", "url", "content_type", "kind", "container", "codec",
+        "route",
+    )
 
 
 def curate_documents(docs: DataFrame, html_col: str = "html") -> DataFrame:
@@ -61,7 +92,10 @@ def curate_from_warc(spark, paths, include_pdf: bool = True) -> DataFrame:
     extraction so non-page records never reach the expensive stages.
     HTML pages stay in the pure-Catalyst path; application/pdf bodies
     (r6) go through the own PDF text extractor (functions/pdf.py) in
-    an Arrow-batched stage, then rejoin the same Gopher gate + dedup."""
+    an Arrow-batched stage, then rejoin the same Gopher gate + dedup.
+    Media payloads (image/audio/video) are NOT decoded here — run the
+    companion :func:`probe_warc_media` stage to route them by codec
+    (header-only) before any decoder touches bytes."""
     raw = warc_to_documents(spark, paths).withColumnRenamed("text", "html")
     pages = raw.filter(
         (F.col("status") == 200)
