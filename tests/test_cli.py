@@ -372,8 +372,12 @@ def test_cli_curate_warc_mode(tmp_path, spark):
         ("response", "http://w/spam", spam.encode()),
     ]))
     out = str(tmp_path / "out.parquet")
-    assert main(["curate", str(p), out]) == 0
+    routes = str(tmp_path / "routes.parquet")
+    assert main(["curate", str(p), out, "--media-routes", routes]) == 0
     rows = spark.read.parquet(out).collect()
     assert len(rows) == 1
     assert rows[0]["url"] == "http://w/keep"
     assert rows[0]["text"].split("\n") == lines
+    # --media-routes: this shard has no media payloads — the routing
+    # table exists and is empty (pages never enter the media stage)
+    assert spark.read.parquet(routes).count() == 0

@@ -461,6 +461,13 @@ def cmd_curate(args) -> int:
         from .operators.curation import curate_from_warc
 
         docs = curate_from_warc(spark, args.inputs)
+        if getattr(args, "media_routes", None):
+            from .operators.curation import probe_warc_media
+
+            routes = probe_warc_media(spark, args.inputs)
+            routes.write.mode("overwrite").parquet(args.media_routes)
+            k = spark.read.parquet(args.media_routes).count()
+            print(f"wrote {args.media_routes} ({k} media payloads routed)")
     else:
         if len(args.inputs) != 1:
             raise SystemExit("parquet mode takes exactly one input dir")
@@ -629,6 +636,12 @@ def build_parser() -> argparse.ArgumentParser:
     cu.add_argument("--pack", type=int, default=0, metavar="SEQ_LEN",
                     help="also write <out>_packed: fixed-length "
                     "training sequences of SEQ_LEN tokens")
+    cu.add_argument("--media-routes", default=None, metavar="DIR",
+                    help="WARC mode only: also write the header-only "
+                    "media routing table (doc_id, url, content_type, "
+                    "kind, container, codec, route) — the pre-filter "
+                    "that decides decode vs probe_only without "
+                    "touching payload bytes beyond the header")
     cu.set_defaults(fn=cmd_curate)
 
     return p
