@@ -381,3 +381,39 @@ def test_cli_curate_warc_mode(tmp_path, spark):
     # --media-routes: this shard has no media payloads — the routing
     # table exists and is empty (pages never enter the media stage)
     assert spark.read.parquet(routes).count() == 0
+
+
+def test_cli_curate_cap_domain_and_lm_filter(tmp_path, spark):
+    """`curate --cap-domain --lm-filter`: the mixture cap keeps the two
+    smallest doc_ids of the over-represented host, and the CCNet-style
+    perplexity gate (LM trained on the corpus itself) drops the
+    out-of-domain gibberish doc while keeping in-domain prose."""
+    def prose(i):
+        # unique first token per line (no cross-doc line dedup), shared
+        # interior bigrams (the LM's in-domain signal), 3 lines >= 5
+        # words ending '.' (C4 page + line rules)
+        return "\n".join(
+            f"d{i}l{j} the spark engine reads rows with plenty of words."
+            for j in range(3)
+        )
+
+    gibberish = "\n".join(
+        f"g{j}a g{j}b g{j}c g{j}d g{j}e g{j}f." for j in range(3)
+    )
+    docs = [
+        (i, f"https://bulk.example/{i}", prose(i)) for i in range(4)
+    ] + [
+        (10, "https://rare.org/a", prose(10)),
+        (11, "https://odd.net/z", gibberish),
+    ]
+    src = str(tmp_path / "docs.parquet")
+    spark.createDataFrame(
+        docs, "doc_id bigint, url string, text string"
+    ).write.parquet(src)
+    out = str(tmp_path / "curated.parquet")
+    assert main(["curate", src, out,
+                 "--cap-domain", "2", "--lm-filter", "0.7"]) == 0
+    kept = sorted(r["doc_id"] for r in spark.read.parquet(out).collect())
+    # bulk.example capped 4 -> 2 (smallest ids win); gibberish doc 11
+    # scores worst under the corpus LM and falls past the 0.7 cut
+    assert kept == [0, 1, 10]

@@ -482,6 +482,31 @@ def cmd_curate(args) -> int:
     if args.eval_set:
         eval_df = spark.read.parquet(args.eval_set)
         deduped = decontaminate(deduped, eval_df, n=args.ngram_n)
+    if getattr(args, "cap_domain", 0) and "url" in deduped.columns:
+        from .operators.seqpack import cap_per_domain
+
+        deduped = cap_per_domain(deduped, args.cap_domain)
+    if getattr(args, "lm_filter", None) is not None:
+        # CCNet-style quality gate: train the bigram LM on the surviving
+        # corpus itself, keep docs at-or-below the requested perplexity
+        # percentile (the published recipe trains on a trusted reference
+        # corpus; pass one via --lm-ref to do exactly that)
+        from .operators.lm import score_perplexity, train_bigram_lm
+
+        ref = (
+            spark.read.parquet(args.lm_ref)
+            if getattr(args, "lm_ref", None) else deduped
+        )
+        model, uni = train_bigram_lm(ref)
+        scored = score_perplexity(deduped, model, uni)
+        cut = scored.filter(F.col("ppl").isNotNull()).approxQuantile(
+            "ppl", [args.lm_filter], 0.001
+        )[0]
+        keep_ids = scored.filter(
+            F.col("ppl").isNotNull() & (F.col("ppl") <= cut)
+        ).select("doc_id")
+        deduped = deduped.join(keep_ids, "doc_id", "left_semi")
+        print(f"lm-filter: ppl cut {cut:.3f} at percentile {args.lm_filter}")
     out = deduped.withColumn("n_chars", F.length("text"))
     out.write.mode("overwrite").parquet(args.out)
     n = spark.read.parquet(args.out).count()
@@ -636,6 +661,19 @@ def build_parser() -> argparse.ArgumentParser:
     cu.add_argument("--pack", type=int, default=0, metavar="SEQ_LEN",
                     help="also write <out>_packed: fixed-length "
                     "training sequences of SEQ_LEN tokens")
+    cu.add_argument("--cap-domain", type=int, default=0, metavar="N",
+                    help="keep at most N documents per registrable "
+                    "host (two-phase salted top-k, smallest doc_id "
+                    "wins)")
+    cu.add_argument("--lm-filter", type=float, default=None,
+                    metavar="PCTL",
+                    help="CCNet-style perplexity gate: train a bigram "
+                    "LM (on --lm-ref if given, else the corpus itself) "
+                    "and keep docs at-or-below this ppl percentile "
+                    "(e.g. 0.7)")
+    cu.add_argument("--lm-ref", default=None, metavar="DIR",
+                    help="parquet reference corpus for --lm-filter "
+                    "training (doc_id, text)")
     cu.add_argument("--media-routes", default=None, metavar="DIR",
                     help="WARC mode only: also write the header-only "
                     "media routing table (doc_id, url, content_type, "
