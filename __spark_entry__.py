@@ -1450,10 +1450,11 @@ def q_corpus_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The full curation-stack composition as ONE hash-gated driver row
     (r7, VERDICT r6 item 1 — previously DuckDB-twinned only in pytest):
 
-      reshape -> Gopher gate (incl. the A1.1 stopword rule) -> C4
-      line/page rules -> PII redaction -> exact dedup -> corpus-wide
-      line dedup -> 13-gram decontamination vs an in-corpus eval set
-      (doc_id %% 50 == 7 members of the reshaped corpus)
+      reshape -> FULL Gopher gate (every A1.1 rule incl. the r7
+      repetition set: dup paragraphs, top 2/3/4-gram, dup 5..10-gram
+      coverage) -> C4 line/page rules -> PII redaction -> exact dedup
+      -> corpus-wide line dedup -> 13-gram decontamination vs an
+      in-corpus eval set (doc_id %% 50 == 7 of the reshaped corpus)
 
     Output is the surviving curated text verbatim: the oracle replays
     every stage in DuckDB (string-equal twins), so text bytes, n_chars
@@ -1466,7 +1467,7 @@ def q_corpus_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
         dedup_paragraphs,
         redact_pii_col,
     )
-    from trefoil_spark.operators.textstats import gopher_pass_col
+    from trefoil_spark.operators.textstats import gopher_full_pass_col
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
         "doc_id", "text"
@@ -1479,11 +1480,14 @@ def q_corpus_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
     # real pipeline reads text as a parquet ATTRIBUTE — this barrier
     # reproduces that shape; the oracle mirrors it with a MATERIALIZED
     # CTE.
-    reshaped = docs.withColumn(
+    # repartition BEFORE the barrier: sf0.01 documents.parquet is one
+    # small file -> one scan partition, which would serialize the
+    # per-doc O(G log G) rule evaluation onto a single core
+    reshaped = docs.repartition(32).withColumn(
         "text", F.expr(_curate_reshape_spark())
     ).persist()
     eval_df = reshaped.filter(F.col("doc_id") % _CURATE_EVAL_MOD == 7)
-    kept = reshaped.filter(gopher_pass_col("text"))
+    kept = reshaped.filter(gopher_full_pass_col("text"))
     kept = c4_clean(kept)
     kept = kept.withColumn("text", redact_pii_col("text"))
     digested = kept.withColumn("digest", F.md5(F.encode("text", "UTF-8")))
@@ -1500,7 +1504,7 @@ def q_corpus_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _corpus_curate_oracle() -> str:
     from trefoil_spark.operators.cleaning import c4_sql_duckdb, pii_sql_duckdb
-    from trefoil_spark.operators.textstats import gopher_pass_sql_duckdb
+    from trefoil_spark.operators.textstats import gopher_full_pass_sql_duckdb
 
     c4 = c4_sql_duckdb("text")
     grams13 = (
@@ -1522,7 +1526,7 @@ def _corpus_curate_oracle() -> str:
         ),
         g AS MATERIALIZED (
             SELECT doc_id, text FROM resh
-            WHERE {gopher_pass_sql_duckdb("text")}
+            WHERE {gopher_full_pass_sql_duckdb("text")}
         ),
         c4 AS MATERIALIZED (
             SELECT doc_id, {c4["cleaned"]} AS text FROM g

@@ -460,7 +460,10 @@ def cmd_curate(args) -> int:
     if first.endswith((".warc", ".warc.gz")):
         from .operators.curation import curate_from_warc
 
-        docs = curate_from_warc(spark, args.inputs)
+        docs = curate_from_warc(
+            spark, args.inputs,
+            gopher=getattr(args, "gopher", None) or "base",
+        )
         if getattr(args, "media_routes", None):
             from .operators.curation import probe_warc_media
 
@@ -472,6 +475,13 @@ def cmd_curate(args) -> int:
         if len(args.inputs) != 1:
             raise SystemExit("parquet mode takes exactly one input dir")
         docs = spark.read.parquet(first)
+        # WARC mode gates inside curate_from_warc; parquet mode gates
+        # here — only on explicit request, since pre-extracted corpora
+        # are often already quality-filtered
+        if getattr(args, "gopher", None) in ("base", "full"):
+            from .operators.curation import _gopher_gate
+
+            docs = docs.filter(_gopher_gate(args.gopher)("text"))
     docs = c4_clean(docs).withColumn("text", redact_pii_col("text"))
     keep = [c for c in ("doc_id", "url") if c in docs.columns]
     deduped = dedup_paragraphs(
@@ -658,6 +668,13 @@ def build_parser() -> argparse.ArgumentParser:
                     help="parquet with a text column; docs sharing any "
                     "13-gram are dropped (decontamination)")
     cu.add_argument("--ngram-n", type=int, default=13)
+    cu.add_argument("--gopher", choices=("base", "full", "off"),
+                    default=None,
+                    help="quality gate: base = r6 Gopher bounds/line "
+                    "rules, full = every Rae 2021 A1.1 rule incl. the "
+                    "paragraph + 3..10-gram repetition set, off = none. "
+                    "Defaults: WARC mode gates with base (as before); "
+                    "parquet mode stays ungated unless this is given")
     cu.add_argument("--pack", type=int, default=0, metavar="SEQ_LEN",
                     help="also write <out>_packed: fixed-length "
                     "training sequences of SEQ_LEN tokens")

@@ -63,14 +63,31 @@ def probe_warc_media(spark, paths) -> DataFrame:
     )
 
 
-def curate_documents(docs: DataFrame, html_col: str = "html") -> DataFrame:
+def _gopher_gate(gopher: str):
+    """Select the quality gate: 'base' = the r6 bounds/lines/bigram
+    rules, 'full' = every Rae 2021 A1.1 rule including the r7
+    repetition set (dup paragraphs, top 2/3/4-gram, dup 5..10-gram
+    coverage), 'off' = no gate."""
+    if gopher == "full":
+        from .textstats import gopher_full_pass_col
+
+        return gopher_full_pass_col
+    if gopher == "off":
+        return None
+    return gopher_pass_col
+
+
+def curate_documents(
+    docs: DataFrame, html_col: str = "html", gopher: str = "base"
+) -> DataFrame:
     """documents with raw HTML → curated (doc_id, url, text, n_chars):
     extract → Gopher gate → exact dedup keeping the smallest doc_id
     per distinct content digest."""
     extracted = docs.withColumn(
         "text", extract_text_col(html_col)
     ).drop(html_col)
-    kept = extracted.filter(gopher_pass_col("text"))
+    gate = _gopher_gate(gopher)
+    kept = extracted.filter(gate("text")) if gate else extracted
     # exact dedup: one shuffle on the digest; min() winner keeps the
     # row deterministic under any partitioning
     digested = kept.withColumn("digest", F.md5(F.encode("text", "UTF-8")))
@@ -86,7 +103,8 @@ def curate_documents(docs: DataFrame, html_col: str = "html") -> DataFrame:
     )
 
 
-def curate_from_warc(spark, paths, include_pdf: bool = True) -> DataFrame:
+def curate_from_warc(spark, paths, include_pdf: bool = True,
+                     gopher: str = "base") -> DataFrame:
     """WARC shard paths → curated documents DataFrame. HTTP-level
     filters (status 200, HTML or PDF content type) run before
     extraction so non-page records never reach the expensive stages.
@@ -101,7 +119,7 @@ def curate_from_warc(spark, paths, include_pdf: bool = True) -> DataFrame:
         (F.col("status") == 200)
         & F.col("content_type").startswith("text/html")
     )
-    docs = curate_documents(pages, "html")
+    docs = curate_documents(pages, "html", gopher=gopher)
     if not include_pdf:
         return docs
     from ..sources.warc import warc_to_records
@@ -131,7 +149,8 @@ def curate_from_warc(spark, paths, include_pdf: bool = True) -> DataFrame:
     pdf_texts = recs.mapInPandas(
         gen, schema="doc_id bigint, url string, text string"
     )
-    pdf_kept = pdf_texts.filter(gopher_pass_col("text"))
+    pdf_gate = _gopher_gate(gopher)
+    pdf_kept = pdf_texts.filter(pdf_gate("text")) if pdf_gate else pdf_texts
     pdf_digested = pdf_kept.withColumn(
         "digest", F.md5(F.encode("text", "UTF-8"))
     )
@@ -146,7 +165,8 @@ def curate_from_warc(spark, paths, include_pdf: bool = True) -> DataFrame:
 
 def curate_training_corpus(docs: DataFrame, html_col: str = "html",
                            eval_df: DataFrame | None = None,
-                           ngram_n: int = 13) -> DataFrame:
+                           ngram_n: int = 13,
+                           gopher: str = "base") -> DataFrame:
     """The full published-pipeline stack over raw HTML documents:
 
       extract → Gopher gate → C4 line/page rules → PII redaction →
@@ -171,7 +191,8 @@ def curate_training_corpus(docs: DataFrame, html_col: str = "html",
     extracted = docs.withColumn(
         "text", extract_text_col(html_col)
     ).drop(html_col)
-    kept = extracted.filter(gopher_pass_col("text"))
+    gate = _gopher_gate(gopher)
+    kept = extracted.filter(gate("text")) if gate else extracted
     kept = c4_clean(kept, "text")
     kept = kept.withColumn("text", redact_pii_col("text"))
     digested = kept.withColumn("digest", F.md5(F.encode("text", "UTF-8")))

@@ -211,23 +211,10 @@ def gopher_exprs(text_col: str = "text") -> dict[str, Column]:
     # integer key cnt*GRAM_KEY + len so Spark and DuckDB provably pick
     # the SAME (count, length) pair (gram length < GRAM_KEY assumed —
     # a single bigram a million chars long is outside any real corpus).
-    # guard: Spark's sequence(1, 0) is DESCENDING [1, 0], not empty, so
-    # a single-token doc must short-circuit to an empty gram list
-    grams = (
-        f"IF(size(split({text_col}, ' ')) < 2, array(), "
-        f"transform(sequence(1, size(split({text_col}, ' ')) - 1), "
-        f"i -> concat(element_at(split({text_col}, ' '), i), ' ', "
-        f"element_at(split({text_col}, ' '), i + 1))))"
-    )
-    top2_key = F.expr(
-        f"array_max(transform(array_distinct({grams}), "
-        f"g -> CAST(size(filter({grams}, x -> x = g)) AS BIGINT) "
-        f"* {GRAM_KEY}L + length(g)))"
-    )
-    top2_chars = (
-        (top2_key / F.lit(GRAM_KEY)).cast("bigint")
-        * (top2_key % F.lit(GRAM_KEY))
-    )
+    # r7: delegates to the sorted-run-fold form shared with the top
+    # 3/4-gram rules — O(G log G) instead of the r6 all-pairs scan,
+    # value-identical (the fold lands on the same max key; the <2
+    # guard returns the same 0.0 the empty-gram coalesce produced).
     d = F.lit(1.0)
     return {
         "n_tokens": n_tok,
@@ -246,10 +233,7 @@ def gopher_exprs(text_col: str = "text") -> dict[str, Column]:
             dup_line_chars.cast("double")
             / F.greatest(line_chars, F.lit(1))
         ),
-        "top_2gram_char_frac": (
-            F.coalesce(top2_chars, F.lit(0)).cast("double")
-            / F.greatest(n_chars, F.lit(1))
-        ),
+        "top_2gram_char_frac": F.expr(_top_ngram_frac_sql(text_col, 2)),
         # distinct members of Gopher's 8-word stop list present in the
         # doc (rule: >= 2). O(8) array_contains scans — per-row bounded
         "stopword_hits": F.expr(
@@ -377,6 +361,285 @@ def gopher_sql_duckdb(text_col: str = "text") -> dict[str, str]:
             f"w -> list_contains({toks}, w))) AS INT)"
         ),
     }
+
+
+# ---------------------------------------------------------------------------
+# Full Gopher repetition-rule set (r7). Completes Rae et al. 2021 §A1.1
+# Table A1: duplicate paragraph fraction / char fraction, top 3- and
+# 4-gram char fraction, and duplicate 5..10-gram char fraction. The
+# dup-n-gram char fraction is OVERLAP-AWARE token-character coverage: a
+# token's characters count once if ANY n-gram window containing it
+# occurs more than once in the doc (numerator and denominator both
+# exclude the inter-token spaces, so the definition is identical in
+# both engines regardless of whitespace runs). Single-expression
+# Catalyst with a let-binding idiom — `element_at(transform(array(X),
+# v -> body), 1)` evaluates X ONCE and binds it as the lambda variable
+# — so the O(G^2) duplicate-flag scan runs once per (doc, n), not once
+# per token. DuckDB mirrors it with `list_transform([X], v -> body)[1]`
+# and inclusive `generate_series` (empty when start > stop, unlike
+# Spark's descending `sequence`, hence the explicit < n guard on the
+# Spark side). All work is per-row bounded (no shuffle, no explode):
+# the right 100 TB shape for a per-document quality gate.
+# ---------------------------------------------------------------------------
+
+DUP_NGRAM_THRESHOLDS = {5: 0.15, 6: 0.14, 7: 0.13, 8: 0.12, 9: 0.11, 10: 0.10}
+TOP_NGRAM_THRESHOLDS = {2: 0.20, 3: 0.18, 4: 0.16}
+
+
+def _top_ngram_frac_sql(text_col: str, n: int) -> str:
+    """Spark SQL: char fraction of the most frequent word n-gram
+    (count * gram length over total chars; (count, length) tie-break
+    via the same GRAM_KEY encoding as the bigram rule). O(G log G):
+    sort the grams, then one fold tracks the current equal-run length
+    and the best key — the last element of each run carries the full
+    count, so `greatest` at every step lands on exactly the key that
+    the naive count-each-distinct-gram scan (the DuckDB twin) picks."""
+    toks = f"split({text_col}, ' ')"
+    grams = (
+        f"transform(sequence(1, size(t) - {n} + 1), "
+        f"i -> concat_ws(' ', slice(t, i, {n})))"
+    )
+    run = (
+        "IF(k > 1 AND element_at(s, k) = element_at(s, k - 1), "
+        "acc.run + 1L, 1L)"
+    )
+    key = (
+        "aggregate(sequence(1, size(s)), "
+        "named_struct('run', 0L, 'best', 0L), "
+        f"(acc, k) -> named_struct('run', {run}, 'best', "
+        f"greatest(acc.best, ({run}) * {GRAM_KEY}L "
+        "+ length(element_at(s, k)))), acc -> acc.best)"
+    )
+    return (
+        f"IF(size({toks}) < {n}, CAST(0 AS DOUBLE), "
+        f"element_at(transform(array({toks}), t -> "
+        f"element_at(transform(array(array_sort({grams})), s -> "
+        f"element_at(transform(array({key}), b -> "
+        f"CAST((b DIV {GRAM_KEY}L) * (b % {GRAM_KEY}L) AS DOUBLE)"
+        f" / greatest(CAST(length({text_col}) AS DOUBLE), CAST(1 AS DOUBLE))"
+        f"), 1)), 1)), 1))"
+    )
+
+
+def _top_ngram_frac_duckdb(text_col: str, n: int) -> str:
+    toks = f"string_split({text_col}, ' ')"
+    grams = (
+        f"list_transform(generate_series(1, len(t) - {n} + 1), "
+        f"i -> array_to_string(t[i:i+{n}-1], ' '))"
+    )
+    key = (
+        "list_max(list_transform(list_distinct(g), x -> "
+        "CAST(len(list_filter(g, y -> y = x)) AS BIGINT) "
+        f"* {GRAM_KEY} + length(x)))"
+    )
+    return (
+        f"CASE WHEN len({toks}) < {n} THEN CAST(0 AS DOUBLE) ELSE "
+        f"list_transform([{toks}], t -> "
+        f"list_transform([{grams}], g -> "
+        f"CAST((({key}) // {GRAM_KEY}) * (({key}) % {GRAM_KEY}) AS DOUBLE)"
+        f" / greatest(CAST(length({text_col}) AS DOUBLE), CAST(1 AS DOUBLE))"
+        f")[1])[1] END"
+    )
+
+
+def _dup_ngram_frac_sql(text_col: str, n: int) -> str:
+    """Spark SQL: overlap-aware duplicate-n-gram token-char coverage.
+    Nested lets bind tokens t, grams g, sorted (gram, idx) pairs s,
+    dup-flags d; coverage is then O(T * n) `exists` probes over d.
+    The dup flags come from TWO sorts instead of the naive all-pairs
+    scan (the DuckDB twin's form): sort (gram, position) pairs, mark
+    a pair duplicated iff it equals a sorted neighbor, sort back by
+    position — O(G log G) instead of O(G^2), the difference between
+    20 ms and minutes per 10k-token crawl doc. Guarded so sequence()
+    bounds are always ascending (T >= n inside the ELSE branch)."""
+    toks = f"split({text_col}, ' ')"
+    grams = (
+        f"transform(sequence(1, size(t) - {n} + 1), "
+        f"i -> concat_ws(' ', slice(t, i, {n})))"
+    )
+    sorted_pairs = (
+        "array_sort(transform(sequence(1, size(g)), "
+        "i -> named_struct('gr', element_at(g, i), 'idx', i)))"
+    )
+    dupflags = (
+        "transform(array_sort(transform(sequence(1, size(s)), "
+        "k -> named_struct('idx', element_at(s, k).idx, 'dup', "
+        "(k > 1 AND element_at(s, k).gr = element_at(s, k - 1).gr) OR "
+        "(k < size(s) AND element_at(s, k).gr = element_at(s, k + 1).gr)"
+        "))), p -> p.dup)"
+    )
+    covered = (
+        f"aggregate(sequence(1, size(t)), 0L, (acc, j) -> acc + "
+        f"IF(exists(sequence(greatest(1, j - {n} + 1), "
+        f"least(j, size(t) - {n} + 1)), i -> element_at(d, i)), "
+        f"CAST(length(element_at(t, j)) AS BIGINT), 0L))"
+    )
+    tok_chars = "aggregate(t, 0L, (acc, w) -> acc + length(w))"
+    return (
+        f"IF(size({toks}) < {n}, CAST(0 AS DOUBLE), "
+        f"element_at(transform(array({toks}), t -> "
+        f"element_at(transform(array({grams}), g -> "
+        f"element_at(transform(array({sorted_pairs}), s -> "
+        f"element_at(transform(array({dupflags}), d -> "
+        f"CAST({covered} AS DOUBLE) / "
+        f"greatest(CAST({tok_chars} AS DOUBLE), CAST(1 AS DOUBLE))"
+        f"), 1)), 1)), 1)), 1))"
+    )
+
+
+def _dup_ngram_frac_duckdb(text_col: str, n: int) -> str:
+    toks = f"string_split({text_col}, ' ')"
+    grams = (
+        f"list_transform(generate_series(1, len(t) - {n} + 1), "
+        f"i -> array_to_string(t[i:i+{n}-1], ' '))"
+    )
+    dupflags = (
+        "list_transform(generate_series(1, len(g)), "
+        "i -> len(list_filter(g, x -> x = g[i])) > 1)"
+    )
+    covered = (
+        f"list_sum(list_transform(generate_series(1, len(t)), j -> "
+        f"CASE WHEN len(list_filter(generate_series(greatest(1, j - {n} + 1), "
+        f"least(j, len(t) - {n} + 1)), i -> d[i])) > 0 "
+        f"THEN CAST(length(t[j]) AS BIGINT) ELSE CAST(0 AS BIGINT) END))"
+    )
+    tok_chars = "list_sum(list_transform(t, w -> CAST(length(w) AS BIGINT)))"
+    return (
+        f"CASE WHEN len({toks}) < {n} THEN CAST(0 AS DOUBLE) ELSE "
+        f"list_transform([{toks}], t -> "
+        f"list_transform([{grams}], g -> "
+        f"list_transform([{dupflags}], d -> "
+        f"CAST({covered} AS DOUBLE) / "
+        f"greatest(CAST({tok_chars} AS DOUBLE), CAST(1 AS DOUBLE))"
+        f")[1])[1])[1] END"
+    )
+
+
+def gopher_repetition_exprs(text_col: str = "text") -> dict[str, Column]:
+    """The Rae 2021 A1.1 repetition features beyond the line/bigram
+    rules already in :func:`gopher_exprs`: dup-paragraph fraction and
+    char fraction (paragraphs = blank-line splits), top 3/4-gram char
+    fraction, duplicate 5..10-gram char coverage."""
+    paras = f"split({text_col}, '\\n\\n')"
+    dup_para_chars = (
+        f"aggregate(transform({paras}, p -> "
+        f"IF(size(filter({paras}, x -> x = p)) > 1, "
+        "CAST(length(p) AS BIGINT), 0L)), 0L, (acc, v) -> acc + v)"
+    )
+    para_chars = (
+        f"aggregate(transform({paras}, "
+        "p -> CAST(length(p) AS BIGINT)), 0L, (acc, v) -> acc + v)"
+    )
+    out: dict[str, Column] = {
+        "dup_para_frac": F.expr(
+            f"CAST(size({paras}) - size(array_distinct({paras})) AS DOUBLE)"
+            f" / size({paras})"
+        ),
+        "dup_para_char_frac": F.expr(
+            f"CAST({dup_para_chars} AS DOUBLE)"
+            f" / greatest(CAST({para_chars} AS DOUBLE), CAST(1 AS DOUBLE))"
+        ),
+    }
+    for n in (3, 4):
+        out[f"top_{n}gram_char_frac"] = F.expr(
+            _top_ngram_frac_sql(text_col, n)
+        )
+    for n in DUP_NGRAM_THRESHOLDS:
+        out[f"dup_{n}gram_char_frac"] = F.expr(
+            _dup_ngram_frac_sql(text_col, n)
+        )
+    return out
+
+
+def gopher_repetition_sql_duckdb(text_col: str = "text") -> dict[str, str]:
+    """Exact DuckDB twins of :func:`gopher_repetition_exprs`."""
+    paras = f"string_split({text_col}, chr(10) || chr(10))"
+    dup_para_chars = (
+        f"list_sum(list_transform({paras}, p -> CASE WHEN "
+        f"len(list_filter({paras}, x -> x = p)) > 1 "
+        "THEN CAST(length(p) AS BIGINT) ELSE CAST(0 AS BIGINT) END))"
+    )
+    para_chars = (
+        f"list_sum(list_transform({paras}, p -> "
+        "CAST(length(p) AS BIGINT)))"
+    )
+    out = {
+        "dup_para_frac": (
+            f"CAST(len({paras}) - len(list_distinct({paras})) AS DOUBLE)"
+            f" / len({paras})"
+        ),
+        "dup_para_char_frac": (
+            f"CAST({dup_para_chars} AS DOUBLE)"
+            f" / greatest(CAST({para_chars} AS DOUBLE), CAST(1 AS DOUBLE))"
+        ),
+    }
+    for n in (3, 4):
+        out[f"top_{n}gram_char_frac"] = _top_ngram_frac_duckdb(text_col, n)
+    for n in DUP_NGRAM_THRESHOLDS:
+        out[f"dup_{n}gram_char_frac"] = _dup_ngram_frac_duckdb(text_col, n)
+    return out
+
+
+def gopher_repetition_pass_col(text_col: str = "text") -> Column:
+    """Keep/drop verdict over the repetition rules alone (Table A1
+    thresholds: dup paragraphs < 0.30, dup paragraph chars < 0.20,
+    top 3-gram < 0.18, top 4-gram < 0.16, dup 5..10-gram coverage
+    < 0.15 down to < 0.10)."""
+    e = gopher_repetition_exprs(text_col)
+    cond = (e["dup_para_frac"] < 0.3) & (e["dup_para_char_frac"] < 0.2)
+    for n, thr in TOP_NGRAM_THRESHOLDS.items():
+        if n == 2:
+            continue  # the bigram rule lives in gopher_pass_col
+        cond = cond & (e[f"top_{n}gram_char_frac"] < thr)
+    for n, thr in DUP_NGRAM_THRESHOLDS.items():
+        cond = cond & (e[f"dup_{n}gram_char_frac"] < thr)
+    return cond
+
+
+def gopher_repetition_pass_sql_duckdb(text_col: str = "text") -> str:
+    e = gopher_repetition_sql_duckdb(text_col)
+    parts = [
+        f"({e['dup_para_frac']}) < CAST(0.3 AS DOUBLE)",
+        f"({e['dup_para_char_frac']}) < CAST(0.2 AS DOUBLE)",
+    ]
+    for n, thr in TOP_NGRAM_THRESHOLDS.items():
+        if n == 2:
+            continue
+        parts.append(
+            f"({e[f'top_{n}gram_char_frac']}) < CAST({thr} AS DOUBLE)"
+        )
+    for n, thr in DUP_NGRAM_THRESHOLDS.items():
+        parts.append(
+            f"({e[f'dup_{n}gram_char_frac']}) < CAST({thr} AS DOUBLE)"
+        )
+    return "(" + " AND ".join(parts) + ")"
+
+
+def gopher_full_pass_col(text_col: str = "text") -> Column:
+    """The COMPLETE published Gopher gate: every §A1.1 rule —
+    :func:`gopher_pass_col` (bounds/symbols/lines/stopwords/bigram)
+    AND :func:`gopher_repetition_pass_col` (paragraph + higher-order
+    n-gram repetition)."""
+    return gopher_pass_col(text_col) & gopher_repetition_pass_col(text_col)
+
+
+def gopher_full_pass_sql_duckdb(text_col: str = "text") -> str:
+    return (
+        f"({gopher_pass_sql_duckdb(text_col)} AND "
+        f"{gopher_repetition_pass_sql_duckdb(text_col)})"
+    )
+
+
+def gopher_repetition_stats(
+    df: DataFrame, text_col: str = "text"
+) -> DataFrame:
+    """All repetition features + verdict in one codegen pass."""
+    e = gopher_repetition_exprs(text_col)
+    return df.select(
+        "*", *[c.alias(n) for n, c in e.items()]
+    ).withColumn(
+        "gopher_repetition_pass", gopher_repetition_pass_col(text_col)
+    )
 
 
 # ---------------------------------------------------------------------------
