@@ -72,17 +72,24 @@ def streaming_dedup(stream: DataFrame, id_col: str = "doc_id", text_col: str = "
 
 
 def streaming_clean(stream: "DataFrame", text_col: str = "text",
-                    id_col: str = "doc_id") -> "DataFrame":
+                    id_col: str = "doc_id",
+                    gopher: str | None = None) -> "DataFrame":
     """The cleaning stack on a stream (late r6): C4 line/page rules +
     PII redaction are STATELESS per-row Catalyst expressions, so they
     compose directly onto any streaming source; the cross-batch (and
     cross-restart) exact dedup then rides the stateful operator above.
     One micro-batch = narrow codegen → keyed state lookup; no
     streaming-specific code paths in the cleaning expressions at all —
-    the same plan fragment a batch run uses."""
+    the same plan fragment a batch run uses. r7: pass gopher='base' or
+    'full' to prepend the (equally stateless, so stream-composable)
+    Gopher quality gate — 'full' is every Rae 2021 A1.1 rule including
+    the repetition set."""
     from ..operators.cleaning import c4_clean, redact_pii_col
+    from ..operators.curation import _gopher_gate
 
-    cleaned = c4_clean(stream, text_col).withColumn(
+    gate = _gopher_gate(gopher) if gopher else None
+    gated = stream.filter(gate(text_col)) if gate else stream
+    cleaned = c4_clean(gated, text_col).withColumn(
         text_col, redact_pii_col(text_col)
     )
     return streaming_dedup(cleaned, id_col=id_col, text_col=text_col)
