@@ -417,3 +417,48 @@ def test_cli_curate_cap_domain_and_lm_filter(tmp_path, spark):
     # bulk.example capped 4 -> 2 (smallest ids win); gibberish doc 11
     # scores worst under the corpus LM and falls past the 0.7 cut
     assert kept == [0, 1, 10]
+
+
+def test_cli_curate_token_budget_and_dsir(tmp_path, spark):
+    """`curate --token-budget` keeps whole docs in id order up to the
+    budget; `--dsir-target --dsir-k` keeps the docs whose hashed-ngram
+    profile matches the target corpus."""
+    def prose(i, topic):
+        words = {
+            "weather": "rain falls over green hills before the storm",
+            "spam": "buy cheap casino bonus pills online click wins",
+        }[topic]
+        return "\n".join(
+            f"d{i}l{j} the {words} with plenty of words."
+            for j in range(3)
+        )
+
+    docs = [
+        (0, "u0", prose(0, "weather")),
+        (1, "u1", prose(1, "weather")),
+        (2, "u2", prose(2, "spam")),
+        (3, "u3", prose(3, "spam")),
+    ]
+    src = str(tmp_path / "docs.parquet")
+    spark.createDataFrame(
+        docs, "doc_id bigint, url string, text string"
+    ).write.parquet(src)
+
+    # token budget: each doc is 42 whitespace tokens post-C4; 90
+    # admits docs 0 and 1 only (whole docs, id order)
+    out1 = str(tmp_path / "budgeted.parquet")
+    assert main(["curate", src, out1, "--token-budget", "90"]) == 0
+    kept1 = sorted(r["doc_id"] for r in spark.read.parquet(out1).collect())
+    assert kept1 == [0, 1]
+
+    # dsir: target corpus is weather prose -> the two weather docs win
+    tgt = str(tmp_path / "target.parquet")
+    spark.createDataFrame(
+        [(100, prose(100, "weather")), (101, prose(101, "weather"))],
+        "doc_id bigint, text string",
+    ).write.parquet(tgt)
+    out2 = str(tmp_path / "selected.parquet")
+    assert main(["curate", src, out2,
+                 "--dsir-target", tgt, "--dsir-k", "2"]) == 0
+    kept2 = sorted(r["doc_id"] for r in spark.read.parquet(out2).collect())
+    assert kept2 == [0, 1]

@@ -517,6 +517,29 @@ def cmd_curate(args) -> int:
         ).select("doc_id")
         deduped = deduped.join(keep_ids, "doc_id", "left_semi")
         print(f"lm-filter: ppl cut {cut:.3f} at percentile {args.lm_filter}")
+    if getattr(args, "dsir_target", None):
+        # DSIR selection (Xie 2023): keep the --dsir-k docs whose
+        # hashed-ngram distribution best matches the target corpus,
+        # via deterministic Gumbel-top-k over importance weights
+        from .operators.dsir import resample_dsir, score_dsir, train_dsir
+
+        target = spark.read.parquet(args.dsir_target)
+        weights = train_dsir(target, deduped)
+        scored = score_dsir(deduped, weights)
+        picked = resample_dsir(
+            scored, args.dsir_k, seed=getattr(args, "dsir_seed", None)
+        ).select("doc_id")
+        deduped = deduped.join(picked, "doc_id", "left_semi")
+        print(f"dsir: kept top {args.dsir_k} by importance weight")
+    if getattr(args, "token_budget", 0):
+        from .operators.seqpack import sample_to_token_budget
+
+        by = getattr(args, "budget_by", None)
+        deduped = sample_to_token_budget(
+            deduped, args.token_budget, by=by
+        )
+        scope = f"per {by}" if by else "global"
+        print(f"token-budget: {args.token_budget} tokens ({scope})")
     out = deduped.withColumn("n_chars", F.length("text"))
     out.write.mode("overwrite").parquet(args.out)
     n = spark.read.parquet(args.out).count()
@@ -691,6 +714,21 @@ def build_parser() -> argparse.ArgumentParser:
     cu.add_argument("--lm-ref", default=None, metavar="DIR",
                     help="parquet reference corpus for --lm-filter "
                     "training (doc_id, text)")
+    cu.add_argument("--token-budget", type=int, default=0, metavar="N",
+                    help="keep whole docs in doc_id order until the "
+                    "next one would exceed N whitespace tokens")
+    cu.add_argument("--budget-by", default=None, metavar="COL",
+                    help="make --token-budget per-key (e.g. a lang "
+                    "column): each key gets N tokens")
+    cu.add_argument("--dsir-target", default=None, metavar="DIR",
+                    help="parquet target corpus (doc_id, text): keep "
+                    "the --dsir-k docs whose hashed-ngram distribution "
+                    "best matches it (DSIR importance resampling)")
+    cu.add_argument("--dsir-k", type=int, default=1000,
+                    help="docs to keep with --dsir-target")
+    cu.add_argument("--dsir-seed", type=int, default=None,
+                    help="Gumbel seed for --dsir-target (None = plain "
+                    "deterministic top-k)")
     cu.add_argument("--media-routes", default=None, metavar="DIR",
                     help="WARC mode only: also write the header-only "
                     "media routing table (doc_id, url, content_type, "

@@ -66,6 +66,40 @@ def drop_exact_duplicates(df: DataFrame, text_col: str = "text", id_col: str = "
     return df.join(keep, on=id_col, how="left_semi")
 
 
+def dedup_latest(df: DataFrame, key_col: str = "url",
+                 ts_col: str = "warc_ts",
+                 tiebreak_col: str = "doc_id") -> DataFrame:
+    """Keep the NEWEST capture per key — the crawl-refresh dedup every
+    Common-Crawl-style pages table needs (a URL recrawled weekly keeps
+    only its latest snapshot; ties broken by max tiebreak so the
+    winner is deterministic under any partitioning).
+
+    Deliberately `max_by` over ONE aggregation, not a row_number
+    window: the struct-max combines PARTIALLY on the map side, so a
+    hot key (a page recrawled hourly for years) reduces to one row per
+    input partition before the shuffle — a window would sort the hot
+    key's entire population in one task. Output schema = input schema."""
+    cols = df.columns
+    return df.groupBy(key_col).agg(
+        F.max_by(
+            F.struct(*[c for c in cols if c != key_col]),
+            F.struct(F.col(ts_col), F.col(tiebreak_col)),
+        ).alias("_r")
+    ).select(key_col, "_r.*").select(*cols)
+
+
+def dedup_latest_sql_duckdb(rel: str, key_col: str = "url",
+                            ts_col: str = "warc_ts",
+                            tiebreak_col: str = "doc_id") -> str:
+    """DuckDB twin: the QUALIFY row_number formulation — equivalence
+    with the Spark max_by plan is what the parity test checks."""
+    return (
+        f"SELECT * FROM {rel} QUALIFY row_number() OVER ("
+        f"PARTITION BY {key_col} "
+        f"ORDER BY {ts_col} DESC, {tiebreak_col} DESC) = 1"
+    )
+
+
 # --- minhash / LSH ---
 
 def _minhash_sql(engine: str, text_col: str, params) -> str:

@@ -43,7 +43,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-__all__ = ["pack_sequences", "cap_per_domain", "domain_col"]
+__all__ = ["pack_sequences", "cap_per_domain", "domain_col",
+           "sample_to_token_budget", "token_budget_sql_duckdb"]
 
 EOS = "<eos>"
 
@@ -184,3 +185,97 @@ def cap_per_domain(docs: DataFrame, cap: int,
         .filter(F.col("__rn") <= cap)
         .drop("__rn", "__domain")
     )
+
+
+def sample_to_token_budget(docs: DataFrame, budget: int,
+                           id_col: str = "doc_id",
+                           text_col: str = "text",
+                           by: str | None = None,
+                           bucket_size: int = 4096) -> DataFrame:
+    """Keep WHOLE documents in doc_id order until the next doc would
+    push the running token total past `budget` — the quota-fill every
+    mixture recipe needs ("2B tokens of lang X", "500M of domain Y").
+    `by` makes the budget PER KEY (e.g. by='lang': each language gets
+    `budget` tokens). Keep rule: exclusive-prefix(tokens) + n_toks <=
+    budget, so the kept set is a deterministic pure function of the
+    corpus — stable under retries and any partitioning.
+
+    Same two-phase cumulative scan as pack_sequences (the naive
+    `sum over (order by doc_id)` window funnels the corpus through one
+    task): equal-width id-span buckets -> per-(key, bucket) sums (one
+    SMALL shuffle) -> exclusive prefix over the tiny bucket table ->
+    broadcast offsets back -> within-bucket window, parallel across
+    (key, bucket). Broadcast size is #keys x #buckets rows — bounded
+    by design for mixture keys (languages, domains-after-capping).
+    Tokens = whitespace split, the corpus-budget unit used repo-wide."""
+    toks = F.filter(
+        F.split(F.col(text_col), r"\s+"), lambda t: F.length(t) > 0
+    )
+    key = F.col(by) if by else F.lit("")
+    base = docs.select(
+        key.alias("__key"),
+        F.col(id_col).alias("doc_id"),
+        F.size(toks).cast("bigint").alias("n_toks"),
+    )
+    stats = docs.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min(id_col).alias("lo"),
+        F.max(id_col).alias("hi"),
+    ).first()
+    n_buckets = max(1, -(-int(stats["n"] or 0) // bucket_size))
+    span = int(stats["hi"] - stats["lo"]) if stats["n"] else 0
+    width = max(1, span // n_buckets + 1)
+    base = base.withColumn("bucket", F.expr(f"doc_id div {width}"))
+    bsums = base.groupBy("__key", "bucket").agg(
+        F.sum("n_toks").alias("bsum")
+    )
+    w_prefix = Window.partitionBy("__key").orderBy("bucket").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    boffsets = bsums.withColumn(
+        "boffset", F.coalesce(F.sum("bsum").over(w_prefix), F.lit(0))
+    ).select("__key", "bucket", "boffset")
+    w_doc = Window.partitionBy("__key", "bucket").orderBy(
+        "doc_id"
+    ).rowsBetween(Window.unboundedPreceding, -1)
+    placed = base.join(
+        F.broadcast(boffsets), ["__key", "bucket"]
+    ).withColumn(
+        "offset",
+        F.col("boffset") + F.coalesce(F.sum("n_toks").over(w_doc), F.lit(0)),
+    )
+    kept = placed.filter(
+        F.col("offset") + F.col("n_toks") <= budget
+    ).select("doc_id")
+    return docs.join(
+        kept.withColumnRenamed("doc_id", id_col), id_col, "left_semi"
+    )
+
+
+def token_budget_sql_duckdb(rel: str, budget: int,
+                            by: str | None = None,
+                            text_col: str = "text") -> str:
+    """DuckDB twin of :func:`sample_to_token_budget`: the kept doc_id
+    set via the direct single-window formulation (the oracle runs at
+    small scale, so the one-task funnel the Spark side avoids is fine
+    here — and the equivalence of the two formulations is exactly what
+    the parity test checks)."""
+    toks = (
+        f"list_filter(string_split_regex({text_col}, '\\s+'), "
+        "x -> length(x) > 0)"
+    )
+    key = by if by else "''"
+    return f"""
+        SELECT doc_id FROM (
+            SELECT doc_id,
+                   COALESCE(SUM(n) OVER (
+                       PARTITION BY k ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                   ), 0) AS off, n
+            FROM (
+                SELECT {key} AS k, doc_id,
+                       CAST(len({toks}) AS BIGINT) AS n
+                FROM {rel}
+            )
+        ) WHERE off + n <= {budget}
+    """
