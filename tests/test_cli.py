@@ -462,3 +462,33 @@ def test_cli_curate_token_budget_and_dsir(tmp_path, spark):
                  "--dsir-target", tgt, "--dsir-k", "2"]) == 0
     kept2 = sorted(r["doc_id"] for r in spark.read.parquet(out2).collect())
     assert kept2 == [0, 1]
+
+
+def test_cli_curate_canonical_and_latest(tmp_path, spark):
+    """`curate --canonical-urls --latest-per-url` merges tracking-
+    tagged recrawls of the same page and keeps the newest capture."""
+    import datetime
+
+    ts = datetime.datetime(2026, 1, 1)
+    body = "\n".join(
+        f"l{j} plenty of ordinary prose words here." for j in range(3)
+    )
+    rows = [
+        # same page three ways; doc 2 is the newest capture
+        (0, "http://example.com/a?utm_source=x", ts, body),
+        (1, "HTTP://EXAMPLE.COM:80/a", ts + datetime.timedelta(days=1), body),
+        (2, "http://example.com/a#frag", ts + datetime.timedelta(days=2),
+         body + "\nextra newest line of prose words here."),
+        (3, "http://example.com/b", ts, body.replace("prose", "other")),
+    ]
+    src = str(tmp_path / "docs.parquet")
+    spark.createDataFrame(
+        rows, "doc_id bigint, url string, warc_ts timestamp, text string"
+    ).write.parquet(src)
+    out = str(tmp_path / "curated.parquet")
+    assert main(["curate", src, out,
+                 "--canonical-urls", "--latest-per-url"]) == 0
+    got = {r["doc_id"]: r["url"]
+           for r in spark.read.parquet(out).collect()}
+    assert sorted(got) == [2, 3]
+    assert got[2] == "http://example.com/a"

@@ -75,13 +75,11 @@ def test_pack_no_global_window(spark):
     plan = pack_sequences(df, 16)._jdf.queryExecution().executedPlan(
     ).toString()
     windows = [l for l in plan.splitlines() if "windowspecdefinition" in l]
-    assert len(windows) == 2
+    # r7: the bucket-prefix window is gone (offsets computed in the
+    # driver from the bounded bucket aggregate); the ONE remaining
+    # window is the per-doc running sum, partitioned by bucket
+    assert len(windows) == 1
     for line in windows:
-        if "sum(bsum" in line:
-            # the bucket-sum prefix: unpartitioned is fine, its input
-            # has one row per bucket
-            continue
-        # the per-doc running sum MUST be partitioned by bucket
         assert "windowspecdefinition(bucket" in line, line
 
 

@@ -482,6 +482,19 @@ def cmd_curate(args) -> int:
             from .operators.curation import _gopher_gate
 
             docs = docs.filter(_gopher_gate(args.gopher)("text"))
+    if getattr(args, "canonical_urls", False) and "url" in docs.columns:
+        # merge tracking-tagged duplicate captures before any URL-keyed
+        # stage (dedup, domain caps) sees the key
+        from .operators.urlnorm import canonical_url_col
+
+        docs = docs.withColumn("url", canonical_url_col())
+        print("canonical-urls: url column canonicalized")
+    if getattr(args, "latest_per_url", False) and "url" in docs.columns:
+        from .operators.dedup import dedup_latest
+
+        ts = "warc_ts" if "warc_ts" in docs.columns else "doc_id"
+        docs = dedup_latest(docs, key_col="url", ts_col=ts)
+        print(f"latest-per-url: newest capture kept per url (ts={ts})")
     docs = c4_clean(docs).withColumn("text", redact_pii_col("text"))
     keep = [c for c in ("doc_id", "url") if c in docs.columns]
     deduped = dedup_paragraphs(
@@ -714,6 +727,14 @@ def build_parser() -> argparse.ArgumentParser:
     cu.add_argument("--lm-ref", default=None, metavar="DIR",
                     help="parquet reference corpus for --lm-filter "
                     "training (doc_id, text)")
+    cu.add_argument("--canonical-urls", action="store_true",
+                    help="canonicalize the url column (lowercase "
+                    "scheme/host, drop fragment/userinfo/default "
+                    "ports/tracking params, sort query) before any "
+                    "URL-keyed stage")
+    cu.add_argument("--latest-per-url", action="store_true",
+                    help="keep only the newest capture per url "
+                    "(warc_ts when present, else max doc_id)")
     cu.add_argument("--token-budget", type=int, default=0, metavar="N",
                     help="keep whole docs in doc_id order until the "
                     "next one would exceed N whitespace tokens")

@@ -20,8 +20,10 @@ two-phase scan, all DataFrame ops:
      on the WARC source's 63-bit hashed ids, re-creating the one-task
      window + #docs-row broadcast this design exists to avoid); then
      per-bucket token sums (one SMALL shuffle — rows = buckets);
-  3. exclusive prefix over the bucket sums (a window over the tiny
-     bucket table — single partition of #buckets rows, fine);
+  3. exclusive prefix over the bucket sums, computed in the DRIVER
+     (r7): the bucket table is bounded (#buckets rows), so a collect
+     + python loop replaces the single-partition prefix-window stage
+     and its two exchanges — fixed cost that Amdahl-capped 3 s jobs;
   4. broadcast the bucket offsets back; within-bucket running sum via
      a window PARTITIONED by bucket (parallel across buckets);
   5. each doc explodes into the (few) sequences it overlaps — narrow,
@@ -47,6 +49,32 @@ __all__ = ["pack_sequences", "cap_per_domain", "domain_col",
            "sample_to_token_budget", "token_budget_sql_duckdb"]
 
 EOS = "<eos>"
+
+
+def _prefix_offsets(spark, brows, keyed: bool):
+    """Bucket rows → exclusive-prefix offset DataFrame, computed in
+    the driver. The bucket aggregate is bounded by design (#keys x
+    #buckets rows; bucket_size is tuned so #buckets ~ cores x a few at
+    any corpus size), so the python loop is O(#buckets) — and skipping
+    the single-partition prefix-window stage drops two exchanges from
+    the plan."""
+    if keyed:
+        brows = sorted(brows, key=lambda r: (r["__key"], r["bucket"]))
+        out, acc, cur = [], 0, None
+        for r in brows:
+            if r["__key"] != cur:
+                cur, acc = r["__key"], 0
+            out.append((cur, r["bucket"], acc))
+            acc += r["bsum"]
+        return spark.createDataFrame(
+            out, "__key string, bucket bigint, boffset bigint"
+        )
+    brows = sorted(brows, key=lambda r: r["bucket"])
+    out, acc = [], 0
+    for r in brows:
+        out.append((r["bucket"], acc))
+        acc += r["bsum"]
+    return spark.createDataFrame(out, "bucket bigint, boffset bigint")
 
 
 def pack_sequences(docs: DataFrame, seq_len: int,
@@ -84,15 +112,15 @@ def pack_sequences(docs: DataFrame, seq_len: int,
     # full int64 id range — float division would lose low bits of
     # 63-bit ids; labels needn't start at 0
     base = base.withColumn("bucket", F.expr(f"doc_id div {width}"))
-    # phase 2+3: bucket sums, then exclusive prefix over the tiny
-    # bucket table (rows = #buckets)
+    # phase 2+3: bucket sums, then exclusive prefix computed in the
+    # DRIVER (r7): the bucket table is bounded (#buckets rows, tuned
+    # via bucket_size), so a collect + python prefix replaces the
+    # single-partition window stage and its two exchanges — ~0.5-0.9 s
+    # of fixed cost per job that Amdahl-capped short-corpus scaling
     bsums = base.groupBy("bucket").agg(F.sum("n_toks").alias("bsum"))
-    w_prefix = Window.orderBy("bucket").rowsBetween(
-        Window.unboundedPreceding, -1
+    boffsets = _prefix_offsets(
+        docs.sparkSession, bsums.collect(), keyed=False
     )
-    boffsets = bsums.withColumn(
-        "boffset", F.coalesce(F.sum("bsum").over(w_prefix), F.lit(0))
-    ).select("bucket", "boffset")
     # phase 4: within-bucket exclusive running sum, parallel per bucket
     w_doc = Window.partitionBy("bucket").orderBy("doc_id").rowsBetween(
         Window.unboundedPreceding, -1
@@ -203,9 +231,9 @@ def sample_to_token_budget(docs: DataFrame, budget: int,
     Same two-phase cumulative scan as pack_sequences (the naive
     `sum over (order by doc_id)` window funnels the corpus through one
     task): equal-width id-span buckets -> per-(key, bucket) sums (one
-    SMALL shuffle) -> exclusive prefix over the tiny bucket table ->
-    broadcast offsets back -> within-bucket window, parallel across
-    (key, bucket). Broadcast size is #keys x #buckets rows — bounded
+    SMALL shuffle) -> exclusive prefix in the driver (bounded bucket
+    table) -> broadcast offsets back -> within-bucket window, parallel
+    across (key, bucket). Broadcast size is #keys x #buckets rows — bounded
     by design for mixture keys (languages, domains-after-capping).
     Tokens = whitespace split, the corpus-budget unit used repo-wide."""
     toks = F.filter(
@@ -213,7 +241,7 @@ def sample_to_token_budget(docs: DataFrame, budget: int,
     )
     key = F.col(by) if by else F.lit("")
     base = docs.select(
-        key.alias("__key"),
+        key.cast("string").alias("__key"),
         F.col(id_col).alias("doc_id"),
         F.size(toks).cast("bigint").alias("n_toks"),
     )
@@ -229,12 +257,9 @@ def sample_to_token_budget(docs: DataFrame, budget: int,
     bsums = base.groupBy("__key", "bucket").agg(
         F.sum("n_toks").alias("bsum")
     )
-    w_prefix = Window.partitionBy("__key").orderBy("bucket").rowsBetween(
-        Window.unboundedPreceding, -1
+    boffsets = _prefix_offsets(
+        docs.sparkSession, bsums.collect(), keyed=True
     )
-    boffsets = bsums.withColumn(
-        "boffset", F.coalesce(F.sum("bsum").over(w_prefix), F.lit(0))
-    ).select("__key", "bucket", "boffset")
     w_doc = Window.partitionBy("__key", "bucket").orderBy(
         "doc_id"
     ).rowsBetween(Window.unboundedPreceding, -1)
