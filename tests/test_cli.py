@@ -492,3 +492,34 @@ def test_cli_curate_canonical_and_latest(tmp_path, spark):
            for r in spark.read.parquet(out).collect()}
     assert sorted(got) == [2, 3]
     assert got[2] == "http://example.com/a"
+
+
+def test_cli_curate_quality_filter(tmp_path, spark):
+    """`curate --quality-pos` keeps docs the NB classifier scores as
+    positive-like (negatives default to the corpus itself)."""
+    good = "the study presents careful evidence about river basins."
+    bad = "buy cheap casino bonus pills online click here wins now."
+
+    def page(i, s):
+        return "\n".join(f"p{i}l{j} {s}" for j in range(3))
+
+    docs = [
+        (0, "u0", page(0, good)),
+        (1, "u1", page(1, good.replace("river", "lake"))),
+        (2, "u2", page(2, bad)),
+        (3, "u3", page(3, bad.replace("pills", "meds"))),
+    ]
+    src = str(tmp_path / "docs.parquet")
+    spark.createDataFrame(
+        docs, "doc_id bigint, url string, text string"
+    ).write.parquet(src)
+    pos = str(tmp_path / "pos.parquet")
+    spark.createDataFrame(
+        [(100, " ".join([good] * 2))], "doc_id bigint, text string"
+    ).write.parquet(pos)
+    # pos corpus is scored-side only input to training, not curated —
+    # single-line text is fine there
+    out = str(tmp_path / "kept.parquet")
+    assert main(["curate", src, out, "--quality-pos", pos]) == 0
+    kept = sorted(r["doc_id"] for r in spark.read.parquet(out).collect())
+    assert kept == [0, 1]

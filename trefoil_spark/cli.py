@@ -530,6 +530,22 @@ def cmd_curate(args) -> int:
         ).select("doc_id")
         deduped = deduped.join(keep_ids, "doc_id", "left_semi")
         print(f"lm-filter: ppl cut {cut:.3f} at percentile {args.lm_filter}")
+    if getattr(args, "quality_pos", None):
+        # GPT-3/LLaMA-style quality gate: NB classifier trained on a
+        # trusted positive corpus vs the crawl itself (or --quality-neg)
+        from .operators.classifier import score_nb_quality, train_nb_quality
+
+        pos = spark.read.parquet(args.quality_pos)
+        neg = (
+            spark.read.parquet(args.quality_neg)
+            if getattr(args, "quality_neg", None) else deduped
+        )
+        model, meta = train_nb_quality(pos, neg)
+        scored = score_nb_quality(deduped, model, meta)
+        cut = float(getattr(args, "quality_cut", 0.0) or 0.0)
+        keep_ids = scored.filter(F.col("score") > cut).select("doc_id")
+        deduped = deduped.join(keep_ids, "doc_id", "left_semi")
+        print(f"quality-filter: kept docs with NB score > {cut}")
     if getattr(args, "dsir_target", None):
         # DSIR selection (Xie 2023): keep the --dsir-k docs whose
         # hashed-ngram distribution best matches the target corpus,
@@ -741,6 +757,17 @@ def build_parser() -> argparse.ArgumentParser:
     cu.add_argument("--budget-by", default=None, metavar="COL",
                     help="make --token-budget per-key (e.g. a lang "
                     "column): each key gets N tokens")
+    cu.add_argument("--quality-pos", default=None, metavar="DIR",
+                    help="parquet trusted positive corpus (doc_id, "
+                    "text): keep docs a Naive-Bayes classifier "
+                    "(trained positives vs --quality-neg, default the "
+                    "corpus itself) scores above --quality-cut")
+    cu.add_argument("--quality-neg", default=None, metavar="DIR",
+                    help="parquet negative corpus for --quality-pos "
+                    "(default: the surviving corpus itself)")
+    cu.add_argument("--quality-cut", type=float, default=0.0,
+                    help="NB score threshold for --quality-pos "
+                    "(default 0.0 = positive-likelier-than-negative)")
     cu.add_argument("--dsir-target", default=None, metavar="DIR",
                     help="parquet target corpus (doc_id, text): keep "
                     "the --dsir-k docs whose hashed-ngram distribution "
