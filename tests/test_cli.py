@@ -523,3 +523,25 @@ def test_cli_curate_quality_filter(tmp_path, spark):
     assert main(["curate", src, out, "--quality-pos", pos]) == 0
     kept = sorted(r["doc_id"] for r in spark.read.parquet(out).collect())
     assert kept == [0, 1]
+
+
+def test_cli_linkrank(tmp_path, spark):
+    """`linkrank` writes host ranks (and optionally the edge table)
+    from a pages parquet."""
+    pages = [
+        (0, "http://a.com/p", '<a href="http://b.com/x">b</a>'),
+        (1, "http://b.com/p", '<a href="http://a.com/">a</a>'),
+    ]
+    src = str(tmp_path / "pages.parquet")
+    spark.createDataFrame(
+        pages, "doc_id bigint, url string, html string"
+    ).write.parquet(src)
+    out = str(tmp_path / "ranks.parquet")
+    edges = str(tmp_path / "edges.parquet")
+    assert main(["linkrank", src, out, "--iters", "2",
+                 "--edges-out", edges]) == 0
+    got = {r["node"]: r["rank"] for r in spark.read.parquet(out).collect()}
+    assert set(got) == {"a.com", "b.com"}
+    # symmetric 2-cycle: uniform rank is the fixed point
+    assert abs(got["a.com"] - 0.5) < 1e-12
+    assert spark.read.parquet(edges).count() == 2

@@ -1,0 +1,92 @@
+"""Link-graph extraction + fixed-iteration PageRank: hand-checked
+edges, DuckDB unrolled-CTE twin parity, and a python-oracle rank
+check."""
+import duckdb
+import pytest
+
+from trefoil_spark.operators.linkgraph import (
+    host_edges,
+    pagerank_hosts,
+    pagerank_sql_duckdb,
+)
+
+PAGES = [
+    (0, "http://a.com/p1",
+     '<p>x</p><a href="http://b.com/x">b</a> '
+     '<A HREF=\'https://c.com/y\'>c</A> '
+     '<a href="/relative">rel</a> <a href="#frag">skip</a>'),
+    (1, "http://b.com/p1", '<a href="http://c.com/z">c</a>'),
+    (2, "http://c.com/p1", '<a href="http://a.com/">a</a>'),
+    (3, "http://a.com/p2",
+     '<a href="http://b.com/other">b again</a>'
+     '<a href="HTTP://A.COM/self">self</a>'),
+    (4, "http://d.com/p1", "<p>no links</p>"),
+]
+
+
+@pytest.fixture(scope="module")
+def pages(spark):
+    return spark.createDataFrame(
+        PAGES, "doc_id bigint, url string, html string"
+    )
+
+
+def test_host_edges(pages):
+    got = {(r["src"], r["dst"]) for r in host_edges(pages).collect()}
+    # a→b appears twice in the corpus but once in the distinct graph;
+    # relative/fragment/self links dropped; d.com has no edges
+    assert got == {("a.com", "b.com"), ("a.com", "c.com"),
+                   ("b.com", "c.com"), ("c.com", "a.com")}
+
+
+def _py_pagerank(edges, iters, num=85, den=100):
+    nodes = sorted({s for s, _ in edges} | {d for _, d in edges})
+    n = len(nodes)
+    deg = {}
+    for s, _ in edges:
+        deg[s] = deg.get(s, 0) + 1
+    rank = {v: 1.0 / n for v in nodes}
+    base = (den - num) / den / n
+    d = num / den
+    for _ in range(iters):
+        contrib = {v: 0.0 for v in nodes}
+        for s, t in edges:
+            contrib[t] += rank[s] / deg[s]
+        rank = {v: base + d * contrib[v] for v in nodes}
+    return rank
+
+
+def test_pagerank_matches_python_oracle(pages, spark):
+    edges_df = host_edges(pages)
+    edges = [(r["src"], r["dst"]) for r in edges_df.collect()]
+    want = _py_pagerank(edges, iters=3)
+    got = {r["node"]: r["rank"]
+           for r in pagerank_hosts(edges_df, iters=3).collect()}
+    assert set(got) == set(want)
+    for v in want:
+        assert got[v] == pytest.approx(want[v], abs=1e-12)
+    # c.com has two in-links from hosts with few out-links: top rank
+    assert max(got, key=got.get) == "c.com"
+
+
+def test_pagerank_duckdb_twin(pages, tmp_path):
+    edges_df = host_edges(pages)
+    p = str(tmp_path / "edges.parquet")
+    edges_df.write.parquet(p)
+    con = duckdb.connect()
+    con.sql(
+        f"CREATE VIEW e AS SELECT * FROM read_parquet('{p}/*.parquet')"
+    )
+    sql = pagerank_sql_duckdb("e", iters=3)
+    oracle = {
+        r[0]: r[1]
+        for r in con.sql(
+            "SELECT node, CAST(ROUND(rank * 1000000000) AS BIGINT) "
+            f"FROM ({sql})"
+        ).fetchall()
+    }
+    got = {
+        r["node"]: round(r["rank"] * 1_000_000_000)
+        for r in pagerank_hosts(edges_df, iters=3).collect()
+    }
+    assert got == oracle

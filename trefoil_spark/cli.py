@@ -597,6 +597,27 @@ def cmd_map(args) -> int:
     return 0
 
 
+def cmd_linkrank(args) -> int:
+    """pages (url, html) → host PageRank table. The edge distinct is
+    the one corpus-sized shuffle; iterations run on host-sized
+    tables (operators/linkgraph.py docstring)."""
+    from .operators.linkgraph import host_edges, pagerank_hosts
+
+    spark = _spark()
+    pages = spark.read.parquet(args.pages)
+    edges = host_edges(pages)
+    if getattr(args, "edges_out", None):
+        edges.write.mode("overwrite").parquet(args.edges_out)
+        # reuse the materialized edges for the rank loop instead of
+        # re-extracting from html once per iteration
+        edges = spark.read.parquet(args.edges_out)
+    ranks = pagerank_hosts(edges, iters=args.iters)
+    ranks.write.mode("overwrite").parquet(args.out)
+    n = spark.read.parquet(args.out).count()
+    print(f"wrote {args.out} ({n} hosts, {args.iters} iterations)")
+    return 0
+
+
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(
         prog="trefoil_spark",
@@ -784,6 +805,20 @@ def build_parser() -> argparse.ArgumentParser:
                     "that decides decode vs probe_only without "
                     "touching payload bytes beyond the header")
     cu.set_defaults(fn=cmd_curate)
+
+    lr = sub.add_parser(
+        "linkrank",
+        help="pages parquet (url, html) → host-level link graph + "
+        "fixed-iteration PageRank parquet (node, rank)",
+    )
+    lr.add_argument("pages", help="parquet pages table with url + html")
+    lr.add_argument("out", help="output parquet dir (node, rank)")
+    lr.add_argument("--iters", type=int, default=3,
+                    help="PageRank iterations (default 3)")
+    lr.add_argument("--edges-out", default=None, metavar="DIR",
+                    help="also write the distinct (src, dst) host "
+                    "edge table")
+    lr.set_defaults(fn=cmd_linkrank)
 
     return p
 
