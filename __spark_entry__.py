@@ -1221,12 +1221,14 @@ def q_streaming_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_streaming_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Streaming rows consolidated in ONE driver row (r7, frees a
-    registry slot — VERDICT r6 item 1): section='zonal' is the
+    """Streaming rows consolidated in ONE driver row (r7, frees
+    registry slots — VERDICT r6 item 1): section='zonal' is the
     stream-static PIP zonal pipeline, section='interval' the tumbling-
-    window agg, both drained AvailableNow and projected to exact
-    integers (key, count, val) so the batch DuckDB twins hash-gate
-    them unchanged."""
+    window agg, section='dedup' (late r7, freeing the slot the
+    `pagerank` row takes) the applyInPandasWithState cross-batch exact
+    dedup — all drained AvailableNow and projected to exact integers
+    (key, count, val) so the batch DuckDB twins hash-gate them
+    unchanged."""
     zonal = q_streaming_zonal(spark, sf_dir).select(
         F.lit("zonal").alias("section"),
         F.col("zone_value").cast("string").alias("key"),
@@ -1239,7 +1241,16 @@ def q_streaming_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("count").cast("bigint").alias("count"),
         F.col("sum_cents").cast("bigint").alias("val"),
     )
-    return zonal.unionByName(interval).orderBy("section", "key")
+    dedup = q_streaming_dedup(spark, sf_dir).select(
+        F.lit("dedup").alias("section"),
+        F.col("text_hash").cast("string").alias("key"),
+        F.lit(1).cast("bigint").alias("count"),
+        F.col("doc_id").cast("bigint").alias("val"),
+    )
+    return (
+        zonal.unionByName(interval).unionByName(dedup)
+        .orderBy("section", "key")
+    )
 
 
 def _cf360_sql(epoch_col_sql: str) -> dict[str, str]:
@@ -1295,6 +1306,61 @@ def q_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         streaming_dedup(stream), "q_streaming_dedup", output_mode="append"
     )
     return out.select("text_hash", "doc_id").orderBy("text_hash")
+
+
+def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Host-level PageRank (r7, operators/linkgraph.py) hash-gated by
+    the driver: a deterministic synthetic host graph derived from the
+    documents table (src = h(doc_id % 97), dst = h((doc_id*31+7) % 89),
+    self-loops dropped, distinct) runs three damped iterations of the
+    join/agg rank loop; the oracle replays the identical edge CTE
+    through the unrolled-CTE SQL twin (pagerank_sql_duckdb). Ranks
+    publish as ROUND(rank*1e9) so per-dst summation-order ulps can't
+    break hash equality. Href extraction from real html is
+    pytest-gated with its own twin (tests/test_linkgraph.py)."""
+    from trefoil_spark.operators.linkgraph import pagerank_hosts
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+    edges = (
+        docs.select(
+            F.concat(
+                F.lit("h"), (F.col("doc_id") % 97).cast("string")
+            ).alias("src"),
+            F.concat(
+                F.lit("h"), ((F.col("doc_id") * 31 + 7) % 89).cast("string")
+            ).alias("dst"),
+        )
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+    ranks = pagerank_hosts(edges, iters=3)
+    return ranks.select(
+        "node",
+        F.round(
+            F.col("rank") * F.lit(1000000000).cast("double")
+        ).cast("bigint").alias("rank_n"),
+    ).orderBy("node")
+
+
+def _pagerank_oracle() -> str:
+    from trefoil_spark.operators.linkgraph import pagerank_sql_duckdb
+
+    inner = pagerank_sql_duckdb("e", iters=3).replace("WITH ", ", ", 1)
+    return f"""
+        SELECT node,
+               CAST(ROUND(rank * CAST(1000000000 AS DOUBLE)) AS BIGINT)
+                   AS rank_n
+        FROM (
+            WITH e AS (
+                SELECT DISTINCT
+                       'h' || CAST(doc_id % 97 AS VARCHAR) AS src,
+                       'h' || CAST((doc_id * 31 + 7) % 89 AS VARCHAR) AS dst
+                FROM documents
+                WHERE 'h' || CAST(doc_id % 97 AS VARCHAR)
+                      <> 'h' || CAST((doc_id * 31 + 7) % 89 AS VARCHAR)
+            ){inner}
+        ) ORDER BY node
+    """
 
 
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1778,7 +1844,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "proj_roundtrip": q_proj_roundtrip,
         "checkpoint_resume": q_checkpoint_resume,
         "streaming_agg": q_streaming_agg,
-        "streaming_dedup": q_streaming_dedup,
+        "pagerank": q_pagerank,
         "cf_360day": q_cf_360day,
         "multimodal_features": q_multimodal_features,
         "multimodal_decode": q_multimodal_decode,
@@ -2122,13 +2188,15 @@ def oracle_sql() -> dict[str, str]:
                 FROM b GROUP BY interval
             )
             SELECT * FROM zonal UNION ALL SELECT * FROM iv
+            UNION ALL
+            SELECT 'dedup' AS section, md5(text) AS key,
+                   CAST(1 AS BIGINT) AS count,
+                   CAST(MIN(doc_id) AS BIGINT) AS val
+            FROM documents GROUP BY md5(text)
             ORDER BY section, key
         """,
+        "pagerank": _pagerank_oracle(),
         "cf_360day": _cf360_oracle(),
-        "streaming_dedup": """
-            SELECT md5(text) AS text_hash, MIN(doc_id) AS doc_id
-            FROM documents GROUP BY text_hash ORDER BY text_hash
-        """,
         "audio_decode": """
             WITH sm AS (
                 SELECT doc_id, ((doc_id * 9176 + i * 37) % 65536) - 32768 AS s
