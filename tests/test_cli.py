@@ -545,3 +545,28 @@ def test_cli_linkrank(tmp_path, spark):
     # symmetric 2-cycle: uniform rank is the fixed point
     assert abs(got["a.com"] - 0.5) < 1e-12
     assert spark.read.parquet(edges).count() == 2
+
+
+def test_cli_curate_strip_boilerplate(tmp_path, spark):
+    """`curate --strip-boilerplate` removes per-host template lines
+    before the quality rules."""
+    nav = "p00 home products about pricing and careers listed here."
+    rows = [
+        (i, f"http://big.com/p{i}",
+         "\n".join([nav,
+                    f"b{i}l0 plenty of ordinary prose words here.",
+                    f"b{i}l1 plenty of ordinary prose words here.",
+                    f"b{i}l2 plenty of ordinary prose words here."]))
+        for i in range(5)
+    ]
+    src = str(tmp_path / "docs.parquet")
+    spark.createDataFrame(
+        rows, "doc_id bigint, url string, text string"
+    ).write.parquet(src)
+    out = str(tmp_path / "clean.parquet")
+    assert main(["curate", src, out, "--strip-boilerplate"]) == 0
+    got = {r["doc_id"]: r["text"]
+           for r in spark.read.parquet(out).collect()}
+    assert sorted(got) == [0, 1, 2, 3, 4]
+    assert all(nav not in t for t in got.values())
+    assert "b2l1 plenty" in got[2]

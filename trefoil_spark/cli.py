@@ -495,6 +495,13 @@ def cmd_curate(args) -> int:
         ts = "warc_ts" if "warc_ts" in docs.columns else "doc_id"
         docs = dedup_latest(docs, key_col="url", ts_col=ts)
         print(f"latest-per-url: newest capture kept per url (ts={ts})")
+    if getattr(args, "strip_boilerplate", False) and "url" in docs.columns:
+        # per-host template lines (nav/footer/cookie banners) go before
+        # the quality rules so they can't skew line statistics
+        from .operators.cleaning import remove_host_boilerplate
+
+        docs = remove_host_boilerplate(docs)
+        print("strip-boilerplate: per-host template lines removed")
     docs = c4_clean(docs).withColumn("text", redact_pii_col("text"))
     keep = [c for c in ("doc_id", "url") if c in docs.columns]
     deduped = dedup_paragraphs(
@@ -764,6 +771,9 @@ def build_parser() -> argparse.ArgumentParser:
     cu.add_argument("--lm-ref", default=None, metavar="DIR",
                     help="parquet reference corpus for --lm-filter "
                     "training (doc_id, text)")
+    cu.add_argument("--strip-boilerplate", action="store_true",
+                    help="remove per-host template lines (lines on "
+                    ">= 1/2 of a host's pages, hosts with >= 4 pages)")
     cu.add_argument("--canonical-urls", action="store_true",
                     help="canonicalize the url column (lowercase "
                     "scheme/host, drop fragment/userinfo/default "

@@ -302,3 +302,120 @@ def sample_deterministic(docs: DataFrame, fraction: float,
         raise ValueError("fraction must be in [0, 1]")
     bucket = F.pmod(F.xxhash64(F.lit(salt), F.col(id_col)), F.lit(1_000_000))
     return docs.filter(bucket < int(round(fraction * 1_000_000)))
+
+
+# ---------------------------------------------------------------------------
+# Per-host boilerplate removal (late r7). Template text — nav bars,
+# footers, cookie banners — repeats on most pages OF ITS HOST while
+# being rare globally, so corpus-wide line dedup (above) keeps one
+# stray copy per line and host-blind frequency cuts would need a
+# global threshold that either misses templates on small hosts or
+# eats real prose on big ones. The published framing is per-shard
+# line-frequency removal (CCNet; RefinedWeb's line-wise rules);
+# keying by host targets template text directly.
+# ---------------------------------------------------------------------------
+
+
+def remove_host_boilerplate(docs: DataFrame, url_col: str = "url",
+                            id_col: str = "doc_id",
+                            text_col: str = "text",
+                            min_frac_num: int = 1,
+                            min_frac_den: int = 2,
+                            min_pages: int = 4,
+                            split_pat: str = r"\n+",
+                            join_sep: str = "\n") -> DataFrame:
+    """Strip lines appearing on >= min_frac_num/min_frac_den of a
+    host's pages, for hosts with >= min_pages pages (below that the
+    frequency estimate is noise and small hosts pass through
+    untouched). The fraction is integer cross-multiplied
+    (n_pages * den >= n_docs * num) so the DuckDB twin is float-free.
+    Docs whose every line was boilerplate are dropped (the
+    dedup_paragraphs contract). Non-text columns ride through.
+
+    Plan: posexplode lines (narrow) → count DISTINCT pages per (host,
+    line-digest) (one digest-keyed shuffle) + page counts per host
+    (host-sized) → the boilerplate digest table (bounded: hosts x
+    their template lines — left to AQE to broadcast when small) →
+    left_anti back onto the line table → one doc_id shuffle to
+    reassemble in original order. The corpus text shuffles once
+    (reassembly), same bound as dedup_paragraphs."""
+    from .textstats import url_host_col
+
+    base = docs.select(
+        id_col, F.lower(url_host_col(url_col)).alias("__host"), text_col
+    )
+    lines = base.select(
+        id_col, "__host",
+        F.posexplode(F.split(F.col(text_col), split_pat))
+        .alias("line_idx", "line"),
+    ).filter(F.length(F.trim("line")) > 0)
+    digested = lines.withColumn("digest", F.md5(F.encode("line", "UTF-8")))
+    per_line = digested.groupBy("__host", "digest").agg(
+        F.count_distinct(id_col).alias("n_pages")
+    )
+    per_host = base.groupBy("__host").agg(
+        F.count_distinct(id_col).alias("n_docs")
+    )
+    boiler = (
+        per_line.join(per_host, "__host")
+        .filter(
+            (F.col("n_docs") >= min_pages)
+            & (F.col("n_pages") * min_frac_den
+               >= F.col("n_docs") * min_frac_num)
+        )
+        .select("__host", "digest")
+    )
+    kept = digested.join(boiler, ["__host", "digest"], "left_anti")
+    rebuilt = kept.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("line_idx", "line"))),
+                lambda s: s["line"],
+            ),
+            join_sep,
+        ).alias(text_col)
+    )
+    return docs.drop(text_col).join(rebuilt, id_col)
+
+
+def boilerplate_sql_duckdb(rel: str, url_col: str = "url",
+                           min_frac_num: int = 1,
+                           min_frac_den: int = 2,
+                           min_pages: int = 4) -> str:
+    """DuckDB twin of :func:`remove_host_boilerplate` for the default
+    newline split/join (the twin joins with chr(10)). SELECT doc_id,
+    text."""
+    from .textstats import url_sql_duckdb
+
+    host = f"lower({url_sql_duckdb(url_col)['host']})"
+    return f"""
+        WITH b AS (
+            SELECT doc_id, {host} AS h, text FROM {rel}
+        ), l AS (
+            SELECT doc_id, h,
+                   unnest(string_split_regex(text, '\n+')) AS line,
+                   unnest(range(1, len(string_split_regex(text, '\n+')) + 1))
+                       AS line_idx
+            FROM b
+        ), d AS (
+            SELECT doc_id, h, line, line_idx, md5(line) AS digest
+            FROM l WHERE length(trim(line)) > 0
+        ), pl AS (
+            SELECT h, digest, COUNT(DISTINCT doc_id) AS n_pages
+            FROM d GROUP BY h, digest
+        ), ph AS (
+            SELECT h, COUNT(DISTINCT doc_id) AS n_docs
+            FROM b GROUP BY h
+        ), boiler AS (
+            SELECT pl.h, pl.digest FROM pl JOIN ph ON pl.h = ph.h
+            WHERE ph.n_docs >= {min_pages}
+              AND pl.n_pages * {min_frac_den} >= ph.n_docs * {min_frac_num}
+        ), kept AS (
+            SELECT d.doc_id, d.line, d.line_idx
+            FROM d LEFT JOIN boiler
+              ON d.h = boiler.h AND d.digest = boiler.digest
+            WHERE boiler.digest IS NULL
+        )
+        SELECT doc_id, string_agg(line, chr(10) ORDER BY line_idx) AS text
+        FROM kept GROUP BY doc_id
+    """
