@@ -570,3 +570,33 @@ def test_cli_curate_strip_boilerplate(tmp_path, spark):
     assert sorted(got) == [0, 1, 2, 3, 4]
     assert all(nav not in t for t in got.values())
     assert "b2l1 plenty" in got[2]
+
+
+def test_cli_curate_host_rank_gate(tmp_path, spark):
+    """`curate --host-ranks --min-host-rank` keeps only docs whose
+    host clears the rank floor from a linkrank table."""
+    def page(i):
+        return "\n".join(
+            f"h{i}l{j} plenty of ordinary prose words here."
+            for j in range(3)
+        )
+
+    rows = [
+        (0, "http://good.com/a", page(0)),
+        (1, "http://good.com/b", page(1)),
+        (2, "http://spamfarm.net/x", page(2)),
+    ]
+    src = str(tmp_path / "docs.parquet")
+    spark.createDataFrame(
+        rows, "doc_id bigint, url string, text string"
+    ).write.parquet(src)
+    ranks = str(tmp_path / "ranks.parquet")
+    spark.createDataFrame(
+        [("good.com", 0.7), ("spamfarm.net", 0.01)],
+        "node string, rank double",
+    ).write.parquet(ranks)
+    out = str(tmp_path / "kept.parquet")
+    assert main(["curate", src, out, "--host-ranks", ranks,
+                 "--min-host-rank", "0.1"]) == 0
+    kept = sorted(r["doc_id"] for r in spark.read.parquet(out).collect())
+    assert kept == [0, 1]

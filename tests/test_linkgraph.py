@@ -90,3 +90,34 @@ def test_pagerank_duckdb_twin(pages, tmp_path):
         for r in pagerank_hosts(edges_df, iters=3).collect()
     }
     assert got == oracle
+
+
+def test_noindex_detection_and_twin(spark, tmp_path):
+    """<meta name=robots content=...noindex...> detection, both
+    attribute orders, DuckDB regexp_matches parity."""
+    from trefoil_spark.operators.linkgraph import NOINDEX_RE, noindex_col
+
+    rows = [
+        (0, '<head><meta name="robots" content="noindex, nofollow">'),
+        (1, "<head><META CONTENT='NOINDEX' NAME='ROBOTS'>"),
+        (2, '<head><meta name="robots" content="index, follow">'),
+        (3, '<head><meta name="viewport" content="noindex-lookalike">'),
+        (4, "<p>no meta at all</p>"),
+        (5, '<meta name=robots content=noindex>'),
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, html string")
+    got = {r["doc_id"]: r["ni"]
+           for r in df.select("doc_id",
+                              noindex_col("html").alias("ni")).collect()}
+    assert got == {0: True, 1: True, 2: False, 3: False,
+                   4: False, 5: True}
+    p = str(tmp_path / "pages.parquet")
+    df.write.parquet(p)
+    import duckdb as _dd
+
+    re_sql = NOINDEX_RE.replace("'", "''")
+    oracle = dict(_dd.sql(
+        f"SELECT doc_id, regexp_matches(html, '{re_sql}') "
+        f"FROM read_parquet('{p}/*.parquet')"
+    ).fetchall())
+    assert oracle == got

@@ -495,6 +495,13 @@ def cmd_curate(args) -> int:
         ts = "warc_ts" if "warc_ts" in docs.columns else "doc_id"
         docs = dedup_latest(docs, key_col="url", ts_col=ts)
         print(f"latest-per-url: newest capture kept per url (ts={ts})")
+    if getattr(args, "drop_noindex", False) and "html" in docs.columns:
+        # crawl politeness: pages opting out via meta-robots noindex
+        # never enter the corpus
+        from .operators.linkgraph import noindex_col
+
+        docs = docs.filter(~noindex_col("html"))
+        print("drop-noindex: meta-robots noindex pages removed")
     if getattr(args, "strip_boilerplate", False) and "url" in docs.columns:
         # per-host template lines (nav/footer/cookie banners) go before
         # the quality rules so they can't skew line statistics
@@ -537,6 +544,23 @@ def cmd_curate(args) -> int:
         ).select("doc_id")
         deduped = deduped.join(keep_ids, "doc_id", "left_semi")
         print(f"lm-filter: ppl cut {cut:.3f} at percentile {args.lm_filter}")
+    if getattr(args, "host_ranks", None) and "url" in deduped.columns:
+        # domain-authority gate: keep docs whose host clears the rank
+        # floor in a linkrank-produced (node, rank) table. Broadcast:
+        # the rank table is host-cardinality by construction.
+        from .operators.textstats import url_host_col
+
+        ranks = spark.read.parquet(args.host_ranks)
+        floor = float(getattr(args, "min_host_rank", 0.0) or 0.0)
+        good_hosts = ranks.filter(F.col("rank") >= floor).select(
+            F.col("node").alias("__host")
+        )
+        deduped = (
+            deduped.withColumn("__host", F.lower(url_host_col("url")))
+            .join(F.broadcast(good_hosts), "__host", "left_semi")
+            .drop("__host")
+        )
+        print(f"host-rank gate: kept hosts with rank >= {floor}")
     if getattr(args, "quality_pos", None):
         # GPT-3/LLaMA-style quality gate: NB classifier trained on a
         # trusted positive corpus vs the crawl itself (or --quality-neg)
@@ -771,6 +795,10 @@ def build_parser() -> argparse.ArgumentParser:
     cu.add_argument("--lm-ref", default=None, metavar="DIR",
                     help="parquet reference corpus for --lm-filter "
                     "training (doc_id, text)")
+    cu.add_argument("--drop-noindex", action="store_true",
+                    help="drop pages whose html carries "
+                    "<meta name=robots content=...noindex...> "
+                    "(needs an html column)")
     cu.add_argument("--strip-boilerplate", action="store_true",
                     help="remove per-host template lines (lines on "
                     ">= 1/2 of a host's pages, hosts with >= 4 pages)")
@@ -788,6 +816,11 @@ def build_parser() -> argparse.ArgumentParser:
     cu.add_argument("--budget-by", default=None, metavar="COL",
                     help="make --token-budget per-key (e.g. a lang "
                     "column): each key gets N tokens")
+    cu.add_argument("--host-ranks", default=None, metavar="DIR",
+                    help="linkrank output parquet (node, rank): keep "
+                    "only docs whose host rank >= --min-host-rank")
+    cu.add_argument("--min-host-rank", type=float, default=0.0,
+                    help="rank floor for --host-ranks")
     cu.add_argument("--quality-pos", default=None, metavar="DIR",
                     help="parquet trusted positive corpus (doc_id, "
                     "text): keep docs a Naive-Bayes classifier "

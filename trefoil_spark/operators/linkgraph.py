@@ -37,7 +37,8 @@ from pyspark.sql import functions as F
 from .textstats import url_host_col
 
 __all__ = ["links_col", "host_edges", "pagerank_hosts",
-           "pagerank_sql_duckdb", "HREF_RE"]
+           "pagerank_sql_duckdb", "HREF_RE", "noindex_col",
+           "NOINDEX_RE"]
 
 # href values in anchor tags; [^"'#] skips same-page fragment links.
 # Shared Java/RE2 dialect ((?i) inline flag, lazy [^>]*).
@@ -167,3 +168,23 @@ def pagerank_sql_duckdb(edges_rel: str, iters: int = 3,
         "WITH " + ", ".join(parts)
         + f" SELECT node, rank FROM r{iters}"
     )
+
+
+# both attribute orders, spelled as an alternation because RE2 (the
+# DuckDB twin's engine) has no lookaheads
+NOINDEX_RE = (
+    r"""(?is)<meta[^>]*\sname\s*=\s*["']?robots\b[^>]*"""
+    r"""\scontent\s*=\s*["']?[^"'>]*noindex"""
+    r"""|<meta[^>]*\scontent\s*=\s*["']?[^"'>]*noindex[^>]*"""
+    r"""\sname\s*=\s*["']?robots\b"""
+)
+
+
+def noindex_col(html_col="html") -> Column:
+    """True when the page opts out of indexing via
+    <meta name="robots" content="... noindex ...">, the crawl-polite
+    pre-filter a curation pipeline applies before keeping a page.
+    Pure Catalyst rlike; binary html casts to string. The DuckDB twin
+    is `regexp_matches(html, NOINDEX_RE)` — same RE2-safe pattern."""
+    col = html_col if not isinstance(html_col, str) else F.col(html_col)
+    return col.cast("string").rlike(NOINDEX_RE)
