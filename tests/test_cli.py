@@ -600,3 +600,67 @@ def test_cli_curate_host_rank_gate(tmp_path, spark):
                  "--min-host-rank", "0.1"]) == 0
     kept = sorted(r["doc_id"] for r in spark.read.parquet(out).collect())
     assert kept == [0, 1]
+
+
+def test_cli_curate_full_composition(tmp_path, spark):
+    """Every r7 curate stage composed in one run: noindex drop →
+    canonical urls → latest-per-url → boilerplate strip → C4/PII →
+    dedup → domain cap → quality gate → token budget. Checks the
+    stages interact in the documented order."""
+    import datetime
+
+    ts = datetime.datetime(2026, 1, 1)
+    nav = "x00 home products about pricing and careers listed here."
+    good = "the study presents careful evidence about river basins."
+    bad = "buy cheap casino bonus pills online click here wins now."
+
+    def page(i, s, extra=""):
+        lines = [nav] + [f"g{i}l{j} {s}" for j in range(3)]
+        if extra:
+            lines.append(extra)
+        return "\n".join(lines)
+
+    rows = [
+        # same page, tracking-tagged recapture: only newest (1) survives
+        (0, "http://big.com/a?utm_source=x", ts, None, page(0, good)),
+        (1, "HTTP://BIG.COM:80/a", ts + datetime.timedelta(days=1), None,
+         page(0, good)),
+        # three more good pages (boilerplate host threshold needs >= 4)
+        (2, "http://big.com/b", ts, None, page(2, good)),
+        (3, "http://big.com/c", ts, None, page(3, good)),
+        (4, "http://big.com/d", ts, None, page(4, good)),
+        # noindex page never enters
+        (5, "http://big.com/e", ts,
+         '<meta name="robots" content="noindex">', page(5, good)),
+        # spam doc: quality gate removes
+        (6, "http://spam.net/x", ts, None, page(6, bad)),
+    ]
+    src = str(tmp_path / "docs.parquet")
+    spark.createDataFrame(
+        rows,
+        "doc_id bigint, url string, warc_ts timestamp, "
+        "html string, text string",
+    ).write.parquet(src)
+    pos = str(tmp_path / "pos.parquet")
+    spark.createDataFrame(
+        [(100, " ".join([good] * 2))], "doc_id bigint, text string"
+    ).write.parquet(pos)
+    neg = str(tmp_path / "neg.parquet")
+    spark.createDataFrame(
+        [(200, " ".join([bad] * 2))], "doc_id bigint, text string"
+    ).write.parquet(neg)
+    out = str(tmp_path / "final.parquet")
+    assert main([
+        "curate", src, out,
+        "--drop-noindex", "--canonical-urls", "--latest-per-url",
+        "--strip-boilerplate", "--quality-pos", pos,
+        "--quality-neg", neg,
+    ]) == 0
+    got = {r["doc_id"]: r["text"]
+           for r in spark.read.parquet(out).collect()}
+    # 0 lost to latest-per-url, 5 to noindex, 6 to quality
+    assert sorted(got) == [1, 2, 3, 4]
+    # boilerplate nav stripped everywhere (4 surviving big.com pages
+    # after dedup still clear min_pages=4)
+    assert all(nav not in t for t in got.values())
+    assert "g2l1 the study" in got[2]

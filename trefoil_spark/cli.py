@@ -500,7 +500,11 @@ def cmd_curate(args) -> int:
         # never enter the corpus
         from .operators.linkgraph import noindex_col
 
-        docs = docs.filter(~noindex_col("html"))
+        # coalesce: NULL html (text-only rows) must not be dropped —
+        # rlike(NULL) is NULL and filter(NULL) discards the row
+        docs = docs.filter(
+            ~F.coalesce(noindex_col("html"), F.lit(False))
+        )
         print("drop-noindex: meta-robots noindex pages removed")
     if getattr(args, "strip_boilerplate", False) and "url" in docs.columns:
         # per-host template lines (nav/footer/cookie banners) go before
