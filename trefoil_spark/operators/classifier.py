@@ -198,7 +198,10 @@ def train_nb_multiclass(labeled: DataFrame, label_col: str = "lang",
     row per label (label, n_l, v, log_prior, log_unseen) where
     log_prior = ln(docs_l) - ln(docs) and log_unseen =
     ln(1/(N_l+V)) is the per-label score of a token absent from the
-    whole vocab-for-that-label."""
+    whole vocab-for-that-label. Degenerate labels whose every training
+    doc tokenizes to empty contribute no counts and drop out of the
+    model (they could never win argmax anyway); the label survives in
+    the doc-count prior denominators."""
     toks = labeled.select(
         F.col(label_col).alias("label"),
         F.explode(tokens_col(text_col)).alias("w"),
