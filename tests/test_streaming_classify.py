@@ -1,0 +1,57 @@
+"""Streaming NB quality gate: the stream-side kept set must equal the
+batch scorer's filter exactly (same model, same tokenization)."""
+import pytest
+from pyspark.sql import functions as F
+
+from trefoil_spark.operators.classifier import (
+    score_nb_quality,
+    train_nb_quality,
+)
+from trefoil_spark.streaming.interval import run_available_now
+from trefoil_spark.streaming.stateful import streaming_classify
+
+
+def _prose(i, topic):
+    words = {
+        "good": "the study presents careful evidence about river basins",
+        "bad": "buy cheap casino bonus pills online click here wins",
+    }[topic]
+    return " ".join(f"{words} s{i % 3}" for _ in range(2 + i % 2))
+
+
+def test_stream_matches_batch_filter(spark, tmp_path):
+    pos = spark.createDataFrame(
+        [(i, _prose(i, "good")) for i in range(6)],
+        "doc_id bigint, text string",
+    )
+    neg = spark.createDataFrame(
+        [(100 + i, _prose(i, "bad")) for i in range(6)],
+        "doc_id bigint, text string",
+    )
+    docs = spark.createDataFrame(
+        [(200 + i, _prose(i, "good" if i % 2 == 0 else "bad"))
+         for i in range(8)] + [(300, "")],
+        "doc_id bigint, text string",
+    )
+    src = str(tmp_path / "stream_src")
+    docs.write.parquet(src)
+
+    model, meta = train_nb_quality(pos, neg)
+    batch_kept = {
+        r["doc_id"]
+        for r in score_nb_quality(docs, model, meta)
+        .filter(F.col("score") > 0).collect()
+    }
+    assert batch_kept == {200 + i for i in range(8) if i % 2 == 0}
+
+    stream = spark.readStream.schema(
+        "doc_id bigint, text string"
+    ).parquet(src)
+    out = run_available_now(
+        streaming_classify(stream, model, meta),
+        "q_streaming_classify", output_mode="append",
+    )
+    stream_kept = {r["doc_id"] for r in out.select("doc_id").collect()}
+    assert stream_kept == batch_kept
+    # score column rides along and is positive for kept rows
+    assert all(r["score"] > 0 for r in out.collect())

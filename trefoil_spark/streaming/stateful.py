@@ -93,3 +93,40 @@ def streaming_clean(stream: "DataFrame", text_col: str = "text",
         text_col, redact_pii_col(text_col)
     )
     return streaming_dedup(cleaned, id_col=id_col, text_col=text_col)
+
+
+def streaming_classify(stream: "DataFrame", model: "DataFrame",
+                       meta: "DataFrame", cut: float = 0.0,
+                       text_col: str = "text") -> "DataFrame":
+    """NB quality gate on a stream (late r7): the batch-trained
+    classifier (operators/classifier.py) applied per micro-batch with
+    ZERO shuffle and zero state — the batch scorer's explode→join→agg
+    reshape is replaced by an Arrow-batched pandas scorer over a
+    driver-collected model dict, because a streaming aggregation would
+    force update/complete output mode onto an otherwise append-only
+    pipeline. The collect is vocab-sized (the same boundedness the
+    batch broadcast relies on); tokenization (lower + whitespace split,
+    empties dropped) matches lm.tokens_col exactly, so the kept set
+    equals the batch filter's. Emits the input rows + a `score` double
+    column for rows with score > cut (empty docs score None and drop —
+    no evidence, same contract as the batch side)."""
+    from pyspark.sql.types import DoubleType, StructField
+
+    llr = {r["w"]: r["llr"] for r in model.collect()}
+    llr0 = meta.select("llr0").first()["llr0"]
+    schema = StructType(
+        stream.schema.fields + [StructField("score", DoubleType())]
+    )
+
+    def gate(batches):
+        for pdf in batches:
+            toks = pdf[text_col].str.lower().str.split()
+            scores = [
+                sum(llr.get(w, llr0) for w in t) if isinstance(t, list) and t
+                else None
+                for t in toks
+            ]
+            out = pdf.assign(score=pd.array(scores, dtype="float64"))
+            yield out[out["score"].notna() & (out["score"] > cut)]
+
+    return stream.mapInPandas(gate, schema)
