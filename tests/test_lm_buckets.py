@@ -1,0 +1,67 @@
+"""CCNet head/middle/tail perplexity bucketing: exact tercile cuts,
+bucket assignment vs the DuckDB twin, deterministic-sample cuts."""
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from trefoil_spark.operators.lm import (
+    ppl_bucket_col,
+    ppl_bucket_sql_duckdb,
+    ppl_tercile_cuts,
+    score_perplexity,
+    train_bigram_lm,
+)
+
+
+@pytest.fixture(scope="module")
+def scored(spark):
+    # graded repetitiveness: low-ppl docs repeat the reference corpus,
+    # high-ppl docs shuffle rarer word orders
+    base = "the river flows past the old mill toward the sea".split()
+    docs = []
+    for i in range(30):
+        rot = base[i % len(base):] + base[:i % len(base)]
+        extra = [f"w{i}x{j}" for j in range(i % 7)]
+        docs.append((i, " ".join(rot * 2 + extra)))
+    df = spark.createDataFrame(docs, "doc_id bigint, text string")
+    model, uni = train_bigram_lm(df)
+    return score_perplexity(df, model, uni)
+
+
+def test_cut_rule_exact(scored):
+    cuts = ppl_tercile_cuts(scored)
+    vals = sorted(r["ppl"] for r in scored.filter(
+        F.col("ppl").isNotNull()).collect())
+    n = len(vals)
+    assert cuts == (vals[(n - 1) // 3], vals[2 * (n - 1) // 3])
+    assert cuts[0] <= cuts[1]
+
+
+def test_bucket_twin_and_counts(scored, tmp_path):
+    cuts = ppl_tercile_cuts(scored)
+    out = scored.select(
+        "doc_id", "ppl", ppl_bucket_col(cuts).alias("bucket")
+    )
+    got = {r["doc_id"]: r["bucket"] for r in out.collect()}
+    # terciles: roughly a third in each bucket
+    from collections import Counter
+
+    c = Counter(got.values())
+    assert set(c) == {"head", "middle", "tail"}
+    assert c["head"] >= 10  # ties land low with the <= rule
+    p = str(tmp_path / "scored.parquet")
+    scored.write.parquet(p)
+    sql = ppl_bucket_sql_duckdb(cuts)
+    oracle = dict(duckdb.sql(
+        f"SELECT doc_id, {sql} AS bucket "
+        f"FROM read_parquet('{p}/*.parquet')"
+    ).fetchall())
+    assert got == oracle
+
+
+def test_sampled_cuts_deterministic(scored):
+    a = ppl_tercile_cuts(scored, sample_frac=0.5, salt=7)
+    b = ppl_tercile_cuts(scored, sample_frac=0.5, salt=7)
+    assert a == b
+    c = ppl_tercile_cuts(scored.repartition(13), sample_frac=0.5, salt=7)
+    assert a == c  # partition-stable

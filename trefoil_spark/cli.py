@@ -597,6 +597,31 @@ def cmd_curate(args) -> int:
         ).select("doc_id")
         deduped = deduped.join(keep_ids, "doc_id", "left_semi")
         print(f"lm-filter: ppl cut {cut:.3f} at percentile {args.lm_filter}")
+    if getattr(args, "lm_buckets", False):
+        # CCNet §4.3 head/middle/tail tagging (no filtering): score,
+        # derive the two tercile thresholds once (constants), then tag
+        # with a narrow comparison — downstream mixture recipes sample
+        # by bucket
+        from .operators.lm import (
+            ppl_bucket_col,
+            ppl_tercile_cuts,
+            score_perplexity,
+            train_bigram_lm,
+        )
+
+        ref = (
+            spark.read.parquet(args.lm_ref)
+            if getattr(args, "lm_ref", None) else deduped
+        )
+        model, uni = train_bigram_lm(ref)
+        scored = score_perplexity(deduped, model, uni)
+        cuts = ppl_tercile_cuts(scored)
+        deduped = (
+            deduped.join(scored.select("doc_id", "ppl"), "doc_id", "left")
+            .withColumn("ppl_bucket", ppl_bucket_col(cuts))
+            .drop("ppl")
+        )
+        print(f"lm-buckets: cuts head<={cuts[0]:.3f} middle<={cuts[1]:.3f}")
     if getattr(args, "host_ranks", None) and "url" in deduped.columns:
         # domain-authority gate: keep docs whose host clears the rank
         # floor in a linkrank-produced (node, rank) table. Broadcast:
@@ -869,6 +894,10 @@ def build_parser() -> argparse.ArgumentParser:
     cu.add_argument("--budget-by", default=None, metavar="COL",
                     help="make --token-budget per-key (e.g. a lang "
                     "column): each key gets N tokens")
+    cu.add_argument("--lm-buckets", action="store_true",
+                    help="tag (not filter) docs with CCNet-style "
+                    "head/middle/tail perplexity buckets (trains on "
+                    "--lm-ref or the corpus itself)")
     cu.add_argument("--host-ranks", default=None, metavar="DIR",
                     help="linkrank output parquet (node, rank): keep "
                     "only docs whose host rank >= --min-host-rank")

@@ -30,7 +30,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["tokens_col", "train_bigram_lm", "score_perplexity"]
+__all__ = ["tokens_col", "train_bigram_lm", "score_perplexity",
+           "ppl_tercile_cuts", "ppl_bucket_col", "ppl_bucket_sql_duckdb"]
 
 
 def tokens_col(text_col: str = "text"):
@@ -141,4 +142,63 @@ def score_perplexity(docs: DataFrame, model: DataFrame,
     return scored.groupBy("doc_id").agg(
         F.count("*").alias("n_bigrams"),
         F.exp(-(F.sum("lp") / F.count("*"))).alias("ppl"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# CCNet head/middle/tail bucketing (late r7). Wenzek et al. 2020 §4.3
+# split the crawl into three perplexity buckets per language and train
+# preferentially on the low-perplexity "head"; the thresholds are
+# CONSTANTS computed once from a reference distribution, after which
+# bucketing is a narrow per-row comparison — the shape that matters at
+# 100 TB (no global sort, no ntile window over the corpus).
+# ---------------------------------------------------------------------------
+
+
+def ppl_tercile_cuts(scored: DataFrame, sample_frac: float = 1.0,
+                     salt: int = 0) -> tuple[float, float]:
+    """Derive the (head|middle, middle|tail) perplexity thresholds
+    from a scored table — exact over all non-null ppl when
+    sample_frac=1.0, else over a deterministic hash sample (pure
+    function of (salt, doc_id): retry/partition-stable; the collect is
+    bounded by the sample). Cut rule: sorted sample, element at index
+    floor((n-1)/3) and floor(2*(n-1)/3) — the exact lower-tercile
+    statistic, reproducible in any engine."""
+    df = scored.filter(F.col("ppl").isNotNull())
+    if sample_frac < 1.0:
+        from .cleaning import sample_deterministic
+
+        df = sample_deterministic(df, sample_frac, salt=salt)
+    vals = sorted(r["ppl"] for r in df.select("ppl").collect())
+    if not vals:
+        raise ValueError("no scored documents to derive cuts from")
+    n = len(vals)
+    return vals[(n - 1) // 3], vals[2 * (n - 1) // 3]
+
+
+def ppl_bucket_col(cuts: tuple[float, float],
+                   ppl_col: str = "ppl"):
+    """ppl → 'head' | 'middle' | 'tail' (NULL ppl → NULL): narrow
+    comparison against constant thresholds. Twin:
+    ppl_bucket_sql_duckdb with the same cuts injected."""
+    c1, c2 = cuts
+    p = F.col(ppl_col)
+    return (
+        F.when(p.isNull(), F.lit(None).cast("string"))
+        .when(p <= F.lit(float(c1)).cast("double"), F.lit("head"))
+        .when(p <= F.lit(float(c2)).cast("double"), F.lit("middle"))
+        .otherwise(F.lit("tail"))
+    )
+
+
+def ppl_bucket_sql_duckdb(cuts: tuple[float, float],
+                          ppl_col: str = "ppl") -> str:
+    """Exact DuckDB twin of :func:`ppl_bucket_col` (cuts injected as
+    hex-exact float literals via repr)."""
+    c1, c2 = float(cuts[0]), float(cuts[1])
+    return (
+        f"CASE WHEN {ppl_col} IS NULL THEN NULL "
+        f"WHEN {ppl_col} <= CAST({c1!r} AS DOUBLE) THEN 'head' "
+        f"WHEN {ppl_col} <= CAST({c2!r} AS DOUBLE) THEN 'middle' "
+        f"ELSE 'tail' END"
     )
