@@ -679,3 +679,81 @@ def dedup_substrings(
         f"{f.name} {f.dataType.simpleString()}" for f in docs.schema.fields
     )
     return joined.mapInPandas(rewrite, schema=schema)
+
+
+def semdedup(
+    emb: DataFrame,
+    n_clusters: int = 16,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_cluster: int | None = DEFAULT_MAX_BUCKET,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): k-means-cluster the embedding
+    space, find cosine-near-duplicate pairs WITHIN each cluster, and
+    keep one representative (min id) per duplicate group. Returns the
+    kept (id) rows — semantic dedup for web-scale corpora, where
+    paraphrase duplicates share no n-grams but collapse in embedding
+    space.
+
+    Composition of already-verified pieces: `train_ivf_centroids`
+    (Lloyd's on a bounded driver sample; assignment stays distributed)
+    → `ivf_assign_expr` cluster id → the same capped self-join +
+    exact-cosine verify as embedding_near_duplicates but keyed on the
+    CLUSTER (SemDeDup's candidate rule) → `connected_components` over
+    the pair graph → min-id winner per component. Scale shape: one
+    cluster equi-join bounded by `max_cluster` per cluster (the
+    paper's per-cluster pruning), CC over pair-graph edges only
+    (dup pairs, a small fraction of the corpus), one semi-join back.
+    Recall relative to all-pairs is bounded by the clustering (a
+    near-dup pair split across clusters is missed) — the paper's own
+    trade, stated here as the contract."""
+    from ..raster.vectorize import connected_components
+    from .similarity import _dot, _norm, ivf_assign_expr, train_ivf_centroids
+
+    centroids = train_ivf_centroids(emb, n_centroids=n_clusters,
+                                    vec_col=vec_col)
+    b = emb.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("v"),
+        F.expr(ivf_assign_expr(vec_col, centroids)).alias("cluster"),
+    )
+    b = _cap_hot_keys(b, ["cluster"], max_cluster, "id")
+    l, r = b.alias("l"), b.alias("r")
+    cand = l.join(
+        r,
+        (F.col("l.cluster") == F.col("r.cluster"))
+        & (F.col("l.id") < F.col("r.id")),
+    ).select(
+        F.col("l.id").alias("id_a"),
+        F.col("r.id").alias("id_b"),
+        F.col("l.v").alias("va"),
+        F.col("r.v").alias("vb"),
+    )
+    cos = F.expr(_dot("va", "vb")) / (F.expr(_norm("va")) * F.expr(_norm("vb")))
+    pairs = (
+        cand.withColumn("_c", cos)
+        .filter(F.col("_c") >= F.lit(float(threshold)).cast("double"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    comps = connected_components(
+        pairs.select(
+            F.col("id_a").cast("string").alias("node_a"),
+            F.col("id_b").cast("string").alias("node_b"),
+        )
+    )
+    # every component keeps its numeric-min member; nodes are
+    # stringified ids, so the winner compare is numeric. min per
+    # component via an aggregation join (combines map-side), not a
+    # window
+    nids = comps.select(
+        F.col("node").cast("bigint").alias("nid"), "global_id"
+    )
+    winners = nids.groupBy("global_id").agg(F.min("nid").alias("keep"))
+    losers = (
+        nids.join(winners, "global_id")
+        .filter(F.col("nid") != F.col("keep"))
+        .select(F.col("nid").alias(id_col))
+    )
+    return emb.join(losers, id_col, "left_anti")
