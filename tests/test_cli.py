@@ -694,3 +694,39 @@ def test_cli_corpus_stats(tmp_path, spark, capsys):
     # exact at this cardinality)
     assert by_dom["a.com"]["approx_distinct_texts"] == 2
     assert spark.read.parquet(out).count() == 2
+
+
+def test_cli_curate_semdedup(tmp_path, spark):
+    """`curate --semdedup` drops docs whose embeddings collapse to a
+    duplicate group, keeping the min-id representative."""
+    import numpy as np
+
+    def page(i):
+        return "\n".join(
+            f"s{i}l{j} plenty of ordinary prose words here."
+            for j in range(3)
+        )
+
+    docs = [(i, f"http://h{i}.com/p", page(i)) for i in range(4)]
+    src = str(tmp_path / "docs.parquet")
+    spark.createDataFrame(
+        docs, "doc_id bigint, url string, text string"
+    ).write.parquet(src)
+    rng = np.random.RandomState(3)
+    base = rng.randn(3, 8)
+    vecs = [
+        (0, [float(x) for x in base[0]]),
+        (1, [float(x) for x in base[0] + 1e-4]),  # dup of 0
+        (2, [float(x) for x in base[1]]),
+        (3, [float(x) for x in base[2]]),
+    ]
+    emb = str(tmp_path / "emb.parquet")
+    spark.createDataFrame(
+        vecs, "vec_id bigint, embedding array<double>"
+    ).write.parquet(emb)
+    out = str(tmp_path / "kept.parquet")
+    assert main(["curate", src, out, "--semdedup", emb,
+                 "--semdedup-clusters", "2",
+                 "--semdedup-threshold", "0.999"]) == 0
+    kept = sorted(r["doc_id"] for r in spark.read.parquet(out).collect())
+    assert kept == [0, 2, 3]

@@ -597,6 +597,18 @@ def cmd_curate(args) -> int:
         ).select("doc_id")
         deduped = deduped.join(keep_ids, "doc_id", "left_semi")
         print(f"lm-filter: ppl cut {cut:.3f} at percentile {args.lm_filter}")
+    if getattr(args, "semdedup", None):
+        # semantic dedup: paraphrase duplicates collapse in embedding
+        # space even when no n-gram survives the rewrite
+        from .operators.dedup import semdedup as _semdedup
+
+        emb = spark.read.parquet(args.semdedup)
+        kept_ids = _semdedup(
+            emb, n_clusters=getattr(args, "semdedup_clusters", 16),
+            threshold=getattr(args, "semdedup_threshold", 0.95),
+        ).select(F.col("vec_id").alias("doc_id"))
+        deduped = deduped.join(kept_ids, "doc_id", "left_semi")
+        print("semdedup: semantic duplicates dropped")
     if getattr(args, "lm_buckets", False):
         # CCNet §4.3 head/middle/tail tagging (no filtering): score,
         # derive the two tercile thresholds once (constants), then tag
@@ -894,6 +906,15 @@ def build_parser() -> argparse.ArgumentParser:
     cu.add_argument("--budget-by", default=None, metavar="COL",
                     help="make --token-budget per-key (e.g. a lang "
                     "column): each key gets N tokens")
+    cu.add_argument("--semdedup", default=None, metavar="DIR",
+                    help="embeddings parquet (vec_id = doc_id, "
+                    "embedding array): drop semantic duplicates "
+                    "(SemDeDup — keep one doc per embedding-space "
+                    "duplicate group)")
+    cu.add_argument("--semdedup-clusters", type=int, default=16,
+                    help="k-means clusters for --semdedup")
+    cu.add_argument("--semdedup-threshold", type=float, default=0.95,
+                    help="cosine threshold for --semdedup")
     cu.add_argument("--lm-buckets", action="store_true",
                     help="tag (not filter) docs with CCNet-style "
                     "head/middle/tail perplexity buckets (trains on "
