@@ -730,3 +730,31 @@ def test_cli_curate_semdedup(tmp_path, spark):
                  "--semdedup-threshold", "0.999"]) == 0
     kept = sorted(r["doc_id"] for r in spark.read.parquet(out).collect())
     assert kept == [0, 2, 3]
+
+
+def test_cli_curate_robots(tmp_path, spark):
+    """`curate --robots` drops docs the host's robots.txt disallows."""
+    def page(i):
+        return "\n".join(
+            f"r{i}l{j} plenty of ordinary prose words here."
+            for j in range(3)
+        )
+
+    docs = [
+        (0, "http://a.com/public/x", page(0)),
+        (1, "http://a.com/private/y", page(1)),
+        (2, "http://b.com/anything", page(2)),
+    ]
+    src = str(tmp_path / "docs.parquet")
+    spark.createDataFrame(
+        docs, "doc_id bigint, url string, text string"
+    ).write.parquet(src)
+    robots = str(tmp_path / "robots.parquet")
+    spark.createDataFrame(
+        [("a.com", "User-agent: *\nDisallow: /private/\n")],
+        "host string, body string",
+    ).write.parquet(robots)
+    out = str(tmp_path / "kept.parquet")
+    assert main(["curate", src, out, "--robots", robots]) == 0
+    kept = sorted(r["doc_id"] for r in spark.read.parquet(out).collect())
+    assert kept == [0, 2]

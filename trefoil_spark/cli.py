@@ -538,6 +538,17 @@ def cmd_curate(args) -> int:
 
         docs = docs.withColumn("url", canonical_url_col())
         print("canonical-urls: url column canonicalized")
+    if getattr(args, "robots", None) and "url" in docs.columns:
+        # retroactive politeness: honor each host's robots.txt for the
+        # crawler's user-agent before anything else keys on the URL
+        from .operators.robots import gate_disallowed_urls, parse_robots_rules
+
+        robots = spark.read.parquet(args.robots)
+        rules = parse_robots_rules(
+            robots, agent=getattr(args, "robots_agent", "*") or "*"
+        )
+        docs = gate_disallowed_urls(docs, rules)
+        print("robots: disallowed urls dropped")
     if getattr(args, "latest_per_url", False) and "url" in docs.columns:
         from .operators.dedup import dedup_latest
 
@@ -885,6 +896,12 @@ def build_parser() -> argparse.ArgumentParser:
     cu.add_argument("--lm-ref", default=None, metavar="DIR",
                     help="parquet reference corpus for --lm-filter "
                     "training (doc_id, text)")
+    cu.add_argument("--robots", default=None, metavar="DIR",
+                    help="parquet robots.txt table (host, body): drop "
+                    "docs whose URL the host disallows for "
+                    "--robots-agent (RFC 9309 prefix subset)")
+    cu.add_argument("--robots-agent", default="*",
+                    help="user-agent for --robots (default *)")
     cu.add_argument("--drop-noindex", action="store_true",
                     help="drop pages whose html carries "
                     "<meta name=robots content=...noindex...> "
