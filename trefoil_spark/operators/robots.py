@@ -31,7 +31,7 @@ from pyspark.sql.window import Window
 from .textstats import url_host_col, url_path_col
 
 __all__ = ["parse_robots_rules", "gate_disallowed_urls",
-           "robots_rules_sql_duckdb"]
+           "robots_rules_sql_duckdb", "robots_from_pages"]
 
 
 def parse_robots_rules(robots: DataFrame, agent: str = "*",
@@ -196,3 +196,23 @@ def robots_rules_sql_duckdb(rel: str, agent: str = "*",
           ON grouped.host = selected.host AND grouped.grp = selected.grp
         WHERE key IN ('allow', 'disallow') AND val <> ''
     """
+
+
+def robots_from_pages(pages: DataFrame, url_col: str = "url",
+                      text_col: str = "text") -> DataFrame:
+    """Pull (host, body) robots tables out of the crawl itself: pages
+    whose path is exactly /robots.txt (the capture every crawler
+    fetches first). Newest capture wins per host via the same
+    map-side-combining max_by as dedup_latest (tie-break: longer body,
+    then lexicographic, fully deterministic even without a timestamp
+    column). Narrow filter + one host-keyed aggregation."""
+    host = F.lower(url_host_col(url_col))
+    path = url_path_col(url_col)
+    cand = pages.filter(path == "/robots.txt").select(
+        host.alias("host"), F.col(text_col).alias("body")
+    )
+    return cand.groupBy("host").agg(
+        F.max_by(
+            "body", F.struct(F.length("body").alias("l"), F.col("body"))
+        ).alias("body")
+    )
