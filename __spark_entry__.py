@@ -99,6 +99,24 @@ def _pages(spark: SparkSession, sf_dir: str) -> DataFrame:
     return build_pages(spark, sf_dir, with_html=False)
 
 
+def _osort(df: DataFrame, *cols: str) -> DataFrame:
+    """orderBy with a materialization barrier before the range exchange.
+
+    r8 (guide §2.4/§7.2): a global sort range-partitions its input, and
+    the boundary-sampling job EXECUTES THE CHILD PLAN a second time.
+    AQE's materialized shuffle stages shield queries whose child ends in
+    an exchange, but a narrow chain (scan → codegen projections →
+    Arrow/pandas eval) runs twice — for md5-fingerprint or decode-heavy
+    chains that doubled the query (text_stats measured 1.30 s → ~0.7 s).
+    The lazy localCheckpoint materializes the (small, final) result once
+    per invocation inside the same job cascade; sampling and the sort
+    then read the cached blocks. Blocks are freed when the DataFrame is
+    GC'd; nothing persists across invocations (each call builds a fresh
+    plan), so every run still computes from the parquet inputs.
+    """
+    return df.localCheckpoint(eager=False).orderBy(*cols)
+
+
 def _zone_case_sql() -> str:
     """Burn-order zone assignment as a CASE over generated PIP SQL."""
     cases = []
@@ -118,14 +136,14 @@ _PAGES_CTE = pages_cte_sql("documents")
 def q_cell_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SURVEY §2 P1-P4 analog at record grain: geotag → qcell key (pure
     Catalyst integer expressions, codegen; the partition key of the engine)."""
-    return _pages(spark, sf_dir).select("doc_id", "lat", "lon", "cell").orderBy("doc_id")
+    return _osort(_pages(spark, sf_dir).select("doc_id", "lat", "lon", "cell"), "doc_id")
 
 
 def q_pip_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SURVEY §2 J1/J2: broadcast covering-index PIP join with burn-order
     overlap resolution (rasterize-centroid semantics)."""
     joined = pip_join(_pages(spark, sf_dir), ZONE_LAYER, key_cols=["doc_id"])
-    return joined.select("doc_id", "url", "zone_value").orderBy("doc_id")
+    return _osort(joined.select("doc_id", "url", "zone_value"), "doc_id")
 
 
 def q_zonal_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -369,13 +387,14 @@ def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
     out = text_stats(docs)
-    return out.select(
+    out = out.select(
         "doc_id",
         F.col("n_chars").cast("bigint").alias("n_chars"),
         F.col("n_tokens").cast("bigint").alias("n_tokens"),
         F.col("n_distinct_tokens").cast("bigint").alias("n_distinct_tokens"),
         "type_token_ratio", "mean_token_len", "fingerprint", "lang_pred",
-    ).orderBy("doc_id")
+    )
+    return _osort(out, "doc_id")
 
 
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -695,9 +714,12 @@ def _reduce_warp_sum_count(warped: DataFrame) -> DataFrame:
                 rows.append((int(row.ty), int(row.tx), float(v[ok].sum()), int(ok.sum())))
             yield pd.DataFrame(rows, columns=["ty", "tx", "sum", "count"])
 
-    return warped.mapInPandas(
-        reduce_tiles, schema="ty int, tx int, sum double, count bigint"
-    ).orderBy("ty", "tx")
+    return _osort(
+        warped.mapInPandas(
+            reduce_tiles, schema="ty int, tx int, sum double, count bigint"
+        ),
+        "ty", "tx",
+    )
 
 
 def q_warp_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -768,9 +790,12 @@ def _floor_count_reduce(warped: DataFrame) -> DataFrame:
                 )
             yield pd.DataFrame(rows, columns=["ty", "tx", "floor_sum", "count"])
 
-    return warped.mapInPandas(
-        reduce_tiles, schema="ty int, tx int, floor_sum bigint, count bigint"
-    ).orderBy("ty", "tx")
+    return _osort(
+        warped.mapInPandas(
+            reduce_tiles, schema="ty int, tx int, floor_sum bigint, count bigint"
+        ),
+        "ty", "tx",
+    )
 
 
 def _classified_tiles(spark: SparkSession) -> DataFrame:
@@ -963,9 +988,12 @@ def q_nc_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
             yield pd.DataFrame(rows, columns=["t", "ty", "tx", "sum", "count"])
 
-    return tiles.mapInPandas(
-        reduce_tiles, schema="t int, ty int, tx int, sum double, count bigint"
-    ).orderBy("t", "ty", "tx")
+    return _osort(
+        tiles.mapInPandas(
+            reduce_tiles, schema="t int, ty int, tx int, sum double, count bigint"
+        ),
+        "t", "ty", "tx",
+    )
 
 
 def _nc_ingest_oracle() -> str:
@@ -1163,11 +1191,14 @@ def q_pages_text_invariant(spark: SparkSession, sf_dir: str) -> DataFrame:
             " '(?s)^<html><body>(.*)</body></html>$', 1)"
         ),
     )
-    return extracted.select(
+    return _osort(
+        extracted.select(
+            "url",
+            F.md5(F.encode("page_text", "UTF-8")).alias("text_md5"),
+            "cell_rows",
+        ),
         "url",
-        F.md5(F.encode("page_text", "UTF-8")).alias("text_md5"),
-        "cell_rows",
-    ).orderBy("url")
+    )
 
 
 def q_streaming_zonal(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1444,12 +1475,15 @@ def q_audio_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
     media = attach_real_audio(docs).repartition(16, "doc_id")
     out = decode_audio_features(media)
-    return out.select(
-        "doc_id", "fmt",
-        F.col("sample_rate").cast("bigint").alias("sample_rate"),
-        F.col("n_samples").cast("bigint").alias("n_samples"),
-        "sum_amp", "sum_abs",
-    ).orderBy("doc_id")
+    return _osort(
+        out.select(
+            "doc_id", "fmt",
+            F.col("sample_rate").cast("bigint").alias("sample_rate"),
+            F.col("n_samples").cast("bigint").alias("n_samples"),
+            "sum_amp", "sum_abs",
+        ),
+        "doc_id",
+    )
 
 
 def q_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1469,11 +1503,14 @@ def q_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     html = docs.withColumn("html", build_rich_html_col())
     out = html.withColumn("extracted", extract_text_col("html"))
-    return out.select(
+    return _osort(
+        out.select(
+            "doc_id",
+            F.md5(F.encode("extracted", "UTF-8")).alias("text_md5"),
+            F.length("extracted").cast("bigint").alias("n_chars"),
+        ),
         "doc_id",
-        F.md5(F.encode("extracted", "UTF-8")).alias("text_md5"),
-        F.length("extracted").cast("bigint").alias("n_chars"),
-    ).orderBy("doc_id")
+    )
 
 
 _CURATE_EVAL_MOD = 50  # doc_id % MOD == 7 -> eval-set member
@@ -1788,7 +1825,7 @@ def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("height").cast("bigint").alias("height"),
         "sum_r", "sum_g", "sum_b",
     )
-    return images.unionByName(videos).orderBy("doc_id")
+    return _osort(images.unionByName(videos), "doc_id")
 
 
 def entry(spark: SparkSession) -> DataFrame:

@@ -87,3 +87,19 @@ def test_sql_twin_matches_numpy():
     """
     got = con.execute(sql).fetchnumpy()["cell"]
     assert np.array_equal(got, expected)
+
+
+def test_fast_morton_matches_numpy():
+    """r8: the Spark-side spread-bits / function-shift morton builders
+    (cells.cell_fast_sql, morton_fn_sql) are value-identical to the
+    numpy encode (== the fingerprint-frozen per-bit SQL form, by
+    test_sql_twin_matches_numpy) at every resolution the engine uses
+    (6 = knn grid, 7 = pages key, 9/14 = pip_join coarse/fine, 24 = max
+    fine). Evaluated through Spark in tests/test_pip_join_spark.py; here
+    the pure-python builders are checked for well-formedness."""
+    for res in (6, 7, 9, 14, 24):
+        fast = cells.cell_fast_sql("lon", "lat", res)
+        fn = cells.morton_fn_sql("ix", "iy", res)
+        assert fast.count("(") == fast.count(")")
+        assert fn.count("(") == fn.count(")")
+        assert f"+ {res})" in fn and f"* 32 + {res})" in fast

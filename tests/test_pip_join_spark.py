@@ -146,3 +146,33 @@ def test_zonal_statistics_matches_oracle(pages, duck):
         """
     ).df()
     pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_fast_cell_builders_match_per_bit_in_spark(spark):
+    """r8: spread-bits cell_fast_sql and function-shift morton_fn_sql
+    equal the fingerprint-frozen per-bit morton_sql_expr for every
+    engine resolution, on clamp-exercising out-of-domain coords."""
+    from pyspark.sql import functions as F
+
+    from trefoil_spark.grid import cells as C
+
+    pts = spark.range(4000).selectExpr(
+        "CAST((id * 2654435761) % 999983 AS DOUBLE) / 999983 * 380 - 190 AS lon",
+        "CAST((id * 40503 + 9973) % 999979 AS DOUBLE) / 999979 * 190 - 95 AS lat",
+    )
+    for res in (6, 7, 9, 14, 24):
+        slow = (
+            f"({C.morton_sql_expr('_px', '_py', res)})"
+            .replace("_px", f"({C.ix_sql_expr('lon', res)})")
+            .replace("_py", f"({C.iy_sql_expr('lat', res)})")
+        )
+        fast = C.cell_fast_sql("lon", "lat", res)
+        fn = (
+            f"({C.morton_fn_sql('_px', '_py', res)})"
+            .replace("_px", f"({C.ix_sql_expr('lon', res)})")
+            .replace("_py", f"({C.iy_sql_expr('lat', res)})")
+        )
+        bad = pts.select(
+            F.expr(slow).alias("a"), F.expr(fast).alias("b"), F.expr(fn).alias("c")
+        ).filter("a <> b OR a <> c").count()
+        assert bad == 0, res

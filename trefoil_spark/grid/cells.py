@@ -214,6 +214,67 @@ def morton_sql_expr(ix_col: str, iy_col: str, res: int) -> str:
     return f"({morton} + {res})"
 
 
+def spread_bits_sql(v_col: str) -> str:
+    """Bit-trick spread (bit b of v → bit 2b) as one SQL expression —
+    the `_interleave_u32` magic-mask ladder in Spark SQL integer ops.
+
+    Spark-side ONLY (the DuckDB oracle keeps the per-bit
+    :func:`morton_sql_expr` text, which is fingerprint-frozen).
+    ~10 integer ops replace 2·res AND/shift/multiply terms; exact parity
+    with the per-bit form is locked by tests/test_cells.py. All
+    intermediates stay below 2^61 for res ≤ 29 → sign-safe int64.
+    Function-form shifts (`shiftleft`), not the `<<` operator: Spark's
+    parser rejects shift OPERATORS inside `array(...)` argument lists
+    (the `>`/`<` tokens collide with the generic-type grammar).
+    """
+    x = f"({v_col})"
+    for sh, m in (
+        (16, 0x0000FFFF0000FFFF),
+        (8, 0x00FF00FF00FF00FF),
+        (4, 0x0F0F0F0F0F0F0F0F),
+        (2, 0x3333333333333333),
+        (1, 0x5555555555555555),
+    ):
+        x = f"(({x} | shiftleft({x}, {sh})) & {m})"
+    return x
+
+
+def morton_fast_sql(ix_col: str, iy_col: str, res: int) -> str:
+    """Same value as :func:`morton_sql_expr` via the spread-bits ladder.
+
+    ``ix_col`` / ``iy_col`` should be plain column references (each is
+    textually duplicated by the ladder; an inline subexpression would
+    blow up the tree — compute coords into columns first).
+    """
+    return (
+        f"(({spread_bits_sql(ix_col)} + ({spread_bits_sql(iy_col)} * 2))"
+        f" * 32 + {res})"
+    )
+
+
+def morton_fn_sql(ix_col: str, iy_col: str, res: int) -> str:
+    """Per-bit morton (same value as :func:`morton_sql_expr`) with
+    function-form shifts, for contexts where the `>>` operator does not
+    parse (inside `array(...)` argument lists). Spark-side only."""
+    terms = []
+    for b in range(res):
+        terms.append(f"((shiftright({ix_col}, {b}) & 1) * {1 << (2 * b + 5)})")
+        terms.append(f"((shiftright({iy_col}, {b}) & 1) * {1 << (2 * b + 6)})")
+    morton = " + ".join(terms) if terms else "0"
+    return f"({morton} + {res})"
+
+
+def cell_fast_sql(lon_col: str, lat_col: str, res: int) -> str:
+    """One-shot Spark-side cell id (bit-trick morton over inlined coords).
+
+    The coord exprs are duplicated ~32× textually, but whole-stage
+    codegen's subexpression elimination evaluates each once; use
+    :func:`morton_fast_sql` over precomputed coord COLUMNS when the
+    expression feeds further derivation (e.g. the pip_join ladder).
+    """
+    return morton_fast_sql(ix_sql_expr(lon_col, res), iy_sql_expr(lat_col, res), res)
+
+
 def cell_sql_expr(lon_col: str, lat_col: str, res: int) -> str:
     """One-shot SQL expression computing the same cell id as latlon_to_cell.
 

@@ -24,6 +24,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
+from ..grid import cells as _cells
 from .pip_join import cell_col
 
 
@@ -93,27 +94,22 @@ def knn_join_cells(
         F.col(lon_col).alias("_qlon"),
         F.col(lat_col).alias("_qlat"),
     )
-    # neighborhood cells via ix/iy offsets (clamp lat, wrap lon)
-    ix = F.expr(
-        f"CAST(LEAST(GREATEST(FLOOR((_qlon + 180) / 360 * {n}), 0), {n - 1}) AS BIGINT)"
-    )
-    iy = F.expr(
-        f"CAST(LEAST(GREATEST(FLOOR((_qlat + 90) / 180 * {n}), 0), {n - 1}) AS BIGINT)"
-    )
-    q = q.withColumn("_ix", ix).withColumn("_iy", iy)
+    # neighborhood cells via ix/iy offsets (clamp lat, wrap lon) — built
+    # as ONE SQL expression string (r8): the former per-offset Column-op
+    # loop cost ~0.9 s of py4j round trips per plan build
+    q = q.withColumn(
+        "_ix", F.expr(_cells.ix_sql_expr("_qlon", res))
+    ).withColumn("_iy", F.expr(_cells.iy_sql_expr("_qlat", res)))
     offsets = [(dx, dy) for dx in range(-ring, ring + 1) for dy in range(-ring, ring + 1)]
-    cells_arr = F.array_distinct(
-        F.array(
-            *[
-                _cell_from_xy(
-                    F.pmod(F.col("_ix") + dx, F.lit(n)),
-                    F.least(F.greatest(F.col("_iy") + dy, F.lit(0)), F.lit(n - 1)),
-                    res,
-                )
-                for dx, dy in offsets
-            ]
+    elems = ", ".join(
+        _cells.morton_fn_sql(
+            f"pmod(_ix + {dx}, {n})",
+            f"least(greatest(_iy + {dy}, 0), {n - 1})",
+            res,
         )
+        for dx, dy in offsets
     )
+    cells_arr = F.expr(f"array_distinct(array({elems}))")
     q_exp = q.withColumn("_cell", F.explode(cells_arr)).drop("_ix", "_iy")
 
     p = points.select(
@@ -258,9 +254,3 @@ def knn_join_adaptive(
     return out
 
 
-def _cell_from_xy(ix: Column, iy: Column, res: int) -> Column:
-    morton = F.lit(0).cast("bigint")
-    for b in range(res):
-        morton = morton + ix.bitwiseAND(F.lit(1 << b)).cast("bigint") * F.lit(1 << (b + 5))
-        morton = morton + iy.bitwiseAND(F.lit(1 << b)).cast("bigint") * F.lit(1 << (b + 6))
-    return morton + F.lit(res)

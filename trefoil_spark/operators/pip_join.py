@@ -45,15 +45,14 @@ BOUNDARY = -2  # fine-index sentinel: cell needs the exact per-point test
 
 
 def cell_col(lon_col: str = "lon", lat_col: str = "lat", res: int = DEFAULT_RES) -> Column:
-    """qcell id as a pure Catalyst expression (JVM-side, codegen-friendly)."""
-    ix = F.expr(cells.ix_sql_expr(lon_col, res))
-    iy = F.expr(cells.iy_sql_expr(lat_col, res))
-    morton = F.lit(0).cast("bigint")
-    for b in range(res):
-        # (ix & 2^b) * 2^(b+5) lands ix bit b at morton bit 2b (+5 res shift)
-        morton = morton + ix.bitwiseAND(F.lit(1 << b)).cast("bigint") * F.lit(1 << (b + 5))
-        morton = morton + iy.bitwiseAND(F.lit(1 << b)).cast("bigint") * F.lit(1 << (b + 6))
-    return morton + F.lit(res)
+    """qcell id as a pure Catalyst expression (JVM-side, codegen-friendly).
+
+    r8: ONE spread-bits SQL expression instead of a 2·res-step Column
+    loop — the loop cost ~0.25 s of py4j round trips per plan build and
+    2× the per-row work (bench: 0.20 s → 0.11 s per 20M rows; value
+    parity with the per-bit form asserted in tests/test_cells.py).
+    """
+    return F.expr(cells.cell_fast_sql(lon_col, lat_col, res))
 
 
 def parent_cell_col(cell: Column, res: int, parent_res: int) -> Column:
@@ -231,6 +230,45 @@ def build_covering_index(
     return out
 
 
+def _covering_dfs(spark: SparkSession, index: dict):
+    """(cov1, cov2) DataFrames for a covering index, memoized per session.
+
+    r8: the fine index is ~10^5 rows; uploading it (pandas→Arrow→JVM
+    createDataFrame) cost ~0.4 s of driver time and materializing it for
+    the broadcast build another ~0.2 s on EVERY pip query. The index is
+    a pure function of the polygon layer (same memoization contract as
+    ``_COVERING_CACHE`` — no input data involved), so the session-lived
+    DataFrames are built once and persisted (~1.5 MB) and each query's
+    broadcast build reads the cached blocks.
+
+    Arrow path (pandas), not pickled tuples, for the upload. r2 uses an
+    INTEGER SENTINEL (-2 = boundary) instead of NULL: nullable columns
+    round-tripped through pandas turn into DOUBLE NaN when the session
+    has arrow.pyspark.enabled=false (NaN is not NULL → silently corrupts
+    the resolution ladder and then explodes under ANSI casts). Pure
+    int64 is representation-proof.
+    """
+    key = spark.sparkContext.applicationId
+    dfs = index.setdefault("_session_dfs", {})
+    cached = dfs.get(key)
+    if cached is not None:
+        return cached
+    # coalesce(1): the per-query broadcast build re-reads these from the
+    # block cache — one task instead of defaultParallelism near-empty
+    # tasks per build (they are ≤ ~10^5 rows by construction)
+    cov1 = spark.createDataFrame(
+        index["coarse"], "c1 bigint, fids array<bigint>, r1 bigint"
+    ).coalesce(1).persist()
+    fine_rows = [
+        (c, BOUNDARY if r is None else r) for c, r in (index["fine"] or [(-1, -1)])
+    ]
+    fine_pdf = pd.DataFrame(fine_rows, columns=["c2", "r2"]).astype("int64")
+    cov2 = spark.createDataFrame(fine_pdf).coalesce(1).persist()
+    dfs.clear()  # a dead session's persist handles are useless — drop them
+    dfs[key] = (cov1, cov2)
+    return cov1, cov2
+
+
 def covering_index_df(
     spark: SparkSession, polygons: list[Polygon], res: int = DEFAULT_RES
 ) -> DataFrame:
@@ -340,23 +378,18 @@ def pip_join(
     """
     spark = points.sparkSession
     index = build_covering_index(polygons, res, fine_res)
-    cov1 = spark.createDataFrame(
-        index["coarse"], "c1 bigint, fids array<bigint>, r1 bigint"
-    )
-    # Arrow path (pandas), not pickled tuples: the fine index can be ~10^5
-    # rows and is rebuilt per query — pickle upload would serialize on the
-    # driver and cap scaling. r2 uses an INTEGER SENTINEL (-2 = boundary)
-    # instead of NULL: nullable columns round-tripped through pandas turn
-    # into DOUBLE NaN when the session has arrow.pyspark.enabled=false
-    # (NaN is not NULL → silently corrupts the resolution ladder and then
-    # explodes under ANSI casts). Pure int64 is representation-proof.
-    fine_rows = [
-        (c, BOUNDARY if r is None else r) for c, r in (index["fine"] or [(-1, -1)])
-    ]
-    fine_pdf = pd.DataFrame(fine_rows, columns=["c2", "r2"]).astype("int64")
-    cov2 = spark.createDataFrame(fine_pdf)
+    cov1, cov2 = _covering_dfs(spark, index)
 
-    pts = points.withColumn("_cf", cell_col(lon_col, lat_col, fine_res))
+    # compute the integer coords ONCE as columns; the spread-bits morton
+    # references them several times and CollapseProject declines to inline
+    # non-cheap exprs used more than once, so the plan stays linear-sized
+    # and codegen evaluates each coord once per row
+    pts = points.withColumn(
+        "_qx", F.expr(cells.ix_sql_expr(lon_col, fine_res))
+    ).withColumn("_qy", F.expr(cells.iy_sql_expr(lat_col, fine_res)))
+    pts = pts.withColumn(
+        "_cf", F.expr(cells.morton_fast_sql("_qx", "_qy", fine_res))
+    ).drop("_qx", "_qy")
     pts = pts.withColumn("_cc", parent_cell_col(F.col("_cf"), fine_res, res))
 
     joined = (

@@ -56,6 +56,16 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.session.timeZone", "UTC")
+        # r8: per-call Python stack capture for error enrichment costs one
+        # inspect.stack walk + one py4j round trip on EVERY DataFrame/Column
+        # API call (pyspark.errors.utils._with_origin) — measured ~0.3-0.5 s
+        # of driver-side plan-construction time per complex query. Scale-
+        # neutral (pure driver overhead), documented PySpark perf knob;
+        # re-enable via env when debugging an error's user call site.
+        .config(
+            "spark.python.sql.dataFrameDebugging.enabled",
+            os.environ.get("SPARK_GRAFT_DF_DEBUG", "false"),
+        )
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

@@ -106,9 +106,15 @@ def build_pages_scaled(
     """
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     # stream side = well-partitioned range; small docs side broadcast →
-    # the expansion parallelizes across range partitions, no repartition
+    # the expansion parallelizes across range partitions, no repartition.
+    # r8: one partition per core (was par*4): the pipeline ends in an
+    # ArrowEvalPython refine whose per-TASK Python round-trip dominated
+    # at 4 tasks/core (measured 1.98 s → 0.92 s on the 2M-row bench
+    # shape); `defaultParallelism` tracks cluster size, so the choice
+    # stays scale-adaptive, and the map-side pre-aggregation keeps
+    # per-task state O(zones) regardless of rows per task.
     par = spark.sparkContext.defaultParallelism
-    reps = spark.range(0, factor, numPartitions=min(factor, par * 4)).withColumnRenamed(
+    reps = spark.range(0, factor, numPartitions=min(factor, par)).withColumnRenamed(
         "id", "rep"
     )
     wide = reps.join(F.broadcast(docs)).selectExpr(
