@@ -65,3 +65,19 @@ def test_sampled_cuts_deterministic(scored):
     assert a == b
     c = ppl_tercile_cuts(scored.repartition(13), sample_frac=0.5, salt=7)
     assert a == c  # partition-stable
+
+
+def test_max_rows_hard_cap(scored):
+    """r8 (VERDICT r7 item 2): max_rows bounds the collected sample no
+    matter the requested fraction; the capped cut equals the cut from
+    the equivalent explicit fraction (deterministic hash sample), and
+    is partition-stable."""
+    n = scored.filter(F.col("ppl").isNotNull()).count()
+    capped = ppl_tercile_cuts(scored, sample_frac=1.0, max_rows=10)
+    explicit = ppl_tercile_cuts(scored, sample_frac=10 / n)
+    assert capped == explicit
+    assert capped == ppl_tercile_cuts(
+        scored.repartition(13), sample_frac=1.0, max_rows=10
+    )
+    # cap above n: identical to the exact path
+    assert ppl_tercile_cuts(scored, max_rows=10 ** 9) == ppl_tercile_cuts(scored)

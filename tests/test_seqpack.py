@@ -177,3 +177,19 @@ def test_cap_per_domain_two_phase_exact_and_salted(spark):
     plan = cap_per_domain(df, 3)._jdf.queryExecution().executedPlan().toString()
     wins = [l for l in plan.splitlines() if "windowspecdefinition" in l]
     assert any("__salt" in l for l in wins), plan
+
+
+def test_bucket_count_hard_cap(spark):
+    """r8 (ADVICE r7): the driver-side prefix table is bounded by
+    max_buckets regardless of corpus size, and results are unchanged
+    when the cap binds (bucket boundaries never affect offsets)."""
+    from trefoil_spark.operators.seqpack import pack_sequences
+
+    docs = spark.createDataFrame(
+        [(i, "w%d a b c" % i) for i in range(200)],
+        "doc_id bigint, text string",
+    )
+    uncapped = pack_sequences(docs, 7, bucket_size=1).collect()
+    capped = pack_sequences(docs, 7, bucket_size=1, max_buckets=4).collect()
+    key = lambda rows: sorted((r["seq_id"], tuple(r["tokens"])) for r in rows)
+    assert key(uncapped) == key(capped)

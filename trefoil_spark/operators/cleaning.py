@@ -50,9 +50,11 @@ _TERMINAL = ('.', '!', '?', '"')
 
 
 def _ws_trim(line: Column) -> Column:
-    # trim() strips only 0x20 in both engines; strip tabs too, the
-    # same way on both sides of the twin
-    return F.regexp_replace(line, r"^[ \t]+|[ \t]+$", "")
+    # strip spaces AND tabs from both ends; btrim with an explicit char
+    # set is value-identical to the former ^[ \t]+|[ \t]+$ regex (the
+    # DuckDB twin keeps the regex text) at a plain scan's cost — the
+    # regex ran once per LINE, ~10^7 matcher invocations per 10^5 docs
+    return F.btrim(line, F.lit(" \t"))
 
 
 def _line_keep(line: Column) -> Column:
@@ -88,17 +90,37 @@ def c4_page_pass_col(text_col: str = "text",
     n_kept = F.when(
         F.length(cleaned) == 0, F.lit(0)
     ).otherwise(F.size(F.split(cleaned, "\n")))
-    return (
-        ~raw.contains("{")
-        & ~F.lower(raw).contains("lorem ipsum")
-        & (n_kept >= 3)
-    )
+    # CASE, not a top-level AND (r8): the optimizer splits AND-ed filter
+    # conjuncts and pushes each independently — the raw-text checks slid
+    # below upstream exchanges while n_kept (which inlines the whole
+    # line-pass when cleaned_col is an alias) was duplicated below a
+    # bench repartition onto one input partition (~1 s single-task
+    # stage). The CASE is one non-splittable predicate with the same
+    # truth table (NULL raw text short-circuits to FALSE either way:
+    # the old NULL conjunction also dropped the row).
+    return F.when(
+        ~raw.contains("{") & ~F.lower(raw).contains("lorem ipsum"),
+        n_kept >= 3,
+    ).otherwise(F.lit(False))
 
 
 def c4_clean(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Apply the full C4 pass: line filtering rewrites text_col, page
-    filtering drops rows. One narrow codegen stage."""
-    out = df.withColumn("__c4_text", c4_clean_col(text_col))
+    filtering drops rows. One narrow codegen stage.
+
+    r8: ``__c4_text`` is produced by a Generate (explode of a 1-element
+    array), not a Project. Predicates referencing generator output
+    cannot be pushed below the Generate, so the page filter reads the
+    already-computed column instead of being pushed below upstream
+    exchanges with the whole line-pass expression inlined — which both
+    re-evaluated the expensive chain per row twice (filter + project)
+    and, in the bench shape, ran it on ONE pre-repartition input
+    partition. Same rows, same values; plan shape verified in
+    plans/r08/corpus_clean_after.txt.
+    """
+    out = df.withColumn(
+        "__c4_text", F.explode(F.array(c4_clean_col(text_col)))
+    )
     out = out.filter(c4_page_pass_col(text_col, "__c4_text"))
     return out.withColumn(text_col, F.col("__c4_text")).drop("__c4_text")
 

@@ -156,19 +156,33 @@ def score_perplexity(docs: DataFrame, model: DataFrame,
 
 
 def ppl_tercile_cuts(scored: DataFrame, sample_frac: float = 1.0,
-                     salt: int = 0) -> tuple[float, float]:
+                     salt: int = 0,
+                     max_rows: int | None = None) -> tuple[float, float]:
     """Derive the (head|middle, middle|tail) perplexity thresholds
     from a scored table — exact over all non-null ppl when
     sample_frac=1.0, else over a deterministic hash sample (pure
     function of (salt, doc_id): retry/partition-stable; the collect is
     bounded by the sample). Cut rule: sorted sample, element at index
     floor((n-1)/3) and floor(2*(n-1)/3) — the exact lower-tercile
-    statistic, reproducible in any engine."""
+    statistic, reproducible in any engine.
+
+    ``max_rows`` (r8, guide §5: the driver should do almost no data
+    work) is a HARD bound on the collected sample: when set, one count
+    of the scored table shrinks the effective fraction to
+    ``min(sample_frac, max_rows / n)`` so the collect can never exceed
+    ~max_rows rows no matter the corpus size. CCNet itself derives the
+    cuts from a reference sample, so a bounded sample is the published
+    semantics, not an approximation of it."""
     df = scored.filter(F.col("ppl").isNotNull())
-    if sample_frac < 1.0:
+    frac = float(sample_frac)
+    if max_rows is not None:
+        n = df.count()
+        if n > 0:
+            frac = min(frac, max_rows / n)
+    if frac < 1.0:
         from .cleaning import sample_deterministic
 
-        df = sample_deterministic(df, sample_frac, salt=salt)
+        df = sample_deterministic(df, frac, salt=salt)
     vals = sorted(r["ppl"] for r in df.select("ppl").collect())
     if not vals:
         raise ValueError("no scored documents to derive cuts from")

@@ -80,7 +80,8 @@ def _prefix_offsets(spark, brows, keyed: bool):
 def pack_sequences(docs: DataFrame, seq_len: int,
                    id_col: str = "doc_id", text_col: str = "text",
                    bucket_size: int = 4096,
-                   drop_last: bool = True) -> DataFrame:
+                   drop_last: bool = True,
+                   max_buckets: int = 65536) -> DataFrame:
     """documents → (seq_id, tokens array<string>, n_tokens, n_docs)
     fixed-length training sequences in doc_id order, one <eos> after
     each document. drop_last drops the trailing partial sequence (the
@@ -105,7 +106,16 @@ def pack_sequences(docs: DataFrame, seq_len: int,
         F.min(id_col).alias("lo"),
         F.max(id_col).alias("hi"),
     ).first()
-    n_buckets = max(1, -(-int(stats["n"] or 0) // bucket_size))
+    # r8 (ADVICE r7): cap the bucket count — ceil(n/bucket_size) grows
+    # linearly with the corpus (10^12 docs at the default bucket_size
+    # is a 2.4e8-row driver collect), so the prefix table is now
+    # HARD-bounded at max_buckets rows and bucket width widens instead.
+    # Bucket boundaries never affect results (any monotone contiguous
+    # id->bucket map yields the same offsets); past the cap the
+    # per-bucket window simply holds n/max_buckets docs per task.
+    n_buckets = min(
+        max(1, -(-int(stats["n"] or 0) // bucket_size)), max_buckets
+    )
     span = int(stats["hi"] - stats["lo"]) if stats["n"] else 0  # py ints: no overflow
     width = max(1, span // n_buckets + 1)
     # `div` (integer division) keeps the map exact and monotone for the
@@ -219,7 +229,8 @@ def sample_to_token_budget(docs: DataFrame, budget: int,
                            id_col: str = "doc_id",
                            text_col: str = "text",
                            by: str | None = None,
-                           bucket_size: int = 4096) -> DataFrame:
+                           bucket_size: int = 4096,
+                           max_buckets: int = 65536) -> DataFrame:
     """Keep WHOLE documents in doc_id order until the next doc would
     push the running token total past `budget` — the quota-fill every
     mixture recipe needs ("2B tokens of lang X", "500M of domain Y").
@@ -250,7 +261,12 @@ def sample_to_token_budget(docs: DataFrame, budget: int,
         F.min(id_col).alias("lo"),
         F.max(id_col).alias("hi"),
     ).first()
-    n_buckets = max(1, -(-int(stats["n"] or 0) // bucket_size))
+    # bucket count hard-capped like pack_sequences (ADVICE r8 fix);
+    # note the broadcast offsets table is #keys x #buckets rows, so the
+    # cap also bounds the broadcast for high-cardinality keys
+    n_buckets = min(
+        max(1, -(-int(stats["n"] or 0) // bucket_size)), max_buckets
+    )
     span = int(stats["hi"] - stats["lo"]) if stats["n"] else 0
     width = max(1, span // n_buckets + 1)
     base = base.withColumn("bucket", F.expr(f"doc_id div {width}"))

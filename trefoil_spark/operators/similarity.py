@@ -44,16 +44,23 @@ def cosine_topk(
 ) -> DataFrame:
     """Exact top-k by cosine: (query_id, neighbor_id, rank). Self-matches
     (same id) excluded; ties broken by neighbor id."""
+    # r8: norms are computed ONCE per input row, below the cross join,
+    # behind a Generate barrier (explode of a 1-element array) so
+    # CollapseProject cannot inline them into the per-candidate scoring
+    # projection — the norm is a higher-order aggregate over the vector
+    # (interpreted, no codegen), and inlined it re-ran per CANDIDATE:
+    # 3 array folds per candidate row → 1. The division tree
+    # dot / (qnorm * pnorm) is unchanged, so scores are bit-identical.
     q = queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv")
-    )
+    ).withColumn("_qn", F.explode(F.array(F.expr(_norm("_qv")))))
     p = points.select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_pv")
-    )
+    ).withColumn("_pn", F.explode(F.array(F.expr(_norm("_pv")))))
     cand = p.crossJoin(F.broadcast(q)).filter(F.col("neighbor_id") != F.col("query_id"))
     scored = cand.withColumn(
         "_cos",
-        F.expr(_dot("_qv", "_pv")) / (F.expr(_norm("_qv")) * F.expr(_norm("_pv"))),
+        F.expr(_dot("_qv", "_pv")) / (F.col("_qn") * F.col("_pn")),
     )
     w = W.partitionBy("query_id").orderBy(F.col("_cos").desc(), F.col("neighbor_id"))
     return (

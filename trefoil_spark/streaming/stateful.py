@@ -120,13 +120,20 @@ def streaming_classify(stream: "DataFrame", model: "DataFrame",
 
     def gate(batches):
         for pdf in batches:
+            # r8 (VERDICT r7 §What's wrong #2): vectorized inside the
+            # Arrow batch — explode/map/fillna/groupby-sum replaces the
+            # per-token Python loop (the repo's no-per-row-Python
+            # invariant, SURVEY §7.0). explode emits one NaN row for
+            # empty/None docs; those pick up a spurious llr0 via fillna
+            # but are dropped by the n_tokens>0 mask, exactly like the
+            # old `else None` branch.
             toks = pdf[text_col].str.lower().str.split()
-            scores = [
-                sum(llr.get(w, llr0) for w in t) if isinstance(t, list) and t
-                else None
-                for t in toks
-            ]
-            out = pdf.assign(score=pd.array(scores, dtype="float64"))
+            n_tokens = toks.str.len()
+            flat = toks.explode()
+            scores = flat.map(llr).fillna(llr0).groupby(level=0).sum()
+            out = pdf.assign(
+                score=scores.reindex(pdf.index).where(n_tokens > 0)
+            )
             yield out[out["score"].notna() & (out["score"] > cut)]
 
     return stream.mapInPandas(gate, schema)
