@@ -136,7 +136,9 @@ _PAGES_CTE = pages_cte_sql("documents")
 def q_cell_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SURVEY §2 P1-P4 analog at record grain: geotag → qcell key (pure
     Catalyst integer expressions, codegen; the partition key of the engine)."""
-    return _osort(_pages(spark, sf_dir).select("doc_id", "lat", "lon", "cell"), "doc_id")
+    # plain orderBy (no _osort): the chain is cheap codegen — paying it
+    # twice in the range-sampling pass costs less than a checkpoint write
+    return _pages(spark, sf_dir).select("doc_id", "lat", "lon", "cell").orderBy("doc_id")
 
 
 def q_pip_join(spark: SparkSession, sf_dir: str) -> DataFrame:

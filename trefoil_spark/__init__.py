@@ -16,3 +16,45 @@ JVM-side for whole-stage codegen.
 __version__ = "0.1.0"
 
 TILE_SIZE = 256
+
+
+def _tune_python_worker() -> None:
+    """One-time Python-WORKER tuning (guide §4.5: heavyweight setup once
+    per worker, amortized by `spark.python.worker.reuse`).
+
+    pyspark's per-task worker setup calls ``importlib.invalidate_caches()``
+    (worker_util.setup_spark_files), and CPython's ``zipimporter``
+    eagerly re-reads its archive's end-of-central-directory on every
+    invalidation. With SPARK_HOME's pyspark.zip / py4j zip / a jar on
+    every worker's sys.path that is ~100-190 ms of re-parsing zip TOCs
+    PER TASK — measured as the floor of every Python-bearing stage on
+    this engine (a trivial 1-task mapInPandas job: 270 ms wall, of which
+    ~190 ms was this). Archives on sys.path do not change mid-session,
+    so the re-read is pure waste: make zip-archive invalidation a no-op
+    in this worker. Directory finders (FileFinder) keep their normal
+    invalidation, so ``addPyFile``'d plain .py files are still picked up
+    (they land in the spark-files DIRECTORY); only an existing zip whose
+    bytes are rewritten in place mid-session would be missed — a
+    scenario Spark itself does not support.
+
+    Runs only inside a Python worker (gated on pyspark.worker/daemon
+    being loaded), at most once per process; the driver is untouched.
+    """
+    import sys
+
+    if "pyspark.daemon" not in sys.modules and "pyspark.worker" not in sys.modules:
+        return
+    try:
+        import zipimport
+
+        if getattr(zipimport.zipimporter.invalidate_caches, "_trefoil_noop", False):
+            return
+        def _noop_invalidate(self):  # archives are immutable in-session
+            return None
+        _noop_invalidate._trefoil_noop = True
+        zipimport.zipimporter.invalidate_caches = _noop_invalidate
+    except Exception:  # never let tuning break a task
+        pass
+
+
+_tune_python_worker()
