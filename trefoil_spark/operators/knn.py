@@ -112,11 +112,21 @@ def knn_join_cells(
     cells_arr = F.expr(f"array_distinct(array({elems}))")
     q_exp = q.withColumn("_cell", F.explode(cells_arr)).drop("_ix", "_iy")
 
+    # coords as named columns, morton over the attributes (r8): the
+    # spread-bits ladder references its input ~32x textually, so the
+    # coord expressions must be attributes (cheap re-reads), not inlined
+    # trees — same shape as pip_join's _qx/_qy
     p = points.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(lon_col).alias("_plon"),
         F.col(lat_col).alias("_plat"),
-    ).withColumn("_pcell", cell_col("_plon", "_plat", res))
+    ).withColumn(
+        "_px", F.expr(_cells.ix_sql_expr("_plon", res))
+    ).withColumn(
+        "_py", F.expr(_cells.iy_sql_expr("_plat", res))
+    ).withColumn(
+        "_pcell", F.expr(_cells.morton_fast_sql("_px", "_py", res))
+    ).drop("_px", "_py")
 
     cand = p.join(F.broadcast(q_exp), F.col("_pcell") == F.col("_cell")).filter(
         F.col("neighbor_id") != F.col("query_id")

@@ -282,30 +282,54 @@ def covering_index_df(
 def _make_winner_udf(index: dict):
     """Vectorized pandas UDF: (lon, lat, fine_cell) -> feature_id|null.
 
-    Rows are grouped per distinct fine cell (np.unique, no per-row
-    Python); each (cell, polygon) evaluation is one chunked vectorized
-    points-x-edges numpy call over still-unresolved rows.
+    r8: rows are grouped per distinct CANDIDATE FID LIST, not per
+    distinct fine cell. A point's exact tests depend only on its cell's
+    (burn-ordered) candidate list, and the number of distinct lists is
+    bounded by polygon-overlap combinations (a handful) while distinct
+    boundary cells number in the hundreds per batch — the per-cell loop
+    paid points_in_rings' fixed numpy setup ~800x per batch for ~500
+    boundary rows (measured 35-130 ms/batch; now ~#groups x #fids
+    calls). The cell -> group mapping is two sorted int64 arrays built
+    once per index (vectorized searchsorted lookup, no per-row Python);
+    per-point test order (descending fid burn order within the point's
+    list) is unchanged, so results are identical.
     """
     rings_by_fid = index["rings_by_fid"]
-    cell_fids = index["fine_fids"]
+    groups = index.get("_fid_groups")
+    if groups is None:
+        cell_fids = index["fine_fids"]
+        gid_by_list: dict[tuple, int] = {}
+        group_fids: list[tuple] = []
+        keys = np.empty(len(cell_fids), dtype=np.int64)
+        gids = np.empty(len(cell_fids), dtype=np.int64)
+        for i, (c, fids) in enumerate(cell_fids.items()):
+            t = tuple(fids)
+            g = gid_by_list.get(t)
+            if g is None:
+                g = gid_by_list[t] = len(group_fids)
+                group_fids.append(t)
+            keys[i] = c
+            gids[i] = g
+        order = np.argsort(keys)
+        groups = index["_fid_groups"] = (keys[order], gids[order], group_fids)
+    cell_keys, cell_gids, group_fids = groups
 
     @F.pandas_udf(LongType())
     def winner(lon: pd.Series, lat: pd.Series, cell: pd.Series) -> pd.Series:
         cells_v = cell.to_numpy(dtype="float64", na_value=np.nan)
         out = np.full(len(cells_v), -1, dtype=np.int64)
         active = np.flatnonzero(~np.isnan(cells_v))
-        if active.size:
+        if active.size and cell_keys.size:
             lon_v = lon.to_numpy(dtype=np.float64)
             lat_v = lat.to_numpy(dtype=np.float64)
             cells_i = cells_v[active].astype(np.int64)
-            # sort-based grouping: O(n log n) regardless of distinct cells
-            order = np.argsort(cells_i, kind="stable")
-            sorted_idx = active[order]
-            uniq, starts = np.unique(cells_i[order], return_index=True)
-            bounds = np.append(starts, cells_i.size)
-            for k, c in enumerate(uniq.tolist()):
-                idx = sorted_idx[bounds[k] : bounds[k + 1]]
-                for fid in cell_fids.get(int(c), ()):  # descending = burn order
+            pos = np.searchsorted(cell_keys, cells_i)
+            pos = np.clip(pos, 0, cell_keys.size - 1)
+            known = cell_keys[pos] == cells_i  # guard: unknown cell -> -1
+            g = np.where(known, cell_gids[pos], -1)
+            for gid in np.unique(g[g >= 0]).tolist():
+                idx = active[g == gid]
+                for fid in group_fids[gid]:  # descending = burn order
                     if idx.size == 0:
                         break
                     inside = points_in_rings(lon_v[idx], lat_v[idx], rings_by_fid[fid])

@@ -288,9 +288,18 @@ def connected_components(
         nodes = {n for ab in pairs for n in ab}
         mapping = [(n, find(n)) for n in sorted(nodes)]
         # bounded by the collect cap → always broadcastable: consumers'
-        # joins stay shuffle-free on their big side
+        # joins stay shuffle-free on their big side.
+        # r8: upload via pandas/Arrow in ONE partition — the former
+        # plain-list createDataFrame built a pickled RDD over
+        # defaultParallelism partitions, so every broadcast build ran
+        # 32 near-empty PYTHON worker tasks (measured ~8 s of task time
+        # at ~0 cpu per query on the vectorize row); Arrow batches are
+        # read JVM-side, no Python workers at all
+        mapping_pdf = pd.DataFrame(mapping, columns=["node", "global_id"])
         return F.broadcast(
-            spark.createDataFrame(mapping, "node string, global_id string")
+            spark.createDataFrame(
+                mapping_pdf.astype({"node": "string", "global_id": "string"})
+            ).coalesce(1)
         )
 
     def _large_star(ed: DataFrame) -> DataFrame:
