@@ -112,6 +112,13 @@ def knn_join_cells(
     cells_arr = F.expr(f"array_distinct(array({elems}))")
     q_exp = q.withColumn("_cell", F.explode(cells_arr)).drop("_ix", "_iy")
 
+    # NOTE (r8, measured and rejected): a conditional round-robin
+    # repartition of a 1-partition points side DID distribute the
+    # candidate scoring, but each of the 32 post-exchange tasks paid
+    # ~150 ms of fixed cost (exchange + per-task broadcast/codegen
+    # setup) — more than the ~300 ms serial scoring it replaced at this
+    # scale. At real scale the scan arrives in >= cores partitions and
+    # the question is moot, so the operator stays exchange-free.
     # coords as named columns, morton over the attributes (r8): the
     # spread-bits ladder references its input ~32x textually, so the
     # coord expressions must be attributes (cheap re-reads), not inlined
