@@ -298,7 +298,7 @@ def connected_components(
         mapping_pdf = pd.DataFrame(mapping, columns=["node", "global_id"])
         return F.broadcast(
             spark.createDataFrame(
-                mapping_pdf.astype({"node": "string", "global_id": "string"})
+                mapping_pdf, "node string, global_id string"
             ).coalesce(1)
         )
 
